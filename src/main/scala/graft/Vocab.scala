@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Tag-vocabulary ingestion + normalization.
+  *
+  * Reproduces the reference's `load_tag_mapping` semantics
+  * (reference appV2.py:51-72):
+  *   - two accepted on-disk JSON schemas, detected by the presence of an
+  *     `idx_to_tag` key (appV2.py:54):
+  *       A: {"idx_to_tag": {"<idx>": tag}, "tag_to_category": {tag: cat}}
+  *       B: {"<idx>": {"tag": tag, "category": cat}}
+  *   - string keys cast to int (appV2.py:55,58)
+  *   - category lower-cased, defaulting to "general" when the tag is
+  *     missing from tag_to_category (appV2.py:67)
+  *   - only 8 recognized categories; a tag with any other category is
+  *     dropped from every category index and can never be emitted
+  *     (appV2.py:63,68)
+  *   - the dense `names` array with None holes (appV2.py:62) maps
+  *     relationally to "no row for that tag_idx" — an inner join on
+  *     tag_idx reproduces both the hole-skip and the None-guard
+  *     (appV2.py:82,96).
+  *
+  * The vocabulary is a small dimension; it is parsed driver-side and
+  * broadcast at join time (mirror of the reference's precomputed in-memory
+  * index, appV2.py:70-71).
+  */
+object Vocab {
+
+  /** The 8 recognized categories, in the reference's dict insertion order
+    * (appV2.py:63). */
+  val recognized: Seq[String] = Seq(
+    "rating", "general", "artist", "character",
+    "copyright", "meta", "quality", "model")
+
+  /** Emission order of `get_tags` (appV2.py:77,86-89): rating- and
+    * quality-argmax first, then the threshold categories in threshold_map
+    * insertion order. */
+  val emissionRank: Map[String, Int] = Map(
+    "rating" -> 0, "quality" -> 1, "general" -> 2, "meta" -> 3,
+    "model" -> 4, "character" -> 5, "copyright" -> 6, "artist" -> 7)
+
+  /** Categories selected by unthresholded per-category argmax
+    * (appV2.py:77). */
+  val argmaxCategories: Seq[String] = Seq("rating", "quality")
+
+  /** Threshold categories → which of the two thresholds applies
+    * (appV2.py:86-89). */
+  val genThresholdCategories: Seq[String] = Seq("general", "meta", "model")
+  val charThresholdCategories: Seq[String] = Seq("character", "copyright", "artist")
+
+  /** Meta-blacklist substrings (appV2.py:98) — substring match, not word
+    * match, checked on the lower-cased, underscore-replaced name. */
+  val metaBlacklist: Seq[String] = Seq("id", "commentary", "request", "mismatch")
+
+  final case class Entry(tagIdx: Long, tagName: String, category: String)
+
+  /** Parse either accepted JSON schema into normalized entries.
+    *
+    * Returned entries keep ONLY recognized categories (unknown-category
+    * tags are unmappable to any category index in the reference and thus
+    * unreachable, appV2.py:68). Holes (missing indices) are simply absent
+    * rows. Category is lower-cased with default "general".
+    */
+  def parseJson(json: String): Seq[Entry] = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(
+        s"tag mapping must be a JSON object, got ${other.getClass.getSimpleName}")
+    }
+    val fields = root.obj.toMap
+    val idxToTag: Map[Long, String] =
+      if (fields.contains("idx_to_tag")) {
+        // Schema A (appV2.py:54-56)
+        fields("idx_to_tag") match {
+          case JObject(kv) => kv.map { case (k, v) => k.toLong -> str(v) }.toMap
+          case _ => throw new IllegalArgumentException("idx_to_tag must be an object")
+        }
+      } else {
+        // Schema B (appV2.py:57-60)
+        root.obj.map { case (k, v) =>
+          v match {
+            case JObject(inner) =>
+              val m = inner.toMap
+              k.toLong -> str(m("tag"))
+            case _ => throw new IllegalArgumentException(s"entry $k must be an object")
+          }
+        }.toMap
+      }
+    val tagToCategory: Map[String, String] =
+      if (fields.contains("idx_to_tag")) {
+        fields.get("tag_to_category") match {
+          case Some(JObject(kv)) => kv.map { case (k, v) => k -> str(v) }.toMap
+          case _ => Map.empty
+        }
+      } else {
+        root.obj.collect { case (_, JObject(inner)) =>
+          val m = inner.toMap
+          str(m("tag")) -> str(m("category"))
+        }.toMap
+      }
+    idxToTag.toSeq.sortBy(_._1).flatMap { case (idx, tag) =>
+      val cat = tagToCategory.getOrElse(tag, "general").toLowerCase
+      if (recognized.contains(cat)) Some(Entry(idx, tag, cat)) else None
+    }
+  }
+
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other => JsonMethods.compact(JsonMethods.render(other))
+  }
+
+  /** Vocabulary as a small dimension DataFrame:
+    * vocab(tag_idx LONG, tag_name STRING, category STRING). */
+  def toDF(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    import spark.implicits._
+    entries.map(e => (e.tagIdx, e.tagName, e.category))
+      .toDF("tag_idx", "tag_name", "category")
+  }
+
+  def fromJson(spark: SparkSession, json: String): DataFrame =
+    toDF(spark, parseJson(json))
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{Tables, Tagging}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship pipeline (reference appV2.py:165-185) under
+  * DuckDB-oracle test: the `embeddings` fixture plays the model's score
+  * vectors (logit = 4 × component — ×4 is a power of two, so Spark and
+  * DuckDB compute bit-identical doubles), the vocabulary is the
+  * deterministic synthetic dimension generated identically in both
+  * engines. Output (image_id, tags) exercises the full contract:
+  * clipped sigmoid, argmax, thresholds, blacklist, underscore→space,
+  * ordered concat. */
+object TaggerQueries extends QueryRegistry {
+
+  /** embeddings → scores(image_id, logits ARRAY<DOUBLE>). */
+  def scoresFromEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("image_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(4.0)).as("logits"))
+
+  private val probsSql =
+    """SELECT vec_id AS image_id,
+      |       generate_subscripts(embedding, 1) - 1 AS tag_idx,
+      |       1/(1 + exp(-greatest(least(CAST(unnest(embedding) AS DOUBLE) * 4, 30), -30))) AS prob
+      |FROM embeddings""".stripMargin
+
+  private def pipelineSql(genT: Double, charT: Double): String =
+    s"""WITH vocab AS (${Tagging.syntheticVocabSql(64)}),
+       |probs AS ($probsSql),
+       |joined AS (
+       |  SELECT p.image_id, p.tag_idx, p.prob, v.tag_name, v.category
+       |  FROM probs p JOIN vocab v USING (tag_idx)),
+       |argmax AS (
+       |  SELECT image_id, category, tag_idx, tag_name
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY image_id, category ORDER BY prob DESC, tag_idx) AS rn
+       |        FROM joined WHERE category IN ('rating','quality')) r
+       |  WHERE rn = 1),
+       |thresh AS (
+       |  SELECT image_id, category, tag_idx, tag_name FROM joined
+       |  WHERE (category IN ('general','meta','model') AND prob >= $genT)
+       |     OR (category IN ('character','copyright','artist') AND prob >= $charT)),
+       |sel AS (
+       |  SELECT image_id,
+       |         CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
+       |              WHEN 'general' THEN 2 WHEN 'meta' THEN 3 WHEN 'model' THEN 4
+       |              WHEN 'character' THEN 5 WHEN 'copyright' THEN 6 ELSE 7 END AS cat_rank,
+       |         tag_idx, replace(tag_name, '_', ' ') AS display
+       |  FROM (SELECT * FROM argmax UNION ALL SELECT * FROM thresh) u
+       |  WHERE NOT (category = 'meta' AND (
+       |        lower(replace(tag_name,'_',' ')) LIKE '%id%'
+       |     OR lower(replace(tag_name,'_',' ')) LIKE '%commentary%'
+       |     OR lower(replace(tag_name,'_',' ')) LIKE '%request%'
+       |     OR lower(replace(tag_name,'_',' ')) LIKE '%mismatch%')))
+       |SELECT e.vec_id AS image_id, coalesce(t.tags, '') AS tags
+       |FROM embeddings e LEFT JOIN (
+       |  SELECT image_id, string_agg(display, ', ' ORDER BY cat_rank, tag_idx) AS tags
+       |  FROM sel GROUP BY image_id) t ON e.vec_id = t.image_id
+       |ORDER BY image_id""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery(
+      "tagger_pipeline",
+      (spark, sfDir) => Tagging.pipeline(
+        scoresFromEmbeddings(spark, sfDir),
+        Tagging.syntheticVocab(spark, 64)).orderBy("image_id"),
+      Some(pipelineSql(0.55, 0.60))),
+    // Raised thresholds pin the >= comparison and threshold-map routing
+    // independently of the defaults (appV2.py:126-127 allows user thresholds).
+    NamedQuery(
+      "tagger_pipeline_strict",
+      (spark, sfDir) => Tagging.pipeline(
+        scoresFromEmbeddings(spark, sfDir),
+        Tagging.syntheticVocab(spark, 64),
+        genThreshold = 0.65, charThreshold = 0.70).orderBy("image_id"),
+      Some(pipelineSql(0.65, 0.70))))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden-fixture tests for the relational tagging core. Expected strings
+  * were produced by executing the reference's own get_tags/load_tag_mapping
+  * (appV2.py:51-101) on identical inputs — they pin:
+  * unthresholded rating/quality argmax, argmax tie→lowest idx (via the
+  * ±30 sigmoid clip), category-dependent thresholds with >= semantics,
+  * the substring (not word) meta blacklist incl. the 'holiday' trap,
+  * underscore→space, hole/unknown-category drops, and the exact emission
+  * order rating, quality, general, meta, model, character, copyright,
+  * artist with ascending tag_idx inside a category. */
+class TaggingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocabJson =
+    """{"0": {"tag": "safe", "category": "rating"},
+      | "1": {"tag": "questionable", "category": "rating"},
+      | "2": {"tag": "masterpiece", "category": "quality"},
+      | "3": {"tag": "low_quality", "category": "quality"},
+      | "4": {"tag": "long_hair", "category": "general"},
+      | "5": {"tag": "short_hair", "category": "general"},
+      | "6": {"tag": "holiday", "category": "meta"},
+      | "7": {"tag": "english_commentary", "category": "meta"},
+      | "8": {"tag": "watermark", "category": "meta"},
+      | "9": {"tag": "some_model", "category": "model"},
+      | "10": {"tag": "alice", "category": "character"},
+      | "11": {"tag": "bob_the_builder", "category": "character"},
+      | "12": {"tag": "acme_copyright", "category": "copyright"},
+      | "13": {"tag": "famous_artist", "category": "artist"},
+      | "15": {"tag": "weird_tag", "category": "unknown_cat"}}""".stripMargin
+
+  private lazy val vocab = Vocab.fromJson(spark, vocabJson)
+
+  private val img1 = Seq(2.0, 1.0, -5.0, -6.0, 0.3, 0.1, 5.0, 5.0, 0.5,
+    0.2, 0.5, 0.3, 1.0, 0.4, 10.0, 10.0)
+  private val img2 = Seq(-10.0, -9.0, -50.0, -50.0) ++ Seq.fill(12)(-10.0)
+
+  private def run(scores: Seq[(Long, Seq[Double])],
+                  genT: Double = 0.55, charT: Double = 0.60): Map[Long, String] =
+    Tagging.pipeline(scores.toDF("image_id", "logits"), vocab, genT, charT)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("golden: full pipeline matches the reference") {
+    val got = run(Seq(1L -> img1, 2L -> img2))
+    assert(got(1L) === "safe, masterpiece, long hair, watermark, alice, acme copyright")
+    // img2: argmax emits even at vanishing probabilities; the two quality
+    // logits clip to -30 and tie → lowest tag_idx (numpy argmax) wins.
+    assert(got(2L) === "questionable, masterpiece")
+  }
+
+  test("an item with no selected tags still yields an empty string") {
+    val generalOnly = Vocab.fromJson(spark,
+      """{"0": {"tag": "a", "category": "general"}}""")
+    val out = Tagging.pipeline(
+      Seq((7L, Seq(-5.0))).toDF("image_id", "logits"), generalOnly)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((7L, "")))
+  }
+
+  test("raising thresholds never adds tags (monotonicity)") {
+    val base = run(Seq(1L -> img1))(1L).split(", ").filter(_.nonEmpty).toSet
+    val strict = run(Seq(1L -> img1), genT = 0.70, charT = 0.75)(1L)
+      .split(", ").filter(_.nonEmpty).toSet
+    assert(strict.subsetOf(base))
+  }
+
+  test("clipped sigmoid: bounds and saturation σ(31)==σ(30)") {
+    val df = Seq(-100.0, -31.0, -30.0, 0.0, 30.0, 31.0, 100.0).toDF("x")
+      .select(Tagging.clippedSigmoid(col("x")).as("p"))
+    val ps = df.collect().map(_.getDouble(0))
+    assert(ps.forall(p => p > 0.0 && p < 1.0))
+    assert(ps(0) === ps(1) && ps(1) === ps(2)) // clip at -30
+    assert(ps(4) === ps(5) && ps(5) === ps(6)) // clip at +30
+    assert(math.abs(ps(3) - 0.5) < 1e-15)
+  }
+
+  test("row-order permutation invariance of the final tag string") {
+    val shuffled = Seq(2L -> img2, 1L -> img1).reverse
+    assert(run(Seq(1L -> img1, 2L -> img2)) === run(shuffled))
+  }
+
+  test("meta blacklist is substring, not word: 'holiday' contains 'id'") {
+    // img1 sets holiday's prob to ~0.993, far above threshold — it must
+    // still be dropped (appV2.py:98), while watermark survives.
+    val got = run(Seq(1L -> img1))(1L)
+    assert(!got.contains("holiday") && got.contains("watermark"))
+  }
+}

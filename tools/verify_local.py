@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only — the
+engine itself is Scala/Spark; this uses the driver-side python stack).
+
+Usage:  python3 tools/verify_local.py [sfDir] [outDir]
+
+Runs DuckDB on each oracle_sql.json entry with the fixture parquet files
+registered under their bare table names, reads the Spark output parquet
+written by `graft.Verify`, sorts columns by name, and compares values
+row-by-row (exact for non-floats; floats reported with max abs diff so
+boundary risk is visible)."""
+import json, sys, glob, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.sql(sql).fetchall()
+        wcols = [d[0] for d in con.sql(sql).description]
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fail += 1
+        continue
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
+    gcols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet({files!r})").description]
+    if sorted(wcols) != sorted(gcols):
+        print(f"FAIL {name}: columns differ: oracle={sorted(wcols)} spark={sorted(gcols)}")
+        fail += 1
+        continue
+    worder = [wcols.index(c) for c in sorted(wcols)]
+    gorder = [gcols.index(c) for c in sorted(gcols)]
+    want2 = [[r[i] for i in worder] for r in want]
+    got2 = [[r[i] for i in gorder] for r in got]
+    if len(want2) != len(got2):
+        print(f"FAIL {name}: row counts differ: oracle={len(want2)} spark={len(got2)}")
+        fail += 1
+        continue
+    bad = None
+    maxfdiff = 0.0
+    for i, (wr, gr) in enumerate(zip(want2, got2)):
+        for j, (wv, gv) in enumerate(zip(wr, gr)):
+            if isinstance(wv, float) or isinstance(gv, float):
+                if wv is None or gv is None:
+                    if wv is not gv:
+                        bad = (i, sorted(wcols)[j], wv, gv); break
+                elif math.isnan(wv) and math.isnan(gv):
+                    pass
+                elif wv != gv:
+                    maxfdiff = max(maxfdiff, abs(wv - gv))
+                    bad = (i, sorted(wcols)[j], wv, gv); break
+            elif wv != gv:
+                bad = (i, sorted(wcols)[j], wv, gv); break
+        if bad: break
+    if bad:
+        print(f"FAIL {name}: first diff at row {bad[0]} col {bad[1]}: oracle={bad[2]!r} spark={bad[3]!r} (maxfdiff={maxfdiff})")
+        fail += 1
+    else:
+        print(f"PASS {name}: {len(want2)} rows")
+print(f"\n{len(oracle) - fail}/{len(oracle)} queries pass")
+sys.exit(1 if fail else 0)
