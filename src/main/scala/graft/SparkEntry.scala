@@ -10,7 +10,11 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     TaggerQueries,
-    RelationalQueries)
+    RelationalQueries,
+    AggQueries,
+    ScalarFuncQueries,
+    SetOpQueries,
+    EventsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end pipeline: score vectors → tag strings. */

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation breadth (SURVEY.md §2.2 "Aggregations"): rollup/cube
+  * grouping sets, argmax-by-window, exact + approximate distinct counts,
+  * and numeric stats. All group-bys partial-aggregate map-side; rollup and
+  * cube expand grouping sets BEFORE the shuffle, so the exchange carries
+  * only (group keys × sets) — fine at any scale. */
+object AggQueries extends QueryRegistry {
+
+  private val rollup = NamedQuery(
+    "q_rollup_lineitem",
+    (spark, d) => Tables.lineitem(spark, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  private val cube = NamedQuery(
+    "q_cube_orders",
+    (spark, d) => Tables.orders(spark, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  // Top customer per nation — the argmax idiom again (same shape as the
+  // reference's rating/quality argmax), deterministic via composite sort.
+  private val argmax = NamedQuery(
+    "q_argmax_customer",
+    (spark, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      Tables.customer(spark, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin))
+
+  private val distincts = NamedQuery(
+    "q_distinct_counts",
+    (spark, d) => Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // HLL sketch — values are engine-specific, so the oracle checks the
+  // EXACT distinct count and the query reports both plus the relative
+  // error bound holding (boolean), which is engine-portable.
+  private val approx = NamedQuery(
+    "q_approx_distinct",
+    (spark, d) => Tables.lineitem(spark, d)
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .select(col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.1).as("approx_within_10pct")),
+    Some("""SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS approx_within_10pct FROM lineitem""".stripMargin))
+
+  private val stats = NamedQuery(
+    "q_stats_summary",
+    (spark, d) => Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(expr("median(l_extendedprice)"), 4).as("med_price"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(rollup, cube, argmax, distincts, approx, stats)
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Streaming-equivalent batch queries over `events` (SURVEY.md §2.2
+  * "Streaming"): tumbling / sliding / session windows, watermark-style
+  * keyed dedup, an as-of join, and frame-based moving aggregates. Batch
+  * mode keeps every one DuckDB-oracle-checkable; graft.streaming.Streams
+  * runs the same shapes as true Structured Streaming (ScalaTest-verified
+  * against these batch results). Window starts are emitted as epoch
+  * seconds — engine-portable, no timestamp formatting drift. */
+object EventsQueries extends QueryRegistry {
+
+  // Tumbling 1-hour window: Spark's window() origin is epoch-aligned UTC,
+  // i.e. floor(epoch/3600)*3600 — mirrored literally in the oracle.
+  private val tumbling = NamedQuery(
+    "q_window_tumbling",
+    (spark, d) => Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("window_start", "event_type"),
+    Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+
+  // Sliding 1-hour window every 30 min: each event lands in exactly two
+  // windows; the oracle expands them with unnest([0,1]).
+  private val sliding = NamedQuery(
+    "q_window_sliding",
+    (spark, d) => Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("n"))
+      .orderBy("window_start"),
+    Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - k * 1800 AS window_start,
+        |  count(*) AS n
+        |FROM events, unnest([0, 1]) AS t(k)
+        |GROUP BY 1 ORDER BY window_start""".stripMargin))
+
+  // Session windows (30-min gap) per user: Spark session_window semantics
+  // are start = first event, end = last event + gap; the oracle is the
+  // classic gaps-and-islands rewrite.
+  private val session = NamedQuery(
+    "q_window_session",
+    (spark, d) => Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"), col("n"), col("total"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM islands GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin))
+
+  // Keyed dedup — batch shape of dropDuplicatesWithinWatermark: keep the
+  // FIRST event per (user_id, event_type), deterministically.
+  private val dedupKeyed = NamedQuery(
+    "q_dedup_keyed",
+    (spark, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("first_ts"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS first_ts
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+
+  // As-of join: each purchase matched to the user's most recent prior
+  // click. Composed from built-ins (union-free: one window pass with
+  // IGNORE NULLS) rather than a custom join operator — a single sort
+  // exchange on user_id at any scale.
+  private val asof = NamedQuery(
+    "q_asof_click_purchase",
+    (spark, d) => {
+      val ev = Tables.events(spark, d)
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_ts"),
+          unix_timestamp(col("last_click_ts")).as("click_ts"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+        |  CAST(floor(epoch(last_click_ts)) AS BIGINT) AS click_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
+  // Moving aggregate over a row frame + lag: per-user 4-event moving avg.
+  private val moving = NamedQuery(
+    "q_moving_avg",
+    (spark, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("mov_avg"),
+          round(lag(col("value"), 1).over(w), 2).as("prev_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(tumbling, sliding, session, dedupKeyed, asof, moving)
+}
