@@ -14,7 +14,10 @@ object SparkEntry {
     AggQueries,
     ScalarFuncQueries,
     SetOpQueries,
-    EventsQueries)
+    EventsQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end pipeline: score vectors → tag strings. */

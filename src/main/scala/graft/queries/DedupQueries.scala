@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` / `embeddings` (north-star ops):
+  * exact hash-groupBy, n-gram Jaccard, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup. Every hash derives from md5 so the full
+  * pipelines — including LSH candidate generation — are bit-reproducible
+  * in the DuckDB oracle.
+  *
+  * Scale design: none of these queries ever materializes the n² pair
+  * space. Jaccard pairs come from the shingle inverted-index join;
+  * MinHash/SimHash candidates come from band-key equi-joins; only the
+  * embedding near-dup baseline is quadratic (kept as the correctness
+  * baseline — the ANN queries in SimilarityQueries are the scale path). */
+object DedupQueries extends QueryRegistry {
+
+  /** DuckDB CTEs shared by the shingle-based queries (dual of
+    * TextOps.shingles / md5LongSeeded). */
+  private val shingleCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      |       FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  // ---- Exact dedup: hash-groupBy. Corpus-level counts plus duplicate
+  // groups (min doc_id is the canonical keeper, as dropDuplicates would
+  // keep under a deterministic sort).
+  private val exact = NamedQuery(
+    "dedup_exact",
+    (spark, d) => Tables.documents(spark, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0)).as("n_removable"),
+        countDistinct(when(col("n") > 1, col("text_md5"))).as("n_dup_groups")),
+    Some("""SELECT count(*) AS n_groups, sum(n) AS n_docs,
+        |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_removable,
+        |  count(DISTINCT CASE WHEN n > 1 THEN text_md5 END) AS n_dup_groups
+        |FROM (SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keeper
+        |      FROM documents GROUP BY 1) g""".stripMargin))
+
+  // ---- n-gram Jaccard near-dup: inverted-index join, θ=0.8 (the fixture
+  // plants ~25 pairs ≥0.9 with a clean margin below 0.1).
+  private val ngram = NamedQuery(
+    "dedup_ngram_jaccard",
+    (spark, d) => {
+      val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+      TextOps.jaccardPairs(sh, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH $shingleCtes,
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON id1 = s1.doc_id
+        |JOIN sizes s2 ON id2 = s2.doc_id
+        |WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8
+        |ORDER BY id1, id2""".stripMargin))
+
+  // ---- MinHash + LSH banding: 16 md5-seeded min-hashes, 4 bands × 4
+  // rows; band-key equi-join yields candidates; exact Jaccard verifies.
+  // With 4 rows/band, P(candidate) = 1-(1-j⁴)⁴ ≈ 0.98 at j=0.8 — and the
+  // planted pairs sit at j≥0.9 where recall is ≈1, so the verified output
+  // equals the exact-Jaccard result (oracle-checked).
+  private val minhashK = 16
+  private val minhashBands = 4
+
+  private def minhashSqlHash(seed: Int, e: String) =
+    s"('0x' || substr(md5('$seed:' || $e), 1, 15))::BIGINT"
+
+  private val minhash = NamedQuery(
+    "dedup_minhash_lsh",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val sh = TextOps.shingles(docs, "doc_id", "text", 3)
+      val sig = TextOps.minhashSignatures(sh, "doc_id", minhashK)
+      val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      // verify candidates with exact Jaccard (shingles restricted to
+      // candidate docs first — the verification join stays tiny)
+      val candDocs = cand.select(col("id1").as("doc_id"))
+        .union(cand.select(col("id2"))).distinct()
+      val shC = sh.join(candDocs, "doc_id")
+      TextOps.jaccardPairs(shC, "doc_id")
+        .join(cand, Seq("id1", "id2"), "left_semi")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val minCols = (0 until minhashK)
+        .map(j => s"min(${minhashSqlHash(j, "shingle")}) AS h$j").mkString(",\n    ")
+      val bandSelects = (0 until minhashBands).map { b =>
+        val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $shingleCtes,
+         |sig AS (
+         |  SELECT doc_id,
+         |    $minCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8
+         |ORDER BY id1, id2""".stripMargin
+    })
+
+  // ---- SimHash: 60-bit signatures from word-occurrence votes.
+  private val simhashQ = NamedQuery(
+    "dedup_simhash",
+    (spark, d) => TextOps.simhash(Tables.documents(spark, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |               FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, i, sum(CAST((h >> i) & 1 AS INT) * 2 - 1) AS s
+        |         FROM h, unnest(generate_series(0, 59)) t(i) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---- SimHash near-dup pairs: 4×15-bit band blocking (a pair within
+  // hamming ≤ 3 must agree on ≥1 band — pigeonhole), then exact hamming.
+  private val simhashPairs = NamedQuery(
+    "dedup_simhash_pairs",
+    (spark, d) => {
+      val sig = TextOps.simhash(Tables.documents(spark, d), "doc_id", "text")
+      val bands = (0 until 4).map(b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * 15}) & 32767").as("bkey"),
+          col("simhash"))).reduce(_ unionByName _)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |               FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, i, sum(CAST((h >> i) & 1 AS INT) * 2 - 1) AS s
+        |         FROM h, unnest(generate_series(0, 59)) t(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |               AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, band, (simhash >> (band * 15)) & 32767 AS bkey, simhash
+        |  FROM sig, unnest(generate_series(0, 3)) t(band))
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin))
+
+  // ---- Embedding-cosine near-dup: the exact quadratic baseline.
+  private val embCosine = NamedQuery(
+    "dedup_embedding_cosine",
+    (spark, d) => {
+      val v = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"))
+      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          SimilarityOps.cosine6(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+        |ORDER BY id1, id2""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(exact, ngram, minhash, simhashQ, simhashPairs, embCosine)
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column (north-star ops):
+  * brute-force cosine top-k as the correctness baseline and an IVF
+  * (inverted-file) variant as the scale path — coarse quantize to the
+  * nearest centroid, probe the nprobe closest cells, rerank exactly.
+  * At cluster scale the IVF assignment is a broadcast join against the
+  * (tiny) centroid set and the candidate set per query shrinks by
+  * ~n_cells/nprobe, turning O(n²) into O(n²·nprobe/cells). */
+object SimilarityQueries extends QueryRegistry {
+
+  private val topK = 5
+  private val nProbe = 2
+
+  private def vecs(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+
+  // ---- Brute-force exact top-k for query vectors vec_id < 50.
+  private val brute = NamedQuery(
+    "sim_cosine_topk",
+    (spark, d) => {
+      val v = vecs(spark, d)
+      val q = v.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), col("neighbor_id"))
+      q.crossJoin(v)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          SimilarityOps.cosine6(col("qemb"), col("embedding")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.emb, v.emb), 6) AS cosine
+        |  FROM v q CROSS JOIN v
+        |  WHERE q.vec_id < 50 AND v.vec_id <> q.vec_id)
+        |SELECT query_id, rnk, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= $topK
+        |ORDER BY query_id, rnk""".stripMargin))
+
+  // ---- IVF: centroids = vec_id % 100 == 0 (deterministic coarse
+  // quantizer); assign all vectors; probe nprobe cells per query; rerank.
+  private val ivf = NamedQuery(
+    "sim_ann_ivf",
+    (spark, d) => {
+      val v = vecs(spark, d)
+      val cent = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      def nearestCells(points: DataFrame, idCol: String, embCol: String, n: Int) = {
+        val w = Window.partitionBy(col(idCol)).orderBy(desc("ccos"), col("cid"))
+        points.crossJoin(broadcast(cent))
+          .select(col(idCol), col("cid"),
+            SimilarityOps.cosine6(col(embCol), col("cemb")).as("ccos"))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= n)
+          .select(col(idCol), col("cid"))
+      }
+      val assign = nearestCells(v, "vec_id", "embedding", 1)
+      val q = v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val probes = nearestCells(
+        q.select(col("query_id"), col("qemb")), "query_id", "qemb", nProbe)
+      val cand = probes.join(assign, "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), col("neighbor_id"))
+      cand
+        .join(q, "query_id")
+        .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb")),
+          "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          SimilarityOps.cosine6(col("qemb"), col("nemb")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
+        |      AS crn
+        |    FROM v CROSS JOIN cent) t
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT v.vec_id AS query_id, cent.cid, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
+        |      AS crn
+        |    FROM v CROSS JOIN cent WHERE v.vec_id < 20) t
+        |  WHERE crn <= $nProbe),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(qv.emb, nv.emb), 6) AS cosine
+        |  FROM cand c
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  JOIN v nv ON nv.vec_id = c.neighbor_id)
+        |SELECT query_id, rnk, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= $topK
+        |ORDER BY query_id, rnk""".stripMargin))
+
+  // ---- Label-centroid similarity: per-label mean vector, then each
+  // label's nearest other label — a group-then-compare pattern (the
+  // aggregation shrinks n vectors to 10 centroids before any pairwise
+  // work, the canonical pre-aggregate-then-join scale move).
+  private val labelCentroids = NamedQuery(
+    "sim_label_centroids",
+    (spark, d) => {
+      val cent = Tables.embeddings(spark, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("cemb"))
+      val w = Window.partitionBy(col("l1")).orderBy(desc("cosine"), col("l2"))
+      cent.as("a").join(cent.as("b"), col("a.label") =!= col("b.label"))
+        .select(col("a.label").as("l1"), col("b.label").as("l2"),
+          SimilarityOps.cosine6(col("a.cemb"), col("b.cemb")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("l1"), col("l2").as("nearest_label"), col("cosine"))
+        .orderBy("l1")
+    },
+    Some("""WITH e AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |m AS (SELECT label, i, avg(x) AS m FROM e GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS cemb FROM m GROUP BY label),
+        |scored AS (
+        |  SELECT a.label AS l1, b.label AS l2,
+        |    round(list_cosine_similarity(a.cemb, b.cemb), 6) AS cosine
+        |  FROM cent a JOIN cent b ON a.label <> b.label)
+        |SELECT l1, l2 AS nearest_label, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l1 ORDER BY cosine DESC, l2) AS rnk
+        |  FROM scored) t
+        |WHERE rnk = 1 ORDER BY l1""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(brute, ivf, labelCentroids)
+}

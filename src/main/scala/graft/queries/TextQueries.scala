@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis surface over `documents` (north-star ops): token
+  * statistics, quality scoring, n-gram language ID, and md5-derived
+  * document fingerprints. All narrow map + one groupBy per query —
+  * linear in corpus size at any scale. */
+object TextQueries extends QueryRegistry {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  private val tokenStats = NamedQuery(
+    "text_token_stats",
+    (spark, d) => Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(TextOps.words(col("text"))).as("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_uniq"),
+        round(avg(length(col("word"))), 4).as("avg_word_len"),
+        max(length(col("word"))).as("max_word_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, count(*) AS n_tokens,
+        |  count(DISTINCT word) AS n_uniq,
+        |  round(avg(length(word)), 4) AS avg_word_len,
+        |  max(length(word)) AS max_word_len
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // Heuristic quality score: length saturation + lexical diversity +
+  // (1 − stopword density), the standard pretraining-filter trio.
+  private val quality = NamedQuery(
+    "text_quality_score",
+    (spark, d) => {
+      val stopSet = stopwords.map(lit(_))
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("word")).as("n_uniq"),
+          sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
+          first(col("n_chars")).as("n_chars"))
+        .select(col("doc_id"),
+          round(lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
+            + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
+            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")),
+            6).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+        |  round(0.4 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
+        |    sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
+        |        THEN 1 ELSE 0 END) AS n_stop,
+        |    first(n_chars) AS n_chars
+        |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+        |        FROM documents) t
+        |  GROUP BY doc_id) s
+        |ORDER BY doc_id""".stripMargin))
+
+  private val langStats = NamedQuery(
+    "text_lang_stats",
+    (spark, d) => Tables.documents(spark, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(size(TextOps.words(col("text")))).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // n-gram-heuristic language ID: vote by disjoint marker-word sets,
+  // argmax with deterministic tie-break, 'und' when no marker fires.
+  private val markers = Seq(
+    "the" -> "en", "and" -> "en", "el" -> "es", "las" -> "es",
+    "der" -> "de", "und" -> "de", "le" -> "fr", "les" -> "fr",
+    "shi" -> "zh", "wo" -> "zh")
+
+  private val langid = NamedQuery(
+    "text_langid",
+    (spark, d) => {
+      import spark.implicits._
+      val mk = broadcast(markers.toDF("word", "mlang"))
+      val docs = Tables.documents(spark, d)
+      val votes = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .join(mk, "word")
+        .groupBy("doc_id", "mlang")
+        .agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("v"), col("mlang"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("mlang"))
+      docs.select(col("doc_id"), col("lang").as("labeled"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("mlang"), lit("und")).as("predicted"),
+          col("labeled"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH markers(word, mlang) AS (VALUES
+        |  ${markers.map { case (w, l) => s"('$w','$l')" }.mkString(",\n  ")}),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |votes AS (SELECT doc_id, mlang, count(*) AS v
+        |          FROM tok JOIN markers USING (word) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, mlang
+        |         FROM (SELECT *, row_number() OVER (
+        |                 PARTITION BY doc_id ORDER BY v DESC, mlang) AS rn
+        |               FROM votes) t WHERE rn = 1)
+        |SELECT d.doc_id, coalesce(b.mlang, 'und') AS predicted, d.lang AS labeled
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
+
+  // Document fingerprints: whole-text md5 plus a 1-hash MinHash over
+  // 3-gram shingles (the md5-derived 60-bit hash is engine-portable).
+  private val fingerprint = NamedQuery(
+    "text_fingerprint",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val sh = TextOps.shingles(docs, "doc_id", "text", 3)
+      val sig = sh.groupBy("doc_id")
+        .agg(min(TextOps.md5Long(col("shingle"))).as("min_shingle_hash"))
+      docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .join(sig, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        |       FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
+        |sig AS (SELECT doc_id,
+        |          min(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS min_shingle_hash
+        |        FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id, md5(d.text) AS text_md5, s.min_shingle_hash
+        |FROM documents d LEFT JOIN sig s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(tokenStats, quality, langStats, langid, fingerprint)
+}
