@@ -1,0 +1,71 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.File
+import javax.imageio.ImageIO
+
+/** Deterministic generated image fixtures (FIXTURES.md §B "Image
+  * fixtures") — the testdata tables carry no images, and writing outside
+  * /root/repo is limited to temp space, so each run materializes the same
+  * tiny corpus on demand: RGB/RGBA/portrait/landscape/BMP/GIF cases, a
+  * corrupt file with an image extension (error-isolation path,
+  * appV2.py:183-185), and a non-image extension (excluded by the R1 scan
+  * filter, appV2.py:135). */
+object ImageFixtures {
+
+  /** Deterministic RGB pixel function. */
+  private def pix(x: Int, y: Int, seed: Int): Int = {
+    val r = (x * 7 + seed * 13) % 256
+    val g = (y * 11 + seed * 29) % 256
+    val b = (x * 3 + y * 5 + seed * 31) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  private def rgbImage(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y, seed))
+    img
+  }
+
+  private def rgbaImage(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val alpha = (x * 255 / math.max(1, w - 1)) & 0xff
+      img.setRGB(x, y, (alpha << 24) | pix(x, y, seed))
+    }
+    img
+  }
+
+  /** Write the fixture corpus under `dir` (idempotent). Returns the dir. */
+  def ensure(dir: String): String = {
+    val d = new File(dir)
+    d.mkdirs()
+    def write(img: BufferedImage, fmt: String, name: String): Unit = {
+      val f = new File(d, name)
+      if (!f.exists()) ImageIO.write(img, fmt, f)
+    }
+    write(rgbImage(64, 48, 1), "png", "landscape.png")
+    write(rgbImage(32, 64, 2), "png", "portrait.png")
+    write(rgbImage(40, 40, 3), "png", "square.PNG") // upper-case ext (appV2.py:135)
+    write(rgbaImage(48, 48, 4), "png", "alpha.png")
+    write(rgbImage(24, 24, 5), "bmp", "tiny.bmp")
+    write(rgbImage(24, 24, 6), "gif", "anim.gif")
+    write(rgbImage(24, 24, 7), "jpg", "photo.jpg")
+    val corrupt = new File(d, "corrupt.png")
+    if (!corrupt.exists())
+      java.nio.file.Files.write(corrupt.toPath, "not an image at all".getBytes)
+    val excluded = new File(d, "note.txt")
+    if (!excluded.exists())
+      java.nio.file.Files.write(excluded.toPath, "excluded by extension".getBytes)
+    val sub = new File(d, "sub")
+    sub.mkdirs()
+    val nested = new File(sub, "nested.png")
+    if (!nested.exists()) ImageIO.write(rgbImage(20, 20, 8), "png", nested)
+    d.getAbsolutePath
+  }
+
+  /** Default fixture vocabulary for image-pipeline runs: 32 tags cycling
+    * the 8 categories (same deterministic generator as the oracle vocab). */
+  def vocab(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    Tagging.syntheticVocab(spark, 32)
+}

@@ -1,0 +1,200 @@
+package graft
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.{Failure, Success, Try}
+
+/** The image-scoring stage — the reference's per-image chain R1, R5-R8,
+  * R15-R16 (appV2.py:132-137, 20-49, 146-174, 178-185) on Spark:
+  *
+  *   - source: `binaryFile` with the reference's extension filter
+  *     (appV2.py:17) and recursive toggle (appV2.py:129,137);
+  *   - decode/preprocess: real pixel work via JDK ImageIO — RGBA/alpha
+  *     composited over white (appV2.py:20-27), centered pad-to-square on
+  *     a white canvas (appV2.py:29-36), bicubic resize to 448×448, /255,
+  *     HWC→CHW, RGB→BGR channel reverse, (x−0.5)/0.5 normalize
+  *     (appV2.py:38-49). ImageIO covers png/jpg/jpeg/bmp/gif natively;
+  *     webp rows flow to the error channel unless an ImageIO plugin is on
+  *     the executor classpath (the reference needs a manual model download
+  *     the same way, README.md:10-12);
+  *   - scoring: `mapPartitions` with ONE scorer instance per partition —
+  *     the Spark dual of the reference's single ONNX session reused across
+  *     the whole run (appV2.py:149,171). The ONNX model is not available
+  *     in this environment, so `Scorer` is pluggable and tests/queries use
+  *     the deterministic `FixtureScorer`; an ONNX Runtime implementation
+  *     drops in without touching the plan;
+  *   - error isolation: per-row Try → status column; one bad file never
+  *     fails the job (appV2.py:165-185).
+  *
+  * Scale: decode+score is embarrassingly parallel narrow work; binaryFile
+  * splits the listing across executors; the only shuffle in the full
+  * pipeline is the tag aggregation in Tagging.concatTags. */
+object Images {
+
+  /** appV2.py:17 — lower-cased extension allow-list. */
+  val imageExtensions: Seq[String] = Seq("jpg", "jpeg", "png", "webp", "bmp", "gif")
+
+  /** R1 directory-scan source (appV2.py:132-137): pathGlobFilter is the
+    * pushdown-at-source dual of the reference's scan-time extension check;
+    * matching is case-insensitive in the reference (f.lower()), mirrored
+    * with a brace glob of both cases. */
+  def source(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
+    val glob = imageExtensions.flatMap(e => Seq(e, e.toUpperCase)).mkString("*.{", ",", "}")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", recursive.toString)
+      .load(dir)
+      .select(col("path"), col("content"))
+  }
+
+  /** R5 (appV2.py:20-27): force RGB, compositing any alpha over white. */
+  private[graft] def ensureRgbOnWhite(img: BufferedImage): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setColor(java.awt.Color.WHITE)
+    g.fillRect(0, 0, img.getWidth, img.getHeight)
+    g.drawImage(img, 0, 0, null) // SRC_OVER composite = paste with alpha mask
+    g.dispose()
+    out
+  }
+
+  /** R6 (appV2.py:29-36): centered paste on a white max(w,h)² canvas —
+    * the (s−w)//2 integer arithmetic matches the reference. */
+  private[graft] def padSquare(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w == h) return img
+    val s = math.max(w, h)
+    val out = new BufferedImage(s, s, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setColor(java.awt.Color.WHITE)
+    g.fillRect(0, 0, s, s)
+    g.drawImage(img, (s - w) / 2, (s - h) / 2, null)
+    g.dispose()
+    out
+  }
+
+  /** R7 (appV2.py:38-49): bicubic resize → /255 → CHW → RGB→BGR →
+    * (x−0.5)/0.5. Returns the flat CHW float tensor (batch dim implicit —
+    * Spark's row-per-image IS the batch axis). */
+  def preprocess(bytes: Array[Byte], targetSize: Int = 448): Array[Float] = {
+    val decoded = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (decoded == null) throw new IllegalArgumentException("undecodable image bytes")
+    val squared = padSquare(ensureRgbOnWhite(decoded))
+    val resized = new BufferedImage(targetSize, targetSize, BufferedImage.TYPE_INT_RGB)
+    val g = resized.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BICUBIC)
+    g.drawImage(squared, 0, 0, targetSize, targetSize, null)
+    g.dispose()
+    val n = targetSize * targetSize
+    val out = new Array[Float](3 * n)
+    var y = 0
+    while (y < targetSize) {
+      var x = 0
+      while (x < targetSize) {
+        val rgb = resized.getRGB(x, y)
+        val r = ((rgb >> 16) & 0xff) / 255.0f
+        val gg = ((rgb >> 8) & 0xff) / 255.0f
+        val b = (rgb & 0xff) / 255.0f
+        val idx = y * targetSize + x
+        // channel order BGR (appV2.py:44), normalize (x-0.5)/0.5
+        out(idx) = b * 2f - 1f
+        out(n + idx) = gg * 2f - 1f
+        out(2 * n + idx) = r * 2f - 1f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** R8 — the pluggable black-box scoring boundary (appV2.py:146-158). */
+  trait Scorer extends Serializable {
+    def nTags: Int
+    def score(tensor: Array[Float]): Array[Float]
+  }
+
+  /** Deterministic stand-in for the unavailable ONNX model: logits from
+    * strided pixel samples through a fixed per-tag projection. Stable
+    * across runs/partitions, so golden tests pin the full pipeline. */
+  final case class FixtureScorer(nTags: Int) extends Scorer {
+    def score(t: Array[Float]): Array[Float] = {
+      val out = new Array[Float](nTags)
+      val stride = math.max(1, t.length / 64)
+      var j = 0
+      while (j < nTags) {
+        var acc = 0.0
+        var i = 0
+        var k = 1
+        while (i < t.length) {
+          acc += t(i) * math.sin(j + 1.0 + k * 0.1)
+          i += stride
+          k += 1
+        }
+        out(j) = (2.0 * math.tanh(acc / 8.0)).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Decode + preprocess + score with per-partition scorer reuse and
+    * row-level error isolation. Output:
+    * (path STRING, logits ARRAY<FLOAT> nullable, status STRING). */
+  def scoreImages(images: DataFrame, scorer: Scorer, targetSize: Int = 448): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { iter =>
+        // one scorer per partition — mirror of the one-session-per-run
+        // amortization in the reference (appV2.py:149)
+        val s = scorer
+        iter.map { case (path, bytes) =>
+          Try(s.score(preprocess(bytes, targetSize))) match {
+            case Success(logits) => (path, logits, "ok")
+            case Failure(e) =>
+              (path, null.asInstanceOf[Array[Float]],
+                s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+          }
+        }
+      }
+      .toDF("path", "logits", "status")
+  }
+
+  /** Full flagship chain EP2 (appV2.py:167-179): source → score → tag.
+    * Failed rows keep their error status with a null tag string. */
+  def tagImages(spark: SparkSession, dir: String, vocab: DataFrame, scorer: Scorer,
+                recursive: Boolean = false,
+                genThreshold: Double = 0.55, charThreshold: Double = 0.60): DataFrame = {
+    val scored = scoreImages(source(spark, dir, recursive), scorer)
+    val ok = scored.filter(col("status") === "ok")
+      .select(col("path").as("image_id"), col("logits"))
+    val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)
+    scored.select(col("path"), col("status"))
+      .join(tags.withColumnRenamed("image_id", "path"), Seq("path"), "left")
+      .select(col("path"), col("status"), col("tags"))
+  }
+
+  /** R15 per-item side-car sink (appV2.py:178-179): one UTF-8 .txt next
+    * to each image, written executor-side (no driver collect). */
+  def writeSidecars(tagged: DataFrame): Unit =
+    tagged.select(col("path"), col("tags")).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val p = r.getString(0).stripPrefix("file:")
+          val txt = Option(r.getString(1)).getOrElse("")
+          val out = java.nio.file.Paths.get(
+            p.lastIndexOf('.') match {
+              case -1 => p + ".txt"
+              case i  => p.substring(0, i) + ".txt"
+            })
+          java.nio.file.Files.write(out, txt.getBytes("UTF-8"))
+        }
+    }
+}

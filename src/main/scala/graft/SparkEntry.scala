@@ -17,7 +17,8 @@ object SparkEntry {
     EventsQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    ImageQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end pipeline: score vectors → tag strings. */

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.Images
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star op): image/audio/video as opaque BINARY
+  * columns with typed metadata, feature extraction as per-partition batch
+  * map work — the Scala-idiomatic equivalent of a mapInPandas stage (one
+  * init per partition, iterator-in/iterator-out, columnar-friendly
+  * output schema).
+  *
+  * Decode reality in this container (no codec libraries): IMAGE decode is
+  * REAL (JDK ImageIO, shared with graft.Images). AUDIO and VIDEO decode
+  * are DETERMINISTIC FAKES — audio "decode" parses the synthetic s16le
+  * PCM layout the fixture generator writes; video "decode" treats content
+  * as fixed-size frame blocks and samples every k-th frame. A real
+  * codec drops into `decodeAudio`/`decodeVideoFrame` without touching the
+  * Spark plumbing (schema, partitioning, batch shape), which is real and
+  * under test. */
+object Multimodal {
+
+  val kinds = Seq("image", "audio", "video")
+
+  // ---------- fixture corpus (deterministic) ----------
+
+  private def sineAudioBytes(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val f = 110.0 * (1 + (id % 5))
+      val s = (math.sin(2 * math.Pi * f * i / sampleRate) * 12000).toShort
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def frameVideoBytes(id: Long, nFrames: Int, frameSize: Int): Array[Byte] = {
+    val out = new Array[Byte](nFrames * frameSize)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((i * 31 + id * 17) % 251).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic mixed-media table:
+    * media(media_id, kind, content BINARY, width, height, sample_rate,
+    * n_frames). */
+  def fixtureMedia(spark: SparkSession, n: Int = 30): DataFrame = {
+    import spark.implicits._
+    val imgDir = graft.ImageFixtures.ensure(
+      sys.props("java.io.tmpdir") + "/graft_img_fixtures")
+    val imgBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(imgDir, "landscape.png"))
+    val rows = (0 until n).map { i =>
+      val id = i.toLong
+      (i % 3) match {
+        case 0 => (id, "image", imgBytes, 64, 48, 0, 0)
+        case 1 => (id, "audio", sineAudioBytes(id, 4000, 8000), 0, 0, 8000, 0)
+        case _ => (id, "video", frameVideoBytes(id, 12, 256), 16, 16, 0, 12)
+      }
+    }
+    rows.toDF("media_id", "kind", "content", "width", "height",
+      "sample_rate", "n_frames")
+  }
+
+  // ---------- "decoders" (see scaladoc: image real, audio/video fakes) ----------
+
+  private def decodeAudio(bytes: Array[Byte]): Array[Double] = {
+    // deterministic fake codec: s16le PCM
+    val n = bytes.length / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i) & 0xff
+      val hi = bytes(2 * i + 1).toInt
+      out(i) = ((hi << 8) | lo) / 32768.0
+      i += 1
+    }
+    out
+  }
+
+  private def decodeVideoFrame(bytes: Array[Byte], frame: Int, frameSize: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, frame * frameSize,
+      math.min(bytes.length, (frame + 1) * frameSize))
+
+  // ---------- the feature-extraction stage ----------
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      features: Array[Double], status: String)
+
+  /** Batch feature extraction: per-partition init (the scorer/codec
+    * handle), iterator-in/iterator-out, per-row error isolation — the
+    * exact batch shape a Pandas-UDF stage has, minus Python. Features:
+    * image → per-channel means of the preprocessed tensor; audio → RMS,
+    * zero-crossing rate, peak; video → per-sampled-frame byte means. */
+  def extractFeatures(media: DataFrame, frameSampleEvery: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"),
+        col("sample_rate"), col("n_frames"))
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { iter =>
+        iter.map { case (id, kind, bytes, _, nFrames) =>
+          try {
+            val feats = kind match {
+              case "image" =>
+                val t = Images.preprocess(bytes, targetSize = 32)
+                val n = t.length / 3
+                Array(0, 1, 2).map { c =>
+                  var s = 0.0; var i = 0
+                  while (i < n) { s += t(c * n + i); i += 1 }
+                  s / n
+                }
+              case "audio" =>
+                val pcm = decodeAudio(bytes)
+                val rms = math.sqrt(pcm.map(x => x * x).sum / pcm.length)
+                val zc = pcm.sliding(2).count(p => p(0) * p(1) < 0).toDouble / pcm.length
+                Array(rms, zc, pcm.map(math.abs).max)
+              case "video" =>
+                val frameSize = if (nFrames > 0) bytes.length / nFrames else bytes.length
+                (0 until nFrames by frameSampleEvery).map { f =>
+                  val fr = decodeVideoFrame(bytes, f, frameSize)
+                  fr.map(b => (b & 0xff).toDouble).sum / fr.length
+                }.toArray
+              case other => throw new IllegalArgumentException(s"unknown kind $other")
+            }
+            MediaFeatures(id, kind, bytes.length, feats.map(d => math.rint(d * 1e6) / 1e6), "ok")
+          } catch {
+            case e: Exception =>
+              MediaFeatures(id, kind, if (bytes == null) 0 else bytes.length,
+                Array.empty[Double], s"error: ${e.getMessage}")
+          }
+        }
+      }
+      .toDF()
+  }
+}

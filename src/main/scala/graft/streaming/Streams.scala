@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.2 "Streaming" — absent from
+  * the one-shot reference loop, appV2.py:165; part of the engine's
+  * breadth). The same logical shapes as the batch EventsQueries —
+  * tumbling/sliding/session windows, watermarked dedup — expressed as
+  * streaming plans, plus arbitrary stateful processing via
+  * mapGroupsWithState. StreamsSpec proves stream/batch equivalence by
+  * running each over the fixture events and comparing to the batch
+  * result (Spark's incremental execution of the SAME logical plan). */
+object Streams {
+
+  /** Raw parquet schema of the events table — ts is INT64 TIMESTAMP(NANOS)
+    * on disk, read as nanos LONG (same trick as Tables.events) and
+    * converted to a microsecond timestamp. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet: at scale this is a
+    * directory Spark tails for new files; `maxFilesPerTrigger` bounds
+    * per-micro-batch work. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark (late rows beyond the
+    * watermark are dropped in append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n"))
+
+  /** Streaming dedup on (user_id, event_type) within the watermark —
+    * the streaming dual of the batch q_dedup_keyed. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
+  final case class UserStat(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful aggregation: running per-user count/sum kept in
+    * GroupState across micro-batches (mapGroupsWithState, update mode).
+    * The state object is tiny and partitioned by user — horizontal scale
+    * is the number of distinct keys, not events. */
+  def statefulUserStats(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, s), (_, v)) => (c + 1, s + v)
+          }
+          val next = UserStat(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming frame to an in-memory table until all available
+    * source data is processed (the synchronous batch-parity harness). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end pipeline tests for the image-scoring stage (R1, R5-R8,
+  * R15-R16) over the generated fixture corpus. */
+class ImagesSpec extends SparkSpec {
+
+  private lazy val dir =
+    ImageFixtures.ensure(Files.createTempDirectory("graft_img").toString)
+
+  test("R1 source: extension filter, case-insensitive, non-recursive skips subdir") {
+    val files = Images.source(spark, dir, recursive = false)
+      .select(col("path")).collect().map(_.getString(0))
+    val names = files.map(_.split('/').last).sorted
+    // note.txt excluded; nested.png (in sub/) excluded; corrupt.png INCLUDED
+    // (extension passes — failure surfaces at decode, appV2.py:183)
+    assert(names === Array("alpha.png", "anim.gif", "corrupt.png",
+      "landscape.png", "photo.jpg", "portrait.png", "square.PNG", "tiny.bmp"))
+  }
+
+  test("R1 source: recursive picks up the nested file (appV2.py:137)") {
+    val names = Images.source(spark, dir, recursive = true)
+      .select(col("path")).collect().map(_.getString(0).split('/').last)
+    assert(names.contains("nested.png"))
+  }
+
+  test("R5-R7 preprocess: shape, range, BGR order, white-pad corners") {
+    val bytes = Files.readAllBytes(Paths.get(dir, "portrait.png"))
+    val t = Images.preprocess(bytes, targetSize = 64)
+    assert(t.length === 3 * 64 * 64)
+    assert(t.forall(v => v >= -1.0f && v <= 1.0f))
+    // portrait 32x64 → padded left/right with white → normalized white = +1
+    // corner (0,0) is padding in all channels
+    assert(t(0) === 1.0f && t(64 * 64) === 1.0f && t(2 * 64 * 64) === 1.0f)
+  }
+
+  test("R5 alpha composite: fully-transparent pixel becomes white") {
+    val bytes = Files.readAllBytes(Paths.get(dir, "alpha.png"))
+    val t = Images.preprocess(bytes, targetSize = 48)
+    // alpha.png has alpha growing left→right: leftmost column alpha≈0 →
+    // composited over white → +1 in every channel
+    assert(t(0) === 1.0f)
+  }
+
+  test("R8+R16 scoring: per-row error isolation, deterministic fixture logits") {
+    val scored: Map[String, (Option[Seq[Float]], String)] =
+      Images.scoreImages(Images.source(spark, dir), Images.FixtureScorer(32))
+        .collect().map(r => r.getString(0).split('/').last ->
+          (Option(r.getSeq[Float](1)), r.getString(2))).toMap
+    val (corruptLogits, corruptStatus) = scored("corrupt.png")
+    assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
+    val okCount = scored.values.count(_._2 == "ok")
+    assert(okCount === 7)
+    val (l1, _) = scored("landscape.png")
+    val again = Images.scoreImages(
+      Images.source(spark, dir), Images.FixtureScorer(32))
+      .filter(col("path").endsWith("landscape.png"))
+      .collect().head.getSeq[Float](1)
+    assert(l1.get === again) // deterministic across runs
+  }
+
+  test("EP2 full chain + R15 sidecar sink") {
+    val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
+      Images.FixtureScorer(32))
+    val rows = tagged.collect()
+    assert(rows.length === 8)
+    val byName = rows.map(r => (r.getString(0).split('/').last,
+      (r.getString(1), Option(r.getString(2))))).toMap
+    assert(byName("corrupt.png")._1.startsWith("error:"))
+    assert(byName("corrupt.png")._2.isEmpty) // no tags for failed rows
+    assert(byName("landscape.png")._2.exists(_.nonEmpty))
+    Images.writeSidecars(tagged.filter(col("status") === "ok"))
+    val sidecar = Paths.get(dir, "landscape.txt")
+    assert(Files.exists(sidecar))
+    assert(new String(Files.readAllBytes(sidecar), "UTF-8") ===
+      byName("landscape.png")._2.get)
+  }
+}

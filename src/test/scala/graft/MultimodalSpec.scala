@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** The Spark-side plumbing of the multimodal stage is real and under
+  * test: schema, batch shape, partitioning-invariance, error isolation.
+  * (Audio/video decode are deterministic fakes — see Multimodal scaladoc.) */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.fixtureMedia(spark, 30)
+
+  test("fixture schema and kind distribution") {
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "kind", "content",
+      "width", "height", "sample_rate", "n_frames"))
+    assert(media.schema("content").dataType.typeName === "binary")
+    val byKind = media.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind === Map("image" -> 10, "audio" -> 10, "video" -> 10))
+  }
+
+  test("feature extraction: per-kind feature shapes, all ok") {
+    val f = Multimodal.extractFeatures(media).cache()
+    assert(f.filter(col("status") =!= "ok").count() === 0)
+    val dims = f.select(col("kind"), size(col("features")).as("d"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dims("image") === 3)  // per-channel means
+    assert(dims("audio") === 3)  // rms, zcr, peak
+    assert(dims("video") === 3)  // 12 frames sampled every 4
+    // image means must reflect real decode (not all-zero, in [-1,1])
+    val img = f.filter(col("kind") === "image").select("features").head()
+      .getSeq[Double](0)
+    assert(img.forall(v => v >= -1 && v <= 1) && img.exists(_ != 0.0))
+  }
+
+  test("partitioning invariance: same features at 1 and 7 partitions") {
+    def run(parts: Int) = Multimodal.extractFeatures(media.repartition(parts))
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run(1) === run(7))
+  }
+
+  test("error isolation: corrupt image bytes produce an error row, not a failure") {
+    import spark.implicits._
+    val bad = Seq((99L, "image", "garbage".getBytes, 0, 0, 0, 0))
+      .toDF("media_id", "kind", "content", "width", "height", "sample_rate", "n_frames")
+    val out = Multimodal.extractFeatures(bad).collect()
+    assert(out.length === 1 && out.head.getAs[String]("status").startsWith("error:"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Stream/batch equivalence: each streaming shape over the fixture events
+  * must converge to the same result as the equivalent batch query once
+  * all source data is processed. */
+class StreamsSpec extends SparkSpec {
+
+  // the file stream source tails a DIRECTORY (the deploy shape); stage the
+  // fixture file into one
+  private lazy val path: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+  private def batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("streaming tumbling window == batch window aggregation") {
+    val q = Streams.runToMemory(
+      Streams.tumblingCounts(Streams.readEvents(spark, path)),
+      "stream_tumbling", OutputMode.Complete())
+    try {
+      val streamed = spark.table("stream_tumbling")
+        .orderBy("window_start", "event_type").collect()
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming session windows == batch session windows") {
+    val q = Streams.runToMemory(
+      Streams.sessionCounts(Streams.readEvents(spark, path)),
+      "stream_sessions", OutputMode.Complete())
+    try {
+      val streamed = spark.table("stream_sessions")
+        .orderBy("user_id", "session_start").collect()
+      val batch = batchEvents
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming dedup-within-watermark emits one row per key") {
+    val q = Streams.runToMemory(
+      Streams.dedupWithinWatermark(Streams.readEvents(spark, path)),
+      "stream_dedup", OutputMode.Append())
+    try {
+      val streamed = spark.table("stream_dedup")
+      val nKeys = batchEvents.select("user_id", "event_type").distinct().count()
+      assert(streamed.count() === nKeys)
+      assert(streamed.select("user_id", "event_type").distinct().count() === nKeys)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running stats converge to batch groupBy") {
+    val q = Streams.runToMemory(
+      Streams.statefulUserStats(Streams.readEvents(spark, path)).toDF(),
+      "stream_state", OutputMode.Update())
+    try {
+      // update mode emits one row per key per micro-batch — the LAST row
+      // per key is the converged state
+      val finalState = spark.table("stream_state")
+        .withColumn("ord", monotonically_increasing_id())
+        .groupBy("user_id").agg(max_by(struct(col("n"), col("total")), col("ord")).as("s"))
+        .select(col("user_id"), col("s.n").as("n"),
+          round(col("s.total"), 2).as("total"))
+        .orderBy("user_id").collect()
+      val batch = batchEvents.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("user_id").collect()
+      assert(finalState.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+}
