@@ -22,4 +22,15 @@ object SimilarityOps {
     * comparisons). */
   def cosine6(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Same arithmetic as cosine6 through the fused native Catalyst
+    * expression (graft.functions.CosineSimilarity): one codegen'd loop,
+    * no intermediate arrays — the hot-path form for O(n²) candidate
+    * joins. Bit-identical to cosine6 (FunctionsSpec proves it), so
+    * queries can swap freely without touching their oracles. */
+  def cosineNative6(spark: org.apache.spark.sql.SparkSession,
+                    a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    round(call_function("graft_cosine", a, b), 6)
+  }
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+final case class ScoredNeighbor(neighbor_id: Long, cosine: Double)
+
+/** Typed bounded top-k aggregator (SURVEY.md §7.4 "possible custom
+  * Aggregator"): keeps only k candidates per group through the partial
+  * and merge phases, so a top-k-per-query job shuffles k rows per group
+  * instead of sorting the whole candidate set in a window — the
+  * map-side-combine shape that matters when candidates per query are
+  * large. Ordering is (cosine DESC, neighbor_id ASC), identical to the
+  * window row_number ordering, so results match the windowed form (and
+  * its oracle) exactly. */
+final class TopKByScore(k: Int)
+    extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+
+  private val ord: Ordering[ScoredNeighbor] =
+    Ordering.by(s => (-s.cosine, s.neighbor_id))
+
+  override def zero: Seq[ScoredNeighbor] = Vector.empty
+
+  override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] =
+    if (b.length >= k && ord.lteq(b.last, a)) b
+    else (b :+ a).sorted(ord).take(k)
+
+  override def merge(a: Seq[ScoredNeighbor], b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(r: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = r.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[ScoredNeighbor]] =
+    ExpressionEncoder[Seq[ScoredNeighbor]]()
+  override def outputEncoder: Encoder[Seq[ScoredNeighbor]] =
+    ExpressionEncoder[Seq[ScoredNeighbor]]()
+}
+
+object TopKByScore {
+  def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKByScore(k), Encoders.product[ScoredNeighbor])
+}

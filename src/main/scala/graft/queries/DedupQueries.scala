@@ -48,7 +48,11 @@ object DedupQueries extends QueryRegistry {
   private val ngram = NamedQuery(
     "dedup_ngram_jaccard",
     (spark, d) => {
+      // localCheckpoint materializes the shingle relation ONCE — the
+      // self-join + sizes otherwise re-runs the split/transform string
+      // work for every branch (4 scans in the unchecked plan)
       val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+        .localCheckpoint()
       TextOps.jaccardPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.8)
         .select(col("id1"), col("id2"), col("jaccard"))
@@ -75,14 +79,17 @@ object DedupQueries extends QueryRegistry {
   private val minhashK = 16
   private val minhashBands = 4
 
-  private def minhashSqlHash(seed: Int, e: String) =
-    s"('0x' || substr(md5('$seed:' || $e), 1, 15))::BIGINT"
+  /** DuckDB dual of TextOps.minhashSignatures' affine family member j. */
+  private def minhashSqlHash(j: Int): String = {
+    val (a, b) = TextOps.minhashFamily(minhashK)(j)
+    s"($a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) + $b) % ${TextOps.minhashPrime}"
+  }
 
   private val minhash = NamedQuery(
     "dedup_minhash_lsh",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val sh = TextOps.shingles(docs, "doc_id", "text", 3)
+      val sh = TextOps.shingles(docs, "doc_id", "text", 3).localCheckpoint()
       val sig = TextOps.minhashSignatures(sh, "doc_id", minhashK)
       val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
       val cand = bands.as("a")
@@ -104,7 +111,7 @@ object DedupQueries extends QueryRegistry {
     },
     Some {
       val minCols = (0 until minhashK)
-        .map(j => s"min(${minhashSqlHash(j, "shingle")}) AS h$j").mkString(",\n    ")
+        .map(j => s"min(${minhashSqlHash(j)}) AS h$j").mkString(",\n    ")
       val bandSelects = (0 until minhashBands).map { b =>
         val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(", ")
         s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS band_key FROM sig"
@@ -195,7 +202,8 @@ object DedupQueries extends QueryRegistry {
         .select(col("vec_id"), col("embedding"))
       v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          SimilarityOps.cosine6(col("a.embedding"), col("b.embedding")).as("cosine"))
+          SimilarityOps.cosineNative6(spark,
+            col("a.embedding"), col("b.embedding")).as("cosine"))
         .filter(col("cosine") >= 0.45)
         .orderBy("id1", "id2")
     },

@@ -33,7 +33,7 @@ object SimilarityQueries extends QueryRegistry {
       q.crossJoin(v)
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          SimilarityOps.cosine6(col("qemb"), col("embedding")).as("cosine"))
+          SimilarityOps.cosineNative6(spark, col("qemb"), col("embedding")).as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= topK)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
@@ -64,7 +64,7 @@ object SimilarityQueries extends QueryRegistry {
         val w = Window.partitionBy(col(idCol)).orderBy(desc("ccos"), col("cid"))
         points.crossJoin(broadcast(cent))
           .select(col(idCol), col("cid"),
-            SimilarityOps.cosine6(col(embCol), col("cemb")).as("ccos"))
+            SimilarityOps.cosineNative6(spark, col(embCol), col("cemb")).as("ccos"))
           .withColumn("crn", row_number().over(w))
           .filter(col("crn") <= n)
           .select(col(idCol), col("cid"))
@@ -85,7 +85,7 @@ object SimilarityQueries extends QueryRegistry {
         .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb")),
           "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          SimilarityOps.cosine6(col("qemb"), col("nemb")).as("cosine"))
+          SimilarityOps.cosineNative6(spark, col("qemb"), col("nemb")).as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= topK)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
@@ -163,5 +163,29 @@ object SimilarityQueries extends QueryRegistry {
         |  FROM scored) t
         |WHERE rnk = 1 ORDER BY l1""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(brute, ivf, labelCentroids)
+  // ---- Same top-k via the typed bounded-heap Aggregator (ops.TopKByScore):
+  // partial aggregation keeps k rows per group map-side instead of
+  // sorting every candidate in a window — the shuffle carries k·queries
+  // rows. Identical ordering contract → same oracle as sim_cosine_topk.
+  private val bruteAgg = NamedQuery(
+    "sim_cosine_topk_agg",
+    (spark, d) => {
+      val v = vecs(spark, d)
+      val q = v.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val topk = graft.ops.TopKByScore.udafFor(topK)
+      q.crossJoin(v)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          SimilarityOps.cosineNative6(spark, col("qemb"), col("embedding")).as("cosine"))
+        .groupBy("query_id")
+        .agg(topk(col("neighbor_id"), col("cosine")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("s.neighbor_id").as("neighbor_id"), col("s.cosine").as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    brute.oracle)
+
+  val all: Seq[NamedQuery] = Seq(brute, bruteAgg, ivf, labelCentroids)
 }
