@@ -11,6 +11,7 @@ object SparkEntry {
   private def registries: Seq[QueryRegistry] = Seq(
     TaggerQueries,
     RelationalQueries,
+    Relational2Queries,
     AggQueries,
     ScalarFuncQueries,
     SetOpQueries,

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Second relational batch: deep star joins through broadcast dimension
+  * chains, scalar/correlated subqueries, GROUPING SETS, pivot, map-typed
+  * columns, and the SQL-text API over registered views. */
+object Relational2Queries extends QueryRegistry {
+
+  // ---- TPC-H Q5-style: 5-way star join, all dimensions broadcast; the
+  // only large shuffle is lineitem⋈orders on orderkey.
+  private val q5 = NamedQuery(
+    "q5_region_revenue",
+    (spark, d) => {
+      val li = Tables.lineitem(spark, d)
+      val ord = Tables.orders(spark, d)
+      val cust = Tables.customer(spark, d)
+      val nat = Tables.nation(spark, d)
+      val reg = Tables.region(spark, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin))
+
+  // ---- TPC-H Q17-style scalar subquery: parts whose lineitems fall
+  // below 50% of that part's average quantity. Spark plans the correlated
+  // aggregate as a pre-aggregated self-join (no per-row subquery loop).
+  private val q17 = NamedQuery(
+    "q17_small_quantity",
+    (spark, d) => {
+      val li = Tables.lineitem(spark, d)
+      val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      li.join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+        |                    WHERE l_partkey = l.l_partkey)""".stripMargin))
+
+  // ---- Explicit GROUPING SETS with grouping() disambiguation.
+  private val gsets = NamedQuery(
+    "q_grouping_sets",
+    (spark, d) => {
+      Tables.orders(spark, d).createOrReplaceTempView("gs_orders")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  count(*) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |                        (o_orderstatus, o_orderpriority))
+          |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          |         o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin))
+
+  // ---- Pivot with explicit value list (deterministic columns); the
+  // oracle is the equivalent manual CASE pivot.
+  private val pivot = NamedQuery(
+    "q_pivot_status",
+    (spark, d) => Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
+  // ---- Map-typed columns: build a map, access/keys/size; emitted as
+  // deterministic scalars (map columns themselves don't hash portably).
+  private val maps = NamedQuery(
+    "q_map_funcs",
+    (spark, d) => Tables.nation(spark, d)
+      .join(Tables.customer(spark, d)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"),
+            round(sum(col("c_acctbal")), 2).as("bal")),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"),
+        map_from_entries(array(
+          struct(lit("n_cust").as("k"), col("n_cust").cast("double").as("v")),
+          struct(lit("bal").as("k"), col("bal").cast("double").as("v")))).as("m"))
+      .select(col("n_name"),
+        element_at(col("m"), "n_cust").cast("long").as("n_cust"),
+        element_at(col("m"), "bal").as("bal"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name, n_cust, bal, 2 AS m_size, 'n_cust,bal' AS keys
+        |FROM (SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+        |      FROM nation JOIN customer ON n_nationkey = c_nationkey
+        |      GROUP BY n_name) t
+        |ORDER BY n_name""".stripMargin))
+
+  // ---- The SQL-text API surface: same engine, queries authored as SQL
+  // over registered temp views (Tables.registerAll).
+  private val sqlText = NamedQuery(
+    "q_sql_text_api",
+    (spark, d) => {
+      graft.Tables.registerAll(spark, d)
+      spark.sql(
+        """SELECT p_brand, count(DISTINCT p_type) AS n_types,
+          |  round(avg(p_retailprice), 4) AS avg_price
+          |FROM part WHERE p_size >= 10
+          |GROUP BY p_brand
+          |HAVING count(*) > 5
+          |ORDER BY p_brand""".stripMargin)
+    },
+    Some("""SELECT p_brand, count(DISTINCT p_type) AS n_types,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part WHERE p_size >= 10
+        |GROUP BY p_brand
+        |HAVING count(*) > 5
+        |ORDER BY p_brand""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(q5, q17, gsets, pivot, maps, sqlText)
+}

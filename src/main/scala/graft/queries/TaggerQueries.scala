@@ -60,7 +60,87 @@ object TaggerQueries extends QueryRegistry {
        |  FROM sel GROUP BY image_id) t ON e.vec_id = t.image_id
        |ORDER BY image_id""".stripMargin
 
+  /** Schema-A vocabulary with every normalization edge from §1.3: mixed-
+    * case category (lower-cased), missing category (defaults general),
+    * unknown category (dropped), an index hole at 14, blacklist-trap meta
+    * names ('holiday' contains 'id' — substring semantics), underscores. */
+  private val vocabJson =
+    """{"idx_to_tag": {
+      |  "0": "safe", "1": "explicit", "2": "best_quality", "3": "worst_quality",
+      |  "4": "long_hair", "5": "short_hair", "6": "blue_sky", "7": "holiday",
+      |  "8": "english_commentary", "9": "watermark", "10": "some_model",
+      |  "11": "alice", "12": "bob_the_builder", "13": "acme_series",
+      |  "15": "mystery_artist", "16": "weird_one", "17": "orphan_tag",
+      |  "18": "tag_request", "19": "size_mismatch", "20": "highres",
+      |  "21": "carol", "22": "dave_the_great", "23": "initial_d"},
+      | "tag_to_category": {
+      |  "safe": "RATING", "explicit": "rating", "best_quality": "Quality",
+      |  "worst_quality": "quality", "long_hair": "general", "short_hair": "general",
+      |  "blue_sky": "general", "holiday": "meta", "english_commentary": "meta",
+      |  "watermark": "meta", "some_model": "model", "alice": "character",
+      |  "bob_the_builder": "character", "acme_series": "copyright",
+      |  "mystery_artist": "artist", "weird_one": "unknown_cat",
+      |  "tag_request": "meta", "size_mismatch": "meta", "highres": "meta",
+      |  "carol": "character", "dave_the_great": "artist",
+      |  "initial_d": "copyright"}}""".stripMargin
+
+  /** Real dual-schema ingestion (graft.Vocab) feeding the pipeline; the
+    * oracle receives the NORMALIZED entries as literal VALUES — parse
+    * normalization itself is pinned by VocabSpec against the reference. */
+  private val vocabJsonQuery = {
+    val entries = graft.Vocab.parseJson(vocabJson)
+    val valuesSql = entries
+      .map(e => s"(${e.tagIdx}, '${e.tagName}', '${e.category}')")
+      .mkString(",\n  ")
+    NamedQuery(
+      "tagger_vocab_json",
+      (spark, sfDir) => Tagging.pipeline(
+        Tables.embeddings(spark, sfDir).select(
+          col("vec_id").as("image_id"),
+          transform(slice(col("embedding"), 1, 24),
+            x => x.cast("double") * lit(4.0)).as("logits")),
+        graft.Vocab.fromJson(spark, vocabJson)).orderBy("image_id"),
+      Some(s"""WITH vocab(tag_idx, tag_name, category) AS (VALUES
+         |  $valuesSql),
+         |probs AS (
+         |  SELECT vec_id AS image_id,
+         |         generate_subscripts(embedding, 1) - 1 AS tag_idx,
+         |         1/(1 + exp(-greatest(least(CAST(unnest(embedding) AS DOUBLE) * 4, 30), -30))) AS prob
+         |  FROM embeddings),
+         |joined AS (
+         |  SELECT p.image_id, p.tag_idx, p.prob, v.tag_name, v.category
+         |  FROM probs p JOIN vocab v USING (tag_idx) WHERE p.tag_idx < 24),
+         |argmax AS (
+         |  SELECT image_id, category, tag_idx, tag_name
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY image_id, category ORDER BY prob DESC, tag_idx) AS rn
+         |        FROM joined WHERE category IN ('rating','quality')) r
+         |  WHERE rn = 1),
+         |thresh AS (
+         |  SELECT image_id, category, tag_idx, tag_name FROM joined
+         |  WHERE (category IN ('general','meta','model') AND prob >= 0.55)
+         |     OR (category IN ('character','copyright','artist') AND prob >= 0.60)),
+         |sel AS (
+         |  SELECT image_id,
+         |         CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
+         |              WHEN 'general' THEN 2 WHEN 'meta' THEN 3 WHEN 'model' THEN 4
+         |              WHEN 'character' THEN 5 WHEN 'copyright' THEN 6 ELSE 7 END AS cat_rank,
+         |         tag_idx, replace(tag_name, '_', ' ') AS display
+         |  FROM (SELECT * FROM argmax UNION ALL SELECT * FROM thresh) u
+         |  WHERE NOT (category = 'meta' AND (
+         |        lower(replace(tag_name,'_',' ')) LIKE '%id%'
+         |     OR lower(replace(tag_name,'_',' ')) LIKE '%commentary%'
+         |     OR lower(replace(tag_name,'_',' ')) LIKE '%request%'
+         |     OR lower(replace(tag_name,'_',' ')) LIKE '%mismatch%')))
+         |SELECT e.vec_id AS image_id, coalesce(t.tags, '') AS tags
+         |FROM embeddings e LEFT JOIN (
+         |  SELECT image_id, string_agg(display, ', ' ORDER BY cat_rank, tag_idx) AS tags
+         |  FROM sel GROUP BY image_id) t ON e.vec_id = t.image_id
+         |ORDER BY image_id""".stripMargin))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    vocabJsonQuery,
     NamedQuery(
       "tagger_pipeline",
       (spark, sfDir) => Tagging.pipeline(
