@@ -90,7 +90,9 @@ object DedupQueries extends QueryRegistry {
     (spark, d) => {
       val docs = Tables.documents(spark, d)
       val sh = TextOps.shingles(docs, "doc_id", "text", 3).localCheckpoint()
-      val sig = TextOps.minhashSignatures(sh, "doc_id", minhashK)
+      // signatures feed a 4-way union self-joined on band keys — without
+      // a checkpoint the groupBy-agg subtree would re-execute 8×
+      val sig = TextOps.minhashSignatures(sh, "doc_id", minhashK).localCheckpoint()
       val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -162,6 +164,7 @@ object DedupQueries extends QueryRegistry {
     "dedup_simhash_pairs",
     (spark, d) => {
       val sig = TextOps.simhash(Tables.documents(spark, d), "doc_id", "text")
+        .localCheckpoint()
       val bands = (0 until 4).map(b =>
         sig.select(col("doc_id"), lit(b).as("band"),
           expr(s"shiftright(simhash, ${b * 15}) & 32767").as("bkey"),

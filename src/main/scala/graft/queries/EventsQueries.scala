@@ -138,6 +138,23 @@ object EventsQueries extends QueryRegistry {
         |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin))
 
+  // Two-phase salted aggregation — the standard hot-key skew pattern:
+  // phase 1 aggregates on (key, salt) spreading a hot key over 8
+  // reducers; phase 2 merges the partials. Result identical to the
+  // direct groupBy (the oracle), demonstrated on the 5-value event_type
+  // key (each value is 'hot' relative to key cardinality).
+  private val salted = NamedQuery(
+    "q_salted_agg",
+    (spark, d) => Tables.events(spark, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("total"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(tumbling, sliding, session, dedupKeyed, asof, moving)
+    Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted)
 }

@@ -13,16 +13,20 @@ object TextQueries extends QueryRegistry {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  // Array-local per-doc stats: no explode, no shuffle (except the final
+  // sort) — at 100 TB the explode+groupBy(doc_id) form would shuffle one
+  // row per TOKEN; this computes inside the row. avg is exact integer-sum
+  // arithmetic over int lengths, identical to the grouped form.
   private val tokenStats = NamedQuery(
     "text_token_stats",
     (spark, d) => Tables.documents(spark, d)
-      .select(col("doc_id"), col("n_chars"),
-        explode(TextOps.words(col("text"))).as("word"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("word")).as("n_uniq"),
-        round(avg(length(col("word"))), 4).as("avg_word_len"),
-        max(length(col("word"))).as("max_word_len"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_uniq"),
+        round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / size(col("ws")), 4).as("avg_word_len"),
+        array_max(transform(col("ws"), w => length(w))).as("max_word_len"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id, count(*) AS n_tokens,
         |  count(DISTINCT word) AS n_uniq,
