@@ -148,5 +148,74 @@ object Relational2Queries extends QueryRegistry {
         |HAVING count(*) > 5
         |ORDER BY p_brand""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(q5, q17, gsets, pivot, maps, sqlText)
+  // ---- Extended window functions: ntile, percent_rank, cume_dist,
+  // nth_value, first/last over explicit frames.
+  private val windows2 = NamedQuery(
+    "q_window_extended",
+    (spark, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second_richest"),
+          first(col("c_custkey")).over(wf).as("richest"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS second_richest,
+        |  first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin))
+
+  // ---- Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates.
+  private val setAll = NamedQuery(
+    "q_set_multiset",
+    (spark, d) => {
+      val a = Tables.orders(spark, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val b = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      a.intersectAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n_inter"))
+        .join(a.exceptAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n_except")),
+          Seq("o_custkey"), "full")
+        .na.fill(0L, Seq("n_inter", "n_except"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |ia AS (SELECT o_custkey, count(*) AS n_inter
+        |       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t GROUP BY 1),
+        |ea AS (SELECT o_custkey, count(*) AS n_except
+        |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t GROUP BY 1)
+        |SELECT coalesce(ia.o_custkey, ea.o_custkey) AS o_custkey,
+        |  coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
+        |FROM ia FULL JOIN ea ON ia.o_custkey = ea.o_custkey
+        |ORDER BY o_custkey""".stripMargin))
+
+  // ---- Bivariate statistics: Pearson correlation + sample covariance.
+  private val corrQ = NamedQuery(
+    "q_corr_covar",
+    (spark, d) => Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8).as("cov_dt"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_discount, l_tax), 8) AS cov_dt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ)
 }

@@ -49,17 +49,21 @@ object TextQueries extends QueryRegistry {
           countDistinct(col("word")).as("n_uniq"),
           sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
           first(col("n_chars")).as("n_chars"))
+        // no round(): every term is IEEE-exact arithmetic on integer
+        // aggregates evaluated in the same order as the oracle — the raw
+        // doubles are bit-identical, while round() half-way tie-breaking
+        // DIFFERS between engines and would desync exact .5 cases
         .select(col("doc_id"),
-          round(lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
+          (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
             + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
-            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")),
-            6).as("quality"))
+            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
+            .as("quality"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
-        |  round(0.4 * least(n_chars / 500.0, 1.0)
+        |  0.4 * least(n_chars / 500.0, 1.0)
         |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
-        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality
+        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
         |FROM (
         |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
         |    sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
