@@ -181,6 +181,19 @@ object Images {
       .select(col("path"), col("status"), col("tags"))
   }
 
+  /** R17 run metrics (appV2.py:162-163,186-190): success/failed counters
+    * attached via df.observe — computed DURING the same action that
+    * processes the images, no second pass. Read `obs.get` after any
+    * action on the returned frame. */
+  def withRunMetrics(tagged: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("tagger_run_metrics")
+    val observed = tagged.observe(obs,
+      count(lit(1)).as("n_total"),
+      sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+      sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_failed"))
+    (observed, obs)
+  }
+
   /** R15 per-item side-car sink (appV2.py:178-179): one UTF-8 .txt next
     * to each image, written executor-side (no driver collect). */
   def writeSidecars(tagged: DataFrame): Unit =

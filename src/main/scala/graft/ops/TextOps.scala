@@ -24,10 +24,6 @@ object TextOps {
   def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: independent hash family member j (for MinHash). */
-  def md5LongSeeded(c: Column, seed: Int): Column =
-    md5Long(concat(lit(s"$seed:"), c))
-
   /** Distinct word n-gram shingles, exploded to (id, shingle) rows.
     * Documents shorter than n words contribute no shingles (mirrors the
     * DuckDB generate_series dual, which emits an empty series).

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries extends QueryRegistry {
 
   /** DuckDB CTEs shared by the shingle-based queries (dual of
-    * TextOps.shingles / md5LongSeeded). */
+    * TextOps.shingles / md5Long). */
   private val shingleCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle

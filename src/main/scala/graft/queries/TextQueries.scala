@@ -40,7 +40,6 @@ object TextQueries extends QueryRegistry {
   private val quality = NamedQuery(
     "text_quality_score",
     (spark, d) => {
-      val stopSet = stopwords.map(lit(_))
       Tables.documents(spark, d)
         .select(col("doc_id"), col("n_chars"),
           explode(TextOps.words(col("text"))).as("word"))

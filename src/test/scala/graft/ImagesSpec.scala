@@ -61,6 +61,15 @@ class ImagesSpec extends SparkSpec {
     assert(l1.get === again) // deterministic across runs
   }
 
+  test("R17 run metrics ride the same action via observe()") {
+    val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
+      Images.FixtureScorer(32))
+    val (observed, obs) = Images.withRunMetrics(tagged)
+    observed.collect() // the one action; metrics accumulate during it
+    val m = obs.get
+    assert(m("n_total") === 8L && m("n_ok") === 7L && m("n_failed") === 1L)
+  }
+
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
