@@ -126,5 +126,77 @@ object ScalarFuncQueries extends QueryRegistry {
         |  round(list_sum(list_transform(CAST(embedding[1:8] AS DOUBLE[]), x -> x * x)), 6) AS sumsq_8
         |FROM embeddings ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(strings, dates, mathFns, json, arrays)
+  // Edit-distance near-dup over the (small) supplier dimension — the
+  // textual-similarity primitive Levenshtein, bounded to an O(small²)
+  // pair space (at scale this runs AFTER a blocking stage, never raw).
+  private val editDistance = NamedQuery(
+    "q_edit_distance",
+    (spark, d) => {
+      val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_name"))
+      s.as("a").join(s.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
+        .select(col("a.s_suppkey").as("id1"), col("b.s_suppkey").as("id2"),
+          levenshtein(col("a.s_name"), col("b.s_name")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 3
+        |ORDER BY id1, id2""".stripMargin))
+
+  // Explicit outer-join semantics with NULL handling: customers and
+  // their order counts, keeping order-less customers (coalesce to 0).
+  private val outerJoins = NamedQuery(
+    "q_outer_join_nulls",
+    (spark, d) => {
+      val perCust = Tables.orders(spark, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("spend"))
+      Tables.customer(spark, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"),
+          col("n_orders").isNull.as("never_ordered"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(spend, 0.0) AS spend,
+        |  n_orders IS NULL AS never_ordered
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin))
+
+  // Array set algebra over per-document token sets.
+  private val arraySetOps = NamedQuery(
+    "q_array_setops",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      docs.as("a").join(docs.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          size(array_intersect(col("a.ws"), col("b.ws"))).as("n_common"),
+          size(array_union(col("a.ws"), col("b.ws"))).as("n_union"),
+          size(array_except(col("a.ws"), col("b.ws"))).as("n_only_a"),
+          array_join(slice(array_sort(array_intersect(col("a.ws"), col("b.ws"))), 1, 3), ",")
+            .as("first_common"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
+        |            FROM documents WHERE doc_id < 50)
+        |SELECT a.doc_id AS doc_id,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS INT) AS n_common,
+        |  CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS INT) AS n_union,
+        |  CAST(len(list_filter(a.ws, x -> NOT list_contains(b.ws, x))) AS INT) AS n_only_a,
+        |  array_to_string(list_sort(list_intersect(a.ws, b.ws))[1:3], ',') AS first_common
+        |FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(strings, dates, mathFns, json, arrays, editDistance, outerJoins, arraySetOps)
 }

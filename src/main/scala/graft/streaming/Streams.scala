@@ -89,6 +89,12 @@ object Streams {
       }
   }
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (broadcast per micro-batch — the streaming dual of the engine's
+    * vocab join). */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** Run a streaming frame to an in-memory table until all available
     * source data is processed (the synchronous batch-parity harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

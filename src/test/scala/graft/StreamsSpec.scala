@@ -66,6 +66,21 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    val dim = batchEvents.select("user_id").distinct()
+      .withColumn("tier", when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val q = Streams.runToMemory(
+      Streams.enrichWithStatic(
+        Streams.readEvents(spark, path).select("event_id", "user_id"), dim),
+      "stream_enriched", OutputMode.Append())
+    try {
+      val got = spark.table("stream_enriched")
+      assert(got.count() === batchEvents.count())
+      assert(got.filter(col("tier").isNull).count() === 0)
+      assert(got.filter(col("user_id") % 2 === 0 && col("tier") =!= "even").count() === 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats converge to batch groupBy") {
     val q = Streams.runToMemory(
       Streams.statefulUserStats(Streams.readEvents(spark, path)).toDF(),
