@@ -99,5 +99,34 @@ object AggQueries extends QueryRegistry {
         |  round(median(l_extendedprice), 4) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(rollup, cube, argmax, distincts, approx, stats)
+  // Monthly revenue trend with MoM delta — aggregate-then-window: the
+  // window runs over ~80 month rows, never over raw orders.
+  private val trend = NamedQuery(
+    "q_monthly_trend",
+    (spark, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(spark, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("ym"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_delta",
+          round(col("revenue") - coalesce(col("prev_revenue"), col("revenue")), 2))
+        .orderBy("ym")
+    },
+    Some("""SELECT ym, revenue, n_orders, prev_revenue,
+        |  round(revenue - coalesce(prev_revenue, revenue), 2) AS mom_delta
+        |FROM (
+        |  SELECT ym, revenue, n_orders,
+        |    lag(revenue, 1) OVER (ORDER BY ym) AS prev_revenue
+        |  FROM (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |          round(sum(o_totalprice), 2) AS revenue,
+        |          count(*) AS n_orders
+        |        FROM orders GROUP BY 1) m) t
+        |ORDER BY ym""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(rollup, cube, argmax, distincts, approx, stats, trend)
 }
