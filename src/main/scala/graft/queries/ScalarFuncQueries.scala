@@ -96,10 +96,15 @@ object ScalarFuncQueries extends QueryRegistry {
     (spark, d) => Tables.events(spark, d)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
+        // schema-full parse of the same payload (from_json → struct)
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"),
         (get_json_object(col("props"), "$.k").cast("long") % 2 === 0).as("k_even"))
       .orderBy("event_id"),
     Some("""SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
         |  CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0 AS k_even
         |FROM events ORDER BY event_id""".stripMargin))
 
