@@ -139,8 +139,32 @@ object TaggerQueries extends QueryRegistry {
          |ORDER BY image_id""".stripMargin))
   }
 
+  /** Throughput headline (rows-only; trig differs across libm so no
+    * oracle): the full tagging pipeline over 500k synthetic 64-logit
+    * score vectors generated distributively — ~32M exploded score rows
+    * through sigmoid → broadcast join → argmax/threshold → ordered
+    * concat. The reference processes ~1 image/sec single-threaded
+    * (appV2.py:165-185, batch=1); this measures the relational core's
+    * throughput at 5000× that item count in one bench entry. */
+  private val throughput = NamedQuery(
+    "tagger_throughput_500k",
+    (spark, _) => {
+      val scores = spark.range(500000).select(
+        col("id").as("image_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => sin(col("id") * 0.7 + j.cast("double") * 1.3) * 4.0).as("logits"))
+      // the trailing filter REFERENCES the computed tag string, so a
+      // bench-style count() cannot prune the pipeline away (Catalyst
+      // would otherwise eliminate the unique-keyed left join and even a
+      // summary aggregate under count)
+      Tagging.pipeline(scores, Tagging.syntheticVocab(spark, 64))
+        .filter(length(col("tags")) >= 0)
+    },
+    None)
+
   val all: Seq[NamedQuery] = Seq(
     vocabJsonQuery,
+    throughput,
     NamedQuery(
       "tagger_pipeline",
       (spark, sfDir) => Tagging.pipeline(
