@@ -155,6 +155,39 @@ object EventsQueries extends QueryRegistry {
     Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // Range join: equi-key on user plus a time-band predicate — each
+  // signup matched to the same user's purchases within the following
+  // hour. Spark plans equi+range as a hash/SMJ on user_id with the band
+  // as a post-join filter; at scale the band would additionally be
+  // bucketed by time to prune (the classic interval-join layout).
+  private val rangeJoin = NamedQuery(
+    "q_range_join_conversion",
+    (spark, d) => {
+      val ev = Tables.events(spark, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      signups.join(purchases,
+          signups("user_id") === purchases("user_id") &&
+            purchases("p_ts") >= signups("s_ts") &&
+            purchases("p_ts") < signups("s_ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy(col("signup_id"))
+        .agg(count(col("p_ts")).as("n_purchases_1h"),
+          round(coalesce(sum(col("value")), lit(0.0)), 2).as("spend_1h"))
+        .orderBy("signup_id")
+    },
+    Some("""SELECT s.event_id AS signup_id,
+        |  count(p.ts) AS n_purchases_1h,
+        |  round(coalesce(sum(p.value), 0.0), 2) AS spend_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id
+        |ORDER BY signup_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted)
+    Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin)
 }
