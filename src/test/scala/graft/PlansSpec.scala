@@ -40,6 +40,14 @@ class PlansSpec extends SparkSpec {
     assert(base === rewritten)
   }
 
+  test("GraftExtensions registers the rule on a SparkSessionExtensions") {
+    // the spark.sql.extensions entry point: injection must succeed on a
+    // fresh extensions container (full-session wiring is exercised via
+    // experimental.extraOptimizations above — same rule object)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+  }
+
   test("rule leaves out-of-clip-range thresholds alone (σ saturates)") {
     val df = Seq((1L, 31.0), (2L, 35.0)).toDF("id", "logit")
       .filter(Tagging.clippedSigmoid(col("logit")) >= lit(1.0 - 1e-14))
