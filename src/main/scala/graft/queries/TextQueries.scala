@@ -152,5 +152,31 @@ object TextQueries extends QueryRegistry {
         |FROM documents d LEFT JOIN sig s USING (doc_id)
         |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(tokenStats, quality, langStats, langid, fingerprint)
+  // Regex tokenization (the BPE-ish split path) + a true polynomial
+  // rolling hash over the character stream: h ← (31h + code) mod (2³¹−1),
+  // exact BIGINT arithmetic both engines (chars via regexp '.' so the
+  // char streams are identical — Spark split-on-empty has edge empties).
+  private val tokenRegex = NamedQuery(
+    "text_token_regex",
+    (spark, d) => Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+        aggregate(
+          transform(expr("regexp_extract_all(text, '.', 0)"),
+            c => ascii(c).cast("long")),
+          lit(0L), (h, c) => (h * 31 + c) % 2147483647L).as("rolling_hash"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '.'),
+        |                     c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex)
 }
