@@ -218,6 +218,50 @@ object DedupQueries extends QueryRegistry {
         |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id1, id2""".stripMargin))
 
+  // ---- Embedding near-dup, blocked: the scale path for the quadratic
+  // baseline above. Vectors are coarse-quantized to their nearest
+  // centroid (same deterministic IVF cells as sim_ann_ivf); candidate
+  // pairs only form INSIDE a cell, so pair cost drops from n² to
+  // Σ_cell |cell|². Cross-cell near-dups are the recall trade — the
+  // oracle runs the identical blocking, so the gate stays exact.
+  private val embCosineBlocked = NamedQuery(
+    "dedup_embedding_blocked",
+    (spark, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val cent = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+      val assign = v.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          SimilarityOps.cosineNative6(spark, col("embedding"), col("cemb")).as("ccos"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      assign.as("a").join(assign.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          SimilarityOps.cosineNative6(spark,
+            col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, emb, cid FROM (
+        |    SELECT v.vec_id, v.emb, cent.cid, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
+        |      AS crn
+        |    FROM v CROSS JOIN cent) t
+        |  WHERE crn = 1)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+        |ORDER BY id1, id2""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(exact, ngram, minhash, simhashQ, simhashPairs, embCosine)
+    Seq(exact, ngram, minhash, simhashQ, simhashPairs, embCosine, embCosineBlocked)
 }
