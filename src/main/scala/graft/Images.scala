@@ -195,18 +195,32 @@ object Images {
   }
 
   /** R15 per-item side-car sink (appV2.py:178-179): one UTF-8 .txt next
-    * to each image, written executor-side (no driver collect). */
+    * to each image, written executor-side (no driver collect).
+    *
+    * Path handling mirrors os.path.splitext (appV2.py:178): the extension
+    * is split on the file NAME only — a dot in a directory name plus an
+    * extensionless file must not truncate the directory. binaryFile's
+    * `path` column is a percent-encoded file: URI; decode it via
+    * java.net.URI so images under paths with spaces land their side-cars
+    * at the real filesystem location. */
   def writeSidecars(tagged: DataFrame): Unit =
     tagged.select(col("path"), col("tags")).foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          val p = r.getString(0).stripPrefix("file:")
+          val raw = r.getString(0)
+          val fsPath =
+            if (raw.startsWith("file:"))
+              java.nio.file.Paths.get(new java.net.URI(raw))
+            else java.nio.file.Paths.get(raw)
           val txt = Option(r.getString(1)).getOrElse("")
-          val out = java.nio.file.Paths.get(
-            p.lastIndexOf('.') match {
-              case -1 => p + ".txt"
-              case i  => p.substring(0, i) + ".txt"
-            })
+          val name = fsPath.getFileName.toString
+          val stem = name.lastIndexOf('.') match {
+            // os.path.splitext: a leading-dot-only name (".bashrc") has
+            // no extension
+            case i if i > 0 => name.substring(0, i)
+            case _          => name
+          }
+          val out = fsPath.resolveSibling(stem + ".txt")
           java.nio.file.Files.write(out, txt.getBytes("UTF-8"))
         }
     }

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *   - per-category threshold filter for the other six (appV2.py:86-97)
   *   - a substring blacklist anti-filter on meta tags (appV2.py:98-99)
   *   - underscore→space projection (appV2.py:83,97)
-  *   - ordered group-concat, order = (category emission rank, tag_idx)
-  *     (appV2.py:77,86-89,93)
+  *   - ordered group-concat, order = (category emission rank, JSON
+  *     insertion position) (appV2.py:62-68,77,86-89,93)
   *
   * Everything here is Catalyst built-ins (whole-stage codegen'd, no UDFs):
   * scale comes from one shuffle on image_id for the argmax aggregation and
@@ -26,8 +26,8 @@ object Tagging {
 
   /** Clipped sigmoid 1/(1+e^-clip(x,-30,30)) (appV2.py:174). The clip is
     * semantic, not cosmetic: logits beyond ±30 saturate to the SAME prob,
-    * so argmax tie-breaking (lowest tag_idx first, numpy argmax contract)
-    * can engage where raw logits would differ. */
+    * so argmax tie-breaking (first in category-index insertion order,
+    * numpy argmax contract) can engage where raw logits would differ. */
   def clippedSigmoid(x: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-greatest(least(x.cast("double"), lit(30.0)), lit(-30.0))))
 
@@ -50,8 +50,9 @@ object Tagging {
     }
 
   /** From long-format probs (image_id, tag_idx, prob) and the vocab
-    * dimension, select tags per the reference contract. Returns
-    * (image_id, cat_rank INT, tag_idx LONG, display STRING). */
+    * dimension (must carry emit_pos — Vocab.toDF / syntheticVocab do),
+    * select tags per the reference contract. Returns
+    * (image_id, cat_rank INT, emit_pos LONG, tag_idx LONG, display STRING). */
   def selectTags(probs: DataFrame, vocab: DataFrame,
                  genThreshold: Double = 0.55, charThreshold: Double = 0.60): DataFrame = {
     // Inner join reproduces both the dense-array hole skip and the
@@ -60,15 +61,19 @@ object Tagging {
     val joined = probs.join(broadcast(vocab), "tag_idx")
 
     // Unthresholded per-category argmax for rating/quality (appV2.py:77-83).
-    // numpy argmax returns the FIRST max → ties break to the lowest
-    // tag_idx; max_by over struct(prob, -tag_idx) encodes exactly that.
+    // numpy argmax returns the FIRST max in the category index array,
+    // which is built in JSON-insertion order (appV2.py:62-68) → ties
+    // break to the lowest emit_pos, NOT the lowest tag_idx (they differ
+    // when the mapping's keys are not ascending); max_by over
+    // struct(prob, -emit_pos) encodes exactly that.
     val argmax = joined
       .filter(col("category").isin(Vocab.argmaxCategories: _*))
       .groupBy("image_id", "category")
       .agg(max_by(
-        struct(col("tag_idx"), col("tag_name")),
-        struct(col("prob"), negate(col("tag_idx")))).as("best"))
+        struct(col("emit_pos"), col("tag_idx"), col("tag_name")),
+        struct(col("prob"), negate(col("emit_pos")))).as("best"))
       .select(col("image_id"), col("category"),
+        col("best.emit_pos").as("emit_pos"),
         col("best.tag_idx").as("tag_idx"), col("best.tag_name").as("tag_name"))
 
     // Category-dependent threshold filter (appV2.py:86-97); >= not >.
@@ -78,7 +83,7 @@ object Tagging {
           col("prob") >= lit(genThreshold)) ||
         (col("category").isin(Vocab.charThresholdCategories: _*) &&
           col("prob") >= lit(charThreshold)))
-      .select("image_id", "category", "tag_idx", "tag_name")
+      .select("image_id", "category", "emit_pos", "tag_idx", "tag_name")
 
     val display = regexp_replace(col("tag_name"), "_", " ")
     // Substring (not word) blacklist on meta tags, checked on the
@@ -91,19 +96,20 @@ object Tagging {
     argmax.unionByName(thresholded)
       .filter(!(col("category") === "meta" && blacklisted))
       .select(col("image_id"), catRank(col("category")).as("cat_rank"),
-        col("tag_idx"), display.as("display"))
+        col("emit_pos"), col("tag_idx"), display.as("display"))
   }
 
-  /** Ordered group-concat (appV2.py:101): ", ".join in (cat_rank, tag_idx)
-    * order. `ids` must hold one row per input item (column image_id) so
-    * items with zero selected tags still emit an empty string, like the
-    * reference writing an empty .txt. */
+  /** Ordered group-concat (appV2.py:101): ", ".join in (cat_rank,
+    * emit_pos) order — the reference emits threshold tags in category-
+    * index (JSON insertion) order. `ids` must hold one row per input item
+    * (column image_id) so items with zero selected tags still emit an
+    * empty string, like the reference writing an empty .txt. */
   def concatTags(ids: DataFrame, selected: DataFrame): DataFrame = {
     val agg = selected
       .groupBy("image_id")
       .agg(array_join(
         transform(
-          array_sort(collect_list(struct(col("cat_rank"), col("tag_idx"), col("display")))),
+          array_sort(collect_list(struct(col("cat_rank"), col("emit_pos"), col("display")))),
           x => x.getField("display")),
         ", ").as("tags"))
     ids.select(col("image_id")).join(agg, Seq("image_id"), "left")
@@ -129,6 +135,8 @@ object Tagging {
   def syntheticVocab(spark: SparkSession, n: Int = 64): DataFrame =
     spark.range(n).select(
       col("id").as("tag_idx"),
+      // synthetic mapping is ascending → insertion order == tag_idx
+      col("id").as("emit_pos"),
       expr("CASE WHEN id % 8 = 5 AND id % 16 = 13 " +
         "THEN concat('meta_id_', CAST(id AS STRING)) " +
         "ELSE concat('tag_', CAST(id AS STRING)) END").as("tag_name"),

@@ -55,14 +55,24 @@ object Vocab {
     * match, checked on the lower-cased, underscore-replaced name. */
   val metaBlacklist: Seq[String] = Seq("id", "commentary", "request", "mismatch")
 
-  final case class Entry(tagIdx: Long, tagName: String, category: String)
+  /** One normalized vocabulary entry. `emitPos` is the tag's position in
+    * the mapping's JSON INSERTION order (the reference iterates dict
+    * insertion order when building the category index arrays,
+    * appV2.py:62-68) — threshold tags are emitted and numpy-argmax ties
+    * broken in that order, which coincides with ascending tag_idx only
+    * when the JSON happens to list keys ascending. */
+  final case class Entry(tagIdx: Long, tagName: String, category: String, emitPos: Long)
 
   /** Parse either accepted JSON schema into normalized entries.
     *
     * Returned entries keep ONLY recognized categories (unknown-category
     * tags are unmappable to any category index in the reference and thus
     * unreachable, appV2.py:68). Holes (missing indices) are simply absent
-    * rows. Category is lower-cased with default "general".
+    * rows. Category is lower-cased with default "general". Entries come
+    * back in JSON insertion order with `emitPos` assigned before the
+    * unknown-category drop, mirroring python dict iteration; duplicate
+    * int-cast keys keep the FIRST occurrence's position and the LAST
+    * occurrence's value (python `d[int(k)] = v` semantics).
     */
   def parseJson(json: String): Seq[Entry] = {
     val root = JsonMethods.parse(json) match {
@@ -71,11 +81,11 @@ object Vocab {
         s"tag mapping must be a JSON object, got ${other.getClass.getSimpleName}")
     }
     val fields = root.obj.toMap
-    val idxToTag: Map[Long, String] =
+    val rawIdxTag: Seq[(Long, String)] =
       if (fields.contains("idx_to_tag")) {
         // Schema A (appV2.py:54-56)
         fields("idx_to_tag") match {
-          case JObject(kv) => kv.map { case (k, v) => k.toLong -> str(v) }.toMap
+          case JObject(kv) => kv.map { case (k, v) => k.toLong -> str(v) }
           case _ => throw new IllegalArgumentException("idx_to_tag must be an object")
         }
       } else {
@@ -87,13 +97,24 @@ object Vocab {
               k.toLong -> str(m("tag"))
             case _ => throw new IllegalArgumentException(s"entry $k must be an object")
           }
-        }.toMap
+        }
       }
+    // python-dict dedup: first position, last value
+    val orderedIdxTag: Seq[(Long, String)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+      rawIdxTag.foreach { case (i, t) => m.update(i, t) }
+      m.toSeq
+    }
     val tagToCategory: Map[String, String] =
       if (fields.contains("idx_to_tag")) {
         fields.get("tag_to_category") match {
           case Some(JObject(kv)) => kv.map { case (k, v) => k -> str(v) }.toMap
-          case _ => Map.empty
+          case Some(_) => throw new IllegalArgumentException("tag_to_category must be an object")
+          // the reference raises KeyError here (appV2.py:56) — a schema-A
+          // mapping without tag_to_category must FAIL, not silently tag
+          // everything 'general'
+          case None => throw new IllegalArgumentException(
+            "schema A mapping requires tag_to_category (reference appV2.py:56 raises KeyError)")
         }
       } else {
         root.obj.collect { case (_, JObject(inner)) =>
@@ -101,9 +122,9 @@ object Vocab {
           str(m("tag")) -> str(m("category"))
         }.toMap
       }
-    idxToTag.toSeq.sortBy(_._1).flatMap { case (idx, tag) =>
+    orderedIdxTag.zipWithIndex.flatMap { case ((idx, tag), pos) =>
       val cat = tagToCategory.getOrElse(tag, "general").toLowerCase
-      if (recognized.contains(cat)) Some(Entry(idx, tag, cat)) else None
+      if (recognized.contains(cat)) Some(Entry(idx, tag, cat, pos.toLong)) else None
     }
   }
 
@@ -113,11 +134,11 @@ object Vocab {
   }
 
   /** Vocabulary as a small dimension DataFrame:
-    * vocab(tag_idx LONG, tag_name STRING, category STRING). */
+    * vocab(tag_idx LONG, tag_name STRING, category STRING, emit_pos LONG). */
   def toDF(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     import spark.implicits._
-    entries.map(e => (e.tagIdx, e.tagName, e.category))
-      .toDF("tag_idx", "tag_name", "category")
+    entries.map(e => (e.tagIdx, e.tagName, e.category, e.emitPos))
+      .toDF("tag_idx", "tag_name", "category", "emit_pos")
   }
 
   def fromJson(spark: SparkSession, json: String): DataFrame =

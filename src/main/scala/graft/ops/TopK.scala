@@ -13,12 +13,21 @@ final case class ScoredNeighbor(neighbor_id: Long, cosine: Double)
   * map-side-combine shape that matters when candidates per query are
   * large. Ordering is (cosine DESC, neighbor_id ASC), identical to the
   * window row_number ordering, so results match the windowed form (and
-  * its oracle) exactly. */
+  * its oracle) exactly — including NaN placement: Spark SQL's total
+  * order puts NaN above every double, so in DESC order a NaN cosine
+  * (zero-norm embedding) ranks FIRST. java.lang.Double.compare has the
+  * same NaN-greatest contract; negating `-s.cosine` via Ordering.by does
+  * NOT (NaN == -NaN there, and it would sort NaN last and silently drop
+  * it from the top-k). */
 final class TopKByScore(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
 
-  private val ord: Ordering[ScoredNeighbor] =
-    Ordering.by(s => (-s.cosine, s.neighbor_id))
+  private val ord: Ordering[ScoredNeighbor] = new Ordering[ScoredNeighbor] {
+    override def compare(a: ScoredNeighbor, b: ScoredNeighbor): Int = {
+      val c = -java.lang.Double.compare(a.cosine, b.cosine) // DESC, NaN first
+      if (c != 0) c else java.lang.Long.compare(a.neighbor_id, b.neighbor_id)
+    }
+  }
 
   override def zero: Seq[ScoredNeighbor] = Vector.empty
 

@@ -37,8 +37,11 @@ object DedupQueries extends QueryRegistry {
         sum(col("n")).as("n_docs"),
         sum(when(col("n") > 1, col("n") - 1).otherwise(0)).as("n_removable"),
         countDistinct(when(col("n") > 1, col("text_md5"))).as("n_dup_groups")),
-    Some("""SELECT count(*) AS n_groups, sum(n) AS n_docs,
-        |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_removable,
+    // CAST sums to BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which the
+    // driver's pandas bridge renders as float ("500.0" vs Spark's "500")
+    // and the value-hash comparison then mismatches.
+    Some("""SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removable,
         |  count(DISTINCT CASE WHEN n > 1 THEN text_md5 END) AS n_dup_groups
         |FROM (SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keeper
         |      FROM documents GROUP BY 1) g""".stripMargin))

@@ -83,7 +83,8 @@ object ScalarFuncQueries extends QueryRegistry {
         |  round(exp(l_discount), 8) AS edisc,
         |  round(greatest(l_tax, l_discount), 2) AS gt,
         |  round(least(l_tax, l_discount), 2) AS lt,
-        |  floor(l_quantity) AS fl, ceil(l_quantity) AS ce,
+        |  CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ce,
         |  abs(l_quantity - 25) AS dist25,
         |  l_orderkey % 7 AS m7
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin))

@@ -82,9 +82,12 @@ object TextQueries extends QueryRegistry {
         sum(size(TextOps.words(col("text")))).as("total_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang"),
+    // CAST(sum(...) AS BIGINT): DuckDB sum over integers is HUGEINT →
+    // float via the driver's pandas bridge → value-hash mismatch vs
+    // Spark's LongType.
     Some("""SELECT lang, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 

@@ -32,6 +32,45 @@ class FunctionsSpec extends SparkSpec {
     assert(self.forall(_ === 1.0)) // unit vectors: self-cosine = 1
   }
 
+  test("edge parity with the composed form: unequal lengths and NULL elements yield NULL") {
+    GraftFunctions.register(spark)
+    // unequal-length arrays: zip_with null-pads → NULL; graft_cosine must
+    // agree (it used to min-length truncate)
+    val uneq = spark.sql(
+      "SELECT graft_cosine(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)) AS c")
+      .collect().head
+    assert(uneq.isNullAt(0))
+    // a NULL element propagates (composed form: null through the lambda)
+    val nullElem = spark.sql(
+      "SELECT graft_cosine(CAST(array(1.0, NULL) AS ARRAY<FLOAT>), " +
+        "CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS c")
+      .collect().head
+    assert(nullElem.isNullAt(0))
+    // equal-length non-null still computes
+    val ok = spark.sql(
+      "SELECT round(graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)), 6) AS c")
+      .collect().head.getDouble(0)
+    assert(ok === 1.0)
+  }
+
+  test("TopKByScore ranks a NaN cosine first, matching Spark SQL desc() semantics") {
+    import graft.ops.{ScoredNeighbor, TopKByScore}
+    import spark.implicits._
+    val rows = Seq(
+      ScoredNeighbor(1L, 0.9), ScoredNeighbor(2L, Double.NaN),
+      ScoredNeighbor(3L, 0.95), ScoredNeighbor(4L, 0.1))
+    val agg = rows.toDS().select(TopKByScore.udafFor(2)(col("neighbor_id"), col("cosine")))
+      .as[Seq[ScoredNeighbor]].collect().head
+    // Spark SQL total order: NaN > every double → NaN first under DESC
+    assert(agg.map(_.neighbor_id) === Seq(2L, 3L))
+    // cross-check against the windowed/desc form the aggregator claims to match
+    val windowed = rows.toDF().orderBy(desc("cosine"), col("neighbor_id"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    assert(windowed === agg.map(_.neighbor_id))
+  }
+
   test("participates in whole-stage codegen (no CodegenFallback)") {
     val df = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(SimilarityOps.cosineNative6(spark,

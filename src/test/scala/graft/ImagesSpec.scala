@@ -86,4 +86,26 @@ class ImagesSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(sidecar), "UTF-8") ===
       byName("landscape.png")._2.get)
   }
+
+  test("R15 sidecar path handling: percent-encoded URI, dotted dir + extensionless name") {
+    // os.path.splitext semantics: the extension splits on the file NAME
+    // only, and binaryFile's percent-encoded file: URI must be decoded
+    // (a space becomes %20 in the path column).
+    import spark.implicits._
+    val weird = Files.createTempDirectory("graft imgs.v1 ").toFile.getAbsolutePath
+    Files.write(Paths.get(weird, "has space.png"), Array[Byte](1))
+    Files.write(Paths.get(weird, "noext"), Array[Byte](1))
+    val uriWithSpace = Paths.get(weird, "has space.png").toUri.toString // file:///...%20...
+    assert(uriWithSpace.contains("%20"))
+    val df = Seq(
+      (uriWithSpace, "tag a, tag b"),
+      // raw path, no extension, dot in the DIRECTORY name: must become
+      // noext.txt, not truncate at the directory's dot
+      (Paths.get(weird, "noext").toString, "tag c")).toDF("path", "tags")
+    Images.writeSidecars(df)
+    assert(Files.exists(Paths.get(weird, "has space.txt")))
+    assert(new String(Files.readAllBytes(Paths.get(weird, "has space.txt")), "UTF-8")
+      === "tag a, tag b")
+    assert(Files.exists(Paths.get(weird, "noext.txt")))
+  }
 }

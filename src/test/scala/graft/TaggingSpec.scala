@@ -87,4 +87,24 @@ class TaggingSpec extends SparkSpec {
     val got = run(Seq(1L -> img1))(1L)
     assert(!got.contains("holiday") && got.contains("watermark"))
   }
+
+  test("non-ascending JSON keys: emission + argmax ties follow insertion order, not tag_idx") {
+    // The reference builds its category index arrays by iterating the
+    // mapping dict in INSERTION order (appV2.py:62-68): tag 9 is inserted
+    // before tag 3, so it wins argmax ties (numpy first-max) and leads
+    // the emitted general tags, even though 3 < 9.
+    val outOfOrder = Vocab.fromJson(spark,
+      """{"9": {"tag": "zeta_quality", "category": "quality"},
+        | "3": {"tag": "alpha_quality", "category": "quality"},
+        | "8": {"tag": "late_general", "category": "general"},
+        | "2": {"tag": "early_general", "category": "general"}}""".stripMargin)
+    // logits: idx 2,3,8,9 all +40 → clip to +30 → identical probs
+    val logits = Seq.fill(10)(40.0)
+    val out = Tagging.pipeline(
+      Seq((1L, logits)).toDF("image_id", "logits"), outOfOrder)
+      .collect().map(r => r.getString(1)).head
+    // quality argmax tie → zeta_quality (inserted first, despite idx 9);
+    // general threshold emission order → late_general before early_general
+    assert(out === "zeta quality, late general, early general")
+  }
 }

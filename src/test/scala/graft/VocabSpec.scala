@@ -13,8 +13,8 @@ class VocabSpec extends AnyFunSuite {
         | "tag_to_category": {"safe": "RATING", "long_hair": "general"}}""".stripMargin
     val entries = Vocab.parseJson(json)
     assert(entries === Seq(
-      Vocab.Entry(0, "safe", "rating"),
-      Vocab.Entry(1, "long_hair", "general")))
+      Vocab.Entry(0, "safe", "rating", 0),
+      Vocab.Entry(1, "long_hair", "general", 1)))
   }
 
   test("schema B: flat idx → {tag, category}") {
@@ -22,27 +22,46 @@ class VocabSpec extends AnyFunSuite {
       """{"0": {"tag": "safe", "category": "rating"},
         | "1": {"tag": "long_hair", "category": "general"}}""".stripMargin
     assert(Vocab.parseJson(json) === Seq(
-      Vocab.Entry(0, "safe", "rating"),
-      Vocab.Entry(1, "long_hair", "general")))
+      Vocab.Entry(0, "safe", "rating", 0),
+      Vocab.Entry(1, "long_hair", "general", 1)))
   }
 
   test("missing category defaults to general (appV2.py:67)") {
     val json = """{"idx_to_tag": {"0": "orphan_tag"}, "tag_to_category": {}}"""
-    assert(Vocab.parseJson(json) === Seq(Vocab.Entry(0, "orphan_tag", "general")))
+    assert(Vocab.parseJson(json) === Seq(Vocab.Entry(0, "orphan_tag", "general", 0)))
   }
 
-  test("unknown category is dropped entirely (appV2.py:68)") {
+  test("schema A without tag_to_category fails like the reference KeyError (appV2.py:56)") {
+    val json = """{"idx_to_tag": {"0": "some_tag"}}"""
+    assertThrows[IllegalArgumentException](Vocab.parseJson(json))
+  }
+
+  test("unknown category is dropped entirely but still consumes its emit position (appV2.py:68)") {
     val json =
       """{"5": {"tag": "weird_tag", "category": "unknown_cat"},
         | "7": {"tag": "ok_tag", "category": "general"}}""".stripMargin
-    assert(Vocab.parseJson(json) === Seq(Vocab.Entry(7, "ok_tag", "general")))
+    assert(Vocab.parseJson(json) === Seq(Vocab.Entry(7, "ok_tag", "general", 1)))
   }
 
-  test("index holes are simply absent rows; entries sorted by idx") {
+  test("index holes are absent rows; JSON insertion order is preserved (python dict iteration)") {
     val json =
       """{"idx_to_tag": {"9": "b", "2": "a"},
         | "tag_to_category": {"a": "general", "b": "meta"}}""".stripMargin
-    assert(Vocab.parseJson(json).map(_.tagIdx) === Seq(2L, 9L))
+    // the reference iterates dict insertion order, NOT ascending idx:
+    // 'b' (idx 9) comes first and gets emit position 0
+    assert(Vocab.parseJson(json) === Seq(
+      Vocab.Entry(9, "b", "meta", 0),
+      Vocab.Entry(2, "a", "general", 1)))
+  }
+
+  test("duplicate int-cast keys: first position, last value (python d[int(k)]=v)") {
+    val json =
+      """{"idx_to_tag": {"1": "first_val", "01": "second_val", "3": "other"},
+        | "tag_to_category": {"first_val": "general", "second_val": "general",
+        |                     "other": "meta"}}""".stripMargin
+    assert(Vocab.parseJson(json) === Seq(
+      Vocab.Entry(1, "second_val", "general", 0),
+      Vocab.Entry(3, "other", "meta", 1)))
   }
 
   test("emission rank covers exactly the 8 recognized categories") {

@@ -28,6 +28,7 @@ for name, sql in sorted(oracle.items()):
     try:
         want = con.sql(sql).fetchall()
         wcols = [d[0] for d in con.sql(sql).description]
+        wdf = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fail += 1
@@ -39,6 +40,24 @@ for name, sql in sorted(oracle.items()):
         continue
     got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
     gcols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet({files!r})").description]
+    gdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+    # Driver-parity dtype check: the driver hashes pandas-rendered values,
+    # where DuckDB HUGEINT (sum of ints) and DOUBLE (floor/ceil) become
+    # float64 ("500.0") while Spark longs stay int64 ("500"). An int/float
+    # kind mismatch is therefore a REAL failure even when values compare
+    # equal in python.
+    kindmap = lambda k: "f" if k == "f" else ("i" if k in "iub" else "o")
+    tfail = None
+    for c in sorted(set(wcols) & set(gcols)):
+        wk, gk = kindmap(wdf[c].dtype.kind), kindmap(gdf[c].dtype.kind)
+        # all-NULL object columns are indistinguishable — skip
+        if wk != gk and not (wdf[c].isna().all() or gdf[c].isna().all()):
+            tfail = (c, wdf[c].dtype, gdf[c].dtype)
+            break
+    if tfail:
+        print(f"FAIL {name}: dtype class mismatch col {tfail[0]}: oracle={tfail[1]} spark={tfail[2]}")
+        fail += 1
+        continue
     if sorted(wcols) != sorted(gcols):
         print(f"FAIL {name}: columns differ: oracle={sorted(wcols)} spark={sorted(gcols)}")
         fail += 1
