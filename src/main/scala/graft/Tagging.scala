@@ -126,6 +126,134 @@ object Tagging {
     concatTags(scores.select(col(idCol).as("image_id")), selected)
   }
 
+  /** A compiled, serializable form of the whole tag-selection program:
+    * per-lane primitive index arrays in emission order, displays
+    * pre-normalized, the meta blacklist applied at BUILD time (it depends
+    * only on the tag name, appV2.py:98). One instance is closed over by
+    * pipelineLocal's partition function — the executor-side equivalent of
+    * the reference's precomputed category index (appV2.py:62-71). */
+  private[graft] final case class SelectionProgram(
+      argmaxLanes: Array[(Array[Int], Array[String])],
+      thresholdLanes: Array[(Array[Int], Array[String], Double)]) extends Serializable {
+
+    // identical double math to Spark's least/greatest/exp builtins
+    // (java.lang.Math.exp in codegen) → bit-identical probs and therefore
+    // identical comparisons vs the relational pipeline
+    @inline private def sigmoid(x: Double): Double = {
+      val clipped = if (x > 30.0) 30.0 else if (x < -30.0) -30.0 else x
+      1.0 / (1.0 + java.lang.Math.exp(-clipped))
+    }
+
+    /** The reference's get_tags over one score vector (appV2.py:74-101). */
+    def tags(vec: Array[Double]): String = {
+      val sb = new java.lang.StringBuilder(64)
+      var lane = 0
+      while (lane < argmaxLanes.length) {
+        val (idxs, displays) = argmaxLanes(lane)
+        // numpy argmax: first strict max in category-index insertion
+        // order; emits even at vanishing probability (appV2.py:77-83)
+        var best = -1; var bestP = Double.NaN
+        var i = 0
+        while (i < idxs.length) {
+          val idx = idxs(i)
+          if (idx < vec.length) { // hole skip: idx beyond the vector
+            val p = sigmoid(vec(idx))
+            if (best < 0 || p > bestP) { best = i; bestP = p }
+          }
+          i += 1
+        }
+        if (best >= 0) {
+          if (sb.length > 0) sb.append(", ")
+          sb.append(displays(best))
+        }
+        lane += 1
+      }
+      lane = 0
+      while (lane < thresholdLanes.length) {
+        val (idxs, displays, theta) = thresholdLanes(lane)
+        var i = 0
+        while (i < idxs.length) {
+          val idx = idxs(i)
+          if (idx < vec.length && sigmoid(vec(idx)) >= theta) {
+            if (sb.length > 0) sb.append(", ")
+            sb.append(displays(i))
+          }
+          i += 1
+        }
+        lane += 1
+      }
+      sb.toString
+    }
+  }
+
+  private[graft] object SelectionProgram {
+    def apply(vocabEntries: Seq[Vocab.Entry],
+              genThreshold: Double, charThreshold: Double): SelectionProgram = {
+      val byCat = vocabEntries.groupBy(_.category)
+        .map { case (c, es) => c -> es.sortBy(_.emitPos) }
+      def lane(cat: String): (Array[Int], Array[String]) = {
+        val es = byCat.getOrElse(cat, Seq.empty)
+        // plan-time blacklist: a meta tag whose display contains a
+        // blacklisted substring can never be emitted (appV2.py:98)
+        val kept =
+          if (cat == "meta")
+            es.filterNot(e => Vocab.metaBlacklist.exists(
+              e.tagName.replace('_', ' ').toLowerCase.contains(_)))
+          else es
+        (kept.map(_.tagIdx.toInt).toArray,
+         kept.map(_.tagName.replace('_', ' ')).toArray)
+      }
+      SelectionProgram(
+        Vocab.argmaxCategories.map(lane).toArray,
+        (Vocab.genThresholdCategories.map(c => { val (i, d) = lane(c); (i, d, genThreshold) }) ++
+         Vocab.charThresholdCategories.map(c => { val (i, d) = lane(c); (i, d, charThreshold) }))
+          .toArray)
+    }
+  }
+
+  /** The SCALE path: the whole tag-selection program computed row-locally
+    * — zero shuffles, zero joins, one narrow map over the scan.
+    *
+    * The relational `pipeline` above is the oracle-checkable reframing
+    * (SURVEY.md §2); at 100 TB its posexplode multiplies the row count by
+    * |vocab| and pushes tens of billions of rows through two shuffles and
+    * an items×items join. But the vocabulary is a broadcast-sized
+    * dimension and every selection rule (argmax, threshold, blacklist,
+    * emission order) is a function of ONE row's score vector plus that
+    * dimension, so the correct distribution strategy is per-row local
+    * evaluation — exactly how the reference's in-memory loop works
+    * (appV2.py:165-185), parallelized over partitions.
+    *
+    * Why mapPartitions and not Column expressions (SURVEY §7.4 ladder):
+    * Spark's higher-order functions (transform/filter/aggregate lambdas)
+    * do NOT participate in whole-stage codegen — an HOF formulation
+    * evaluates ~|vocab| interpreted, boxing lambda calls per row (5×
+    * SLOWER than the relational form, measured), and a flat when-chain
+    * expression tree codegens only while |vocab| stays under the 64KB
+    * method limit (the real CL tagger vocabulary is ~12k tags). A
+    * partition function over primitive double[] is JIT-compiled straight
+    *-line math — the Dataset encoder's Array[Double] fast path avoids
+    * per-element boxing both ways.
+    *
+    * Output is bit-identical to `pipeline` (same java.lang.Math.exp, same
+    * comparisons; the tags column is a string), pinned by TaggingSpec and
+    * the tagger_pipeline_local oracle query. A vocab entry whose tag_idx
+    * exceeds the score vector's length contributes nothing, mirroring the
+    * relational form's inner-join hole skip. */
+  def pipelineLocal(scores: DataFrame, vocabEntries: Seq[Vocab.Entry],
+                    genThreshold: Double = 0.55, charThreshold: Double = 0.60,
+                    idCol: String = "image_id", vecCol: String = "logits"): DataFrame = {
+    val program = SelectionProgram(vocabEntries, genThreshold, charThreshold)
+    val spark = scores.sparkSession
+    import spark.implicits._
+    scores
+      .select(col(idCol).cast("long").as("image_id"),
+        col(vecCol).cast("array<double>").as("logits"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it => it.map { case (id, vec) => (id, program.tags(vec)) } }
+      .toDF("image_id", "tags")
+  }
+
   /** Deterministic synthetic vocabulary over tag_idx 0..n-1, mirrored
     * exactly by SQL in the DuckDB oracle (see SparkEntry.oracleSql):
     * category cycles through the 8 recognized ones; every 16th index in
@@ -144,6 +272,20 @@ object Tagging {
         "WHEN 0 THEN 'rating' WHEN 1 THEN 'general' WHEN 2 THEN 'artist' " +
         "WHEN 3 THEN 'character' WHEN 4 THEN 'copyright' WHEN 5 THEN 'meta' " +
         "WHEN 6 THEN 'quality' ELSE 'model' END").as("category"))
+
+  /** Driver-side twin of syntheticVocab for pipelineLocal (same generator,
+    * materialized as entries; lockstep pinned by TaggingSpec). */
+  def syntheticVocabEntries(n: Int = 64): Seq[Vocab.Entry] =
+    (0L until n.toLong).map { id =>
+      val name =
+        if (id % 8 == 5 && id % 16 == 13) s"meta_id_$id" else s"tag_$id"
+      val cat = (id % 8) match {
+        case 0 => "rating"; case 1 => "general"; case 2 => "artist"
+        case 3 => "character"; case 4 => "copyright"; case 5 => "meta"
+        case 6 => "quality"; case _ => "model"
+      }
+      Vocab.Entry(id, name, cat, id)
+    }
 
   /** SQL text of the synthetic vocab for the DuckDB oracle (DuckDB `range`
     * produces column `range`). Must stay in lockstep with syntheticVocab. */

@@ -140,12 +140,17 @@ object TaggerQueries extends QueryRegistry {
   }
 
   /** Throughput headline (rows-only; trig differs across libm so no
-    * oracle): the full tagging pipeline over 500k synthetic 64-logit
-    * score vectors generated distributively — ~32M exploded score rows
-    * through sigmoid → broadcast join → argmax/threshold → ordered
-    * concat. The reference processes ~1 image/sec single-threaded
-    * (appV2.py:165-185, batch=1); this measures the relational core's
-    * throughput at 5000× that item count in one bench entry. */
+    * oracle): the full tagging program over 500k synthetic 64-logit score
+    * vectors generated distributively, through the SCALE path
+    * (Tagging.pipelineLocal): the whole selection — sigmoid, per-category
+    * argmax, thresholds, blacklist, ordered concat — runs array-locally
+    * inside one whole-stage-codegen map with ZERO shuffles, instead of
+    * exploding to 32M rows through two shuffles and a 500k×500k join.
+    * Output is bit-identical to the relational Tagging.pipeline (pinned
+    * by TaggingSpec and the tagger_pipeline_local oracle query below).
+    * The reference processes ~1 image/sec single-threaded
+    * (appV2.py:165-185, batch=1); this measures 5000× that item count in
+    * one bench entry. */
   private val throughput = NamedQuery(
     "tagger_throughput_500k",
     (spark, _) => {
@@ -154,17 +159,27 @@ object TaggerQueries extends QueryRegistry {
         transform(sequence(lit(0), lit(63)),
           j => sin(col("id") * 0.7 + j.cast("double") * 1.3) * 4.0).as("logits"))
       // the trailing filter REFERENCES the computed tag string, so a
-      // bench-style count() cannot prune the pipeline away (Catalyst
-      // would otherwise eliminate the unique-keyed left join and even a
-      // summary aggregate under count)
-      Tagging.pipeline(scores, Tagging.syntheticVocab(spark, 64))
+      // bench-style count() cannot prune the tag computation away
+      Tagging.pipelineLocal(scores, Tagging.syntheticVocabEntries(64))
         .filter(length(col("tags")) >= 0)
     },
     None)
 
+  /** The scale path under the SAME DuckDB oracle as the relational form:
+    * proves pipelineLocal ≡ pipeline ≡ the reference, hash-checked. */
+  private val pipelineLocalQ = NamedQuery(
+    "tagger_pipeline_local",
+    (spark, sfDir) => Tagging.pipelineLocal(
+      Tables.embeddings(spark, sfDir).select(
+        col("vec_id").as("image_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(4.0)).as("logits")),
+      Tagging.syntheticVocabEntries(64)).orderBy("image_id"),
+    Some(pipelineSql(0.55, 0.60)))
+
   val all: Seq[NamedQuery] = Seq(
     vocabJsonQuery,
     throughput,
+    pipelineLocalQ,
     NamedQuery(
       "tagger_pipeline",
       (spark, sfDir) => Tagging.pipeline(

@@ -88,6 +88,54 @@ class TaggingSpec extends SparkSpec {
     assert(!got.contains("holiday") && got.contains("watermark"))
   }
 
+  test("pipelineLocal (zero-shuffle scale path) is output-identical to the relational pipeline") {
+    import org.apache.spark.sql.functions.{col => c, transform => tf, sin, lit, sequence}
+    val entries = Vocab.parseJson(vocabJson)
+    // deterministic pseudo-random logit matrix incl. clip saturation and
+    // exact ties (sin repeats), 200 items × 16 logits
+    val scores = spark.range(200).select(
+      c("id").as("image_id"),
+      tf(sequence(lit(0), lit(15)),
+        j => sin(c("id") * 0.37 + j.cast("double") * 1.13) * 40.0).as("logits"))
+    val relational = Tagging.pipeline(scores, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val local = Tagging.pipelineLocal(scores, entries)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(local === relational)
+    // and with non-default thresholds
+    val rel2 = Tagging.pipeline(scores, vocab, 0.9, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val loc2 = Tagging.pipelineLocal(scores, entries, 0.9, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loc2 === rel2)
+  }
+
+  test("pipelineLocal golden + vocab holes + zero-shuffle plan") {
+    val entries = Vocab.parseJson(vocabJson) // has a hole at 14 (idx 15 unknown-cat)
+    val out = Tagging.pipelineLocal(
+      Seq(1L -> img1, 2L -> img2).toDF("image_id", "logits"), entries)
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "safe, masterpiece, long hair, watermark, alice, acme copyright")
+    assert(got(2L) === "questionable, masterpiece")
+    // vector shorter than max tag_idx: idx 13 missing from an 8-logit vec
+    val short = Tagging.pipelineLocal(
+      Seq((3L, Seq(40.0, -40.0, 40.0, -40.0, 40.0, -40.0, 40.0, -40.0)))
+        .toDF("image_id", "logits"), entries)
+      .collect().head.getString(1)
+    // idx 6 'holiday' fires but is blacklisted at plan time; idx ≥ 8 is
+    // beyond the vector (try_element_at → NULL → hole skip)
+    assert(short === "safe, masterpiece, long hair")
+    // THE scale property: no Exchange anywhere in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("syntheticVocabEntries is in lockstep with syntheticVocab") {
+    val df = Tagging.syntheticVocab(spark, 64)
+      .collect().map(r => Vocab.Entry(r.getLong(0), r.getString(2), r.getString(3), r.getLong(1)))
+    assert(df.toSeq === Tagging.syntheticVocabEntries(64))
+  }
+
   test("non-ascending JSON keys: emission + argmax ties follow insertion order, not tag_idx") {
     // The reference builds its category index arrays by iterating the
     // mapping dict in INSERTION order (appV2.py:62-68): tag 9 is inserted
