@@ -103,8 +103,114 @@ object TextOps {
     banded.reduce(_ unionByName _)
   }
 
+  // ------------------------------------------------------------------
+  // Row-local kernels (the scale path).
+  //
+  // Signatures (minhash, simhash) are pure per-document functions, so
+  // computing them via corpus-wide explodes + shuffles (60× vote rows for
+  // simhash; posexplode + per-doc window sort for shingles) does O(corpus
+  // × blowup) shuffle work for what is O(doc) local arithmetic. These
+  // kernels run inside mapPartitions over the scan — zero shuffles — and
+  // reproduce the exact md5-derived integers of the declarative forms
+  // (same UTF-8 md5, same 15-hex-digit prefix, same affine family), so
+  // the DuckDB oracles are unchanged. Equivalence with the declarative
+  // forms is pinned by PropertiesSpec.
+  // ------------------------------------------------------------------
+
+  /** Driver/executor-side md5 60-bit hash — bit-identical to md5Long. */
+  @inline private[graft] def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits = high 60 bits of the first 8 bytes
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4 // drop the 16th hex digit (low nibble of byte 7)
+  }
+
+  /** Row-local 60-bit SimHash: one pass over the words of each document.
+    * Matches `simhash` exactly (PropertiesSpec). */
+  def simhashLocal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val votes = new Array[Int](60)
+          // split(" ", -1) mirrors Spark's split(): keeps empty tokens
+          text.split(" ", -1).foreach { w =>
+            val h = md5Long60(w)
+            var i = 0
+            while (i < 60) {
+              votes(i) += (((h >>> i) & 1L).toInt << 1) - 1
+              i += 1
+            }
+          }
+          var sig = 0L
+          var i = 0
+          while (i < 60) { if (votes(i) > 0) sig |= 1L << i; i += 1 }
+          (id, sig)
+        }
+      }
+      .toDF(idCol, "simhash")
+  }
+
+  /** Row-local distinct word-n-gram shingle set of one document (the
+    * kernel twin of `shingles`; docs shorter than n words → empty). */
+  private[graft] def shingleSet(text: String, n: Int): scala.collection.mutable.Set[String] = {
+    val ws = text.split(" ", -1)
+    val out = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+      out += sb.toString
+      i += 1
+    }
+    out
+  }
+
+  /** Row-local MinHash signatures: per document, shingle → md5 base →
+    * k affine min-hashes, one narrow map over the scan (no shingle
+    * explode, no window sort, no groupBy). Documents with no shingles
+    * (< n words) are dropped, like the groupBy form. Matches
+    * `minhashSignatures ∘ shingles` exactly (PropertiesSpec). */
+  def minhashSignaturesLocal(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, k: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fam = minhashFamily(k).toArray
+    val sigs = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = shingleSet(text, n)
+          if (sh.isEmpty) None
+          else {
+            val mins = Array.fill(k)(Long.MaxValue)
+            sh.foreach { s =>
+              val base = md5Long60(s) & ((1L << 30) - 1)
+              var j = 0
+              while (j < k) {
+                val (a, b) = fam(j)
+                val h = (a * base + b) % minhashPrime
+                if (h < mins(j)) mins(j) = h
+                j += 1
+              }
+            }
+            Some((id, mins))
+          }
+        }
+      }
+    sigs.select(col("_1").as(idCol) +:
+      (0 until k).map(j => col("_2")(j).as(s"h$j")): _*)
+  }
+
   /** 60-bit SimHash from word-occurrence md5 hashes: bit i is set iff the
-    * (+1/−1) vote sum over all word occurrences is positive. */
+    * (+1/−1) vote sum over all word occurrences is positive.
+    * Declarative reference form — simhashLocal is the scale path. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(col(idCol), explode(words(col(textCol))).as("word"))
       .withColumn("h", md5Long(col("word")))

@@ -92,10 +92,11 @@ object DedupQueries extends QueryRegistry {
     "dedup_minhash_lsh",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val sh = TextOps.shingles(docs, "doc_id", "text", 3).localCheckpoint()
-      // signatures feed a 4-way union self-joined on band keys — without
-      // a checkpoint the groupBy-agg subtree would re-execute 8×
-      val sig = TextOps.minhashSignatures(sh, "doc_id", minhashK).localCheckpoint()
+      // signatures are computed ROW-LOCALLY (one narrow map — no corpus
+      // shingle explode, no per-doc window sort, no groupBy); checkpoint
+      // because the 4-way band union self-joins the relation 8×
+      val sig = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, minhashK)
+        .localCheckpoint()
       val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -103,11 +104,13 @@ object DedupQueries extends QueryRegistry {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
-      // verify candidates with exact Jaccard (shingles restricted to
-      // candidate docs first — the verification join stays tiny)
+      // verify candidates with exact Jaccard — only the CANDIDATE docs
+      // are ever shingle-exploded (at scale: |candidates| ≪ corpus)
       val candDocs = cand.select(col("id1").as("doc_id"))
         .union(cand.select(col("id2"))).distinct()
-      val shC = sh.join(candDocs, "doc_id")
+      val shC = TextOps.shingles(
+        docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
+        "doc_id", "text", 3).localCheckpoint()
       TextOps.jaccardPairs(shC, "doc_id")
         .join(cand, Seq("id1", "id2"), "left_semi")
         .filter(col("jaccard") >= 0.8)
@@ -149,7 +152,7 @@ object DedupQueries extends QueryRegistry {
   // ---- SimHash: 60-bit signatures from word-occurrence votes.
   private val simhashQ = NamedQuery(
     "dedup_simhash",
-    (spark, d) => TextOps.simhash(Tables.documents(spark, d), "doc_id", "text")
+    (spark, d) => TextOps.simhashLocal(Tables.documents(spark, d), "doc_id", "text")
       .orderBy("doc_id"),
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |               FROM documents),
@@ -166,7 +169,7 @@ object DedupQueries extends QueryRegistry {
   private val simhashPairs = NamedQuery(
     "dedup_simhash_pairs",
     (spark, d) => {
-      val sig = TextOps.simhash(Tables.documents(spark, d), "doc_id", "text")
+      val sig = TextOps.simhashLocal(Tables.documents(spark, d), "doc_id", "text")
         .localCheckpoint()
       val bands = (0 until 4).map(b =>
         sig.select(col("doc_id"), lit(b).as("band"),

@@ -81,6 +81,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("row-local kernels ≡ declarative forms: simhash + minhash signatures on real docs") {
+    // the scale-path kernels must reproduce the exact md5-derived
+    // integers of the explode/groupBy forms on the fixture corpus
+    // (including multi-space/empty-token edge cases in real text)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val simDecl = TextOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simLocal = TextOps.simhashLocal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simLocal === simDecl)
+    val mhDecl = TextOps.minhashSignatures(
+      TextOps.shingles(docs, "doc_id", "text", 3), "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val mhLocal = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(mhLocal === mhDecl)
+    // and the kernels shuffle nothing
+    val plan = TextOps.simhashLocal(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("property: identical texts get identical minhash signatures") {
     for (texts <- samples(Gen.listOfN(6,
         Gen.oneOf("p q r s t", "s t u v w", "m n o p q")), 4)) {
