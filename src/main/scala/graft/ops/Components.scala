@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the missing last stage of every near-dup pipeline: pair lists
+  * (minhash/simhash/jaccard candidates) must become CLUSTERS with one
+  * canonical keeper per cluster before documents can be dropped, and a
+  * driver-side union-find does not exist at 100 TB.
+  *
+  * Algorithm: iterative min-label propagation (each node repeatedly
+  * adopts the minimum label among itself and its neighbors) with a
+  * driver-controlled loop — the standard Spark formulation (the
+  * large-star/small-star algorithm of Kiveris et al. "Connected
+  * Components in MapReduce and Beyond", SoCC'14, reduces rounds to
+  * O(log log n); plain propagation converges in O(diameter) rounds,
+  * which for dedup clusters — tiny diameters — is typically ≤ 3).
+  * Each round is one shuffle-join on node id; labels are
+  * localCheckpoint'd per round so the lineage (and the re-execution
+  * cost) does not grow with iterations.
+  *
+  * Determinism: the fixed point is unique (min node id per component),
+  * so results are engine-portable — the DuckDB oracle reproduces it
+  * with a recursive reachability CTE. */
+object Components {
+
+  /** edges(src, dst) — treated as undirected; self-loops and duplicates
+    * are tolerated. Returns (id, component) where component = min node
+    * id reachable, one row per distinct node appearing in `edges`. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among the node itself and its neighbors
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.component"), coalesce(col("n.nbr_min"), col("l.component")))
+            .as("component"),
+          (col("n.nbr_min") < col("l.component")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("component")).localCheckpoint()
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{SimilarityOps, TextOps}
+import graft.ops.{Components, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` / `embeddings` (north-star ops):
@@ -268,6 +268,58 @@ object DedupQueries extends QueryRegistry {
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
         |ORDER BY id1, id2""".stripMargin))
 
+  // ---- Dedup clusters: near-dup PAIRS → connected components → one
+  // canonical keeper per cluster. The stage every real dedup pipeline
+  // needs between candidate generation and document dropping; a
+  // driver-side union-find doesn't exist at 100 TB, so this runs
+  // Components.connectedComponents (iterative min-label propagation).
+  // Edges are the ngram-Jaccard ≥ 0.8 pairs — the same relation the
+  // dedup_ngram_jaccard oracle already reproduces; the oracle folds the
+  // component fixed point (min reachable doc_id) with a recursive
+  // reachability CTE, so the whole pair→cluster pipeline is hash-checked.
+  private val clusters = NamedQuery(
+    "dedup_clusters",
+    (spark, d) => {
+      val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+        .localCheckpoint()
+      val pairs = TextOps.jaccardPairs(sh, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      val comp = Components.connectedComponents(pairs)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster"),
+          col("cluster_size"),
+          // the keeper is the min-id member, exactly what dropDuplicates
+          // under a deterministic sort would keep
+          (col("id") === col("component")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shingleCtes,
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON id1 = s1.doc_id
+        |  JOIN sizes s2 ON id2 = s2.doc_id
+        |  WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster
+        |         FROM reach GROUP BY node)
+        |SELECT c.doc_id, c.cluster, n.cluster_size,
+        |  c.doc_id = c.cluster AS is_keeper
+        |FROM comp c JOIN (SELECT cluster, count(*) AS cluster_size
+        |                  FROM comp GROUP BY 1) n USING (cluster)
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(exact, ngram, minhash, simhashQ, simhashPairs, embCosine, embCosineBlocked)
+    Seq(exact, ngram, minhash, simhashQ, simhashPairs, embCosine, embCosineBlocked,
+      clusters)
 }

@@ -1,0 +1,34 @@
+package graft
+
+import graft.ops.Components
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components: the pair→cluster stage of the
+  * dedup family. Fixed point is min-reachable-id per component, so
+  * expectations are exact. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chains, triangles, singleton edges, and multi-component graphs") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple rounds), triangle
+    // 10-11-12, isolated pair 20-21, self-loop 30
+    val got = cc(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L, 11L -> 12L,
+      10L -> 12L, 20L -> 21L, 30L -> 30L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("long path converges to one component (propagation over diameter)") {
+    val n = 12L
+    val got = cc((1L until n).map(i => i -> (i + 1)))
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("edge direction does not matter") {
+    assert(cc(Seq(5L -> 3L, 3L -> 9L)) === Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+}
