@@ -48,6 +48,22 @@ object TextOps {
       .distinct()
   }
 
+  /** Non-distinct word n-grams with multiplicity, exploded to
+    * (id, gram) rows — the input to repetition-based quality metrics
+    * (Gopher-style duplicate-n-gram fractions), where multiplicity is
+    * the whole point (shingles() deduplicates). Same
+    * posexplode + lead shape as shingles (split once, no re-split). */
+  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "w0")))
+      .select(col(idCol) +: col("w0") +:
+        (1 until n).map(k => lead(col("w0"), k).over(w).as(s"w$k")): _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("gram"))
+  }
+
   /** Exact Jaccard similarity for every pair sharing ≥1 shingle.
     * The shingle equi-join only materializes CO-OCCURRING pairs — at scale
     * this is the standard inverted-index trick: cost is Σ_shingle df², not

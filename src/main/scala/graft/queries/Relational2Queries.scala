@@ -216,6 +216,54 @@ object Relational2Queries extends QueryRegistry {
         |  round(covar_samp(l_discount, l_tax), 8) AS cov_dt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  // ---- Correlated EXISTS / NOT EXISTS through the SQL text API:
+  // Catalyst decorrelates both subqueries into semi/anti joins (TPC-H
+  // Q4's shape, adapted to the fixture columns).
+  private val existsQ = NamedQuery(
+    "q_exists_returns",
+    (spark, d) => {
+      graft.Tables.registerAll(spark, d)
+      spark.sql(
+        """SELECT o_orderpriority,
+          |  count(*) AS n_with_returns
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem
+          |                  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_with_returns
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
+  // ---- UNPIVOT (wide → long): the Dataset melt API vs DuckDB UNPIVOT.
+  private val unpivotQ = NamedQuery(
+    "q_unpivot_measures",
+    (spark, d) => Tables.lineitem(spark, d)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — `value`
+      // in the sort key makes the row order engine-deterministic
+      .orderBy("l_orderkey", "l_linenumber", "measure", "value"),
+    Some("""SELECT l_orderkey, l_linenumber, measure, value
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                      l_extendedprice, l_discount
+        |               FROM lineitem WHERE l_orderkey < 100)
+        |      ON l_quantity, l_extendedprice, l_discount
+        |      INTO NAME measure VALUE value) t
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ)
+    Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ,
+      existsQ, unpivotQ)
 }

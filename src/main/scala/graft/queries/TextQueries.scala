@@ -132,6 +132,49 @@ object TextQueries extends QueryRegistry {
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY doc_id""".stripMargin))
 
+  // Repetition-based quality metrics (the Gopher filter family, Rae et
+  // al. 2021 §A1.1): fraction of all bigrams taken by the single most
+  // frequent bigram, and fraction of trigram occurrences that are
+  // duplicates. High values flag boilerplate/spam for pretraining
+  // filters. Fractions are ONE integer division each → bit-identical
+  // across engines, emitted raw (COVERAGE.md determinism rule 2).
+  private val repetition = NamedQuery(
+    "text_repetition",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val bi = TextOps.ngrams(docs, "doc_id", "text", 2)
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("topc"))
+      val tri = TextOps.ngrams(docs, "doc_id", "text", 3)
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_trigrams"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
+      bi.join(tri, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("topc") / col("n_bigrams")).as("top_bigram_frac"),
+          (col("dupc") / col("n_trigrams")).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |bi AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+        |       FROM w, unnest(generate_series(1, len(words) - 1)) t(i)),
+        |bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bia AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |               max(c) AS topc FROM bic GROUP BY 1),
+        |tri AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS g
+        |        FROM w, unnest(generate_series(1, len(words) - 2)) t(i)),
+        |tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        |tria AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+        |         FROM tric GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  topc / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+        |  dupc / CAST(n_trigrams AS DOUBLE) AS dup_trigram_frac
+        |FROM bia JOIN tria USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
+
   // Document fingerprints: whole-text md5 plus a 1-hash MinHash over
   // 3-gram shingles (the md5-derived 60-bit hash is engine-portable).
   private val fingerprint = NamedQuery(
@@ -181,5 +224,6 @@ object TextQueries extends QueryRegistry {
         |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Seq[NamedQuery] =
-    Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex)
+    Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
+      repetition)
 }
