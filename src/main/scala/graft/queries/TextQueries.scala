@@ -223,7 +223,55 @@ object TextQueries extends QueryRegistry {
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // Deterministic hash sampling (training-data pipelines need REPRODUCIBLE
+  // samples — rand()-based sampling differs per run/engine/partitioning;
+  // md5-derived bucketing is stable everywhere). ~1-in-5 Bernoulli by
+  // hash bucket, with per-stratum acceptance stats.
+  private val sampleHash = NamedQuery(
+    "q_sample_hash",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      docs
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(TextOps.md5Long(col("doc_id")) % 5 === 0, 1L).otherwise(0L))
+            .as("n_sampled"))
+        .select(col("lang"), col("n_total"), col("n_sampled"),
+          (col("n_sampled") / col("n_total")).as("rate"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                     % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                     % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // Deterministic per-stratum top-k sampling: the k docs with the
+  // smallest md5 hash per language — a reproducible "reservoir" whose
+  // membership is stable under any partitioning or row order.
+  private val samplePerGroup = NamedQuery(
+    "q_sample_per_group",
+    (spark, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(spark, d)
+        .select(col("lang"), col("doc_id"), TextOps.md5Long(col("doc_id")).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+    Some("""SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
-      repetition)
+      repetition, sampleHash, samplePerGroup)
 }

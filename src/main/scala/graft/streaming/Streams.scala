@@ -95,6 +95,30 @@ object Streams {
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
 
+  /** Stream-STREAM inner join with an event-time interval: purchases
+    * matched to the same user's clicks within the preceding hour. Both
+    * sides are watermarked and the join condition bounds event time on
+    * both sides, so state for either stream can be evicted once the
+    * watermark passes — the only shape at which unbounded two-stream
+    * joins are feasible (state is O(window), not O(stream)). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(p("user_id"), col("purchase_id"), col("click_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        unix_timestamp(col("click_ts")).as("click_epoch"))
+  }
+
   /** Run a streaming frame to an in-memory table until all available
     * source data is processed (the synchronous batch-parity harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

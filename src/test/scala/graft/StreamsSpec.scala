@@ -100,4 +100,30 @@ class StreamsSpec extends SparkSpec {
       assert(finalState.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("stream-stream interval join == batch interval join") {
+    val q = Streams.runToMemory(
+      Streams.clickPurchaseJoin(
+        Streams.readEvents(spark, path), Streams.readEvents(spark, path)),
+      "stream_ss_join", OutputMode.Append())
+    try {
+      val streamed = spark.table("stream_ss_join")
+        .orderBy("purchase_id", "click_id").collect()
+      val c = batchEvents.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val batch = batchEvents.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+        .join(c, col("user_id") === col("cu") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .orderBy("purchase_id", "click_id").collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
 }
