@@ -224,6 +224,57 @@ object TextOps {
       (0 until k).map(j => col("_2")(j).as(s"h$j")): _*)
   }
 
+  /** All-pairs Levenshtein over a SMALL string dimension as a
+    * broadcast kernel (manual BroadcastExchange: collect once, broadcast,
+    * partition the ids) — same rationale as
+    * SimilarityOps.allPairsCosineLocal: the declarative self-join
+    * materializes every joined row before the distance filter runs.
+    * Emits only pairs with dist ≤ maxDist. Classic DP, identical
+    * integers to Spark's levenshtein() and DuckDB's levenshtein(). */
+  def allPairsLevenshteinLocal(df: DataFrame, idCol: String, strCol: String,
+                               maxDist: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows: Array[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(strCol).cast("string"))
+        .as[(Long, String)].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(rows)
+    spark.range(rows.length).repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val data = bc.value
+        def lev(a: String, b: String): Int = {
+          val m = a.length; val n = b.length
+          var prev = Array.tabulate(n + 1)(identity)
+          var cur = new Array[Int](n + 1)
+          var i = 1
+          while (i <= m) {
+            cur(0) = i
+            var j = 1
+            while (j <= n) {
+              val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+              cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+              j += 1
+            }
+            val t = prev; prev = cur; cur = t
+            i += 1
+          }
+          prev(n)
+        }
+        it.flatMap { i0 =>
+          val i = i0.toInt
+          val (id1, a) = data(i)
+          (i + 1 until data.length).iterator.flatMap { j =>
+            val (id2, b) = data(j)
+            val d = lev(a, b)
+            if (d <= maxDist) Some((id1, id2, d)) else None
+          }
+        }
+      }
+      .toDF("id1", "id2", "dist")
+      .withColumn("dist", col("dist").cast("int"))
+  }
+
   /** 60-bit SimHash from word-occurrence md5 hashes: bit i is set iff the
     * (+1/−1) vote sum over all word occurrences is positive.
     * Declarative reference form — simhashLocal is the scale path. */

@@ -203,16 +203,18 @@ object DedupQueries extends QueryRegistry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id1, id2""".stripMargin))
 
-  // ---- Embedding-cosine near-dup: the exact quadratic baseline.
+  // ---- Embedding-cosine near-dup: the exact quadratic baseline, run as
+  // a broadcast-matrix kernel (no joined-row materialization; the kernel
+  // pre-filters on raw cosine safely below θ, then the EXACT rounded
+  // predicate is applied — bit-identical to the declarative self-join,
+  // SimilarityKernelSpec).
   private val embCosine = NamedQuery(
     "dedup_embedding_cosine",
     (spark, d) => {
       val v = Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding"))
-      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          SimilarityOps.cosineNative6(spark,
-            col("a.embedding"), col("b.embedding")).as("cosine"))
+      SimilarityOps.allPairsCosineLocal(v, "vec_id", "embedding", 0.45 - 1e-5)
+        .select(col("id1"), col("id2"), round(col("raw_cos"), 6).as("cosine"))
         .filter(col("cosine") >= 0.45)
         .orderBy("id1", "id2")
     },

@@ -135,14 +135,13 @@ object ScalarFuncQueries extends QueryRegistry {
   // Edit-distance near-dup over the (small) supplier dimension — the
   // textual-similarity primitive Levenshtein, bounded to an O(small²)
   // pair space (at scale this runs AFTER a blocking stage, never raw).
+  // Broadcast kernel: the declarative self-join copies every joined row
+  // before the distance filter (graft.ops.TextOps.allPairsLevenshteinLocal).
   private val editDistance = NamedQuery(
     "q_edit_distance",
     (spark, d) => {
       val s = Tables.supplier(spark, d).select(col("s_suppkey"), col("s_name"))
-      s.as("a").join(s.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
-        .select(col("a.s_suppkey").as("id1"), col("b.s_suppkey").as("id2"),
-          levenshtein(col("a.s_name"), col("b.s_name")).as("dist"))
-        .filter(col("dist") <= 3)
+      graft.ops.TextOps.allPairsLevenshteinLocal(s, "s_suppkey", "s_name", 3)
         .orderBy("id1", "id2")
     },
     Some("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
