@@ -44,6 +44,9 @@ object Components {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("nbr_min"))
+      // ONE materialization per round: the checkpoint is the round's
+      // only full job; the convergence probe and the next round's input
+      // are both cheap scans of the checkpointed result
       val next = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
@@ -52,7 +55,7 @@ object Components {
           (col("n.nbr_min") < col("l.component")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("id"), col("component")).localCheckpoint()
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -37,6 +37,16 @@ class SourcesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("orc roundtrip with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("n_chars") > 500)
+    assert(back.count() === docs.filter(col("n_chars") > 500).count())
+    // ORC scans carry pushed filters like parquet ones
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("n_chars"))
+  }
+
   test("partitioned parquet write + partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
