@@ -74,6 +74,56 @@ object DedupQueries extends QueryRegistry {
         |WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8
         |ORDER BY id1, id2""".stripMargin))
 
+  // ---- n-gram Jaccard with the WEB-SCALE guard: document-frequency cap
+  // on the inverted index. A shingle occurring in many documents
+  // contributes df² candidate pairs (the Σ_shingle df² blowup); dropping
+  // shingles with df > cap from CANDIDATE GENERATION bounds the join,
+  // while exact Jaccard is still verified on the FULL shingle sets of
+  // the candidates — identical scores, recall traded only for pairs
+  // whose every shared shingle is hot (none in real near-dup corpora,
+  // none here). The oracle runs the identical capped algorithm.
+  private val ngramCapped = NamedQuery(
+    "dedup_ngram_capped",
+    (spark, d) => {
+      val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+        .localCheckpoint()
+      val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10).select("shingle"),
+        "shingle")
+      val cand = rare.select(col("doc_id").as("id1"), col("shingle")).as("a")
+        .join(rare.select(col("doc_id").as("id2"), col("shingle")).as("b"), "shingle")
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      val candDocs = cand.select(col("id1").as("doc_id"))
+        .union(cand.select(col("id2"))).distinct()
+      TextOps.jaccardPairs(sh.join(candDocs, "doc_id"), "doc_id")
+        .join(cand, Seq("id1", "id2"), "left_semi")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH $shingleCtes,
+        |rare AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10) r
+        |    USING (shingle)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON id1 = s1.doc_id
+        |JOIN sizes s2 ON id2 = s2.doc_id
+        |WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8
+        |ORDER BY id1, id2""".stripMargin))
+
   // ---- MinHash + LSH banding: 16 md5-seeded min-hashes, 4 bands × 4
   // rows; band-key equi-join yields candidates; exact Jaccard verifies.
   // With 4 rows/band, P(candidate) = 1-(1-j⁴)⁴ ≈ 0.98 at j=0.8 — and the
@@ -322,6 +372,6 @@ object DedupQueries extends QueryRegistry {
         |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[NamedQuery] =
-    Seq(exact, ngram, minhash, simhashQ, simhashPairs, embCosine, embCosineBlocked,
-      clusters)
+    Seq(exact, ngram, ngramCapped, minhash, simhashQ, simhashPairs, embCosine,
+      embCosineBlocked, clusters)
 }

@@ -61,4 +61,38 @@ class PlansSpec extends SparkSpec {
       assert(df2.count() === 0)
     }
   }
+
+  test("AQE splits a skewed sort-merge join partition (the residual skew guard)") {
+    // SCALE.md's skew posture relies on AQE skew-join splitting for
+    // residual hot keys; prove the mechanism actually engages: one key
+    // holds ~all rows of the left side, thresholds lowered so local data
+    // qualifies as skewed, broadcast disabled to force sort-merge.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val skewed = spark.range(200000)
+        .select((col("id") % 5 === 0).cast("int").cast("long").as("k"),
+          md5(col("id").cast("string")).as("payload")) // k=0 hot (~80%)
+      val dim = spark.range(10).select(col("id").as("k"),
+        col("id").cast("string").as("name"))
+      val joined = skewed.join(dim, "k")
+      // collect the frame ITSELF (a derived count() re-plans with the
+      // payload pruned; .foreach goes through a separate RDD execution —
+      // neither finalizes joined's own AQE plan)
+      assert(joined.collect().length === 200000)
+      // AQE marks split skew partitions in the final plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
