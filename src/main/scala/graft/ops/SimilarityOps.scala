@@ -34,6 +34,30 @@ object SimilarityOps {
     round(call_function("graft_cosine", a, b), 6)
   }
 
+  /** Nearest-centroid assignment via map-side max_by instead of a
+    * row_number window: the point×centroid crossJoin is partitioned by
+    * the points side only, so the partial aggregate collapses to one row
+    * per point BEFORE the exchange — the shuffle carries |points| rows,
+    * not |points|×|centroids|, and nothing is sorted. Tie-break
+    * (max over struct(ccos, −cid)) is identical to the window form's
+    * ORDER BY ccos DESC, cid. Returns (idCol, cid [, embCol if
+    * carryEmbedding]). */
+  def assignNearestCell(spark: org.apache.spark.sql.SparkSession,
+                        points: DataFrame, idCol: String, embCol: String,
+                        cent: DataFrame, carryEmbedding: Boolean = false): DataFrame = {
+    val ccos = cosineNative6(spark, col(embCol), col("cemb"))
+    val payload =
+      if (carryEmbedding) struct(col("cid"), col(embCol).as("emb"))
+      else struct(col("cid"))
+    val agg = points.crossJoin(broadcast(cent))
+      .select(col(idCol), payload.as("p"), struct(ccos, negate(col("cid"))).as("o"))
+      .groupBy(idCol)
+      .agg(max_by(col("p"), col("o")).as("best"))
+    if (carryEmbedding)
+      agg.select(col(idCol), col("best.cid").as("cid"), col("best.emb").as(embCol))
+    else agg.select(col(idCol), col("best.cid").as("cid"))
+  }
+
   /** All-pairs raw cosine over a SMALL vector set as a broadcast-matrix
     * kernel — the scale-correct form of the brute-force baseline.
     *

@@ -285,17 +285,14 @@ object DedupQueries extends QueryRegistry {
   private val embCosineBlocked = NamedQuery(
     "dedup_embedding_blocked",
     (spark, d) => {
-      import org.apache.spark.sql.expressions.Window
       val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
       val cent = v.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
-      val assign = v.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          SimilarityOps.cosineNative6(spark, col("embedding"), col("cemb")).as("ccos"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+      // map-side max_by assignment — shuffle carries |points| rows, no
+      // window sort of the crossJoin (same tie-break as the oracle's
+      // row_number ORDER BY ccos DESC, cid)
+      val assign = SimilarityOps.assignNearestCell(
+        spark, v, "vec_id", "embedding", cent, carryEmbedding = true)
       assign.as("a").join(assign.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

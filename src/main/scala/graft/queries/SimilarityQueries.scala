@@ -69,7 +69,9 @@ object SimilarityQueries extends QueryRegistry {
           .filter(col("crn") <= n)
           .select(col(idCol), col("cid"))
       }
-      val assign = nearestCells(v, "vec_id", "embedding", 1)
+      // n=1 over the full corpus → map-side max_by (no window sort of the
+      // crossJoin); the n=nProbe window only runs over the 20 queries
+      val assign = SimilarityOps.assignNearestCell(spark, v, "vec_id", "embedding", cent)
       val q = v.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
       val probes = nearestCells(
