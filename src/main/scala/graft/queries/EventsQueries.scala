@@ -188,6 +188,56 @@ object EventsQueries extends QueryRegistry {
         |GROUP BY s.event_id
         |ORDER BY signup_id""".stripMargin))
 
+  // Value-based RANGE frame: per-user rolling 30-minute sum keyed on
+  // EVENT TIME, not row position (peers at the same epoch contribute
+  // identically in both engines, so ties never desync the frame —
+  // unlike ROWS frames under non-unique ordering).
+  private val rangeFrame = NamedQuery(
+    "q_window_range_frame",
+    (spark, d) => {
+      val epochS = floor(unix_timestamp(col("ts"))).cast("long")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+        .rangeBetween(-1800L, 0L)
+      Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), epochS.as("epoch_s"), col("value"))
+        .withColumn("rolling_30m", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("epoch_s"), col("rolling_30m"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_s,
+        |  round(sum(value) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2) AS rolling_30m
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin))
+
+  // IGNORE NULLS navigation: carry forward the last non-click value per
+  // user (clicks are nulled) — the gap-fill primitive.
+  private val ignoreNulls = NamedQuery(
+    "q_window_ignore_nulls",
+    (spark, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, d)
+        .withColumn("v",
+          when(col("event_type") =!= "click", round(col("value"), 2)))
+        .withColumn("last_non_click", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("last_non_click"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_non_click
+        |FROM (SELECT event_id, user_id, ts, event_type,
+        |        CASE WHEN event_type <> 'click' THEN round(value, 2) END AS v
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin)
+    Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
+      rangeFrame, ignoreNulls)
 }
