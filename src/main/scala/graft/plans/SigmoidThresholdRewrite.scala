@@ -75,8 +75,20 @@ object SigmoidThresholdRewrite extends Rule[LogicalPlan] {
 }
 
 /** Session-extension entry point:
-  * spark.sql.extensions=graft.plans.GraftExtensions */
+  * spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * Injects the optimizer rule AND registers the engine's native
+  * functions permanently (vs GraftFunctions.register's per-session temp
+  * registration) — the production deployment shape: one config line,
+  * every session gets the full engine surface. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SigmoidThresholdRewrite)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+  }
 }

@@ -127,6 +127,55 @@ object AggQueries extends QueryRegistry {
         |        FROM orders GROUP BY 1) m) t
         |ORDER BY ym""".stripMargin))
 
+  // Calendar-spine densification: generate EVERY month between the data's
+  // min and max (sequence + explode), left-join the sparse per-customer
+  // aggregate onto it, and zero-fill the gaps — the dense series
+  // downstream window math needs (a month with no orders must be a 0 row,
+  // not a missing row). At scale the spine is a tiny generated relation
+  // broadcast against the aggregate.
+  private val spine = NamedQuery(
+    "q_calendar_spine",
+    (spark, d) => {
+      val perMonth = Tables.orders(spark, d)
+        .filter(col("o_custkey") < 20)
+        .groupBy(col("o_custkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("ym"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      val bounds = Tables.orders(spark, d)
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      val months = bounds
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 MONTH"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("ym"))
+      val custs = Tables.orders(spark, d).filter(col("o_custkey") < 20)
+        .select(col("o_custkey")).distinct()
+      custs.crossJoin(months)
+        .join(perMonth, Seq("o_custkey", "ym"), "left")
+        .select(col("o_custkey"), col("ym"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          col("revenue").isNull.as("gap_filled"))
+        .orderBy("o_custkey", "ym")
+    },
+    Some("""WITH bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |months AS (
+        |  SELECT strftime(m, '%Y-%m') AS ym
+        |  FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) t(m)),
+        |per_month AS (
+        |  SELECT o_custkey, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders WHERE o_custkey < 20 GROUP BY 1, 2),
+        |custs AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 20)
+        |SELECT c.o_custkey, m.ym,
+        |  coalesce(p.revenue, 0.0) AS revenue,
+        |  p.revenue IS NULL AS gap_filled
+        |FROM custs c CROSS JOIN months m
+        |LEFT JOIN per_month p ON p.o_custkey = c.o_custkey AND p.ym = m.ym
+        |ORDER BY c.o_custkey, m.ym""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(rollup, cube, argmax, distincts, approx, stats, trend)
+    Seq(rollup, cube, argmax, distincts, approx, stats, trend, spine)
 }

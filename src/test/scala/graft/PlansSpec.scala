@@ -40,12 +40,19 @@ class PlansSpec extends SparkSpec {
     assert(base === rewritten)
   }
 
-  test("GraftExtensions registers the rule on a SparkSessionExtensions") {
+  test("GraftExtensions registers the rule + native functions on a SparkSessionExtensions") {
     // the spark.sql.extensions entry point: injection must succeed on a
     // fresh extensions container (full-session wiring is exercised via
-    // experimental.extraOptimizations above — same rule object)
+    // experimental.extraOptimizations above — same rule object), and the
+    // injected graft_cosine builder must construct the native expression
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arr = Literal.create(Array(1.0f, 0.0f), ArrayType(FloatType, containsNull = false))
+    val built = graft.functions.CosineSimilarity(arr, arr)
+    assert(built.checkInputDataTypes() ===
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
   }
 
   test("rule leaves out-of-clip-range thresholds alone (σ saturates)") {
