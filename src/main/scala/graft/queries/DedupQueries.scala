@@ -46,6 +46,21 @@ object DedupQueries extends QueryRegistry {
         |FROM (SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keeper
         |      FROM documents GROUP BY 1) g""".stripMargin))
 
+  // ---- Exact dedup, materialized: the deduplicated corpus itself — one
+  // keeper row per distinct text (min doc_id, the dropDuplicates-under-
+  // deterministic-sort contract), plus how many copies it absorbed. This
+  // is the output shape a pipeline actually writes back to storage.
+  private val exactKeepers = NamedQuery(
+    "dedup_exact_keepers",
+    (spark, d) => Tables.documents(spark, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("text_md5"), col("n_copies"))
+      .orderBy("keeper"),
+    Some("""SELECT min(doc_id) AS keeper, md5(text) AS text_md5,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin))
+
   // ---- n-gram Jaccard near-dup: inverted-index join, θ=0.8 (the fixture
   // plants ~25 pairs ≥0.9 with a clean margin below 0.1).
   private val ngram = NamedQuery(
@@ -369,6 +384,6 @@ object DedupQueries extends QueryRegistry {
         |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[NamedQuery] =
-    Seq(exact, ngram, ngramCapped, minhash, simhashQ, simhashPairs, embCosine,
-      embCosineBlocked, clusters)
+    Seq(exact, exactKeepers, ngram, ngramCapped, minhash, simhashQ, simhashPairs,
+      embCosine, embCosineBlocked, clusters)
 }

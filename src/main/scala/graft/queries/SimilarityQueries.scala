@@ -189,5 +189,42 @@ object SimilarityQueries extends QueryRegistry {
     },
     brute.oracle)
 
-  val all: Seq[NamedQuery] = Seq(brute, bruteAgg, ivf, labelCentroids)
+  // Symmetric int8 quantization of the embedding column — the storage/
+  // bandwidth move every large vector corpus makes (4 bytes → 1 byte per
+  // dim). Rounding is floor(x·scale + 0.5), NOT round(): floor of a
+  // double is bit-exact in both engines while round() half-way
+  // tie-breaking diverges (COVERAGE.md determinism rule 2). Saturation
+  // is structural: max|x|·scale = 127 exactly. Output pins per-vector
+  // scale and quantized-lattice stats (sum/extremes/zero count) rather
+  // than the raw int array, which exercises the full quantize math.
+  private val quantize = NamedQuery(
+    "q_embedding_quantize",
+    (spark, d) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      val maxabs = array_max(transform(emb, x => abs(x)))
+      val q = transform(col("emb"), x =>
+        floor(x * (lit(127.0) / col("maxabs")) + lit(0.5)).cast("long"))
+      Tables.embeddings(spark, d)
+        .select(col("vec_id"), emb.as("emb"), maxabs.as("maxabs"))
+        .select(col("vec_id"), (lit(127.0) / col("maxabs")).as("scale"), q.as("q"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          array_max(col("q")).as("qmax"),
+          array_min(col("q")).as("qmin"),
+          size(filter(col("q"), x => x === 0L)).as("n_zero"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, scale,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  list_max(q) AS qmax, list_min(q) AS qmin,
+        |  CAST(len(list_filter(q, x -> x = 0)) AS INT) AS n_zero
+        |FROM (
+        |  SELECT vec_id, 127.0 / maxabs AS scale,
+        |    list_transform(emb, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)) AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+        |        FROM embeddings) t) s
+        |ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(brute, bruteAgg, ivf, labelCentroids, quantize)
 }

@@ -101,6 +101,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes micro-batches to parquet (the production sink shape)") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val q = Streams.readEvents(spark, path)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // arbitrary batch sink: parquet append keyed by batch id — at
+        // scale this is where MERGE/upsert or exactly-once bookkeeping
+        // lives
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+      assert(written.count() === batchEvents.count())
+      assert(written.columns.contains("batch_id"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     val q = Streams.runToMemory(
       Streams.clickPurchaseJoin(
