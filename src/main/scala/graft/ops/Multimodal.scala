@@ -94,6 +94,50 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       features: Array[Double], status: String)
 
+  final case class Thumb(media_id: Long, thumb_png: Array[Byte],
+                         thumb_w: Int, thumb_h: Int, status: String)
+
+  /** REAL image resize stage: decode (ImageIO) → aspect-preserving
+    * downscale to fit `maxSide` → re-encode PNG, executor-side with
+    * per-row error isolation. The thumbnail/derived-asset materialization
+    * every multimodal corpus pipeline runs; non-image rows and corrupt
+    * bytes land in the error channel, never fail the job. */
+  def thumbnails(media: DataFrame, maxSide: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) throw new IllegalArgumentException("undecodable image")
+            val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+            val (w, h) =
+              if (scale >= 1.0) (img.getWidth, img.getHeight)
+              else (math.max(1, (img.getWidth * scale).round.toInt),
+                    math.max(1, (img.getHeight * scale).round.toInt))
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            Thumb(id, buf.toByteArray, w, h, "ok")
+          } catch {
+            case e: Exception =>
+              Thumb(id, Array.empty[Byte], 0, 0,
+                s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Batch feature extraction: per-partition init (the scorer/codec
     * handle), iterator-in/iterator-out, per-row error isolation — the
     * exact batch shape a Pandas-UDF stage has, minus Python. Features:

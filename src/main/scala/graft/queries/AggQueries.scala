@@ -150,7 +150,7 @@ object AggQueries extends QueryRegistry {
         .select(date_format(col("m"), "yyyy-MM").as("ym"))
       val custs = Tables.orders(spark, d).filter(col("o_custkey") < 20)
         .select(col("o_custkey")).distinct()
-      custs.crossJoin(months)
+      custs.crossJoin(broadcast(months))
         .join(perMonth, Seq("o_custkey", "ym"), "left")
         .select(col("o_custkey"), col("ym"),
           coalesce(col("revenue"), lit(0.0)).as("revenue"),

@@ -40,6 +40,29 @@ class MultimodalSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("thumbnails: real ImageIO downscale, aspect preserved, error isolated") {
+    import org.apache.spark.sql.functions._
+    val thumbs = Multimodal.thumbnails(media, maxSide = 16).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { r =>
+      assert(r.getAs[String]("status") === "ok")
+      val (w, h) = (r.getAs[Int]("thumb_w"), r.getAs[Int]("thumb_h"))
+      assert(math.max(w, h) === 16)
+      // 64×48 source → 16×12 aspect-preserving
+      assert(w === 16 && h === 12)
+      // output is a real decodable PNG
+      val png = r.getAs[Array[Byte]]("thumb_png")
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(back.getWidth === 16 && back.getHeight === 12)
+    }
+    // corrupt bytes → error channel
+    import spark.implicits._
+    val bad = Seq((99L, "image", Array[Byte](1, 2, 3), 0, 0, 0, 0))
+      .toDF("media_id", "kind", "content", "width", "height", "sample_rate", "n_frames")
+    val er = Multimodal.thumbnails(bad).collect()
+    assert(er.length === 1 && er.head.getAs[String]("status").startsWith("error:"))
+  }
+
   test("error isolation: corrupt image bytes produce an error row, not a failure") {
     import spark.implicits._
     val bad = Seq((99L, "image", "garbage".getBytes, 0, 0, 0, 0))

@@ -21,4 +21,16 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(fn(spark, sfDir).count() >= 0)
     }
   }
+
+  test("plan hygiene: no query plans an un-broadcast CartesianProduct") {
+    // a CartesianProduct (as opposed to a BroadcastNestedLoopJoin with a
+    // deliberately broadcast small side) means a full n×m shuffle-less
+    // cross product — never acceptable at scale; any intentional cross
+    // join in the engine must broadcast() its small side
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"queries with CartesianProduct: $offenders")
+  }
 }
