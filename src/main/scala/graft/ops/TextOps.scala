@@ -188,6 +188,28 @@ object TextOps {
     out
   }
 
+  /** Row-local DISTINCT shingle relation with the shingle pre-hashed to
+    * its md5-derived 60-bit long: (id, shingle LONG). Two scale moves in
+    * one — the shingle set is built per row in mapPartitions (no
+    * posexplode, no per-doc window sort), and every downstream
+    * inverted-index join/groupBy shuffles 8-byte keys instead of ~20-byte
+    * strings. The column keeps the name "shingle" so jaccardPairs works
+    * unchanged; hash collisions (≈ |shingles|²/2⁶¹) are reproduced
+    * identically by the oracle, which applies the same md5 hash. */
+  def shinglesHashedLocal(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          shingleSet(text, n).iterator.map(s => (id, md5Long60(s)))
+        }
+      }
+      .toDF(idCol, "shingle")
+  }
+
   /** Row-local MinHash signatures: per document, shingle → md5 base →
     * k affine min-hashes, one narrow map over the scan (no shingle
     * explode, no window sort, no groupBy). Documents with no shingles

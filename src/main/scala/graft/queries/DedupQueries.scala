@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
 object DedupQueries extends QueryRegistry {
 
   /** DuckDB CTEs shared by the shingle-based queries (dual of
-    * TextOps.shingles / md5Long). */
+    * TextOps.shinglesHashedLocal): `sh` carries the md5-derived 60-bit
+    * hash of each distinct shingle — the engines join/count on identical
+    * 8-byte keys (collisions, if any, collapse identically). */
   private val shingleCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
-      |       FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
+      |sh_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      |         FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
+      |sh AS (SELECT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |       FROM sh_s),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
   // ---- Exact dedup: hash-groupBy. Corpus-level counts plus duplicate
@@ -66,10 +71,10 @@ object DedupQueries extends QueryRegistry {
   private val ngram = NamedQuery(
     "dedup_ngram_jaccard",
     (spark, d) => {
-      // localCheckpoint materializes the shingle relation ONCE — the
-      // self-join + sizes otherwise re-runs the split/transform string
-      // work for every branch (4 scans in the unchecked plan)
-      val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+      // row-local hashed shingles (no explode/window-sort; 8-byte join
+      // keys), checkpointed ONCE — the self-join + sizes otherwise
+      // re-run the shingle work for every branch
+      val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
         .localCheckpoint()
       TextOps.jaccardPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.8)
@@ -100,7 +105,7 @@ object DedupQueries extends QueryRegistry {
   private val ngramCapped = NamedQuery(
     "dedup_ngram_capped",
     (spark, d) => {
-      val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+      val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
         .localCheckpoint()
       val rare = sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -147,10 +152,12 @@ object DedupQueries extends QueryRegistry {
   private val minhashK = 16
   private val minhashBands = 4
 
-  /** DuckDB dual of TextOps.minhashSignatures' affine family member j. */
+  /** DuckDB dual of TextOps.minhashSignatures' affine family member j —
+    * `shingle` in the shared CTE is already the md5-derived 60-bit long,
+    * so the base is just a mask of it. */
   private def minhashSqlHash(j: Int): String = {
     val (a, b) = TextOps.minhashFamily(minhashK)(j)
-    s"($a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) + $b) % ${TextOps.minhashPrime}"
+    s"($a * (shingle & 1073741823) + $b) % ${TextOps.minhashPrime}"
   }
 
   private val minhash = NamedQuery(
@@ -170,10 +177,10 @@ object DedupQueries extends QueryRegistry {
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
       // verify candidates with exact Jaccard — only the CANDIDATE docs
-      // are ever shingle-exploded (at scale: |candidates| ≪ corpus)
+      // are ever shingled (at scale: |candidates| ≪ corpus)
       val candDocs = cand.select(col("id1").as("doc_id"))
         .union(cand.select(col("id2"))).distinct()
-      val shC = TextOps.shingles(
+      val shC = TextOps.shinglesHashedLocal(
         docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
         "doc_id", "text", 3).localCheckpoint()
       TextOps.jaccardPairs(shC, "doc_id")
@@ -344,7 +351,7 @@ object DedupQueries extends QueryRegistry {
   private val clusters = NamedQuery(
     "dedup_clusters",
     (spark, d) => {
-      val sh = TextOps.shingles(Tables.documents(spark, d), "doc_id", "text", 3)
+      val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
         .localCheckpoint()
       val pairs = TextOps.jaccardPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.8)

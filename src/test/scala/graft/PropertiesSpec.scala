@@ -98,6 +98,13 @@ class PropertiesSpec extends SparkSpec {
     val mhLocal = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, 16)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(mhLocal === mhDecl)
+    // the hashed-shingle kernel == declarative shingles ∘ md5Long
+    val shDecl = TextOps.shingles(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), TextOps.md5Long(col("shingle")).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shLocal = TextOps.shinglesHashedLocal(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shLocal === shDecl)
     // and the kernels shuffle nothing
     val plan = TextOps.simhashLocal(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
