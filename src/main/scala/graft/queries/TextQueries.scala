@@ -271,7 +271,69 @@ object TextQueries extends QueryRegistry {
         |  FROM documents) t
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
 
+  // The capstone composition — a corpus-curation pass chaining the
+  // pipeline's own operators: quality-filter (score ≥ 0.5) → exact-dedup
+  // to keepers (min doc_id per md5) → deterministic 1-in-2 hash sample →
+  // per-language yield report. Every stage is one of the oracle-checked
+  // primitives above; this query pins that they COMPOSE without
+  // re-deriving anything (the shape an actual pretraining data job has).
+  private val curate = NamedQuery(
+    "pipeline_curate",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val quality = docs
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("word")).as("n_uniq"),
+          sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
+          first(col("n_chars")).as("n_chars"))
+        .select(col("doc_id"),
+          (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
+            + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
+            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
+            .as("quality"))
+      val keepers = docs
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs
+        .join(keepers, "doc_id")
+        .join(quality, "doc_id")
+        .filter(col("quality") >= 0.5)
+        .filter(TextOps.md5Long(col("doc_id")) % 2 === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH q AS (
+        |  SELECT doc_id,
+        |    0.4 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
+        |  FROM (
+        |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
+        |      sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
+        |          THEN 1 ELSE 0 END) AS n_stop,
+        |      first(n_chars) AS n_chars
+        |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+        |          FROM documents) t
+        |    GROUP BY doc_id) s),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d.lang, count(*) AS n_kept,
+        |  round(avg(q.quality), 4) AS avg_quality
+        |FROM documents d
+        |JOIN keepers k USING (doc_id)
+        |JOIN q USING (doc_id)
+        |WHERE q.quality >= 0.5
+        |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
-      repetition, sampleHash, samplePerGroup)
+      repetition, sampleHash, samplePerGroup, curate)
 }
