@@ -263,7 +263,48 @@ object Relational2Queries extends QueryRegistry {
         |      INTO NAME measure VALUE value) t
         |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin))
 
+  // ---- LATERAL correlated subquery (SQL text): per-nation top spender —
+  // the "top-n per group via lateral" idiom Catalyst decorrelates.
+  private val lateralQ = NamedQuery(
+    "q_lateral_top_spender",
+    (spark, d) => {
+      graft.Tables.registerAll(spark, d)
+      spark.sql(
+        """SELECT n.n_name, t.c_custkey AS top_custkey, t.c_acctbal AS top_acctbal
+          |FROM nation n,
+          |  LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+          |           FROM customer
+          |           WHERE c_nationkey = n.n_nationkey
+          |           ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+          |ORDER BY n.n_name""".stripMargin)
+    },
+    Some("""SELECT n.n_name, t.c_custkey AS top_custkey, t.c_acctbal AS top_acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |           FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin))
+
+  // ---- Ordered string aggregation (listagg / string_agg WITHIN GROUP):
+  // the ordered group-concat primitive as first-class SQL (the engine's
+  // tagging concat is the same move via array_sort + array_join).
+  private val listaggQ = NamedQuery(
+    "q_listagg_types",
+    (spark, d) => Tables.part(spark, d)
+      .filter(col("p_size") <= 3)
+      .groupBy("p_brand")
+      .agg(array_join(array_sort(collect_set(col("p_type"))), ",")
+        .as("types"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand,
+        |  string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+        |  count(*) AS n
+        |FROM part WHERE p_size <= 3
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ,
-      existsQ, unpivotQ)
+      existsQ, unpivotQ, lateralQ, listaggQ)
 }
