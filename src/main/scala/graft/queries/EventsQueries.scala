@@ -237,7 +237,37 @@ object EventsQueries extends QueryRegistry {
         |      FROM events) t
         |ORDER BY event_id""".stripMargin))
 
+  // Salted JOIN (complement of q_salted_agg's salted aggregation): the
+  // hot-key join fix when AQE can't help (e.g. the hot side feeds a
+  // non-splittable stage). Fact rows get a deterministic salt
+  // (l_orderkey % 8); the dimension is exploded ×8 so every (key, salt)
+  // bucket joins locally — one hot key spreads over 8 reducers. Result
+  // is IDENTICAL to the plain join, which is exactly what the oracle
+  // checks (it runs the unsalted join).
+  private val saltedJoin = NamedQuery(
+    "q_salted_join",
+    (spark, d) => {
+      val salts = 8
+      val fact = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          pmod(col("l_orderkey"), lit(salts)).as("salt"))
+      val dim = Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt").cast("int"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
-      rangeFrame, ignoreNulls)
+      rangeFrame, ignoreNulls, saltedJoin)
 }

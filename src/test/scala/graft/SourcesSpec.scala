@@ -47,6 +47,33 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("n_chars"))
   }
 
+  test("corrupt file in a directory degrades gracefully with ignoreCorruptFiles") {
+    // at 100 TB some files WILL be broken; the job must not die
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    docs.limit(100).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-junk.parquet"),
+      "this is not a parquet file".getBytes)
+    val saved = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      assert(spark.read.parquet(dir).count() === 100)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads a 2-column schema") {
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val narrow = lineitem.select("l_orderkey", "l_quantity")
+    val scan = narrow.queryExecution.executedPlan.toString
+    // the parquet ReadSchema must contain ONLY the projected columns
+    val schemaLine = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("l_orderkey") && schemaLine.contains("l_quantity"))
+    assert(!schemaLine.contains("l_extendedprice") && !schemaLine.contains("l_shipdate"))
+  }
+
   test("partitioned parquet write + partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
