@@ -44,17 +44,19 @@ object Components {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("nbr_min"))
-      // ONE materialization per round: the checkpoint is the round's
-      // only full job; the convergence probe and the next round's input
-      // are both cheap scans of the checkpointed result
+      // ONE job per round: the convergence metric rides the checkpoint
+      // action itself via observe() — no separate probe job
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("l.component"), coalesce(col("n.nbr_min"), col("l.component")))
             .as("component"),
           (col("n.nbr_min") < col("l.component")).as("changed"))
+        .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
         .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+      // sum over an empty relation observes NULL → trivially converged
+      converged = Option(obs.get("n_changed")).forall(_.asInstanceOf[Long] == 0L)
       labels = next.select(col("id"), col("component"))
       iter += 1
     }

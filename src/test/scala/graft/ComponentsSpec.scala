@@ -31,4 +31,8 @@ class ComponentsSpec extends SparkSpec {
   test("edge direction does not matter") {
     assert(cc(Seq(5L -> 3L, 3L -> 9L)) === Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
+
+  test("empty edge list yields empty labels (no NPE from the observed metric)") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
 }
