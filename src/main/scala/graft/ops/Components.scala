@@ -29,8 +29,12 @@ object Components {
     * are tolerated. Returns (id, component) where component = min node
     * id reachable, one row per distinct node appearing in `edges`. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // checkpoint the INPUT first: the symmetrization union references the
+    // edge subtree twice, and callers pass arbitrarily expensive pair
+    // pipelines (e.g. the full Jaccard chain) as edges
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()

@@ -107,10 +107,12 @@ object DedupQueries extends QueryRegistry {
     (spark, d) => {
       val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
         .localCheckpoint()
+      // checkpointed: the candidate self-join below references rare twice
+      // (the df-histogram groupBy + join would otherwise run twice)
       val rare = sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 10).select("shingle"),
-        "shingle")
+        "shingle").localCheckpoint()
       val cand = rare.select(col("doc_id").as("id1"), col("shingle")).as("a")
         .join(rare.select(col("doc_id").as("id2"), col("shingle")).as("b"), "shingle")
         .filter(col("id1") < col("id2"))
