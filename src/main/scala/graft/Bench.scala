@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract): runs every declared query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line.
+  *
+  * The driver captures only the last ~2000 characters of stdout, so the line
+  * must stay well under that or the trailing sbt epilogue pushes the JSON's
+  * head out of the capture window (observed in rounds 1-2: `parsed: null`).
+  * Therefore the stdout line carries the headline total plus a curated
+  * per-query subset; the full per-query timing map is written to
+  * `bench_full.json` in the working directory.
+  */
 object Bench {
+  /** Queries whose individual times appear in the stdout JSON line. Chosen to
+    * cover each operator family plus the historically slowest entries.
+    */
+  private val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "q17_small_quantity", "dedup_exact_keepers", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_capped",
+    "dedup_embedding_cosine", "dedup_embedding_blocked", "dedup_clusters",
+    "sim_cosine_topk", "sim_ann_ivf", "tagger_pipeline",
+    "tagger_throughput_500k", "text_quality_score", "pipeline_curate",
+    "q_window_session", "q_asof_click_purchase", "q_salted_join",
+    "q_exists_returns", "img_tagger_e2e")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,11 +44,21 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val total = results.map(_._2).sum
+    val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${fmt(v)}"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,9 +138,17 @@ object Tagging {
 
     // identical double math to Spark's least/greatest/exp builtins
     // (java.lang.Math.exp in codegen) → bit-identical probs and therefore
-    // identical comparisons vs the relational pipeline
+    // identical comparisons vs the relational pipeline. NaN parity:
+    // Spark SQL orders doubles with NaN GREATEST (total order), so
+    // least(NaN, 30) = 30 — a NaN logit is clipped to 30 and scored
+    // σ(30), never propagated. java.lang.Double.compare reproduces that
+    // ordering exactly (Scala's primitive < / > would leave NaN
+    // unclipped and then drop it from argmax/threshold).
     @inline private def sigmoid(x: Double): Double = {
-      val clipped = if (x > 30.0) 30.0 else if (x < -30.0) -30.0 else x
+      val clipped =
+        if (java.lang.Double.compare(x, 30.0) > 0) 30.0
+        else if (java.lang.Double.compare(x, -30.0) < 0) -30.0
+        else x
       1.0 / (1.0 + java.lang.Math.exp(-clipped))
     }
 
@@ -158,7 +166,8 @@ object Tagging {
           val idx = idxs(i)
           if (idx < vec.length) { // hole skip: idx beyond the vector
             val p = sigmoid(vec(idx))
-            if (best < 0 || p > bestP) { best = i; bestP = p }
+            // Double.compare ≡ Spark's max_by struct ordering (NaN-safe)
+            if (best < 0 || java.lang.Double.compare(p, bestP) > 0) { best = i; bestP = p }
           }
           i += 1
         }
@@ -174,7 +183,7 @@ object Tagging {
         var i = 0
         while (i < idxs.length) {
           val idx = idxs(i)
-          if (idx < vec.length && sigmoid(vec(idx)) >= theta) {
+          if (idx < vec.length && java.lang.Double.compare(sigmoid(vec(idx)), theta) >= 0) {
             if (sb.length > 0) sb.append(", ")
             sb.append(displays(i))
           }

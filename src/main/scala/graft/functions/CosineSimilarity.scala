@@ -34,8 +34,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   /** Per-element null checks are needed only when either array type can
-    * contain nulls. */
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    * contain nulls. Depends only on the static input types, so computed
+    * once (lazy: children's dataType is not resolvable at construction). */
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   })
@@ -109,9 +110,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session-level registration of the engine's native functions (usable
   * from spark.sql / expr after calling register). */
 object GraftFunctions {
+  /** Shared builder with an explicit arity check so SQL calling
+    * `graft_cosine` with the wrong argument count gets a clean analysis
+    * error instead of an IndexOutOfBoundsException. */
+  val cosineBuilder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_cosine`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
+      "graft_cosine", cosineBuilder, "scala_udf")
 }

@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   * with a recursive reachability CTE. */
 object Components {
 
+  /** Free the block-manager storage behind a localCheckpoint'd frame once
+    * it has been superseded. localCheckpoint truncates lineage, so the
+    * persisted blocks ARE the data — only unpersist frames no downstream
+    * consumer will read again (the returned labels keep their final
+    * checkpoint; everything intermediate is released here so a long-lived
+    * session pins O(1) label copies, not O(rounds)). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** edges(src, dst) — treated as undirected; self-loops and duplicates
     * are tolerated. Returns (id, component) where component = min node
     * id reachable, one row per distinct node appearing in `edges`. */
@@ -61,9 +73,15 @@ object Components {
         .localCheckpoint()
       // sum over an empty relation observes NULL → trivially converged
       converged = Option(obs.get("n_changed")).forall(_.asInstanceOf[Long] == 0L)
+      // `next` is materialized (eager checkpoint): the previous round's
+      // label blocks can no longer be read — release them now
+      freeCheckpoint(labels)
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
+    // the edge relations are only read inside the loop
+    freeCheckpoint(sym)
+    freeCheckpoint(e0)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }

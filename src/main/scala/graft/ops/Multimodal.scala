@@ -100,17 +100,21 @@ object Multimodal {
   /** REAL image resize stage: decode (ImageIO) → aspect-preserving
     * downscale to fit `maxSide` → re-encode PNG, executor-side with
     * per-row error isolation. The thumbnail/derived-asset materialization
-    * every multimodal corpus pipeline runs; non-image rows and corrupt
-    * bytes land in the error channel, never fail the job. */
+    * every multimodal corpus pipeline runs; every input row appears in
+    * the output — non-image rows and corrupt bytes land in the error
+    * channel (status != "ok"), never fail the job and are never silently
+    * dropped. */
   def thumbnails(media: DataFrame, maxSide: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(col("kind") === "image")
-      .select(col("media_id"), col("content"))
-      .as[(Long, Array[Byte])]
+    media
+      .select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { iter =>
-        iter.map { case (id, bytes) =>
-          try {
+        iter.map { case (id, kind, bytes) =>
+          if (kind != "image")
+            Thumb(id, Array.empty[Byte], 0, 0, s"error: not an image (kind=$kind)")
+          else try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             if (img == null) throw new IllegalArgumentException("undecodable image")
             val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)

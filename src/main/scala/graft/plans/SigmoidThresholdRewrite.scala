@@ -88,7 +88,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+      graft.functions.GraftFunctions.cosineBuilder))
   }
 }

@@ -35,4 +35,19 @@ class ComponentsSpec extends SparkSpec {
   test("empty edge list yields empty labels (no NPE from the observed metric)") {
     assert(cc(Seq.empty) === Map.empty)
   }
+
+  test("superseded per-round checkpoints are unpersisted (bounded storage)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // diameter 7 → several rounds, each with its own localCheckpoint
+    val labels = Components.connectedComponents(
+      (1L until 8L).map(i => i -> (i + 1)).toDF("src", "dst"))
+    labels.count()
+    val added = sc.getPersistentRDDs.keySet -- before
+    // only the FINAL labels checkpoint may remain pinned — the input,
+    // symmetrized edges, and every superseded round must be freed
+    assert(added.size <= 1, s"leaked ${added.size} persisted RDDs")
+    // and the surviving frame is still readable after the frees
+    assert(labels.count() === 8L)
+  }
 }

@@ -32,6 +32,15 @@ class FunctionsSpec extends SparkSpec {
     assert(self.forall(_ === 1.0)) // unit vectors: self-cosine = 1
   }
 
+  test("wrong arity is a clean analysis error, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    v.limit(1).createOrReplaceTempView("fs_arity")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(embedding) FROM fs_arity").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"))
+  }
+
   test("edge parity with the composed form: unequal lengths and NULL elements yield NULL") {
     GraftFunctions.register(spark)
     // unequal-length arrays: zip_with null-pads → NULL; graft_cosine must

@@ -42,10 +42,14 @@ class MultimodalSpec extends SparkSpec {
 
   test("thumbnails: real ImageIO downscale, aspect preserved, error isolated") {
     import org.apache.spark.sql.functions._
-    val thumbs = Multimodal.thumbnails(media, maxSide = 16).collect()
-    assert(thumbs.nonEmpty)
+    val all = Multimodal.thumbnails(media, maxSide = 16).collect()
+    // every input row appears: images decode, non-images hit the error channel
+    assert(all.length === 30)
+    val nonImage = all.filter(_.getAs[String]("status").startsWith("error: not an image"))
+    assert(nonImage.length === 20)
+    val thumbs = all.filter(_.getAs[String]("status") === "ok")
+    assert(thumbs.length === 10)
     thumbs.foreach { r =>
-      assert(r.getAs[String]("status") === "ok")
       val (w, h) = (r.getAs[Int]("thumb_w"), r.getAs[Int]("thumb_h"))
       assert(math.max(w, h) === 16)
       // 64×48 source → 16×12 aspect-preserving

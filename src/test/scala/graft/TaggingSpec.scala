@@ -110,6 +110,26 @@ class TaggingSpec extends SparkSpec {
     assert(loc2 === rel2)
   }
 
+  test("NaN logits: pipelineLocal reproduces Spark's NaN-greatest clip semantics") {
+    val entries = Vocab.parseJson(vocabJson)
+    val nan = Double.NaN
+    // NaN in an argmax lane (rating idx 0) and a threshold lane (general
+    // idx 4): Spark's least/greatest order NaN greatest, so the relational
+    // clip maps NaN → 30 → σ(30) ≈ 1, which wins the argmax and passes
+    // every threshold; the local kernel must agree exactly.
+    val rows = Seq(
+      1L -> (Seq(nan, 20.0, -5.0, -6.0, nan) ++ Seq.fill(11)(-40.0)),
+      2L -> img1.updated(2, nan))
+    val df = rows.toDF("image_id", "logits")
+    val rel = Tagging.pipeline(df, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val loc = Tagging.pipelineLocal(df, entries)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loc === rel)
+    // and the semantics themselves: the NaN-logit tags ARE selected
+    assert(rel(1L).startsWith("safe") && rel(1L).contains("long hair"))
+  }
+
   test("pipelineLocal golden + vocab holes + zero-shuffle plan") {
     val entries = Vocab.parseJson(vocabJson) // has a hole at 14 (idx 15 unknown-cat)
     val out = Tagging.pipelineLocal(
