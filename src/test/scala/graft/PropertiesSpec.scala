@@ -81,6 +81,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard ≡ full inverted-index join (fixture + adversarial)") {
+    // real corpus: identical thresholded pairs (all columns)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("inter"),
+        r.getAs[Long]("sz1"), r.getAs[Long]("sz2"), r.getAs[Double]("jaccard"))
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val full = TextOps.jaccardPairs(
+          TextOps.shinglesHashedLocal(docs, "doc_id", "text", 3), "doc_id")
+        .filter(col("jaccard") >= t).collect().map(key).toSet
+      val pref = TextOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(pref === full, s"threshold $t")
+    }
+    // adversarial: doc sizes that are multiples of 5 (0.8·sz lands on an
+    // exact integer — the ⌈⌉ slack edge), exact duplicates, boundary pairs
+    val words = (1 to 60).map(i => s"w$i")
+    val adversarial = Seq(
+      1L -> words.take(52).mkString(" "),             // sz = 50 shingles
+      2L -> words.take(52).mkString(" "),             // exact dup of 1
+      3L -> (words.take(47) :+ "zz").mkString(" "),   // near-dup of 1
+      4L -> words.slice(10, 62).mkString(" "),        // partial overlap
+      5L -> "tiny doc here",                          // sz = 1
+      6L -> "tiny doc here",                          // dup of 5
+      7L -> "ab cd"                                   // no shingles (2 words)
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.8)) {
+      val full = TextOps.jaccardPairs(
+          TextOps.shinglesHashedLocal(adversarial, "doc_id", "text", 3), "doc_id")
+        .filter(col("jaccard") >= t).collect().map(key).toSet
+      val pref = TextOps.jaccardPairsPrefix(adversarial, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(pref === full, s"adversarial threshold $t")
+      assert(full.exists(_._6 == 1.0)) // the exact dups really are in play
+    }
+    // the join-path fallback (maxBroadcastDocs exceeded) agrees too
+    val joinPath = TextOps.jaccardPairsPrefix(adversarial, "doc_id", "text", 3, 0.4,
+        maxBroadcastDocs = 2)
+      .collect().map(key).toSet
+    val bcPath = TextOps.jaccardPairsPrefix(adversarial, "doc_id", "text", 3, 0.4)
+      .collect().map(key).toSet
+    assert(joinPath === bcPath)
+  }
+
   test("row-local kernels ≡ declarative forms: simhash + minhash signatures on real docs") {
     // the scale-path kernels must reproduce the exact md5-derived
     // integers of the explode/groupBy forms on the fixture corpus
