@@ -36,10 +36,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen/JIT, parquet footer cache) so per-query
-    // numbers measure plans, not first-job initialization
+    // warm the session (codegen/JIT, parquet footer + file-listing cache)
+    // so per-query numbers measure plans, not first-job initialization
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
+    Tables.documents(spark, sfDir).count()
+    Tables.embeddings(spark, sfDir).count()
+    Tables.orders(spark, sfDir).count()
+    Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

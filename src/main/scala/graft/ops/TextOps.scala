@@ -272,58 +272,112 @@ object TextOps {
       .join(prefix.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= t)
+  }
 
-    // exact sorted-merge intersection with run-product counting — the
-    // precise count the inverted-index join's groupBy would produce
-    def interCount(a: Array[Long], b: Array[Long]): Long = {
-      var i = 0; var j = 0; var inter = 0L
-      while (i < a.length && j < b.length) {
-        val ai = a(i); val bj = b(j)
-        if (ai == bj) {
-          var ca = 0; var cb = 0
-          while (i < a.length && a(i) == ai) { ca += 1; i += 1 }
-          while (j < b.length && b(j) == ai) { cb += 1; j += 1 }
-          inter += ca.toLong * cb
-        } else if (ai < bj) i += 1
-        else j += 1
+  /** Exact thresholded Jaccard over a DF-CAPPED candidate index — the
+    * array-kernel formulation of the web-scale Σdf² guard: shingles with
+    * document frequency > `maxDf` are dropped from CANDIDATE GENERATION
+    * (bounding the index join at Σ_{df≤cap} df² ≤ cap·|rows|), while the
+    * surviving pairs are verified by exact sorted-merge intersection over
+    * the FULL shingle arrays. Output ≡ restricting
+    * `jaccardPairs(shinglesHashedLocal(df))` to pairs sharing ≥1 rare
+    * shingle, then filtering jaccard ≥ minJaccard — the relation the
+    * dedup_ngram_capped oracle computes — without ever rebuilding the
+    * full inverted index for verification. */
+  def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, maxDf: Long = 10L, minJaccard: Double = 0.8,
+                         maxBroadcastDocs: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val arrs = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = shingleSet(text, n)
+          if (sh.isEmpty) None
+          else {
+            val arr = new Array[Long](sh.size)
+            var i = 0
+            sh.foreach { s => arr(i) = md5Long60(s); i += 1 }
+            java.util.Arrays.sort(arr)
+            Some((id, arr))
+          }
+        }
       }
-      inter
-    }
+      .toDF(idCol, "sh_arr")
+      .localCheckpoint()
+    val sh = arrs.select(col(idCol), explode(col("sh_arr")).as("shingle"))
+    val rareShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val rare = sh.join(rareShingles, "shingle")
+    val cand = rare.select(col(idCol).as("id1"), col("shingle"))
+      .join(rare.select(col(idCol).as("id2"), col("shingle")), "shingle")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
+  /** Exact sorted-merge intersection with run-product counting — the
+    * precise count the inverted-index join's groupBy would produce,
+    * collision-identical included. */
+  private[graft] def interCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      val ai = a(i); val bj = b(j)
+      if (ai == bj) {
+        var ca = 0; var cb = 0
+        while (i < a.length && a(i) == ai) { ca += 1; i += 1 }
+        while (j < b.length && b(j) == ai) { cb += 1; j += 1 }
+        inter += ca.toLong * cb
+      } else if (ai < bj) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** Exact (inter, sz1, sz2) for each candidate pair against the
+    * (id, sh_arr) sorted-array relation. ≤ `maxBroadcastDocs`: the arrays
+    * are broadcast and verification is a narrow map over the pairs;
+    * above: two shuffle joins ship each pair its arrays. Both paths run
+    * `interCount`. */
+  private def verifyCandidates(cand: DataFrame, arrs: DataFrame, idCol: String,
+                               maxBroadcastDocs: Long): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     // limit-guarded collect: ONE job decides the path AND fetches the
     // broadcast payload (no separate count) — an overfull corpus comes
     // back truncated at max+1 rows and routes to the join path
     val collected = arrs.select(col(idCol), col("sh_arr"))
       .limit(math.min(maxBroadcastDocs + 1, Int.MaxValue).toInt)
       .as[(Long, Array[Long])].collect()
-    val verified =
-      if (collected.length <= maxBroadcastDocs) {
-        // small corpus: broadcast id→array, verify in a narrow map
-        val bc = spark.sparkContext.broadcast(collected.toMap)
-        cand.as[(Long, Long)].mapPartitions { it =>
-          val data = bc.value
-          it.map { case (id1, id2) =>
-            val a = data(id1); val b = data(id2)
+    if (collected.length <= maxBroadcastDocs) {
+      val bc = spark.sparkContext.broadcast(collected.toMap)
+      cand.as[(Long, Long)].mapPartitions { it =>
+        val data = bc.value
+        it.map { case (id1, id2) =>
+          val a = data(id1); val b = data(id2)
+          (id1, id2, interCount(a, b), a.length.toLong, b.length.toLong)
+        }
+      }.toDF("id1", "id2", "inter", "sz1", "sz2")
+    } else {
+      cand
+        .join(arrs.select(col(idCol).as("id1"), col("sh_arr").as("arr1")), "id1")
+        .join(arrs.select(col(idCol).as("id2"), col("sh_arr").as("arr2")), "id2")
+        .select(col("id1"), col("id2"), col("arr1"), col("arr2"))
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .mapPartitions { it =>
+          it.map { case (id1, id2, a, b) =>
             (id1, id2, interCount(a, b), a.length.toLong, b.length.toLong)
           }
         }.toDF("id1", "id2", "inter", "sz1", "sz2")
-      } else {
-        // scale path: ship each candidate pair its two arrays
-        cand
-          .join(arrs.select(col(idCol).as("id1"), col("sh_arr").as("arr1")), "id1")
-          .join(arrs.select(col(idCol).as("id2"), col("sh_arr").as("arr2")), "id2")
-          .select(col("id1"), col("id2"), col("arr1"), col("arr2"))
-          .as[(Long, Long, Array[Long], Array[Long])]
-          .mapPartitions { it =>
-            it.map { case (id1, id2, a, b) =>
-              (id1, id2, interCount(a, b), a.length.toLong, b.length.toLong)
-            }
-          }.toDF("id1", "id2", "inter", "sz1", "sz2")
-      }
-    verified
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= t)
+    }
   }
 
   /** Row-local MinHash signatures: per document, shingle → md5 base →

@@ -104,23 +104,12 @@ object DedupQueries extends QueryRegistry {
   private val ngramCapped = NamedQuery(
     "dedup_ngram_capped",
     (spark, d) => {
-      val sh = TextOps.shinglesHashedLocal(Tables.documents(spark, d), "doc_id", "text", 3)
-        .localCheckpoint()
-      // checkpointed: the candidate self-join below references rare twice
-      // (the df-histogram groupBy + join would otherwise run twice)
-      val rare = sh.join(
-        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 10).select("shingle"),
-        "shingle").localCheckpoint()
-      val cand = rare.select(col("doc_id").as("id1"), col("shingle")).as("a")
-        .join(rare.select(col("doc_id").as("id2"), col("shingle")).as("b"), "shingle")
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      val candDocs = cand.select(col("id1").as("doc_id"))
-        .union(cand.select(col("id2"))).distinct()
-      TextOps.jaccardPairs(sh.join(candDocs, "doc_id"), "doc_id")
-        .join(cand, Seq("id1", "id2"), "left_semi")
-        .filter(col("jaccard") >= 0.8)
+      // array-kernel formulation (TextOps.jaccardPairsCapped): candidates
+      // from the df≤10 index, exact sorted-merge verify over the full
+      // shingle arrays — no second full inverted-index pass just to score
+      // the survivors
+      TextOps.jaccardPairsCapped(Tables.documents(spark, d), "doc_id", "text",
+          3, maxDf = 10L, minJaccard = 0.8)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy("id1", "id2")
     },
