@@ -377,7 +377,37 @@ object DedupQueries extends QueryRegistry {
         |                  FROM comp GROUP BY 1) n USING (cluster)
         |ORDER BY doc_id""".stripMargin))
 
+  // ---- INCREMENTAL dedup: dedupe a new batch against an already-curated
+  // corpus — the steady-state shape of a production pipeline (the full
+  // corpus is never re-deduped; each ingest batch anti-joins the existing
+  // hash set, then dedupes within itself). Existing = doc_id % 5 ≠ 0,
+  // batch = doc_id % 5 = 0. At scale the existing side is a hash-only
+  // relation (16-byte md5 per doc), NOT the corpus.
+  private val incremental = NamedQuery(
+    "dedup_incremental",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("text_md5")).distinct()
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      batch.join(existing, Seq("text_md5"), "left_anti")
+        .groupBy("text_md5")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_in_batch"))
+        .select(col("keeper"), col("text_md5"), col("n_in_batch"))
+        .orderBy("keeper")
+    },
+    Some("""WITH existing AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) AS keeper, text_md5, count(*) AS n_in_batch
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text_md5 = b.text_md5)
+        |GROUP BY text_md5
+        |ORDER BY keeper""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(exact, exactKeepers, ngram, ngramCapped, minhash, simhashQ, simhashPairs,
-      embCosine, embCosineBlocked, clusters)
+      embCosine, embCosineBlocked, clusters, incremental)
 }

@@ -304,7 +304,50 @@ object Relational2Queries extends QueryRegistry {
         |FROM part WHERE p_size <= 3
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  // ---- MERGE/upsert semantics, expressed relationally: updates (matched
+  // keys overwrite) + inserts (new keys append) applied to a base table
+  // via FULL OUTER JOIN + coalesce — the engine-portable formulation of
+  // MERGE INTO for engines without a mutable table layer. The price
+  // delta is an exact double add (+10.0), so no rounding is needed until
+  // the final order-dependent sum.
+  private val upsertQ = NamedQuery(
+    "q_upsert_merge",
+    (spark, d) => {
+      val base = Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          lit("0-UPSERTED").as("o_orderpriority"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("9-INSERTED").as("o_orderpriority"),
+            (col("o_totalprice") + 10.0).as("o_totalprice")))
+      base.as("b").join(upd.as("u"),
+          col("b.o_orderkey") === col("u.o_orderkey"), "full")
+        .select(
+          coalesce(col("u.o_orderpriority"), col("b.o_orderpriority")).as("prio"),
+          coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("price"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+        .orderBy("prio")
+    },
+    Some("""WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, '0-UPSERTED' AS o_orderpriority,
+        |         o_totalprice + 10.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, '9-INSERTED', o_totalprice + 10.0
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT coalesce(u.o_orderpriority, b.o_orderpriority) AS prio,
+        |  count(*) AS n,
+        |  round(sum(coalesce(u.o_totalprice, b.o_totalprice)), 2) AS total
+        |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ,
-      existsQ, unpivotQ, lateralQ, listaggQ)
+      existsQ, unpivotQ, lateralQ, listaggQ, upsertQ)
 }

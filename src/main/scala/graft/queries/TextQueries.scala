@@ -333,7 +333,94 @@ object TextQueries extends QueryRegistry {
         |GROUP BY d.lang
         |ORDER BY d.lang""".stripMargin))
 
+  // TF-IDF keyword extraction: the classic corpus-statistics projection —
+  // tf(doc, word) × ln(N/df(word)), top-3 terms per document. All
+  // relational (two aggregations + one window); ln is transcendental so
+  // the score is rounded to 6 before ranking, and the rank is computed ON
+  // the rounded value in both engines with `word` as the tie-break.
+  private val tfidf = NamedQuery(
+    "text_tfidf_top",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val words = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("word"))
+      tf.join(dfc, "word")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("word"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |               FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM wds GROUP BY 1, 2),
+        |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, rk, word, tfidf FROM (
+        |  SELECT tf.doc_id, tf.word,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / tf_df.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / tf_df.df), 6) DESC,
+        |               tf.word) AS rk
+        |  FROM tf JOIN dfc tf_df USING (word) CROSS JOIN n) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
+  // Bigram collocation mining via pointwise mutual information:
+  // pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over all bigram
+  // occurrences and p(·) over all token occurrences. The corpus-level
+  // n-gram statistics pass every tokenizer/phrase-mining pipeline runs;
+  // division order is written identically in both engines and the
+  // transcendental result is rounded before the ORDER BY/LIMIT.
+  private val pmi = NamedQuery(
+    "text_bigram_pmi",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val uni = docs.select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val uTotal = uni.agg(sum(col("c")).as("u_total"))
+      val bi = TextOps.ngrams(docs, "doc_id", "text", 2)
+        .groupBy("gram").agg(count(lit(1)).as("c_ab"))
+      val bTotal = bi.agg(sum(col("c_ab")).as("b_total"))
+      bi.filter(col("c_ab") >= 20)
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+        .join(uni.select(col("word").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("word").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(uTotal)).crossJoin(broadcast(bTotal))
+        .withColumn("pmi",
+          round(log((col("c_ab").cast("double") / col("b_total")) /
+            ((col("c_a").cast("double") / col("u_total"))
+              * (col("c_b").cast("double") / col("u_total")))), 6))
+        .select(col("gram"), col("c_ab"), col("pmi"))
+        .orderBy(desc("pmi"), col("gram"))
+        .limit(50)
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |uni AS (SELECT word, count(*) AS c
+        |        FROM (SELECT unnest(words) AS word FROM w) t GROUP BY 1),
+        |ut AS (SELECT CAST(sum(c) AS BIGINT) AS u_total FROM uni),
+        |bi AS (SELECT gram, count(*) AS c_ab FROM (
+        |         SELECT array_to_string(words[i:i+1], ' ') AS gram
+        |         FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)) s
+        |       GROUP BY 1),
+        |bt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b_total FROM bi)
+        |SELECT gram, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) / b_total) /
+        |    ((CAST(a.c AS DOUBLE) / u_total) * (CAST(b.c AS DOUBLE) / u_total))), 6) AS pmi
+        |FROM bi
+        |JOIN uni a ON a.word = string_split(gram, ' ')[1]
+        |JOIN uni b ON b.word = string_split(gram, ' ')[2]
+        |CROSS JOIN ut CROSS JOIN bt
+        |WHERE c_ab >= 20
+        |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
-      repetition, sampleHash, samplePerGroup, curate)
+      repetition, sampleHash, samplePerGroup, curate, tfidf, pmi)
 }
