@@ -342,9 +342,9 @@ object TextQueries extends QueryRegistry {
     "text_tfidf_top",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val words = docs.select(col("doc_id"),
-        explode(TextOps.words(col("text"))).as("word"))
-      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // row-local term counts (one row per distinct term, not per token);
+      // checkpointed — read by the df aggregation AND the scoring join
+      val tf = TextOps.termCountsLocal(docs, "doc_id", "text").localCheckpoint()
       val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("word"))
