@@ -89,6 +89,31 @@ object Streams {
       }
   }
 
+  final case class Milestone(user_id: Long, milestone: Long)
+
+  /** Arbitrary stateful processing with MULTI-ROW emission
+    * (flatMapGroupsWithState): emit an alert row each time a user's
+    * running event COUNT crosses a multiple of 10. Counts are
+    * commutative, so the emitted multiset is independent of row order
+    * within and across micro-batches — the final table is exactly the
+    * batch-derivable set {(user, 10k) : k ≤ ⌊n_user/10⌋}, which
+    * StreamsSpec checks. The zero-or-more-rows-per-group shape is what
+    * mapGroupsWithState cannot express (alerts, session-close events,
+    * change-data emission). */
+  def milestoneAlerts(events: DataFrame): Dataset[Milestone] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          ((prev / 10 + 1) to (next / 10)).iterator.map(k => Milestone(user, k * 10))
+      }
+  }
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (broadcast per micro-batch — the streaming dual of the engine's
     * vocab join). */

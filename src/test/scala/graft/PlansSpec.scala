@@ -102,4 +102,34 @@ class PlansSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom-filter pruning engages on a selective dimension join") {
+    // the 100 TB join posture: when the dim side carries a selective
+    // filter, Catalyst's InjectRuntimeFilter builds a bloom filter from
+    // it and semi-prunes the fact scan BEFORE the shuffle — prove the
+    // mechanism engages (the big-scan rows that cannot join never leave
+    // the mappers)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(500000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(100000)
+        .select(col("id").as("k"), (col("id") % 1000).as("cat"))
+        .filter(col("cat") === 7) // selective: 0.1% of dim keys survive
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

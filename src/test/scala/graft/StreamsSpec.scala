@@ -101,6 +101,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits one alert per count milestone (multi-row stateful)") {
+    val q = Streams.runToMemory(
+      Streams.milestoneAlerts(Streams.readEvents(spark, path)).toDF(),
+      "stream_milestones", OutputMode.Append())
+    try {
+      val got = spark.table("stream_milestones")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = batchEvents.groupBy("user_id").count().collect()
+        .flatMap { r =>
+          val (u, n) = (r.getLong(0), r.getLong(1))
+          (1L to n / 10).map(k => (u, k * 10))
+        }.toSet
+      assert(got === expected)
+      assert(expected.nonEmpty) // the fixture actually exercises emission
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes micro-batches to parquet (the production sink shape)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val q = Streams.readEvents(spark, path)
