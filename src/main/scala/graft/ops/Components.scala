@@ -54,14 +54,18 @@ object Components {
     // pipelines (e.g. the full Jaccard chain) as edges
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
     // symmetrize + self-loops (v,v) for every node, deduplicate, and
-    // pre-partition on dst — the per-round join key
+    // pre-partition on dst — the per-round join key. cache(), NOT
+    // localCheckpoint: InMemoryRelation preserves outputPartitioning
+    // (a checkpoint's LogicalRDD reports UnknownPartitioning, verified
+    // against Spark 4.1), so every round's join reuses this one shuffle
+    // and only the small label relation moves.
     val sym = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .unionByName(e0.select(col("src"), col("src").as("dst")))
       .unionByName(e0.select(col("dst").as("src"), col("dst").as("dst")))
       .distinct()
       .repartition(col("dst"))
-      .localCheckpoint()
+      .cache()
     var labels = sym.select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
@@ -88,7 +92,7 @@ object Components {
       iter += 1
     }
     // the edge relations are only read inside the loop
-    freeCheckpoint(sym)
+    sym.unpersist(false)
     freeCheckpoint(e0)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels

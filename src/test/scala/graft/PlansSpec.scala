@@ -103,6 +103,54 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("cache preserves partitioning for join reuse; localCheckpoint does not") {
+    // the mechanism Components.connectedComponents relies on: a cached
+    // pre-partitioned relation joins WITHOUT re-shuffling (InMemoryRelation
+    // keeps outputPartitioning), while a localCheckpoint'd one reports
+    // UnknownPartitioning and pays an Exchange every time
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val small = spark.range(100).select(col("id"), col("id").as("w"))
+      // a QueryStage's inner plan is a field, not a child — unwrap before
+      // pattern-searching
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case q: QueryStageExec => unwrap(q.plan)
+        case other => other
+      }
+      // does the join's LEFT (pre-partitioned) subtree contain a shuffle?
+      def leftShuffles(left: org.apache.spark.sql.DataFrame): Int = {
+        val j = left.join(small, left("k") === small("id"))
+        j.collect()
+        val finalPlan = unwrap(j.queryExecution.executedPlan)
+        val smj = finalPlan.collectFirst { case s: SortMergeJoinExec => s }
+          .getOrElse(fail(s"no sort-merge join in:\n$finalPlan"))
+        smj.left.collect {
+          case q: ShuffleQueryStageExec => q
+          case e: ShuffleExchangeLike => e
+        }.length
+      }
+      val base = spark.range(100000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val cached = base.repartition(col("k")).cache()
+      val ckpted = base.repartition(col("k")).localCheckpoint()
+      try {
+        assert(leftShuffles(cached) === 0,
+          "cached pre-partitioned side should not re-shuffle")
+        assert(leftShuffles(ckpted) > 0,
+          "checkpointed side loses partitioning (if this starts passing with 0, " +
+            "Components can go back to checkpointing the edge relation)")
+      } finally cached.unpersist()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom-filter pruning engages on a selective dimension join") {
     // the 100 TB join posture: when the dim side carries a selective
     // filter, Catalyst's InjectRuntimeFilter builds a bloom filter from
