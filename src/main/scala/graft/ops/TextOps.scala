@@ -291,9 +291,31 @@ object TextOps {
   def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, maxDf: Long = 10L, minJaccard: Double = 0.8,
                          maxBroadcastDocs: Long = 100000L): DataFrame = {
+    val arrs = shingleArraysLocal(df, idCol, textCol, n).localCheckpoint()
+    val sh = arrs.select(col(idCol), explode(col("sh_arr")).as("shingle"))
+    val rareShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val rare = sh.join(rareShingles, "shingle")
+    val cand = rare.select(col(idCol).as("id1"), col("shingle"))
+      .join(rare.select(col(idCol).as("id2"), col("shingle")), "shingle")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Row-local (id, sh_arr): the document's hashed-shingle multiset as a
+    * SORTED long array, one narrow pass over the scan (no explode, no
+    * window). Sorted order gives an O(|A|+|B|) merge intersection in
+    * `verifyCandidates`; docs with no shingles (< n words) yield no row,
+    * like the relational shingle forms. */
+  def shingleArraysLocal(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val arrs = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -309,19 +331,6 @@ object TextOps {
         }
       }
       .toDF(idCol, "sh_arr")
-      .localCheckpoint()
-    val sh = arrs.select(col(idCol), explode(col("sh_arr")).as("shingle"))
-    val rareShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val rare = sh.join(rareShingles, "shingle")
-    val cand = rare.select(col(idCol).as("id1"), col("shingle"))
-      .join(rare.select(col(idCol).as("id2"), col("shingle")), "shingle")
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Exact sorted-merge intersection with run-product counting — the
@@ -347,8 +356,8 @@ object TextOps {
     * are broadcast and verification is a narrow map over the pairs;
     * above: two shuffle joins ship each pair its arrays. Both paths run
     * `interCount`. */
-  private def verifyCandidates(cand: DataFrame, arrs: DataFrame, idCol: String,
-                               maxBroadcastDocs: Long): DataFrame = {
+  private[graft] def verifyCandidates(cand: DataFrame, arrs: DataFrame, idCol: String,
+                                      maxBroadcastDocs: Long): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
     // limit-guarded collect: ONE job decides the path AND fetches the

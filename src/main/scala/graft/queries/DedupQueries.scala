@@ -167,14 +167,17 @@ object DedupQueries extends QueryRegistry {
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
       // verify candidates with exact Jaccard — only the CANDIDATE docs
-      // are ever shingled (at scale: |candidates| ≪ corpus)
+      // are ever shingled (at scale: |candidates| ≪ corpus), and scoring
+      // is the shared sorted-merge array kernel rather than an
+      // inverted-index rebuild over the candidate docs
       val candDocs = cand.select(col("id1").as("doc_id"))
         .union(cand.select(col("id2"))).distinct()
-      val shC = TextOps.shinglesHashedLocal(
+      val arrs = TextOps.shingleArraysLocal(
         docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
         "doc_id", "text", 3).localCheckpoint()
-      TextOps.jaccardPairs(shC, "doc_id")
-        .join(cand, Seq("id1", "id2"), "left_semi")
+      TextOps.verifyCandidates(cand, arrs, "doc_id", 100000L)
+        .withColumn("jaccard",
+          round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
         .filter(col("jaccard") >= 0.8)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy("id1", "id2")
