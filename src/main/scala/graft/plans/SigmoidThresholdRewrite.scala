@@ -84,6 +84,7 @@ object SigmoidThresholdRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SigmoidThresholdRewrite)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator custom plan (SURVEY.md §7.4 tier (c)): exact top-k
+  * rows per group under a total order, as a first-class
+  * LogicalPlan + SparkStrategy + SparkPlan.
+  *
+  * Why a custom operator: the declarative form —
+  * `row_number().over(Window.partitionBy(g).orderBy(o)) <= k` — fully
+  * SORTS every group partition (WindowExec) and shuffles EVERY input
+  * row, even though only k survive. This operator keeps a bounded heap
+  * of k rows per group on each mapper (partial phase), so the exchange
+  * carries at most k·|groups| rows per input partition, then reduces the
+  * per-group heaps after the shuffle (final phase) — the same
+  * partial/final shape as Spark aggregation, O(n log k) with no full
+  * sort. At 100 TB, top-k-per-key is the difference between shuffling
+  * the corpus and shuffling k rows per key.
+  *
+  * Determinism contract: `order` must be a TOTAL order (callers append
+  * an id tie-break), in which case the output row set is exactly the
+  * window form's — TopKSpec pins the equivalence, partition-count
+  * invariance, and the plan shape (partial+final exec, no WindowExec).
+  *
+  * Registered in GraftExtensions (injectPlannerStrategy); the
+  * `TopK.perGroup` API also self-registers via
+  * `spark.experimental.extraStrategies` for ad-hoc sessions. */
+final case class TopKPerGroupPlan(k: Int, group: Seq[Expression],
+                                  order: Seq[SortOrder], child: LogicalPlan)
+    extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+/** Physical bounded-heap top-k per group. `partial = true` runs
+  * map-side with no distribution requirement; `partial = false`
+  * requires the group clustering (EnsureRequirements inserts the
+  * exchange) and produces the exact result. */
+final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
+                                  order: Seq[SortOrder], partial: Boolean,
+                                  child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(group))
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupExprs = group
+    val sortExprs = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ordering = GenerateOrdering.generate(sortExprs, childOutput)
+      // per group: a max-heap (reversed ordering) of the k best rows —
+      // the root is the WORST kept row, evicted when a better arrives
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val cmp = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ordering.compare(b, a)
+      }
+      while (it.hasNext) {
+        val row = it.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kLocal) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { heap =>
+        val rows = new Array[UnsafeRow](heap.size())
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain = worst first
+        out ++= rows
+      }
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(k, group, order, child) =>
+      TopKPerGroupExec(k, group, order, partial = false,
+        TopKPerGroupExec(k, group, order, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API for the custom operator. */
+object TopK {
+  /** Exact top-k rows per group of `df`. `orderBy` should be a total
+    * order (append an id tie-break) for deterministic output. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+               k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    val groupExprs: Seq[Expression] =
+      groupCols.map(c => GraftSqlShims.expr(spark, df.col(c)))
+    val sortOrders: Seq[SortOrder] = orderBy.map(c => GraftSqlShims.expr(spark, c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftSqlShims.ofRows(spark, TopKPerGroupPlan(k, groupExprs, sortOrders, analyzed))
+  }
+}

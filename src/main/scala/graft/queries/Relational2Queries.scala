@@ -347,7 +347,30 @@ object Relational2Queries extends QueryRegistry {
         |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---- The custom whole-operator path (tier (c) of SURVEY §7.4's
+  // preference ladder): exact top-3 orders per priority via the engine's
+  // TopKPerGroup LogicalPlan + SparkStrategy + bounded-heap SparkPlan —
+  // map-side partial heaps cap the shuffle at k rows per group per
+  // partition where the window form sorts and shuffles everything. The
+  // oracle runs the equivalent window query; under the total order
+  // (price desc, key) the row sets are identical.
+  private val topkCustom = NamedQuery(
+    "q_topk_per_group",
+    (spark, d) => {
+      val o = Tables.orders(spark, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopK.perGroup(o, Seq("o_orderpriority"),
+          Seq(desc("o_totalprice"), col("o_orderkey")), 3)
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ,
-      existsQ, unpivotQ, lateralQ, listaggQ, upsertQ)
+      existsQ, unpivotQ, lateralQ, listaggQ, upsertQ, topkCustom)
 }

@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` plan construction for the engine's custom
+  * logical operators (SURVEY.md §7.4 tier (c)): building a DataFrame
+  * from a custom LogicalPlan requires `Dataset.ofRows`, which Spark
+  * scopes to its own package — the standard extension-project shim. */
+object GraftSqlShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column → fully-converted catalyst Expression (Spark 4 wraps Columns
+    * in ColumnNodes; `ExpressionUtils.expression` only wraps lazily in a
+    * non-serializable ColumnNodeExpression — the session's converter
+    * produces the real catalyst tree). */
+  def expr(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.plans.{TopK, TopKPerGroupExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom whole-operator path (LogicalPlan + SparkStrategy +
+  * SparkPlan): bounded-heap top-k per group must return EXACTLY the
+  * window row_number()<=k rows under a total order, at any partition
+  * count, without a WindowExec / full sort in the plan. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic data with heavy ties: 10 groups × 1000 rows, score has
+  // only 17 distinct values so the id tie-break matters everywhere
+  private def data(parts: Int): DataFrame =
+    spark.range(10000).repartition(parts)
+      .select(col("id"),
+        (col("id") % 10).as("g"),
+        (col("id") * 37 % 17).cast("double").as("score"))
+
+  private def windowForm(df: DataFrame, k: Int): Set[(Long, Long, Double)] = {
+    val w = Window.partitionBy(col("g")).orderBy(desc("score"), col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("id", "g", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def customForm(df: DataFrame, k: Int): Set[(Long, Long, Double)] =
+    TopK.perGroup(df, Seq("g"), Seq(desc("score"), col("id")), k)
+      .select("id", "g", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("equivalence with the window form under heavy ties") {
+    val df = data(8)
+    for (k <- Seq(1, 3, 25)) {
+      assert(customForm(df, k) === windowForm(df, k), s"k=$k")
+    }
+  }
+
+  test("partition-count invariance (partial heaps merge correctly)") {
+    val expected = customForm(data(1), 7)
+    for (parts <- Seq(2, 13, 32)) {
+      assert(customForm(data(parts), 7) === expected, s"parts=$parts")
+    }
+  }
+
+  test("groups smaller than k emit all their rows") {
+    val tiny = Seq((1L, 0L, 5.0), (2L, 0L, 4.0), (3L, 1L, 9.0))
+      .toDF("id", "g", "score")
+    assert(customForm(tiny, 10) ===
+      Set((1L, 0L, 5.0), (2L, 0L, 4.0), (3L, 1L, 9.0)))
+  }
+
+  test("plan shape: partial+final custom exec, exchange between, no WindowExec") {
+    val df = TopK.perGroup(data(8), Seq("g"), Seq(desc("score"), col("id")), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val execs = plan.toString
+    assert(execs.contains("TopKPerGroupPartial"), s"no partial exec in:\n$execs")
+    assert(execs.contains("TopKPerGroup\n") || execs.contains("TopKPerGroup ") ||
+      plan.collectWithSubqueries { case e: TopKPerGroupExec if !e.partial => e }.nonEmpty,
+      s"no final exec in:\n$execs")
+    assert(!execs.contains("Window"), s"WindowExec crept in:\n$execs")
+    assert(execs.contains("Exchange"), s"no exchange between phases:\n$execs")
+  }
+
+  test("via SparkSessionExtensions: strategy is injected by GraftExtensions") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(e)
+    // build a session-independent check: the strategy object plans the node
+    val df = data(4)
+    val analyzed = TopK.perGroup(df, Seq("g"), Seq(desc("score"), col("id")), 2)
+    assert(analyzed.count() === 20) // 10 groups × k=2
+  }
+}
