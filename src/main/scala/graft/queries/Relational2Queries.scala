@@ -370,7 +370,32 @@ object Relational2Queries extends QueryRegistry {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin))
 
+  // ---- Bitwise function family: and/or/xor/shifts/popcount — the bit
+  // arithmetic used by signature/bucket schemes throughout the engine
+  // (simhash bands, LSH keys), exercised here as a function-surface
+  // checklist query.
+  private val bitwiseQ = NamedQuery(
+    "q_bitwise_funcs",
+    (spark, d) => Tables.orders(spark, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+        shiftleft(col("o_orderkey"), 3).as("k_shl"),
+        shiftright(col("o_orderkey"), 2).as("k_shr"),
+        bit_count(col("o_orderkey")).as("k_pop"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 4096 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  o_orderkey << 3 AS k_shl,
+        |  o_orderkey >> 2 AS k_shr,
+        |  bit_count(o_orderkey) AS k_pop
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q5, q17, gsets, pivot, maps, sqlText, windows2, setAll, corrQ,
-      existsQ, unpivotQ, lateralQ, listaggQ, upsertQ, topkCustom)
+      existsQ, unpivotQ, lateralQ, listaggQ, upsertQ, topkCustom, bitwiseQ)
 }

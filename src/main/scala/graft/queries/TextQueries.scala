@@ -420,7 +420,25 @@ object TextQueries extends QueryRegistry {
         |WHERE c_ab >= 20
         |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin))
 
+  // Corpus length histogram: fixed-width integer buckets (100 chars) per
+  // language — the length-distribution profile every curation run reports
+  // before choosing truncation/filter thresholds. Integer bucket math is
+  // engine-exact (no round()).
+  private val histogram = NamedQuery(
+    "text_length_histogram",
+    (spark, d) => Tables.documents(spark, d)
+      .select(col("lang"), (floor(col("n_chars") / 100) * 100).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket"),
+    // CAST: DuckDB's floor(BIGINT/100) arrives as DOUBLE, and its integer
+    // division differs — keep the arithmetic double-then-cast both sides
+    Some("""SELECT lang,
+        |  CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
-      repetition, sampleHash, samplePerGroup, curate, tfidf, pmi)
+      repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram)
 }
