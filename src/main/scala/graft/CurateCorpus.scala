@@ -114,10 +114,13 @@ object CurateCorpus {
       .distinct()
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
-    val shC = TextOps.shinglesHashedLocal(
+    // exact verify via the shared sorted-merge array kernel (same path
+    // as dedup_minhash_lsh) — only candidate docs are ever shingled
+    val arrs = TextOps.shingleArraysLocal(
       afterExact.join(candDocs, "doc_id"), "doc_id", "text", 3).localCheckpoint()
-    val dupPairs = TextOps.jaccardPairs(shC, "doc_id")
-      .join(cand, Seq("id1", "id2"), "left_semi")
+    val dupPairs = TextOps.verifyCandidates(cand, arrs, "doc_id", 100000L)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= jaccardT)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val comp = ops.Components.connectedComponents(dupPairs)
