@@ -25,7 +25,10 @@ object Bench {
     "q_window_session", "q_asof_click_purchase", "q_salted_join",
     "q_exists_returns", "img_tagger_e2e")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+  // break the strict JSON parse this line exists for
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -118,10 +118,7 @@ object CurateCorpus {
     // as dedup_minhash_lsh) — only candidate docs are ever shingled
     val arrs = TextOps.shingleArraysLocal(
       afterExact.join(candDocs, "doc_id"), "doc_id", "text", 3).localCheckpoint()
-    val dupPairs = TextOps.verifyCandidates(cand, arrs, "doc_id", 100000L)
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= jaccardT)
+    val dupPairs = TextOps.scoredPairs(cand, arrs, "doc_id", jaccardT)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val comp = ops.Components.connectedComponents(dupPairs)
     val dropNearDups = comp.filter(col("id") =!= col("component")).select(col("id").as("doc_id"))

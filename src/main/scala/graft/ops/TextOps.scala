@@ -246,25 +246,15 @@ object TextOps {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val t = minJaccard
-    // (id, sorted multiset array, prefix length); checkpointed — read by
-    // the prefix index and again by verification
-    val arrs = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val sh = shingleSet(text, n)
-          if (sh.isEmpty) None
-          else {
-            val arr = new Array[Long](sh.size)
-            var i = 0
-            sh.foreach { s => arr(i) = md5Long60(s); i += 1 }
-            java.util.Arrays.sort(arr)
-            val p = math.max(1, arr.length - math.ceil(t * arr.length - 1e-9).toInt + 1)
-            Some((id, arr, p))
-          }
-        }
-      }
-      .toDF(idCol, "sh_arr", "p")
+    // (id, sorted multiset array) + prefix length, checkpointed — read by
+    // the prefix index and again by verification. p is relational: the
+    // same ceil-with-1e-9-slack math as documented above (a double error
+    // can only LENGTHEN the prefix).
+    val arrs = shingleArraysLocal(df, idCol, textCol, n)
+      .withColumn("p",
+        greatest(lit(1),
+          (size(col("sh_arr")).cast("long")
+            - ceil(lit(t) * size(col("sh_arr")) - lit(1e-9)) + 1L).cast("int")))
       .localCheckpoint()
     val prefix = arrs.select(col(idCol),
       explode(slice(col("sh_arr"), lit(1), col("p"))).as("shingle"))
@@ -272,10 +262,7 @@ object TextOps {
       .join(prefix.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= t)
+    scoredPairs(cand, arrs, idCol, t, maxBroadcastDocs)
   }
 
   /** Exact thresholded Jaccard over a DF-CAPPED candidate index — the
@@ -295,16 +282,27 @@ object TextOps {
     val sh = arrs.select(col(idCol), explode(col("sh_arr")).as("shingle"))
     val rareShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
-    val rare = sh.join(rareShingles, "shingle")
+    // checkpointed: the candidate self-join references rare twice — the
+    // shingle explode + df histogram + join would otherwise run twice
+    val rare = sh.join(rareShingles, "shingle").localCheckpoint()
     val cand = rare.select(col(idCol).as("id1"), col("shingle"))
       .join(rare.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    scoredPairs(cand, arrs, idCol, minJaccard, maxBroadcastDocs)
+  }
+
+  /** Shared tail of the candidate-based jaccard family: exact
+    * (inter, sz1, sz2) per pair via `verifyCandidates`, then the
+    * rounded jaccard and the threshold — kept in ONE place because the
+    * rounding scale is an oracle-parity constant shared by every
+    * caller. */
+  def scoredPairs(cand: DataFrame, arrs: DataFrame, idCol: String,
+                  minJaccard: Double, maxBroadcastDocs: Long = 100000L): DataFrame =
     verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
       .withColumn("jaccard",
         round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** Row-local (id, sh_arr): the document's hashed-shingle multiset as a
     * SORTED long array, one narrow pass over the scan (no explode, no
@@ -370,9 +368,15 @@ object TextOps {
       val bc = spark.sparkContext.broadcast(collected.toMap)
       cand.as[(Long, Long)].mapPartitions { it =>
         val data = bc.value
-        it.map { case (id1, id2) =>
-          val a = data(id1); val b = data(id2)
-          (id1, id2, interCount(a, b), a.length.toLong, b.length.toLong)
+        // a candidate id absent from arrs (possible when candidates come
+        // from a non-shingle source) is SKIPPED — the same behavior the
+        // join path gets from its inner joins
+        it.flatMap { case (id1, id2) =>
+          (data.get(id1), data.get(id2)) match {
+            case (Some(a), Some(b)) =>
+              Some((id1, id2, interCount(a, b), a.length.toLong, b.length.toLong))
+            case _ => None
+          }
         }
       }.toDF("id1", "id2", "inter", "sz1", "sz2")
     } else {

@@ -63,8 +63,20 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
     val groupExprs = group
     val sortExprs = order
     val childOutput = child.output
+    // partial-phase memory bound: above this many in-flight groups the
+    // mapper flushes its heaps downstream and starts over (the
+    // ObjectHashAggregate fallback shape) — partial output stays correct
+    // because the final phase re-reduces per group; only some map-side
+    // pruning is lost. The final phase runs after the group-clustered
+    // exchange, where every group is confined to one partition, so its
+    // map holds only that partition's groups.
+    val maxGroups =
+      conf.getConfString("spark.graft.topk.maxGroupsInMemory", "131072").toInt
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      // child rows are only guaranteed InternalRow (e.g. a non-codegen
+      // columnar-to-row emits ColumnarBatchRow) — normalize to UnsafeRow
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ordering = GenerateOrdering.generate(sortExprs, childOutput)
       // per group: a max-heap (reversed ordering) of the k best rows —
       // the root is the WORST kept row, evicted when a better arrives
@@ -72,28 +84,46 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
       val cmp = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ordering.compare(b, a)
       }
-      while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, cmp)
-          heaps.put(key.copy(), heap)
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { heap =>
+          val rows = new Array[UnsafeRow](heap.size())
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain = worst first
+          out ++= rows
         }
-        if (heap.size() < kLocal) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        heaps.clear()
+        out.iterator
+      }
+      new Iterator[InternalRow] {
+        private var flushed: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+        private def advance(): Unit = {
+          while (!flushed.hasNext && !done) {
+            if (!it.hasNext) { done = true; flushed = drain() }
+            else {
+              val row = toUnsafe(it.next())
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                if (partial && heaps.size() >= maxGroups) {
+                  // memory fallback: emit what we have, keep going
+                  flushed = drain()
+                }
+                heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, cmp)
+                heaps.put(keyProj(row).copy(), heap)
+              }
+              if (heap.size() < kLocal) heap.add(row.copy())
+              else if (ordering.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+            }
+          }
         }
+        override def hasNext: Boolean = { advance(); flushed.hasNext }
+        override def next(): InternalRow = { advance(); flushed.next() }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { heap =>
-        val rows = new Array[UnsafeRow](heap.size())
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // drain = worst first
-        out ++= rows
-      }
-      out.iterator
     }, preservesPartitioning = true)
   }
 

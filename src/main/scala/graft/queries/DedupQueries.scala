@@ -175,10 +175,7 @@ object DedupQueries extends QueryRegistry {
       val arrs = TextOps.shingleArraysLocal(
         docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
         "doc_id", "text", 3).localCheckpoint()
-      TextOps.verifyCandidates(cand, arrs, "doc_id", 100000L)
-        .withColumn("jaccard",
-          round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
-        .filter(col("jaccard") >= 0.8)
+      TextOps.scoredPairs(cand, arrs, "doc_id", 0.8)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy("id1", "id2")
     },

@@ -66,6 +66,51 @@ class TopKSpec extends SparkSpec {
     assert(execs.contains("Exchange"), s"no exchange between phases:\n$execs")
   }
 
+  test("whole-stage codegen OFF: non-UnsafeRow child rows are normalized") {
+    // with codegen disabled a columnar parquet scan feeds the partial
+    // exec non-UnsafeRow InternalRows — the operator must not assume
+    val saved = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val o = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val got = graft.plans.TopK.perGroup(o, Seq("o_orderpriority"),
+          Seq(desc("o_totalprice"), col("o_orderkey")), 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      val expected = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+      case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("partial-phase group-count fallback flushes without losing rows") {
+    // force the memory fallback on every few groups: results stay exact
+    // because the final phase re-reduces per group
+    val saved = spark.conf.getOption("spark.graft.topk.maxGroupsInMemory")
+    spark.conf.set("spark.graft.topk.maxGroupsInMemory", "2")
+    try {
+      // 500 groups per partition >> the 2-group bound → many flushes
+      val df = spark.range(10000).repartition(4)
+        .select(col("id"), (col("id") % 500).as("g"),
+          (col("id") * 37 % 17).cast("double").as("score"))
+      val w = Window.partitionBy(col("g")).orderBy(desc("score"), col("id"))
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val got = TopK.perGroup(df, Seq("g"), Seq(desc("score"), col("id")), 3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === expected)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.topk.maxGroupsInMemory", v)
+      case None => spark.conf.unset("spark.graft.topk.maxGroupsInMemory")
+    }
+  }
+
   test("via SparkSessionExtensions: strategy is injected by GraftExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
