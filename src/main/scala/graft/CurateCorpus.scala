@@ -75,15 +75,9 @@ object CurateCorpus {
     val nIn = docs.count()
 
     // 1. quality filter (same formula as text_quality_score; n_chars
-    // derived from the text so any corpus works)
-    val quality = docs
-      .select(col("doc_id"), length(col("text")).as("n_chars"),
-        explode(TextOps.words(col("text"))).as("word"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("word")).as("n_uniq"),
-        sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
-        first(col("n_chars")).as("n_chars"))
+    // derived from the text so any corpus works; stats row-local)
+    val quality = TextOps.qualityStatsLocal(docs,
+        "doc_id", "text", length(col("text")), stopwords)
       .select(col("doc_id"),
         (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
           + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))

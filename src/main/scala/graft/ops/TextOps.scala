@@ -393,6 +393,38 @@ object TextOps {
     }
   }
 
+  /** Row-local per-document quality statistics: (id, n_tokens, n_uniq,
+    * n_stop, n_chars) in one narrow pass — the zero-shuffle form of
+    * `explode(words).groupBy(id).agg(count, countDistinct, stopword
+    * sum)`. Identical integers (split keeps empty tokens; n_stop counts
+    * OCCURRENCES), so the quality formula computed on top matches the
+    * exploded form bit-for-bit. `nCharsCol` is whatever the caller's
+    * n_chars definition is (a stored column, or length(text)). */
+  def qualityStatsLocal(df: DataFrame, idCol: String, textCol: String,
+                        nCharsCol: Column, stopwords: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stops = stopwords.toSet
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"),
+        nCharsCol.cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, text, nChars) =>
+          val ws = text.split(" ", -1)
+          val uniq = new java.util.HashSet[String]()
+          var nStop = 0L
+          var i = 0
+          while (i < ws.length) {
+            uniq.add(ws(i))
+            if (stops(ws(i))) nStop += 1
+            i += 1
+          }
+          (id, ws.length.toLong, uniq.size.toLong, nStop, nChars)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_uniq", "n_stop", "n_chars")
+  }
+
   /** Row-local per-document term counts: (id, word, tf) with one row per
     * DISTINCT word — the pre-aggregated form of
     * `explode(words).groupBy(id, word).count`. The explode+shuffle form

@@ -40,14 +40,10 @@ object TextQueries extends QueryRegistry {
   private val quality = NamedQuery(
     "text_quality_score",
     (spark, d) => {
-      Tables.documents(spark, d)
-        .select(col("doc_id"), col("n_chars"),
-          explode(TextOps.words(col("text"))).as("word"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("word")).as("n_uniq"),
-          sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
-          first(col("n_chars")).as("n_chars"))
+      // token stats computed ROW-LOCALLY (zero shuffle — the exploded
+      // groupBy form moves one row per token); identical integers
+      TextOps.qualityStatsLocal(Tables.documents(spark, d),
+          "doc_id", "text", col("n_chars"), stopwords)
         // no round(): every term is IEEE-exact arithmetic on integer
         // aggregates evaluated in the same order as the oracle — the raw
         // doubles are bit-identical, while round() half-way tie-breaking
@@ -281,14 +277,8 @@ object TextQueries extends QueryRegistry {
     "pipeline_curate",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val quality = docs
-        .select(col("doc_id"), col("n_chars"),
-          explode(TextOps.words(col("text"))).as("word"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("word")).as("n_uniq"),
-          sum(when(col("word").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"),
-          first(col("n_chars")).as("n_chars"))
+      val quality = TextOps.qualityStatsLocal(docs,
+          "doc_id", "text", col("n_chars"), stopwords)
         .select(col("doc_id"),
           (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
             + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
