@@ -155,6 +155,34 @@ class PropertiesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("row-local kernels ≡ declarative forms: term counts + quality stats") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // termCountsLocal == explode + groupBy(id, word).count
+    val tcDecl = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tcLocal = TextOps.termCountsLocal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tcLocal === tcDecl)
+    // qualityStatsLocal == explode + groupBy aggregates
+    val stops = Seq("the", "a", "of")
+    val qDecl = docs
+      .select(col("doc_id"), col("n_chars"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_uniq"),
+        sum(when(col("word").isin(stops: _*), 1L).otherwise(0L)).as("n_stop"),
+        first(col("n_chars")).as("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val qLocal = TextOps.qualityStatsLocal(docs, "doc_id", "text", col("n_chars"), stops)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(qLocal === qDecl)
+    // and both kernels shuffle nothing
+    for (k <- Seq(TextOps.termCountsLocal(docs, "doc_id", "text"),
+        TextOps.qualityStatsLocal(docs, "doc_id", "text", col("n_chars"), stops))) {
+      assert(!k.queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+  }
+
   test("property: identical texts get identical minhash signatures") {
     for (texts <- samples(Gen.listOfN(6,
         Gen.oneOf("p q r s t", "s t u v w", "m n o p q")), 4)) {
