@@ -110,22 +110,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session-level registration of the engine's native functions (usable
   * from spark.sql / expr after calling register). */
 object GraftFunctions {
-  /** Shared builder with an explicit arity check so SQL calling
-    * `graft_cosine` with the wrong argument count gets a clean analysis
-    * error instead of an IndexOutOfBoundsException. */
-  val cosineBuilder: Seq[Expression] => Expression = { exprs =>
-    if (exprs.length != 2)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`graft_cosine`",
-          "expectedNum" -> "2",
-          "actualNum" -> exprs.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    CosineSimilarity(exprs(0), exprs(1))
+  /** Builder with an explicit arity check so SQL calling an engine
+    * function with the wrong argument count gets a clean analysis error
+    * instead of an IndexOutOfBoundsException. */
+  private def binary(name: String,
+                     mk: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      if (exprs.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      mk(exprs(0), exprs(1))
   }
 
-  def register(spark: SparkSession): Unit =
+  val cosineBuilder: Seq[Expression] => Expression =
+    binary("graft_cosine", CosineSimilarity.apply)
+  val jaccardBuilder: Seq[Expression] => Expression =
+    binary("graft_jaccard", JaccardSimilarity.apply)
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard", jaccardBuilder, "scala_udf")
+  }
 }

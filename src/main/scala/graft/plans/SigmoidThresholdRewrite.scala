@@ -90,5 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
       graft.functions.GraftFunctions.cosineBuilder))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.JaccardSimilarity].getName, "graft_jaccard"),
+      graft.functions.GraftFunctions.jaccardBuilder))
   }
 }

@@ -32,6 +32,40 @@ class FunctionsSpec extends SparkSpec {
     assert(self.forall(_ === 1.0)) // unit vectors: self-cosine = 1
   }
 
+  test("graft_jaccard matches the interCount kernel on real shingle arrays") {
+    GraftFunctions.register(spark)
+    val arrs = graft.ops.TextOps.shingleArraysLocal(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 3)
+      .localCheckpoint()
+    // expression vs JVM kernel over all pairs of the first 30 docs
+    val docs = arrs.limit(30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    arrs.limit(30).createOrReplaceTempView("fj_arrs")
+    val got = spark.sql(
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  graft_jaccard(a.sh_arr, b.sh_arr) AS j
+        |FROM fj_arrs a JOIN fj_arrs b ON a.doc_id < b.doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((id1, id2), j) =>
+      val a = docs.find(_._1 == id1).get._2
+      val b = docs.find(_._1 == id2).get._2
+      val inter = graft.ops.TextOps.interCount(a, b)
+      assert(j === inter.toDouble / (a.length.toLong + b.length - inter),
+        s"pair ($id1,$id2)")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // edge cases: self-similarity 1.0; NULL array; NULL element
+    val self = spark.sql(
+      "SELECT graft_jaccard(sh_arr, sh_arr) AS j FROM fj_arrs").collect()
+    assert(self.forall(_.getDouble(0) === 1.0))
+    val edge = spark.sql(
+      """SELECT graft_jaccard(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS a,
+        |  graft_jaccard(array(1L, NULL), array(1L)) AS b,
+        |  graft_jaccard(array(1L, 2L), array(3L)) AS c""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) === 0.0)
+  }
+
   test("wrong arity is a clean analysis error, not IndexOutOfBounds") {
     GraftFunctions.register(spark)
     v.limit(1).createOrReplaceTempView("fs_arity")
@@ -93,5 +127,16 @@ class FunctionsSpec extends SparkSpec {
     assert(gen.contains("Math.sqrt("))
     assert(gen.contains(".numElements()"))
     assert(!gen.contains("CodegenFallback"))
+    // graft_jaccard too: its merge loop must appear in generated code
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val arrs = Seq((1L, Array(1L, 2L, 3L)), (2L, Array(2L, 3L, 4L)))
+      .toDF("id", "arr")
+    arrs.createOrReplaceTempView("fj_cg")
+    val jdf = spark.sql(
+      "SELECT graft_jaccard(a.arr, b.arr) AS j FROM fj_cg a JOIN fj_cg b ON a.id < b.id")
+    assert(jdf.collect().head.getDouble(0) === 0.5)
+    val jgen = codegenString(jdf.queryExecution.executedPlan)
+    assert(jgen.contains(".getLong(") && !jgen.contains("CodegenFallback"))
   }
 }
