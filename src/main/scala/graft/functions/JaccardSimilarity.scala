@@ -11,11 +11,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * TextOps.shingleArraysLocal produces) — the SQL-surface twin of the
   * engine's `interCount` kernel.
   *
-  * Semantics match the inverted-index join the dedup oracles run:
-  * the intersection counts RUN PRODUCTS (Σ cA·cB per equal value, which
-  * is what the equi-join + groupBy count produces under duplicate
-  * values), and jaccard = inter / (|A| + |B| − inter). NULL if either
-  * side is NULL or contains a NULL element; both inputs MUST be sorted
+  * Semantics: proper multiset Jaccard — intersection counts
+  * Σ min(cA, cB) per equal value, jaccard = inter / (|A| + |B| − inter),
+  * always in [0, 1]. On DISTINCT-element arrays (which
+  * shingleArraysLocal always produces — shingleSet is a set) this is
+  * bit-identical to the inverted-index join + groupBy count the dedup
+  * oracles run; run-product counting would instead leave the [0,1]
+  * range on duplicate elements (2·2 / (2+2−4) = ∞). NULL if either side
+  * is NULL or contains a NULL element; both inputs MUST be sorted
   * ascending (as shingleArraysLocal emits) — unsorted input gives an
   * undefined result, it is not detected.
   *
@@ -68,7 +71,7 @@ case class JaccardSimilarity(left: Expression, right: Expression)
         var ca = 0L; var cb = 0L
         while (i < n && x.getLong(i) == xi) { ca += 1; i += 1 }
         while (j < m && y.getLong(j) == xi) { cb += 1; j += 1 }
-        inter += ca * cb
+        inter += math.min(ca, cb)
       } else if (xi < yj) i += 1
       else j += 1
     }
@@ -114,7 +117,7 @@ case class JaccardSimilarity(left: Expression, right: Expression)
          |        long $ca = 0L, $cb = 0L;
          |        while ($i < $n && $a.getLong($i) == $xi) { $ca++; $i++; }
          |        while ($j < $m && $b.getLong($j) == $xi) { $cb++; $j++; }
-         |        $inter += $ca * $cb;
+         |        $inter += java.lang.Math.min($ca, $cb);
          |      } else if ($xi < $yj) { $i++; } else { $j++; }
          |    }
          |    ${ev.value} = ((double) $inter) / ((long) $n + (long) $m - $inter);

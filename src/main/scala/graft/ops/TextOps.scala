@@ -399,7 +399,11 @@ object TextOps {
     * sum)`. Identical integers (split keeps empty tokens; n_stop counts
     * OCCURRENCES), so the quality formula computed on top matches the
     * exploded form bit-for-bit. `nCharsCol` is whatever the caller's
-    * n_chars definition is (a stored column, or length(text)). */
+    * n_chars definition is (a stored column, or length(text)).
+    * NULL handling mirrors the exploded form where it matters: a NULL
+    * text (or NULL id) yields NO stats row — explode of a null word
+    * array emits nothing — and a NULL n_chars flows through as a null
+    * column, so the quality formula null-propagates identically. */
   def qualityStatsLocal(df: DataFrame, idCol: String, textCol: String,
                         nCharsCol: Column, stopwords: Seq[String]): DataFrame = {
     val spark = df.sparkSession
@@ -407,7 +411,8 @@ object TextOps {
     val stops = stopwords.toSet
     df.select(col(idCol).cast("long"), col(textCol).cast("string"),
         nCharsCol.cast("long"))
-      .as[(Long, String, Long)]
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String, Option[Long])]
       .mapPartitions { it =>
         it.map { case (id, text, nChars) =>
           val ws = text.split(" ", -1)
@@ -431,11 +436,13 @@ object TextOps {
     * moves one row per TOKEN; this moves one row per distinct term
     * (~4× less here) and needs no first aggregation at all. Counts are
     * identical integers; split semantics match words() (single space,
-    * empty tokens kept). */
+    * empty tokens kept); a NULL text/id yields no rows, exactly like
+    * explode of a null word array. */
   def termCountsLocal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>

@@ -102,7 +102,12 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
           while (!flushed.hasNext && !done) {
             if (!it.hasNext) { done = true; flushed = drain() }
             else {
-              val row = toUnsafe(it.next())
+              // zero-copy fast path: rows are already UnsafeRow except
+              // behind a non-codegen columnar-to-row boundary
+              val row = it.next() match {
+                case u: UnsafeRow => u
+                case r => toUnsafe(r)
+              }
               val key = keyProj(row)
               var heap = heaps.get(key)
               if (heap == null) {
@@ -111,7 +116,7 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
                   flushed = drain()
                 }
                 heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, cmp)
-                heaps.put(keyProj(row).copy(), heap)
+                heaps.put(key.copy(), heap)
               }
               if (heap.size() < kLocal) heap.add(row.copy())
               else if (ordering.compare(row, heap.peek()) < 0) {

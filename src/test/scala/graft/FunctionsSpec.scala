@@ -64,6 +64,14 @@ class FunctionsSpec extends SparkSpec {
         |  graft_jaccard(array(1L, NULL), array(1L)) AS b,
         |  graft_jaccard(array(1L, 2L), array(3L)) AS c""".stripMargin).collect().head
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) === 0.0)
+    // duplicate elements: Σ min(cA,cB) multiset semantics keep [0,1]
+    // (run-product counting would give 4/(2+2−4) = ∞ on the first)
+    val dup = spark.sql(
+      """SELECT graft_jaccard(array(1L, 1L), array(1L, 1L)) AS a,
+        |  graft_jaccard(array(1L, 1L, 2L), array(1L, 2L)) AS b""".stripMargin)
+      .collect().head
+    assert(dup.getDouble(0) === 1.0)
+    assert(dup.getDouble(1) === 2.0 / 3.0) // inter = min(2,1)+min(1,1) = 2
   }
 
   test("wrong arity is a clean analysis error, not IndexOutOfBounds") {
