@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * O(log log n); plain propagation converges in O(diameter) rounds,
   * which for dedup clusters — tiny diameters — is typically ≤ 3).
   *
-  * Per-round cost is ONE join + ONE aggregation: self-loops are added to
-  * the symmetrized edge set, so min-over-(neighbors ∪ self) needs no
-  * second join against the previous labels, and the edge relation is
-  * pre-partitioned on the join key and localCheckpoint'd — a checkpoint
-  * preserves its physical partitioning, so every round's join reshuffles
-  * only the (small) label relation while the big edge side stays put.
+  * Each materialized round applies TWO propagation hops (join +
+  * aggregation each): self-loops in the symmetrized edge set make
+  * min-over-(neighbors ∪ self) a single join per hop, and doubling the
+  * hops per checkpoint halves the number of checkpoint/observe jobs for
+  * a given diameter — the dominant per-round cost on dedup-sized
+  * graphs. The edge relation is pre-partitioned on the join key and
+  * CACHED (an InMemoryRelation preserves its partitioning where a
+  * localCheckpoint does not), so every hop reshuffles only the (small)
+  * label relation while the big edge side stays put.
   * Convergence rides the checkpoint action itself via observe(): labels
   * only ever decrease, so the label SUM strictly decreases until the
   * fixed point — two consecutive equal sums mean converged, with no
@@ -76,10 +79,19 @@ object Components {
     var prevSum: Option[Option[Any]] = None
     while (!converged && iter < maxIter) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = sym
-        .join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("id"))
-        .agg(min(col("component")).as("component"))
+      // TWO propagation hops per materialized round: halves the number
+      // of checkpoints/observe jobs for a given diameter (the dominant
+      // per-round cost on small graphs); both hops stream the cached
+      // pre-partitioned edges. Aliased to keep the second (self-lineage)
+      // join unambiguous.
+      val hop1 = sym.as("s1")
+        .join(labels.as("l"), col("s1.dst") === col("l.id"))
+        .groupBy(col("s1.src").as("id"))
+        .agg(min(col("l.component")).as("component"))
+      val next = sym.as("s2")
+        .join(hop1.as("h"), col("s2.dst") === col("h.id"))
+        .groupBy(col("s2.src").as("id"))
+        .agg(min(col("h.component")).as("component"))
         .observe(obs, sum(col("component").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
       val curSum = Option(obs.get("label_sum"))
