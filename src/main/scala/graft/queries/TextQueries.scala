@@ -428,7 +428,37 @@ object TextQueries extends QueryRegistry {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
 
+  // Fixed-size document chunking: split each document into 16-token
+  // chunks preserving token order — the sequence-prep step a training
+  // pipeline runs after curation. Chunk text is emitted as md5 (the
+  // comparison only needs identity; full text would bloat the result),
+  // with token counts per chunk. Order inside a chunk is pinned by
+  // sorting on position, never by shuffle luck.
+  private val chunking = NamedQuery(
+    "text_chunking",
+    (spark, d) => {
+      val chunkSize = 16
+      Tables.documents(spark, d)
+        .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "word")))
+        .groupBy(col("doc_id"), (col("pos") / chunkSize).cast("long").as("chunk_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+              x => x.getField("word")),
+            " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""SELECT doc_id, CAST(floor((pos - 1) / 16.0) AS BIGINT) AS chunk_id,
+        |  count(*) AS n_tokens,
+        |  md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM (SELECT doc_id,
+        |        generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |        unnest(string_split(text, ' ')) AS word
+        |      FROM documents) t
+        |GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
-      repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram)
+      repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
+      chunking)
 }
