@@ -36,6 +36,36 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty) === Map.empty)
   }
 
+  test("randomized graphs match a union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 30 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle (test-only)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min member id per component
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.values.flatMap { members =>
+          val m = members.min
+          members.map(_ -> m)
+        }.toMap
+        assert(cc(edges) === expected, s"trial $trial ($nNodes nodes, $nEdges edges)")
+      }
+    }
+  }
+
   test("superseded per-round checkpoints are unpersisted (bounded storage)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
