@@ -111,6 +111,25 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("randomized shapes: equivalence holds for random k, cardinality, skew") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 500 + rnd.nextInt(3000)
+      val nGroups = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(8)
+      val parts = 1 + rnd.nextInt(8)
+      val rows = Seq.fill(n)((rnd.nextLong().abs % 100000,
+        (rnd.nextInt(nGroups)).toLong, rnd.nextInt(5).toDouble))
+      val df = rows.toDF("id", "g", "score").repartition(parts)
+      val w = Window.partitionBy(col("g")).orderBy(desc("score"), col("id"))
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("id", "g").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = TopK.perGroup(df, Seq("g"), Seq(desc("score"), col("id")), k)
+        .select("id", "g").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"trial $trial (n=$n groups=$nGroups k=$k parts=$parts)")
+    }
+  }
+
   test("via SparkSessionExtensions: strategy is injected by GraftExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
