@@ -23,7 +23,9 @@ object Bench {
     "sim_cosine_topk", "sim_ann_ivf", "tagger_pipeline",
     "tagger_throughput_500k", "text_quality_score", "pipeline_curate",
     "q_window_session", "q_asof_click_purchase", "q_salted_join",
-    "q_exists_returns", "img_tagger_e2e")
+    "q_exists_returns", "img_tagger_e2e", "dedup_incremental",
+    "text_tfidf_top", "text_bigram_pmi", "text_chunking",
+    "q_topk_per_group", "q_upsert_merge")
 
   // Locale.ROOT: a comma-decimal default locale would render 1,234 and
   // break the strict JSON parse this line exists for
