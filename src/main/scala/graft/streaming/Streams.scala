@@ -144,6 +144,37 @@ object Streams {
         unix_timestamp(col("click_ts")).as("click_epoch"))
   }
 
+  /** Streaming corpus ingest with CROSS-BATCH exact dedup — the
+    * streaming twin of the batch `dedup_incremental` query: every
+    * micro-batch dedupes within itself (min-doc_id keeper per text
+    * hash), anti-joins the persistent hash LEDGER (16 B/doc parquet —
+    * the only state the steady pipeline keeps), appends the surviving
+    * docs to `outDir` and their hashes to `ledgerDir`. Re-ingesting a
+    * text ever seen before is a no-op; the corpus is never re-deduped.
+    * foreachBatch is the standard home for this kind of transactional
+    * merge logic. */
+  def dedupIngest(docs: DataFrame, ledgerDir: String, outDir: String): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.withColumn("text_md5", md5(col("text")))
+        // within-batch keeper: deterministic min doc_id per hash
+        val keepers = hashed.join(
+          hashed.groupBy("text_md5").agg(min(col("doc_id")).as("doc_id")),
+          Seq("text_md5", "doc_id"))
+        val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+        val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          (if (fs.exists(ledgerPath) && fs.listStatus(ledgerPath).nonEmpty)
+             keepers.join(spark.read.parquet(ledgerDir), Seq("text_md5"), "left_anti")
+           else keepers)
+            .localCheckpoint() // read twice below; also decouples from the batch source
+        fresh.drop("text_md5").write.mode("append").parquet(outDir)
+        fresh.select("text_md5").write.mode("append").parquet(ledgerDir)
+      }
+      .start()
+  }
+
   /** Run a streaming frame to an in-memory table until all available
     * source data is processed (the synchronous batch-parity harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -139,6 +139,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedupes across micro-batches via the hash ledger") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    val ledger = java.nio.file.Files.createTempDirectory("graft_ingest_ledger").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+    }
+    // batch 1: a within-batch duplicate (ids 1,2 same text)
+    stage("a.parquet", Seq(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = Streams.dedupIngest(stream, ledger, outDir)
+    try {
+      q.processAllAvailable()
+      // batch 2: one repeat of batch 1, one new text, one internal dup
+      stage("b.parquet", Seq(4L -> "alpha text", 5L -> "gamma text", 6L -> "gamma text"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      // survivors: min-id keeper per first-seen text, nothing re-admitted
+      assert(out === Seq(1L, 3L, 5L))
+      val ledgerHashes = spark.read.parquet(ledger).collect().map(_.getString(0))
+      assert(ledgerHashes.length === 3 && ledgerHashes.distinct.length === 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     val q = Streams.runToMemory(
       Streams.clickPurchaseJoin(
