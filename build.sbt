@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the container has 128 GiB; the bench's localCheckpoint
+  // blocks + 32 concurrent shuffle-hash builds at sf0.1 fit in 8g but sit
+  // close enough to the ceiling that a badly-timed old-gen fill shows up
+  // as multi-second GC spikes on whichever query is running (observed as
+  // a 9x q_salted_join outlier in the round-3 driver bench).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -64,7 +64,16 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name; -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // UNTIMED inter-query hygiene: queries that localCheckpoint
+      // internally leave their blocks in the block manager until the
+      // driver GCs the RDD references and ContextCleaner unpersists them.
+      // Left to accumulate, ~80 queries of dead blocks turn into old-gen
+      // pressure that surfaces as multi-second GC pauses *inside* some
+      // later query's timing. One explicit GC per query keeps each
+      // measurement independent of its predecessors.
+      System.gc()
+      name -> dt
     }
     val total = results.map(_._2).sum
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }

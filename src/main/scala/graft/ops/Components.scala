@@ -56,23 +56,32 @@ object Components {
     // edge subtree twice, and callers pass arbitrarily expensive pair
     // pipelines (e.g. the full Jaccard chain) as edges
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
-    // symmetrize + self-loops (v,v) for every node, deduplicate, and
-    // pre-partition on dst — the per-round join key. cache(), NOT
-    // localCheckpoint: InMemoryRelation preserves outputPartitioning
-    // (a checkpoint's LogicalRDD reports UnknownPartitioning, verified
-    // against Spark 4.1), so every round's join reuses this one shuffle
-    // and only the small label relation moves.
-    val sym = e0
+    // symmetrize only — NO distinct: min-aggregation is insensitive to
+    // duplicate edges, and a distinct here would shuffle the full 2E-row
+    // relation once just to drop rows the partial aggregation collapses
+    // for free every round. At 100 TB the avoided distinct is the single
+    // largest shuffle this function would otherwise run.
+    val symRaw = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(e0.select(col("src"), col("src").as("dst")))
-      .unionByName(e0.select(col("dst").as("src"), col("dst").as("dst")))
-      .distinct()
+    // initial labels fold the FIRST propagation hop into the node-set
+    // aggregation: component0(v) = min(v, neighbors(v)). One shuffle
+    // (map-side partial agg) replaces the old distinct-nodes job and a
+    // whole hop of the loop.
+    var labels = symRaw
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
+      .localCheckpoint()
+    // self-loops (v,v) — taken from the label relation, not a distinct
+    // over edges — make min-over-(neighbors ∪ self) a single join per
+    // hop. Pre-partition on dst, the per-round join key, and cache():
+    // InMemoryRelation preserves outputPartitioning (a checkpoint's
+    // LogicalRDD reports UnknownPartitioning, verified against Spark
+    // 4.1), so every round's join reuses this one shuffle and only the
+    // small label relation moves.
+    val sym = symRaw
+      .unionByName(labels.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .cache()
-    var labels = sym.select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
     var iter = 0
     var converged = false
     // decimal(38,0) sum: immune to long overflow at any id scale
