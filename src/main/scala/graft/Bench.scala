@@ -25,7 +25,9 @@ object Bench {
     "q_window_session", "q_asof_click_purchase", "q_salted_join",
     "q_exists_returns", "img_tagger_e2e", "dedup_incremental",
     "text_tfidf_top", "text_bigram_pmi", "text_chunking",
-    "q_topk_per_group", "q_upsert_merge")
+    "q_topk_per_group", "q_upsert_merge",
+    "q_percentile_cont", "text_contamination", "q_sink_partitioned",
+    "sim_knn_classify")
 
   // Locale.ROOT: a comma-decimal default locale would render 1,234 and
   // break the strict JSON parse this line exists for

@@ -13,7 +13,9 @@ object SparkEntry {
     RelationalQueries,
     Relational2Queries,
     AggQueries,
+    StatsQueries,
     ScalarFuncQueries,
+    SinkQueries,
     SetOpQueries,
     EventsQueries,
     TextQueries,

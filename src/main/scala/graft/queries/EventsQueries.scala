@@ -273,7 +273,39 @@ object EventsQueries extends QueryRegistry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  // SCD type-2 dimension build: each user's purchase stream becomes
+  // validity intervals [valid_from, valid_to) via lead(), with the open
+  // interval (valid_to NULL) marking current state — the
+  // change-data-capture materialization pattern. One window per user
+  // partition; the shuffle carries only the filtered purchase rows.
+  private val scd2 = NamedQuery(
+    "q_scd2_user_state",
+    (spark, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"), col("event_id"))
+      Tables.events(spark, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("epoch_s"),
+          round(col("value"), 2).as("state"))
+        .select(col("user_id"), col("event_id"),
+          col("epoch_s").as("valid_from"),
+          lead(col("epoch_s"), 1).over(w).as("valid_to"),
+          col("state"),
+          lead(col("epoch_s"), 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_s AS valid_from,
+        |  lead(epoch_s, 1) OVER w AS valid_to, state,
+        |  lead(epoch_s, 1) OVER w IS NULL AS is_current
+        |FROM (SELECT user_id, event_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |        round(value, 2) AS state
+        |      FROM events WHERE event_type = 'purchase' AND user_id < 50) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
-      rangeFrame, ignoreNulls, saltedJoin)
+      rangeFrame, ignoreNulls, saltedJoin, scd2)
 }

@@ -202,6 +202,34 @@ object ScalarFuncQueries extends QueryRegistry {
         |FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  // regexp_extract_all — the multi-match extraction primitive (entity /
+  // pattern harvesting). The pattern sticks to the regex subset Java
+  // (Spark) and RE2 (DuckDB) define identically: alternation, word
+  // boundaries, no backrefs/lookaround. Per-row narrow map — no
+  // shuffle until the final tiny ORDER BY.
+  private val regexExtractAll = NamedQuery(
+    "q_regexp_extract_all",
+    (spark, d) => Tables.documents(spark, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"),
+          lit("\\b(data|query|spark|join)\\b"), lit(0)).as("hits"))
+      .select(col("doc_id"),
+        size(col("hits")).as("n_hits"),
+        size(array_distinct(col("hits"))).as("n_distinct"),
+        array_join(array_sort(array_distinct(col("hits"))), ",").as("terms"))
+      .filter(col("n_hits") > 0)
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        |  CAST(len(hits) AS INT) AS n_hits,
+        |  CAST(len(list_distinct(hits)) AS INT) AS n_distinct,
+        |  array_to_string(list_sort(list_distinct(hits)), ',') AS terms
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(text, '\b(data|query|spark|join)\b') AS hits
+        |      FROM documents) t
+        |WHERE len(hits) > 0
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(strings, dates, mathFns, json, arrays, editDistance, outerJoins, arraySetOps)
+    Seq(strings, dates, mathFns, json, arrays, editDistance, outerJoins,
+      arraySetOps, regexExtractAll)
 }

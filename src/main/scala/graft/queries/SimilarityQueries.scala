@@ -226,5 +226,61 @@ object SimilarityQueries extends QueryRegistry {
         |        FROM embeddings) t) s
         |ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(brute, bruteAgg, ivf, labelCentroids, quantize)
+  // ---- k-NN majority-vote classification: label held-out vectors
+  // (vec_id % 100 = 1) from their 5 nearest labeled neighbors — the
+  // label-propagation / weak-supervision pattern over an embedding
+  // corpus. Vote argmax ties break on the smaller label; neighbor rank
+  // ties on the smaller neighbor_id — fully deterministic, so the oracle
+  // reproduces it exactly. Scale shape: the query side broadcasts
+  // (held-out fraction is tiny), the vote aggregation shuffles k·queries
+  // rows only.
+  private val knnClassify = NamedQuery(
+    "sim_knn_classify",
+    (spark, d) => {
+      val v = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = v.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val train = v.filter(col("vec_id") % 100 =!= 1)
+      val wN = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), col("neighbor_id"))
+      val neigh = broadcast(q).crossJoin(train)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+          SimilarityOps.cosineNative6(spark, col("qemb"), col("embedding")).as("cosine"))
+        .withColumn("rnk", row_number().over(wN))
+        .filter(col("rnk") <= topK)
+      val wV = Window.partitionBy(col("query_id"))
+        .orderBy(desc("n_votes"), col("label"))
+      neigh.groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"),
+          round(max(col("cosine")), 6).as("best_cosine"))
+        .withColumn("vr", row_number().over(wV))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("n_votes"), col("best_cosine"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |neigh AS (
+        |  SELECT query_id, neighbor_id, label, cosine, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label,
+        |      round(list_cosine_similarity(q.emb, t.emb), 6) AS cosine
+        |    FROM v q CROSS JOIN v t
+        |    WHERE q.vec_id % 100 = 1 AND t.vec_id % 100 <> 1) s),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS n_votes,
+        |    round(max(cosine), 6) AS best_cosine
+        |  FROM neigh WHERE rnk <= $topK
+        |  GROUP BY query_id, label)
+        |SELECT query_id, label AS pred_label, n_votes, best_cosine FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+        |  FROM votes) t
+        |WHERE vr = 1 ORDER BY query_id""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify)
 }

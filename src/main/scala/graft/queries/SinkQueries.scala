@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Sink/round-trip queries: materialize to storage, read back, verify
+  * relationally. The reference's only sink is a per-image text side-car
+  * (appV2.py:178-179, SURVEY.md R15); a corpus engine needs the
+  * partitioned columnar write every curation stage ends with.
+  *
+  * Each query WRITES (to a deterministic scratch dir under
+  * java.io.tmpdir, overwrite mode — reruns are idempotent) and returns
+  * the read-back aggregate; the oracle computes the same aggregate from
+  * the original table, so a silent drop/dup/corruption in the
+  * write-read cycle fails the hash compare.
+  *
+  * Scale notes: partitionBy("lang") produces one directory per language
+  * — the layout that lets every downstream per-language query prune
+  * files at the source (PartitionFilters, no data read outside the
+  * partition). The repartition(lang) before the write keeps it to one
+  * file per partition-dir per shuffle partition instead of
+  * tasks × languages small files — at 100 TB the small-file explosion,
+  * not the write itself, is what kills a naive partitioned sink. */
+object SinkQueries extends QueryRegistry {
+
+  private def scratch(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+
+  private val partitionedParquet = NamedQuery(
+    "q_sink_partitioned",
+    (spark, d) => {
+      val out = scratch("graft_sink_partitioned")
+      Tables.documents(spark, d)
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT doc_id) AS n_distinct_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // CSV round-trip: header + explicit read schema (inference is a
+  // second full scan — never at 100 TB). Content fidelity is pinned by
+  // md5(text) surviving the cycle, aggregated per source.
+  private val csvRoundTrip = NamedQuery(
+    "q_sink_csv_roundtrip",
+    (spark, d) => {
+      val out = scratch("graft_sink_csv")
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      spark.read
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text_md5 STRING")
+        .option("header", "true")
+        .csv(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          md5(concat_ws(",", array_sort(collect_list(col("text_md5"))))).as("content_md5"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(partitionedParquet, csvRoundTrip)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distribution statistics the earlier rounds lacked: exact interpolated
+  * quantiles, ntile bucketing, and higher central moments
+  * (skewness/kurtosis). The reference's only statistics are min/max/avg
+  * implicit in its progress printout (appV2.py:186-190); these are the
+  * quality-scoring distribution tools a 100 TB curation pipeline cuts
+  * thresholds with (e.g. "drop the bottom decile by quality score").
+  *
+  * Scale notes: percentile() is a single-pass typed-aggregate per group
+  * (partial+final merge, no sort-the-world); ntile shuffles only the
+  * bucketed column; the moments query is two scans of one group's rows
+  * (mean pass + centered pass) with map-side partial aggregation.
+  *
+  * Engine-portability: Spark `percentile` and DuckDB `quantile_cont`
+  * both define the exact linearly-interpolated quantile at rank
+  * (n-1)·q, so they agree to double precision. Spark/DuckDB skewness()
+  * and kurtosis() do NOT share a definition (sample vs population
+  * corrections — oracle-parity-rules), so the moments query computes the
+  * population moments g1/g2 EXPLICITLY from normalized power sums —
+  * identical arithmetic on both engines, one definition on both sides. */
+object StatsQueries extends QueryRegistry {
+
+  // Exact quartiles + p95 of extended price per return flag. The
+  // aggregate is algebraic in the Spark sense (partial state = a digest
+  // of observed values per group merged across partitions) — no global
+  // sort, no window over the raw table.
+  private val percentiles = NamedQuery(
+    "q_percentile_cont",
+    (spark, d) => Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // Decile bucketing of customers by account balance — ntile is the
+  // canonical "cut the corpus into quality bands" primitive. Both
+  // engines share ntile's definition (equal buckets, remainder spread
+  // over the leading buckets); the ORDER BY carries the id tie-break so
+  // equal balances land identically.
+  private val deciles = NamedQuery(
+    "q_ntile_deciles",
+    (spark, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("lo"),
+          round(max(col("c_acctbal")), 2).as("hi"),
+          round(avg(col("c_acctbal")), 4).as("mean_bal"))
+        .orderBy("decile")
+    },
+    Some("""SELECT decile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS lo,
+        |  round(max(c_acctbal), 2) AS hi,
+        |  round(avg(c_acctbal), 4) AS mean_bal
+        |FROM (SELECT c_custkey, c_acctbal,
+        |        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        |      FROM customer) t
+        |GROUP BY decile ORDER BY decile""".stripMargin))
+
+  // Population skewness g1 = E[z³] and excess kurtosis g2 = E[z⁴]−3 from
+  // explicitly normalized power sums (z = (x−μ)/σ_pop): one definition,
+  // same arithmetic, both engines — immune to the engines' different
+  // built-in skewness/kurtosis sample corrections. Two-pass shape (mean
+  // then centered moments) is the numerically-stable formulation; at
+  // scale it is two map-side-combined aggregations over the same
+  // partition-local data, and the broadcast of the 3-row moment table
+  // back onto the group keys is free.
+  private val moments = NamedQuery(
+    "q_central_moments",
+    (spark, d) => {
+      val li = Tables.lineitem(spark, d)
+      val mu = li.groupBy("l_returnflag")
+        .agg(avg(col("l_extendedprice")).as("mu"),
+          stddev_pop(col("l_extendedprice")).as("sigma"))
+      li.join(broadcast(mu), "l_returnflag")
+        .withColumn("z", (col("l_extendedprice") - col("mu")) / col("sigma"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg(pow(col("z"), 3)), 4).as("skew_g1"),
+          round(avg(pow(col("z"), 4)) - 3.0, 4).as("kurt_g2"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |         stddev_pop(l_extendedprice) AS sigma
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  round(avg(pow((l_extendedprice - mu) / sigma, 3)), 4) AS skew_g1,
+        |  round(avg(pow((l_extendedprice - mu) / sigma, 4)) - 3.0, 4) AS kurt_g2
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments)
+}

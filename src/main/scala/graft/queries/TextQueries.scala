@@ -457,8 +457,91 @@ object TextQueries extends QueryRegistry {
         |      FROM documents) t
         |GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin))
 
+  // PII redaction: the scrub pass every public-web training corpus runs
+  // before anything else. The fixture text is synthetic word salad, so
+  // the PII is injected deterministically per doc (email, phone, numeric
+  // id) and then redacted back out — the redaction kernel (ordered
+  // regexp_replace chain: most-specific pattern first so the generic
+  // digit-run rule can't eat half a phone number) is what the query
+  // exercises. Patterns stay in the Java/RE2 common subset. Narrow
+  // per-row map; the redacted text leaves as md5 (identity is what the
+  // oracle checks; shipping full text would bloat the diff surface).
+  private val piiRedact = NamedQuery(
+    "text_pii_redact",
+    (spark, d) => {
+      val emailP = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneP = "\\+1-555-[0-9]{4}"
+      val numP = "[0-9]+"
+      val salted = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" ref "), (col("doc_id") * 37).cast("string")).as("raw"))
+      salted
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailP), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("raw"), lit(phoneP), lit(0))).as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailP, "<EMAIL>"),
+              phoneP, "<PHONE>"),
+            numP, "<NUM>").as("redacted"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |          '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |        '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+        |FROM (SELECT doc_id,
+        |        text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |        ' ref ' || CAST(doc_id * 37 AS VARCHAR) AS raw
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin))
+
+  // Benchmark-contamination scan: flag corpus documents sharing any
+  // 8-gram with a held-out eval set (doc_id % 10 = 0) — the n-gram
+  // overlap check run before training on scraped data (GPT-3 appendix C
+  // / PaLM-style decontamination). Grams are md5-hashed to 60-bit keys
+  // so the equi-join carries 8-byte ints, and the eval side is tiny by
+  // construction — at 100 TB it broadcasts; the corpus side never
+  // self-joins (explode → semi-join-shaped aggregation, inverted-index
+  // cost Σ_gram df, not n²).
+  private val contamination = NamedQuery(
+    "text_contamination",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val grams = TextOps.shingles(docs, "doc_id", "text", 8)
+        .select(col("doc_id"), TextOps.md5Long(col("shingle")).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |        FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)),
+        |g AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+        |      FROM g_s),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN ev USING (g)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
-      chunking)
+      chunking, piiRedact, contamination)
 }
