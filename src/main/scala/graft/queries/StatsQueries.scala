@@ -109,5 +109,49 @@ object StatsQueries extends QueryRegistry {
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments)
+  // Robust outlier detection: median absolute deviation with the
+  // 1.4826 normal-consistency constant — the outlier filter that
+  // survives the very outliers it hunts (3σ rules don't: extreme values
+  // inflate σ and mask themselves). Three passes, each a
+  // partial-aggregated groupBy with a tiny broadcast between — no
+  // global sort at any step. Medians interpolate identically in both
+  // engines; the threshold multiply is the same IEEE arithmetic on the
+  // same doubles, so the outlier predicate lands identically.
+  private val madOutliers = NamedQuery(
+    "q_mad_outliers",
+    (spark, d) => {
+      val li = Tables.lineitem(spark, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("median(l_extendedprice)").as("med"))
+      val mad = li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("med")).as("med"),
+          expr("median(abs(l_extendedprice - med))").as("mad"))
+      li.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("l_extendedprice") - col("med")) >
+            col("mad") * 3.0 * 1.4826, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH med AS (
+        |  SELECT l_returnflag, median(l_extendedprice) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |mad AS (
+        |  SELECT l.l_returnflag, max(med) AS med,
+        |    median(abs(l_extendedprice - med)) AS mad
+        |  FROM lineitem l JOIN med USING (l_returnflag)
+        |  GROUP BY l.l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(l_extendedprice - med) > mad * 3.0 * 1.4826
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(med), 4) AS med,
+        |  round(max(mad), 4) AS mad
+        |FROM lineitem l JOIN mad USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments, madOutliers)
 }

@@ -519,11 +519,17 @@ object TextQueries extends QueryRegistry {
     "text_contamination",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val grams = TextOps.shingles(docs, "doc_id", "text", 8)
-        .select(col("doc_id"), TextOps.md5Long(col("shingle")).as("g"))
-      val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+      // row-local hashed shingles (no posexplode, no per-doc window sort;
+      // 8-byte join keys) — the same kernel the Jaccard pipelines share.
+      // The eval/corpus split happens BEFORE the kernel: a filter cannot
+      // be pushed through mapPartitions, so filtering first is the
+      // pushdown, done by hand — each document is shingled exactly once.
+      def grams(pred: org.apache.spark.sql.Column) =
+        TextOps.shinglesHashedLocal(docs.filter(pred), "doc_id", "text", 8)
+          .select(col("doc_id"), col("shingle").as("g"))
+      val evalGrams = grams(col("doc_id") % 10 === 0)
         .select(col("g")).distinct()
-      grams.filter(col("doc_id") % 10 =!= 0)
+      grams(col("doc_id") % 10 =!= 0)
         .join(broadcast(evalGrams), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
@@ -540,8 +546,46 @@ object TextQueries extends QueryRegistry {
         |WHERE doc_id % 10 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // Greedy sequence packing (concat-and-chunk): lay all documents out
+  // on one token tape in doc_id order and cut every 512 tokens — each
+  // doc's pack is floor(start_offset / 512). The step after chunking in
+  // sequence prep: small docs share a training sequence instead of
+  // wasting pad tokens. The global cumulative window is the determinism
+  // contract with the oracle; at 100 TB packing runs per shard
+  // (partitionBy(shard-hash) window — embarrassingly parallel, same
+  // arithmetic, no global order needed or wanted).
+  private val packSequences = NamedQuery(
+    "text_pack_sequences",
+    (spark, d) => {
+      val seqLen = 512
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, d)
+        .select(col("doc_id"), size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / seqLen))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("pack_id")
+    },
+    Some("""SELECT pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents) t) s
+        |GROUP BY pack_id ORDER BY pack_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
-      chunking, piiRedact, contamination)
+      chunking, piiRedact, contamination, packSequences)
 }

@@ -111,6 +111,30 @@ class Round4QueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= 5))
   }
 
+  test("q_mad_outliers: outliers are a small minority; mad <= spread") {
+    run("q_mad_outliers").collect().foreach { r =>
+      val (n, out) = (r.getLong(1), r.getLong(2))
+      assert(out < n / 4, s"${r.getString(0)}: MAD flagged $out of $n — not robust")
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("text_pack_sequences: packs partition the corpus; token counts conserved") {
+    val rows = run("text_pack_sequences").collect()
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val src = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n")), count(lit(1))).collect()(0)
+    assert(totalTokens == src.getLong(0), "every token lands in exactly one pack")
+    assert(totalDocs == src.getLong(1), "every doc lands in exactly one pack")
+    // consecutive packs: doc ranges must not interleave
+    rows.sortBy(_.getLong(0)).sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) <= b.getLong(3))
+      case _ => ()
+    }
+  }
+
   test("sink round-trips preserve counts and content") {
     val srcByLang = Tables.documents(spark, sfDir)
       .groupBy("lang").agg(count(lit(1)).as("n")).collect()
