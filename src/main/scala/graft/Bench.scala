@@ -81,8 +81,12 @@ object Bench {
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // gc_between_queries flags the round-4 methodology change: "total" is
+    // the SUM of per-query times; the inter-query System.gc() pauses are
+    // deliberately outside the timers (not comparable to round<=3 totals,
+    // which let earlier queries' GC debt land in later queries' numbers)
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
@@ -91,7 +95,7 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${fmt(v)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

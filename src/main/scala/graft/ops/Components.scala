@@ -67,10 +67,11 @@ object Components {
     // aggregation: component0(v) = min(v, neighbors(v)). One shuffle
     // (map-side partial agg) replaces the old distinct-nodes job and a
     // whole hop of the loop.
-    var labels = symRaw
+    val labels0 = symRaw
       .groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("component"))
       .localCheckpoint()
+    var labels = labels0
     // self-loops (v,v) — taken from the label relation, not a distinct
     // over edges — make min-over-(neighbors ∪ self) a single join per
     // hop. Pre-partition on dst, the per-round join key, and cache():
@@ -107,13 +108,19 @@ object Components {
       converged = prevSum.contains(curSum)
       prevSum = Some(curSum)
       // `next` is materialized (eager checkpoint): the previous round's
-      // label blocks can no longer be read — release them now
-      freeCheckpoint(labels)
+      // label blocks can no longer be read by the LOOP — but the initial
+      // labels also live inside the cached `sym` lineage (its self-loop
+      // branch), and a lost cached partition recomputes from there. Keep
+      // labels0's blocks until sym itself is released below; free every
+      // later round's labels eagerly.
+      if (labels ne labels0) freeCheckpoint(labels)
       labels = next
       iter += 1
     }
-    // the edge relations are only read inside the loop
+    // the edge relations are only read inside the loop; once sym is
+    // dropped nothing can recompute from labels0 or e0 anymore
     sym.unpersist(false)
+    if (labels ne labels0) freeCheckpoint(labels0)
     freeCheckpoint(e0)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels

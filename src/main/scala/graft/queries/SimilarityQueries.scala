@@ -231,9 +231,14 @@ object SimilarityQueries extends QueryRegistry {
   // label-propagation / weak-supervision pattern over an embedding
   // corpus. Vote argmax ties break on the smaller label; neighbor rank
   // ties on the smaller neighbor_id — fully deterministic, so the oracle
-  // reproduces it exactly. Scale shape: the query side broadcasts
-  // (held-out fraction is tiny), the vote aggregation shuffles k·queries
-  // rows only.
+  // reproduces it exactly. Scale shape: the query side broadcasts (the
+  // held-out fraction is tiny) and the neighbor cut runs through the
+  // engine's TopKPerGroup bounded-heap operator — each partition
+  // surrenders at most k rows per query to the exchange, so the shuffle
+  // carries ≤ k·|queries|·partitions rows, never the |q|·|train| scored
+  // matrix a row_number window would sort and move wholesale.
+  // TopKPerGroup's ordering contract (NaN-greatest, id tie-break) is
+  // pinned equivalent to the window form by TopKSpec.
   private val knnClassify = NamedQuery(
     "sim_knn_classify",
     (spark, d) => {
@@ -242,13 +247,11 @@ object SimilarityQueries extends QueryRegistry {
       val q = v.filter(col("vec_id") % 100 === 1)
         .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
       val train = v.filter(col("vec_id") % 100 =!= 1)
-      val wN = Window.partitionBy(col("query_id"))
-        .orderBy(desc("cosine"), col("neighbor_id"))
-      val neigh = broadcast(q).crossJoin(train)
+      val scored = broadcast(q).crossJoin(train)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
           SimilarityOps.cosineNative6(spark, col("qemb"), col("embedding")).as("cosine"))
-        .withColumn("rnk", row_number().over(wN))
-        .filter(col("rnk") <= topK)
+      val neigh = graft.plans.TopK.perGroup(scored, Seq("query_id"),
+        Seq(desc("cosine"), col("neighbor_id")), topK)
       val wV = Window.partitionBy(col("query_id"))
         .orderBy(desc("n_votes"), col("label"))
       neigh.groupBy(col("query_id"), col("label"))

@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
   * not the write itself, is what kills a naive partitioned sink. */
 object SinkQueries extends QueryRegistry {
 
-  private def scratch(name: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+  /** Scratch dir keyed by user AND scale factor: Verify (sf0.01), Bench
+    * (sf0.1) and the test suite (sf0.01) can overlap in time — a shared
+    * fixed path would let one run's mode("overwrite") delete the
+    * directory under another's read-back scan, or mix two scale factors
+    * into one aggregate. The key set is bounded (3 sfs × user), so /tmp
+    * doesn't accumulate one dir per run. */
+  private[graft] def scratch(name: String, sfDir: String): String = {
+    val sfKey = new java.io.File(sfDir).getName
+    val user = sys.props.getOrElse("user.name", "anon")
+    new java.io.File(sys.props("java.io.tmpdir"), s"${name}_${user}_$sfKey").getAbsolutePath
+  }
 
   private val partitionedParquet = NamedQuery(
     "q_sink_partitioned",
     (spark, d) => {
-      val out = scratch("graft_sink_partitioned")
+      val out = scratch("graft_sink_partitioned", d)
       Tables.documents(spark, d)
         .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(out)
@@ -51,7 +60,7 @@ object SinkQueries extends QueryRegistry {
   private val csvRoundTrip = NamedQuery(
     "q_sink_csv_roundtrip",
     (spark, d) => {
-      val out = scratch("graft_sink_csv")
+      val out = scratch("graft_sink_csv", d)
       Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))

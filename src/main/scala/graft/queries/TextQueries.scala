@@ -466,28 +466,36 @@ object TextQueries extends QueryRegistry {
   // exercises. Patterns stay in the Java/RE2 common subset. Narrow
   // per-row map; the redacted text leaves as md5 (identity is what the
   // oracle checks; shipping full text would bloat the diff surface).
+  private[graft] val emailP = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private[graft] val phoneP = "\\+1-555-[0-9]{4}"
+  private[graft] val numP = "[0-9]+"
+
+  /** PII injection column (deterministic per doc) — shared with the spec
+    * so the test asserts the SAME kernel the query ships. */
+  private[graft] def piiSalted: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ref "), (col("doc_id") * 37).cast("string"))
+
+  /** The redaction chain itself — most-specific pattern first. */
+  private[graft] def piiRedacted(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, emailP, "<EMAIL>"),
+        phoneP, "<PHONE>"),
+      numP, "<NUM>")
+
   private val piiRedact = NamedQuery(
     "text_pii_redact",
     (spark, d) => {
-      val emailP = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-      val phoneP = "\\+1-555-[0-9]{4}"
-      val numP = "[0-9]+"
-      val salted = Tables.documents(spark, d)
-        .select(col("doc_id"),
-          concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com or +1-555-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-            lit(" ref "), (col("doc_id") * 37).cast("string")).as("raw"))
-      salted
+      Tables.documents(spark, d)
+        .select(col("doc_id"), piiSalted.as("raw"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("raw"), lit(emailP), lit(0))).as("n_email"),
           size(regexp_extract_all(col("raw"), lit(phoneP), lit(0))).as("n_phone"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("raw"), emailP, "<EMAIL>"),
-              phoneP, "<PHONE>"),
-            numP, "<NUM>").as("redacted"))
+          piiRedacted(col("raw")).as("redacted"))
         .select(col("doc_id"), col("n_email"), col("n_phone"),
           md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")

@@ -52,19 +52,12 @@ class Round4QueriesSpec extends SparkSpec {
   test("text_pii_redact: the redaction chain leaves no digits or addresses behind") {
     // rebuild the query's redaction kernel on raw fixture rows and check
     // the INVARIANT the md5 in the query output can't express directly
+    // the spec calls the query's OWN kernel (TextQueries.piiSalted /
+    // piiRedacted) so a pattern edit there can't drift past this test
     val redacted = Tables.documents(spark, sfDir)
       .limit(50)
-      .select(col("doc_id"),
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com or +1-555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" ref "), (col("doc_id") * 37).cast("string")).as("raw"))
-      .select(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("raw"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
-            "\\+1-555-[0-9]{4}", "<PHONE>"),
-          "[0-9]+", "<NUM>").as("red"))
+      .select(col("doc_id"), graft.queries.TextQueries.piiSalted.as("raw"))
+      .select(graft.queries.TextQueries.piiRedacted(col("raw")).as("red"))
       .collect().map(_.getString(0))
     redacted.foreach { s =>
       assert(!s.exists(_.isDigit), s"digits survived redaction: $s")
@@ -143,8 +136,8 @@ class Round4QueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sunk == srcByLang)
     // partition pruning must reach the file listing on the read-back path
-    val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_sink_partitioned")
-    val pruned = spark.read.parquet(out.getAbsolutePath).filter(col("lang") === "en")
+    val out = graft.queries.SinkQueries.scratch("graft_sink_partitioned", sfDir)
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("lang"),
       "read-back scan should prune on the lang partition column")
