@@ -197,4 +197,81 @@ class PropertiesSpec extends SparkSpec {
       } assert(sig(i.toLong) === sig(j.toLong))
     }
   }
+
+  // word-salad corpora with planted shared runs — the contamination and
+  // packing kernels get brute-force Scala oracles on top of these
+  private val saladGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(8, 24)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(6, 30)
+      ws <- Gen.listOfN(len, Gen.oneOf(
+        "data", "query", "spark", "row", "scan", "hash", "join", "agg"))
+    } yield ws.mkString(" "))
+  } yield texts
+
+  test("contamination join ≡ brute-force n-gram set intersection (randomized)") {
+    val n = 4 // shorter grams than the query's 8 so tiny corpora overlap
+    for (texts <- samples(saladGen, 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def gramSet(t: String): Set[String] = {
+        val ws = t.split(" ")
+        (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).toSet
+      }
+      val evalGrams = texts.zipWithIndex.collect {
+        case (t, i) if i % 3 == 0 => gramSet(t)
+      }.foldLeft(Set.empty[String])(_ ++ _)
+      val expected = texts.zipWithIndex.collect {
+        case (t, i) if i % 3 != 0 && (gramSet(t) & evalGrams).nonEmpty =>
+          i.toLong -> (gramSet(t) & evalGrams).size.toLong
+      }.toMap
+      // the engine pipeline (same shape as text_contamination)
+      val grams = TextOps.shinglesHashedLocal(docs, "doc_id", "text", n)
+      val ev = grams.filter(col("doc_id") % 3 === 0).select(col("shingle")).distinct()
+      val got = grams.filter(col("doc_id") % 3 =!= 0)
+        .join(broadcast(ev), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"texts=$texts")
+    }
+  }
+
+  test("sequence packing ≡ sequential tape simulation (randomized)") {
+    val seqLen = 7
+    for (lens <- samples(Gen.listOfN(20, Gen.chooseNum(1, 15)), 5)) {
+      // brute force: walk the tape doc by doc
+      var off = 0L
+      val expected = lens.zipWithIndex.map { case (l, i) =>
+        val pack = off / seqLen; off += l; (i.toLong, pack)
+      }.toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val got = lens.zipWithIndex.map { case (l, i) => (i.toLong, l.toLong) }
+        .toDF("doc_id", "n_tokens")
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / seqLen))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === expected, s"lens=$lens")
+    }
+  }
+
+  test("MAD outlier filter is robust where 3-sigma masks (planted outliers)") {
+    for (base <- samples(Gen.listOfN(60, Gen.chooseNum(95.0, 105.0)), 3)) {
+      // plant 5 extreme points: they inflate stddev (masking each other)
+      // but barely move the median/MAD
+      val data = base ++ Seq(1e6, 2e6, 3e6, 4e6, 5e6)
+      val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "x")
+      val med = df.agg(expr("median(x)")).head.getDouble(0)
+      val mad = df.select(abs(col("x") - med).as("d"))
+        .agg(expr("median(d)")).head.getDouble(0)
+      val sd = df.agg(stddev_samp(col("x"))).head.getDouble(0)
+      val mean = df.agg(avg(col("x"))).head.getDouble(0)
+      val madFlagged = data.count(v => math.abs(v - med) > 3.0 * 1.4826 * mad)
+      val sigmaFlagged = data.count(v => math.abs(v - mean) > 3.0 * sd)
+      assert(madFlagged == 5, s"MAD must catch exactly the 5 planted outliers, got $madFlagged")
+      assert(sigmaFlagged < 5, s"3-sigma should mask some planted outliers (got $sigmaFlagged) — else the robustness claim is untested")
+    }
+  }
 }
