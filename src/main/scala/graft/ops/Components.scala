@@ -9,20 +9,19 @@ import org.apache.spark.sql.functions._
   * canonical keeper per cluster before documents can be dropped, and a
   * driver-side union-find does not exist at 100 TB.
   *
-  * Algorithm: iterative min-label propagation (each node repeatedly
-  * adopts the minimum label among itself and its neighbors) with a
-  * driver-controlled loop — the standard Spark formulation (the
-  * large-star/small-star algorithm of Kiveris et al. "Connected
-  * Components in MapReduce and Beyond", SoCC'14, reduces rounds to
-  * O(log log n); plain propagation converges in O(diameter) rounds,
-  * which for dedup clusters — tiny diameters — is typically ≤ 3).
-  *
-  * Each materialized round applies TWO propagation hops (join +
-  * aggregation each): self-loops in the symmetrized edge set make
-  * min-over-(neighbors ∪ self) a single join per hop, and doubling the
-  * hops per checkpoint halves the number of checkpoint/observe jobs for
-  * a given diameter — the dominant per-round cost on dedup-sized
-  * graphs. The edge relation is pre-partitioned on the join key and
+  * Algorithm: min-label propagation WITH POINTER DOUBLING, a
+  * driver-controlled loop. Each materialized round is one propagation
+  * hop (every node adopts the minimum label among itself and its
+  * neighbors — self-loops in the edge relation make that a single
+  * join + min-aggregation) followed by one shortcut hop
+  * (next(v) = label(label(v))), so label chains halve every round and
+  * convergence takes O(log diameter) rounds, not O(diameter) — in the
+  * family of Kiveris et al. "Connected Components in MapReduce and
+  * Beyond" (SoCC'14) and the hash-to-min scheme of Rastogi et al.
+  * (ICDE'13). Dedup clusters usually have tiny diameters (≤3), but a
+  * chain of pairwise near-dups (template spam with a sliding field)
+  * builds a path graph, and a plain-propagation loop dies there.
+  * The edge relation is pre-partitioned on the join key and
   * CACHED (an InMemoryRelation preserves its partitioning where a
   * localCheckpoint does not), so every hop reshuffles only the (small)
   * label relation while the big edge side stays put.
@@ -89,19 +88,26 @@ object Components {
     var prevSum: Option[Option[Any]] = None
     while (!converged && iter < maxIter) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      // TWO propagation hops per materialized round: halves the number
-      // of checkpoints/observe jobs for a given diameter (the dominant
-      // per-round cost on small graphs); both hops stream the cached
-      // pre-partitioned edges. Aliased to keep the second (self-lineage)
-      // join unambiguous.
-      val hop1 = sym.as("s1")
+      // One PROPAGATION hop (min over neighbors ∪ self, streaming the
+      // cached pre-partitioned edges) followed by one POINTER-DOUBLING
+      // shortcut: next(v) = label(label(v)). Labels only decrease and
+      // label(v) ≤ v, so label(v) is always itself a labeled node and the
+      // shortcut join is total. Doubling is what makes convergence
+      // O(log diameter) materialized rounds instead of O(diameter) —
+      // plain 2-hop propagation dies on a 300-node near-dup chain
+      // (template-spam corpora produce exactly those), pointer doubling
+      // closes a 2^maxIter-diameter path. The hop aggregate subtree
+      // appears on both sides of the shortcut self-join; its exchange is
+      // canonically identical on both, so ReuseExchange materializes it
+      // once, and the h2 side needs no further shuffle (the join key id
+      // IS the aggregate's partitioning).
+      val hop = sym.as("s1")
         .join(labels.as("l"), col("s1.dst") === col("l.id"))
         .groupBy(col("s1.src").as("id"))
         .agg(min(col("l.component")).as("component"))
-      val next = sym.as("s2")
-        .join(hop1.as("h"), col("s2.dst") === col("h.id"))
-        .groupBy(col("s2.src").as("id"))
-        .agg(min(col("h.component")).as("component"))
+      val next = hop.as("h1")
+        .join(hop.as("h2"), col("h1.component") === col("h2.id"))
+        .select(col("h1.id"), col("h2.component").as("component"))
         .observe(obs, sum(col("component").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
       val curSum = Option(obs.get("label_sum"))

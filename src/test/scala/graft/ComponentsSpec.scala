@@ -28,6 +28,14 @@ class ComponentsSpec extends SparkSpec {
     assert(got === (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("pointer doubling: a 300-node path converges within the round budget") {
+    // diameter 299 — plain 2-hop propagation needs 150 materialized
+    // rounds and died at maxIter; pointer doubling closes it in O(log d)
+    val n = 300L
+    val got = cc((0L until n - 1).map(i => i -> (i + 1)))
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("edge direction does not matter") {
     assert(cc(Seq(5L -> 3L, 3L -> 9L)) === Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
