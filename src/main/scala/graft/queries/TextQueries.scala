@@ -592,8 +592,46 @@ object TextQueries extends QueryRegistry {
         |        FROM documents) t) s
         |GROUP BY pack_id ORDER BY pack_id""".stripMargin))
 
+  // Data-mixture sampling: per-language target rates (the "data mixing
+  // weights" step of corpus assembly — upsample scarce/high-value
+  // languages, downsample the dominant one) applied as a deterministic
+  // Bernoulli thinning: keep iff md5-uniform(doc_id) < rate·2⁶⁰. The
+  // md5 draw makes membership reproducible under any partitioning, row
+  // order, or engine — no RNG, no sampleBy seed drift. Pure narrow map
+  // + one partial-aggregated groupBy; achieved rates land on target
+  // within binomial noise, which the output exposes directly.
+  private val mixtureSample = NamedQuery(
+    "q_sample_mixture",
+    (spark, d) => {
+      val rate = when(col("lang") === "en", 0.25)
+        .when(col("lang") === "zh", 0.75)
+        .otherwise(0.5)
+      // md5Long is uniform on [0, 2^60); compare against rate·2^60.
+      // 2^60 is exactly representable and rate·2^60 is exact for these
+      // dyadic rates — the predicate is integer-exact in both engines.
+      val keep = TextOps.md5Long(col("doc_id")) < rate * lit(1152921504606846976.0)
+      Tables.documents(spark, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_total"), col("n_kept"),
+          (col("n_kept") / col("n_total")).as("achieved_rate"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, n_total, n_kept,
+        |  n_kept / CAST(n_total AS DOUBLE) AS achieved_rate
+        |FROM (
+        |  SELECT lang, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        < (CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75
+        |           ELSE 0.5 END) * 1152921504606846976.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM documents GROUP BY lang) t
+        |ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
-      chunking, piiRedact, contamination, packSequences)
+      chunking, piiRedact, contamination, packSequences, mixtureSample)
 }

@@ -128,6 +128,16 @@ class Round4QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_sample_mixture: achieved rates track targets within binomial noise") {
+    val targets = Map("en" -> 0.25, "zh" -> 0.75).withDefaultValue(0.5)
+    run("q_sample_mixture").collect().foreach { r =>
+      val (lang, n, rate) = (r.getString(0), r.getLong(1), r.getDouble(3))
+      val tol = 4 * math.sqrt(0.25 / n) // 4σ of a Bernoulli mean
+      assert(math.abs(rate - targets(lang)) < tol,
+        s"$lang: achieved $rate vs target ${targets(lang)} (n=$n)")
+    }
+  }
+
   test("sink round-trips preserve counts and content") {
     val srcByLang = Tables.documents(spark, sfDir)
       .groupBy("lang").agg(count(lit(1)).as("n")).collect()
