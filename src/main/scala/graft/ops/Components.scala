@@ -88,26 +88,26 @@ object Components {
     var prevSum: Option[Option[Any]] = None
     while (!converged && iter < maxIter) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      // One PROPAGATION hop (min over neighbors ∪ self, streaming the
-      // cached pre-partitioned edges) followed by one POINTER-DOUBLING
-      // shortcut: next(v) = label(label(v)). Labels only decrease and
-      // label(v) ≤ v, so label(v) is always itself a labeled node and the
-      // shortcut join is total. Doubling is what makes convergence
-      // O(log diameter) materialized rounds instead of O(diameter) —
-      // plain 2-hop propagation dies on a 300-node near-dup chain
-      // (template-spam corpora produce exactly those), pointer doubling
-      // closes a 2^maxIter-diameter path. The hop aggregate subtree
-      // appears on both sides of the shortcut self-join; its exchange is
-      // canonically identical on both, so ReuseExchange materializes it
-      // once, and the h2 side needs no further shuffle (the join key id
-      // IS the aggregate's partitioning).
-      val hop = sym.as("s1")
-        .join(labels.as("l"), col("s1.dst") === col("l.id"))
-        .groupBy(col("s1.src").as("id"))
-        .agg(min(col("l.component")).as("component"))
-      val next = hop.as("h1")
-        .join(hop.as("h2"), col("h1.component") === col("h2.id"))
-        .select(col("h1.id"), col("h2.component").as("component"))
+      // One POINTER-DOUBLING shortcut on the MATERIALIZED label relation
+      // (doubled(v) = label(label(v)) — a self-join of the checkpoint, so
+      // both sides read persisted blocks and nothing recomputes), then
+      // one PROPAGATION hop streaming the cached pre-partitioned edges.
+      // Labels only decrease and label(v) ≤ v, so label(v) is always
+      // itself a labeled node and the shortcut join is total. Doubling
+      // makes convergence O(log diameter) materialized rounds instead of
+      // O(diameter) — plain propagation dies on a 300-node near-dup
+      // chain (template-spam corpora produce exactly those). The
+      // shortcut must NOT be applied to the un-materialized propagation
+      // output: self-joining that subtree re-executes the edge join per
+      // branch when exchange reuse doesn't engage under AQE (observed
+      // 2x cost per round).
+      val doubled = labels.as("l1")
+        .join(labels.as("l2"), col("l1.component") === col("l2.id"))
+        .select(col("l1.id"), col("l2.component").as("component"))
+      val next = sym.as("s")
+        .join(doubled.as("h"), col("s.dst") === col("h.id"))
+        .groupBy(col("s.src").as("id"))
+        .agg(min(col("h.component")).as("component"))
         .observe(obs, sum(col("component").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
       val curSum = Option(obs.get("label_sum"))
