@@ -175,6 +175,34 @@ object Streams {
       .start()
   }
 
+  /** Per-window top-k ("trending") via the append-mode + rank-at-sink
+    * pattern. A rank is not incrementally maintainable inside a
+    * streaming aggregation — but it doesn't need to be: a watermarked
+    * windowed count in APPEND mode emits every group of a window in the
+    * single micro-batch whose watermark closes that window, so ranking
+    * the appended rows per window inside foreachBatch is exact and
+    * final. State is bounded by the watermark (closed windows are
+    * evicted); the per-batch rank runs over |closed windows|·|types|
+    * rows, never the stream. */
+  def trendingTypes(events: DataFrame, k: Int, outDir: String): StreamingQuery = {
+    val counts = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+    counts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start")).orderBy(desc("n"), col("event_type"))
+        batch.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Run a streaming frame to an in-memory table until all available
     * source data is processed (the synchronous batch-parity harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

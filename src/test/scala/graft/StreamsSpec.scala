@@ -173,6 +173,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-window top-k == batch rank over closed windows") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_trending").toString
+    val q = Streams.trendingTypes(Streams.readEvents(spark, path), 2, outDir)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .orderBy("window_start", "rnk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      // batch oracle: same count + rank, restricted to windows the final
+      // watermark (max ts - 1h) closed — append mode emits only those
+      val maxTs = batchEvents.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+      val closed = (maxTs - 3600) / 3600 * 3600 // watermark, floored to window grid
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start")).orderBy(desc("n"), col("event_type"))
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n"))
+        .filter(col("window_start") + 3600 <= closed)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .orderBy("window_start", "rnk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join") {
     val q = Streams.runToMemory(
       Streams.clickPurchaseJoin(
