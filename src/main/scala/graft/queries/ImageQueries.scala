@@ -35,5 +35,17 @@ object ImageQueries extends QueryRegistry {
       .orderBy("media_id"),
     None)
 
-  val all: Seq[NamedQuery] = Seq(e2e, mm)
+  // Thumbnail/derived-asset materialization over the same fixture
+  // (rows-only check): real ImageIO downscale for image rows, explicit
+  // error channel for everything else — every input row accounted for.
+  private val thumbs = NamedQuery(
+    "mm_thumbnails",
+    (spark, _) => graft.ops.Multimodal
+      .thumbnails(graft.ops.Multimodal.fixtureMedia(spark, 30))
+      .select(col("media_id"), col("thumb_w"), col("thumb_h"),
+        length(col("thumb_png")).as("n_png_bytes"), col("status"))
+      .orderBy("media_id"),
+    None)
+
+  val all: Seq[NamedQuery] = Seq(e2e, mm, thumbs)
 }
