@@ -40,8 +40,11 @@ object ImageQueries extends QueryRegistry {
   // error channel for everything else — every input row accounted for.
   private val thumbs = NamedQuery(
     "mm_thumbnails",
+    // maxSide=32 < the 64x48 fixture image's long side, so the query
+    // exercises the actual downscale branch (aspect-preserving bilinear
+    // resize), not just decode + re-encode passthrough
     (spark, _) => graft.ops.Multimodal
-      .thumbnails(graft.ops.Multimodal.fixtureMedia(spark, 30))
+      .thumbnails(graft.ops.Multimodal.fixtureMedia(spark, 30), maxSide = 32)
       .select(col("media_id"), col("thumb_w"), col("thumb_h"),
         length(col("thumb_png")).as("n_png_bytes"), col("status"))
       .orderBy("media_id"),

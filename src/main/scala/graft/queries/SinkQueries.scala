@@ -23,22 +23,26 @@ import org.apache.spark.sql.functions._
   * not the write itself, is what kills a naive partitioned sink. */
 object SinkQueries extends QueryRegistry {
 
-  /** Scratch dir keyed by user AND scale factor: Verify (sf0.01), Bench
-    * (sf0.1) and the test suite (sf0.01) can overlap in time — a shared
-    * fixed path would let one run's mode("overwrite") delete the
-    * directory under another's read-back scan, or mix two scale factors
-    * into one aggregate. The key set is bounded (3 sfs × user), so /tmp
-    * doesn't accumulate one dir per run. */
-  private[graft] def scratch(name: String, sfDir: String): String = {
+  /** Scratch dir keyed by Spark application id AND scale factor:
+    * Verify (sf0.01), Bench (sf0.1) and the test suite (also sf0.01!)
+    * can overlap in time — any key that two JVMs can share would let
+    * one run's mode("overwrite") delete the directory under another's
+    * read-back scan, or mix two scale factors into one aggregate. The
+    * applicationId is unique per SparkSession, and everything in the
+    * same session (a query and the spec asserting on its output)
+    * resolves the same path. Dirs accumulate one per app run under the
+    * ephemeral tmpdir at ~100 KB each. */
+  private[graft] def scratch(spark: org.apache.spark.sql.SparkSession,
+                             name: String, sfDir: String): String = {
     val sfKey = new java.io.File(sfDir).getName
-    val user = sys.props.getOrElse("user.name", "anon")
-    new java.io.File(sys.props("java.io.tmpdir"), s"${name}_${user}_$sfKey").getAbsolutePath
+    val app = spark.sparkContext.applicationId
+    new java.io.File(sys.props("java.io.tmpdir"), s"${name}_${app}_$sfKey").getAbsolutePath
   }
 
   private val partitionedParquet = NamedQuery(
     "q_sink_partitioned",
     (spark, d) => {
-      val out = scratch("graft_sink_partitioned", d)
+      val out = scratch(spark, "graft_sink_partitioned", d)
       Tables.documents(spark, d)
         .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(out)
@@ -60,7 +64,7 @@ object SinkQueries extends QueryRegistry {
   private val csvRoundTrip = NamedQuery(
     "q_sink_csv_roundtrip",
     (spark, d) => {
-      val out = scratch("graft_sink_csv", d)
+      val out = scratch(spark, "graft_sink_csv", d)
       Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))

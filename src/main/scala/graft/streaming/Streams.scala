@@ -193,12 +193,22 @@ object Streams {
         col("event_type"), col("n"))
     counts.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("window_start")).orderBy(desc("n"), col("event_type"))
+        // foreachBatch is at-least-once: a micro-batch whose sink write
+        // finished but whose checkpoint commit didn't will RE-RUN on
+        // restart. A bare append would duplicate the closed windows, so
+        // the write is keyed by batch_id with dynamic partition
+        // overwrite — the retry replaces exactly its own partition,
+        // making the sink idempotent (the standard foreachBatch recipe).
         batch.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= k)
-          .write.mode("append").parquet(outDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
       }
       .start()
   }

@@ -146,7 +146,7 @@ class Round4QueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sunk == srcByLang)
     // partition pruning must reach the file listing on the read-back path
-    val out = graft.queries.SinkQueries.scratch("graft_sink_partitioned", sfDir)
+    val out = graft.queries.SinkQueries.scratch(spark, "graft_sink_partitioned", sfDir)
     val pruned = spark.read.parquet(out).filter(col("lang") === "en")
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("lang"),
