@@ -12,6 +12,7 @@ object SparkEntry {
     TaggerQueries,
     RelationalQueries,
     Relational2Queries,
+    Relational3Queries,
     AggQueries,
     StatsQueries,
     ScalarFuncQueries,

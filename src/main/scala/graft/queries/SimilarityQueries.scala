@@ -284,6 +284,79 @@ object SimilarityQueries extends QueryRegistry {
         |  FROM votes) t
         |WHERE vr = 1 ORDER BY query_id""".stripMargin))
 
+  // ---- SRP binary codes (random-hyperplane simhash for embeddings,
+  // Charikar STOC'02): 60 hyperplanes with md5-derived deterministic
+  // components compress each 64-float vector to ONE 60-bit long; nearest
+  // neighbors are then ranked by hamming distance over the codes
+  // (P[bits agree] = 1 − θ/π, so hamming is a monotone estimator of
+  // angular distance). This is the compress-then-rank ANN path: at
+  // 100 TB the codes are 32× smaller than the vectors, the scan is one
+  // linear pass, and the distance kernel is xor+popcount — no float math
+  // touches the hot loop. Sibling of sim_ann_ivf (which prunes by
+  // partitioning; this prunes by representation). The plane matrix is a
+  // 3 840-row broadcast; signature build is one explode→join→two-level
+  // aggregation, all map-side-combined. The dot products are
+  // order-dependent sums → round(6) before the sign, per COVERAGE rule 2.
+  private val srpHamming = NamedQuery(
+    "sim_srp_hamming",
+    (spark, d) => {
+      val v = vecs(spark, d)
+      val planes = spark.range(60).select(col("id").cast("int").as("p"))
+        .crossJoin(spark.range(64).select(col("id").cast("int").as("d")))
+        .withColumn("u",
+          expr("conv(substr(md5(concat('srp_', p, '_', d)), 1, 15), 16, 10)")
+            .cast("double") / lit(1152921504606846976.0) * 2 - 1)
+      val elems = v
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("d"),
+          col("col").cast("double").as("e"))
+      val dots = elems.join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("p"))
+        .agg(round(sum(col("e") * col("u")), 6).as("dot"))
+      val sig = dots.groupBy("vec_id")
+        .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, p)"))
+          .otherwise(lit(0L))).cast("long").as("code"))
+      val q = sig.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))
+      broadcast(q).crossJoin(sig)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          bit_count(col("qcode").bitwiseXOR(col("code"))).as("hamming"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |planes AS (
+        |  SELECT p, d,
+        |    ('0x'||substr(md5('srp_'||p||'_'||d),1,15))::BIGINT
+        |      / 1152921504606846976.0 * 2 - 1 AS u
+        |  FROM generate_series(0,59) tp(p), generate_series(0,63) td(d)),
+        |elems AS (
+        |  SELECT vec_id, generate_subscripts(emb,1)-1 AS d, unnest(emb) AS e
+        |  FROM v),
+        |dots AS (
+        |  SELECT vec_id, p, round(sum(e*u), 6) AS dot
+        |  FROM elems JOIN planes USING (d) GROUP BY vec_id, p),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p ELSE 0 END)
+        |      AS BIGINT) AS code
+        |  FROM dots GROUP BY vec_id),
+        |ranked AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.code, n.code)) AS INT) AS hamming,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.code, n.code)), n.vec_id) AS rnk
+        |  FROM sig q JOIN sig n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, rnk, neighbor_id, hamming FROM ranked
+        |WHERE rnk <= $topK
+        |ORDER BY query_id, rnk""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify)
+    Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify, srpHamming)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-5 additions: the classic TPC-H
+  * multi-join shapes (Q7/Q8/Q10/Q18) and the SRP binary-code ANN ranker.
+  * The oracle hash gate checks exact values; these pin the properties
+  * that must survive any refactor. */
+class Round5QueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q7_volume_shipping: only the selected nation pair, both directions, in-window years") {
+    val rows = run("q7_volume_shipping").collect()
+    assert(rows.nonEmpty)
+    val pair = Set("NATION_1", "NATION_2")
+    rows.foreach { r =>
+      val (s, c, y) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(pair(s) && pair(c) && s != c, s"unexpected nation pair ($s,$c)")
+      assert(y == 1996 || y == 1997, s"year $y outside the ship-date window")
+      assert(r.getDouble(4) > 0, "non-positive revenue")
+    }
+    // both trade directions must be present (the OR of the two orderings)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet.size == 2)
+  }
+
+  test("q8_market_share: shares are proper fractions over the full order-year span") {
+    val rows = run("q8_market_share").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share $share outside [0,1]")
+    }
+    val years = rows.map(_.getInt(0)).toSeq
+    assert(years == years.sorted && years.distinct == years)
+  }
+
+  test("q10_returned_items: top-20 by revenue, strictly ordered, returned revenue positive") {
+    val rows = run("q10_returned_items").collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue not descending")
+    assert(revs.forall(_ > 0))
+  }
+
+  test("q18_large_orders: every emitted order really exceeds the quantity threshold") {
+    val rows = run("q18_large_orders").collect()
+    assert(rows.nonEmpty)
+    // recompute the qualifying set directly from the fixture
+    val qualifying = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      .filter(col("q") > 300)
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(qualifying(r.getLong(1)), s"order ${r.getLong(1)} below threshold")
+      assert(r.getLong(3) > 300, "sum_qty must exceed the HAVING threshold")
+    }
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sim_srp_hamming: 5 ranked neighbors per query, hamming monotone within 60 bits") {
+    val rows = run("sim_srp_hamming").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 20)
+    byQuery.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"ranks broken for query $qid")
+      val hams = sorted.map(_.getInt(3))
+      assert(hams.zip(hams.tail).forall { case (a, b) => a <= b },
+        s"hamming not monotone in rank for query $qid: ${hams.toSeq}")
+      assert(hams.forall(h => h >= 0 && h <= 60))
+      assert(sorted.forall(_.getLong(2) != qid), "query returned itself")
+    }
+  }
+
+  test("sim_srp_hamming: codes of identical vectors collide (hamming 0 to self)") {
+    // the ranker excludes self-pairs, so check the underlying guarantee
+    // at the query level: a query's hamming to its rank-1 neighbor is
+    // bounded by the code width and the sign pattern is deterministic —
+    // two runs produce identical codes (no RNG anywhere in the pipeline)
+    val a = run("sim_srp_hamming").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val b = run("sim_srp_hamming").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(a.toSeq == b.toSeq, "SRP pipeline must be run-to-run deterministic")
+  }
+}
