@@ -131,4 +131,91 @@ object Components {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Alternative formulation: alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Where `connectedComponents` keeps the EDGE
+    * relation fixed (cached, pre-partitioned) and iterates on a label
+    * relation, the star algorithm rewrites the edge relation itself each
+    * round — large-star hangs every node's larger neighbors off its
+    * neighborhood minimum, small-star re-centers the smaller neighbors —
+    * until the graph is a star forest whose centers are the component
+    * minima. The edge relation SHRINKS monotonically toward one edge per
+    * non-root node, so this wins when edges ≫ nodes (dense candidate
+    * graphs: a hot LSH bucket of k docs contributes k²/2 pairs that
+    * collapse to k−1 star edges after one round); label propagation wins
+    * when the edge relation is lean and reusable. Both converge in
+    * O(log n) rounds. Same contract as connectedComponents: (id,
+    * component = min reachable node id), one row per distinct node in
+    * `edges`; ComponentsSpec proves the two agree on randomized graphs.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical undirected form, self-loops dropped (re-added as labels at
+    // the end via the node set), duplicates collapsed once up front — the
+    // star rewrites below keep the relation deduplicated round to round
+    val nodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+    var e = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    var nE = e.count()
+    var iter = 0
+    var converged = nE == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: center u, m = min(neighborhood(u) ∪ {u}); every
+      // STRICTLY LARGER neighbor v > u re-attaches to m. Since m ≤ u < v
+      // the produced edge is already canonically ordered (m, v).
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+      val minL = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(minL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint() // read twice by small-star (agg + join)
+      // SMALL-STAR: direct edges large→small (every (lo,hi) points
+      // hi→lo); center u = hi, m = min of its smaller neighbors; all of
+      // them AND u itself re-attach to m.
+      val dir = large.select(col("hi").as("u"), col("lo").as("v"))
+      val minS = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val small = dir.join(minS, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .unionByName(minS.select(col("m").as("lo"), col("u").as("hi")))
+        .distinct()
+        .localCheckpoint()
+      // fixed point = the edge SET is unchanged: same cardinality and no
+      // row of the new relation missing from the old (⊆ + equal count ⇒
+      // equality on deduplicated relations — an exact check, no checksum)
+      val nSmall = small.count()
+      converged = nSmall == nE &&
+        small.join(e, Seq("lo", "hi"), "left_anti").isEmpty
+      freeCheckpoint(large)
+      freeCheckpoint(e)
+      e = small
+      nE = nSmall
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // the converged relation is a star forest: (component-min, member).
+    // Non-root members appear exactly once as `hi`; roots and isolated
+    // nodes label themselves.
+    val labels = nodes
+      .join(e.select(col("hi").as("id"), col("lo").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint() // materialize BEFORE freeing the frames it reads
+    freeCheckpoint(nodes)
+    freeCheckpoint(e)
+    labels
+  }
 }

@@ -113,4 +113,55 @@ object SimilarityOps {
       }
       .toDF("id1", "id2", "raw_cos")
   }
+
+  /** Deterministic SRP hyperplane component u(p,d) — the md5 affine
+    * derivation shared verbatim with the DuckDB oracle of
+    * sim_srp_hamming: first 15 hex digits of md5("srp_<p>_<d>") as a
+    * 60-bit integer, scaled to [-1, 1). Both engines perform the same
+    * long→double conversion and the same `/ 2^60 * 2 - 1` chain, so the
+    * values are bit-identical. */
+  def srpPlane(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"srp_${p}_$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      1152921504606846976.0 * 2 - 1
+  }
+
+  /** Raw SRP projections: one row per vector, `dots[p]` = <v, u_p> for
+    * nPlanes md5-derived hyperplanes. A mapPartitions kernel over
+    * primitive arrays (the engine's per-row numeric-kernel pattern —
+    * HOF lambdas are interpreted and an explode→join over the plane
+    * relation shuffles |v|·dims·nPlanes rows; this touches each vector
+    * once and emits nPlanes doubles). Dots are emitted RAW — callers
+    * apply Spark's own round() before any sign/threshold decision, per
+    * the cross-engine determinism contract. The plane matrix is built
+    * lazily per partition (nPlanes×dims md5 calls, microseconds) so the
+    * kernel needs no broadcast and adapts to the embedding width. */
+  def srpDots(df: DataFrame, idCol: String, vecCol: String,
+              nPlanes: Int = 60): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (planes == null || planes(0).length != v.length)
+            planes = Array.tabulate(nPlanes, v.length)(srpPlane)
+          val dots = new Array[Double](nPlanes)
+          var p = 0
+          while (p < nPlanes) {
+            val u = planes(p)
+            var s = 0.0
+            var d = 0
+            while (d < v.length) { s += v(d).toDouble * u(d); d += 1 }
+            dots(p) = s
+            p += 1
+          }
+          (id, dots)
+        }
+      }
+      .toDF(idCol, "dots")
+  }
 }

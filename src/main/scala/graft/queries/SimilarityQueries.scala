@@ -301,19 +301,15 @@ object SimilarityQueries extends QueryRegistry {
     "sim_srp_hamming",
     (spark, d) => {
       val v = vecs(spark, d)
-      val planes = spark.range(60).select(col("id").cast("int").as("p"))
-        .crossJoin(spark.range(64).select(col("id").cast("int").as("d")))
-        .withColumn("u",
-          expr("conv(substr(md5(concat('srp_', p, '_', d)), 1, 15), 16, 10)")
-            .cast("double") / lit(1152921504606846976.0) * 2 - 1)
-      val elems = v
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").as("d"),
-          col("col").cast("double").as("e"))
-      val dots = elems.join(broadcast(planes), "d")
-        .groupBy(col("vec_id"), col("p"))
-        .agg(round(sum(col("e") * col("u")), 6).as("dot"))
-      val sig = dots.groupBy("vec_id")
+      // projections via the row-local kernel (one pass per vector, no
+      // plane join); sign+pack stay relational so Spark's OWN round()
+      // makes the sign decision — the oracle reproduces the projections
+      // with the identical md5 plane derivation (SimilarityOps.srpPlane)
+      val sig = SimilarityOps.srpDots(v, "vec_id", "embedding", nPlanes = 60)
+        .select(col("vec_id"), posexplode(col("dots")))
+        .select(col("vec_id"), col("pos").as("p"),
+          round(col("col"), 6).as("dot"))
+        .groupBy("vec_id")
         .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, p)"))
           .otherwise(lit(0L))).cast("long").as("code"))
       val q = sig.filter(col("vec_id") < 20)

@@ -88,4 +88,38 @@ class ComponentsSpec extends SparkSpec {
     // and the surviving frame is still readable after the frees
     assert(labels.count() === 8L)
   }
+
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponentsStar(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction: fixed shapes match label propagation") {
+    val shapes = Seq(
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L, 11L -> 12L,
+        10L -> 12L, 20L -> 21L, 30L -> 30L),
+      (1L until 12L).map(i => i -> (i + 1)),
+      Seq(5L -> 3L, 3L -> 9L),
+      Seq.empty[(Long, Long)])
+    shapes.foreach(s => assert(ccStar(s) === cc(s), s"shape $s"))
+  }
+
+  test("star contraction: dense blocks and random graphs agree with the propagation algorithm") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // a dense clique-ish block (the hot-LSH-bucket shape the star
+      // algorithm exists for) plus random sparse edges
+      val clique = for {
+        i <- 0 until 8; j <- i + 1 until 8 if rnd.nextDouble() < 0.8
+      } yield (i.toLong, j.toLong)
+      val sparse = Seq.fill(30)(
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      val edges = clique ++ sparse
+      assert(ccStar(edges) === cc(edges), s"trial $trial")
+    }
+  }
+
+  test("star contraction: 120-node path converges within the round budget") {
+    val got = ccStar((0L until 119L).map(i => i -> (i + 1)))
+    assert(got.size == 120 && got.values.forall(_ == 0L))
+  }
 }
