@@ -630,8 +630,90 @@ object TextQueries extends QueryRegistry {
         |  FROM documents GROUP BY lang) t
         |ORDER BY lang""".stripMargin))
 
+  // ---- Cross-document duplicate-span profile: for every document, the
+  // fraction of its distinct 8-gram spans that also occur in ANOTHER
+  // document — the corpus-duplication diagnostic run before committing
+  // to a dedup threshold (C4/RefinedWeb report exactly this curve).
+  // Distinct from text_repetition (within-doc duplication) and the
+  // dedup_* family (pair extraction): this is a per-doc marginal over
+  // the corpus-wide span document-frequency table. Spans are hashed
+  // row-locally (TextOps kernel, 60-bit md5 keys shared with the
+  // oracle); the df aggregation and the doc rollup are the only
+  // shuffles, both map-side combined. Documents shorter than 8 tokens
+  // have no spans and drop out identically in both engines.
+  private val duplicateSpans = NamedQuery(
+    "text_duplicate_spans",
+    (spark, d) => {
+      val sh = TextOps.shinglesHashedLocal(
+        Tables.documents(spark, d), "doc_id", "text", n = 8)
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_spans"),
+          sum(when(col("sdf") > 1, lit(1L)).otherwise(lit(0L)))
+            .cast("bigint").as("n_shared"))
+        .withColumn("shared_frac",
+          round(col("n_shared") / col("n_spans").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh_s AS (
+        |  SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS s
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)),
+        |sh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shingle
+        |  FROM sh_s),
+        |sdfs AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+        |FROM sh JOIN sdfs USING (shingle)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
+  // ---- Unigram LM quality score (the CCNet-style perplexity filter,
+  // reduced to its unigram core): score every document by the mean
+  // log-probability of its tokens under the CORPUS unigram
+  // distribution. Anomalously high scores = degenerate repetitive text,
+  // anomalously low = token-salad / wrong-language text; production
+  // pipelines threshold both tails. The vocabulary is a broadcast
+  // dimension (vocab ≪ corpus at any scale) and the total-count scalar
+  // a 1-row broadcast, so the only shuffle over token volume is the
+  // per-doc rollup. ln() goes through round(6) per COVERAGE rule 2.
+  private val unigramLogprob = NamedQuery(
+    "text_unigram_logprob",
+    (spark, d) => {
+      val tok = Tables.documents(spark, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("t"))
+      tok.join(broadcast(cnt), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          round(avg(log(col("c") / col("t").cast("double"))), 6)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM cnt)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS avg_logprob
+        |FROM tok JOIN cnt USING (w) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
-      chunking, piiRedact, contamination, packSequences, mixtureSample)
+      chunking, piiRedact, contamination, packSequences, mixtureSample,
+      duplicateSpans, unigramLogprob)
 }

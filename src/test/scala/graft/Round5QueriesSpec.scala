@@ -75,6 +75,35 @@ class Round5QueriesSpec extends SparkSpec {
     }
   }
 
+  test("text_duplicate_spans: fractions well-formed; planted near-dup docs share spans") {
+    val rows = run("text_duplicate_spans").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, shared, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && shared >= 0 && shared <= n)
+      assert(math.abs(frac - shared.toDouble / n) < 1e-6)
+    }
+    // the corpus plants near-duplicate pairs (dedup_ngram_jaccard finds
+    // them), so SOME document must share 8-gram spans across docs
+    assert(rows.exists(_.getLong(2) > 0), "no cross-doc duplicate spans found")
+  }
+
+  test("text_unigram_logprob: probabilities are proper (negative log), token counts exact") {
+    val rows = run("text_unigram_logprob").collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == docs, "every document must be scored")
+    rows.foreach { r =>
+      // every unigram prob < 1 → mean log-prob strictly negative
+      assert(r.getDouble(2) < 0, s"doc ${r.getLong(0)} has non-negative mean logprob")
+      assert(r.getLong(1) > 0)
+    }
+    // token counts must agree with the independent per-row counter
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == expected(r.getLong(0))))
+  }
+
   test("sim_srp_hamming: codes of identical vectors collide (hamming 0 to self)") {
     // the ranker excludes self-pairs, so check the underlying guarantee
     // at the query level: a query's hamming to its rank-1 neighbor is
