@@ -711,9 +711,107 @@ object TextQueries extends QueryRegistry {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  // ---- Training-mix capstone: the full pre-training data path in one
+  // declared query — exact-dedup keepers → quality gate → decontaminate
+  // against the held-out eval split (any shared 8-gram disqualifies) →
+  // per-language mixture thinning (deterministic md5 rates) → packing
+  // yield per language (greedy concat-and-chunk onto 512-token
+  // sequences ≡ ceil(Σtokens/512) per language tape). Every stage is
+  // individually oracle-checked elsewhere (dedup_exact_keepers,
+  // pipeline_curate, text_contamination, q_sample_mixture,
+  // text_pack_sequences); this pins their COMPOSITION — join order,
+  // filter interaction, and the final mixture accounting. All document
+  // volume flows through row-local kernels and semi/anti joins against
+  // broadcast-size sides; the only wide shuffle is the dedup groupBy.
+  private val trainMix = NamedQuery(
+    "pipeline_train_mix",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val keepers = docs
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val quality = TextOps.qualityStatsLocal(docs,
+          "doc_id", "text", col("n_chars"), stopwords)
+        .select(col("doc_id"),
+          (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
+            + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
+            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
+            .as("quality"))
+      def grams(pred: org.apache.spark.sql.Column) =
+        TextOps.shinglesHashedLocal(docs.filter(pred), "doc_id", "text", 8)
+      val evalGrams = grams(col("doc_id") % 10 === 0)
+        .select(col("shingle")).distinct()
+      val contaminated = grams(col("doc_id") % 10 =!= 0)
+        .join(broadcast(evalGrams), "shingle")
+        .select("doc_id").distinct()
+      val rate = when(col("lang") === "en", 0.25)
+        .when(col("lang") === "zh", 0.75)
+        .otherwise(0.5)
+      val keep = TextOps.md5Long(col("doc_id")) < rate * lit(1152921504606846976.0)
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(keepers, "doc_id")
+        .join(quality, "doc_id")
+        .filter(col("quality") >= 0.5)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+        .withColumn("n_sequences",
+          ceil(col("n_tokens") / 512.0).cast("bigint"))
+        .withColumn("pack_efficiency",
+          round(col("n_tokens") / (col("n_sequences") * 512.0), 6))
+        .orderBy("lang")
+    },
+    Some(s"""WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |q AS (
+        |  SELECT doc_id,
+        |    0.4 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
+        |  FROM (
+        |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
+        |      sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
+        |          THEN 1 ELSE 0 END) AS n_stop,
+        |      first(n_chars) AS n_chars
+        |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+        |          FROM documents) t
+        |    GROUP BY doc_id) s),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |        FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)),
+        |g AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gm
+        |      FROM g_s),
+        |ev AS (SELECT DISTINCT gm FROM g WHERE doc_id % 10 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM g JOIN ev USING (gm)
+        |  WHERE doc_id % 10 <> 0),
+        |kept AS (
+        |  SELECT d.lang, len(string_split(d.text, ' ')) AS n_tok
+        |  FROM documents d
+        |  JOIN keepers k USING (doc_id)
+        |  JOIN q USING (doc_id)
+        |  WHERE d.doc_id % 10 <> 0
+        |    AND q.quality >= 0.5
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < (CASE d.lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75
+        |         ELSE 0.5 END) * 1152921504606846976.0)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_sequences,
+        |  round(sum(n_tok) / (ceil(sum(n_tok) / 512.0) * 512.0), 6)
+        |    AS pack_efficiency
+        |FROM kept
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
-      duplicateSpans, unigramLogprob)
+      duplicateSpans, unigramLogprob, trainMix)
 }

@@ -104,6 +104,27 @@ class Round5QueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == expected(r.getLong(0))))
   }
 
+  test("pipeline_train_mix: packing arithmetic exact; strictly a subset of the mixture sample") {
+    val rows = run("pipeline_train_mix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nTok, nSeq, eff) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nDocs > 0 && nTok > 0)
+      assert(nSeq == math.ceil(nTok / 512.0).toLong, "sequence count must be ceil(tokens/512)")
+      assert(eff > 0 && eff <= 1.0, s"pack efficiency $eff outside (0,1]")
+    }
+    // composition sanity: the capstone filters MORE than the bare
+    // mixture sample, so per-language kept counts can never exceed it
+    val mixture = run("q_sample_mixture").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) <= mixture(lang),
+        s"$lang: capstone kept ${r.getLong(1)} > mixture ${mixture(lang)}")
+    }
+  }
+
   test("sim_srp_hamming: codes of identical vectors collide (hamming 0 to self)") {
     // the ranker excludes self-pairs, so check the underlying guarantee
     // at the query level: a query's hamming to its rank-1 neighbor is
