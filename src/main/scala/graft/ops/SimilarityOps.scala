@@ -128,6 +128,49 @@ object SimilarityOps {
       1152921504606846976.0 * 2 - 1
   }
 
+  /** Raw per-subspace squared-L2 distances to a broadcast codebook —
+    * the encoding/lookup kernel of the PQ path (sim_pq_adc): for every
+    * input vector and every (centroid, subspace) cell, one row
+    * (id, cid, s, d2raw). A mapPartitions kernel over primitive arrays
+    * (the HOF zip_with/aggregate form is interpreted and measured 5×+
+    * slower); the codebook side is collected and broadcast — it is
+    * broadcast-size by construction (a codebook that doesn't fit in
+    * memory defeats PQ's purpose). d2 is emitted RAW; callers apply
+    * Spark's round() before any argmin/sum, per the determinism
+    * contract. Subspace s covers dims [s·(dims/nSub), (s+1)·(dims/nSub)). */
+  def subspaceL2(df: DataFrame, idCol: String, vecCol: String,
+                 cent: DataFrame, centIdCol: String, centVecCol: String,
+                 nSub: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = cent
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          val dimsPer = v.length / nSub
+          cs.iterator.flatMap { case (cid, c) =>
+            (0 until nSub).iterator.map { s =>
+              var d2 = 0.0
+              var k = s * dimsPer
+              val end = k + dimsPer
+              while (k < end) {
+                val t = v(k).toDouble - c(k).toDouble
+                d2 += t * t
+                k += 1
+              }
+              (id, cid, s, d2)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "cid", "s", "d2raw")
+  }
+
   /** Raw SRP projections: one row per vector, `dots[p]` = <v, u_p> for
     * nPlanes md5-derived hyperplanes. A mapPartitions kernel over
     * primitive arrays (the engine's per-row numeric-kernel pattern —

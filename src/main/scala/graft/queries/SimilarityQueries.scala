@@ -353,6 +353,93 @@ object SimilarityQueries extends QueryRegistry {
         |WHERE rnk <= $topK
         |ORDER BY query_id, rnk""".stripMargin))
 
+  // ---- Product quantization with asymmetric distance (Jégou et al.,
+  // TPAMI'11, reduced to a deterministic codebook): the third classic
+  // ANN tool beside IVF (partition pruning) and SRP (binary codes).
+  // Each 64-dim vector splits into 4 subspaces of 16 dims; per subspace
+  // a vector stores only the id of its nearest codebook centroid (the
+  // same deterministic vec_id % 100 quantizer the IVF path uses), so a
+  // vector compresses to 4 small ints. Query-time ADC: the query
+  // precomputes its distance to EVERY (centroid, subspace) cell — a
+  // |queries|·|codebook|·4 broadcast-size table — and a neighbor's
+  // distance is just the sum of 4 table lookups; the full vectors are
+  // never touched after encoding. At 100 TB: codes are ~1/64 of vector
+  // bytes, the lookup table is KBs, and the scan is a broadcast join +
+  // sum — no float math against the corpus. Subspace distances are
+  // order-dependent sums → round(6) before the argmin and again after
+  // the 4-term ADC sum (COVERAGE rule 2); argmin ties break on
+  // centroid id via the lexicographic struct-min, identical to the
+  // oracle's row_number tie-break.
+  private val pqAdc = NamedQuery(
+    "sim_pq_adc",
+    (spark, d) => {
+      val v = vecs(spark, d)
+      val cent = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      // encoding kernel: one primitive-loop pass per vector against the
+      // broadcast codebook (SimilarityOps.subspaceL2); Spark's round()
+      // then makes every comparison decision. Pinned because BOTH the
+      // codebook assignment and the query lookup table read it.
+      val d2 = SimilarityOps.subspaceL2(v, "vec_id", "embedding",
+          cent, "cid", "cemb", nSub = 4)
+        .select(col("vec_id"), col("cid"), col("s"),
+          round(col("d2raw"), 6).as("d2"))
+        .localCheckpoint()
+      // lexicographic struct-min = argmin(d2) with smallest-cid ties —
+      // map-side combinable, no window sort over the cross join
+      val assign = d2.groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
+      val qd2 = d2.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("cid"), col("s"),
+          col("d2"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("neighbor_id"))
+      assign.join(broadcast(qd2), Seq("cid", "s"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(round(sum(col("d2")), 6).as("adc"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= topK)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |ev AS (
+        |  SELECT vec_id, generate_subscripts(emb,1)-1 AS d, unnest(emb) AS e
+        |  FROM v),
+        |ec AS (
+        |  SELECT cid, generate_subscripts(cemb,1)-1 AS d, unnest(cemb) AS e
+        |  FROM cent),
+        |d2 AS (
+        |  SELECT ev.vec_id, ec.cid, ev.d // 16 AS s,
+        |    round(sum((ev.e - ec.e) * (ev.e - ec.e)), 6) AS d2
+        |  FROM ev JOIN ec USING (d)
+        |  GROUP BY ev.vec_id, ec.cid, ev.d // 16),
+        |assign AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |    FROM d2) t
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    round(sum(q.d2), 6) AS adc
+        |  FROM assign a
+        |  JOIN d2 q ON q.cid = a.cid AND q.s = a.s
+        |  WHERE q.vec_id < 20 AND a.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc, neighbor_id) AS rnk
+        |  FROM adc)
+        |SELECT query_id, rnk, neighbor_id, adc FROM ranked
+        |WHERE rnk <= $topK
+        |ORDER BY query_id, rnk""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify, srpHamming)
+    Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify,
+      srpHamming, pqAdc)
 }

@@ -125,6 +125,21 @@ class Round5QueriesSpec extends SparkSpec {
     }
   }
 
+  test("sim_pq_adc: 5 ranked neighbors per query, ADC non-negative and monotone in rank") {
+    val rows = run("sim_pq_adc").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 20)
+    byQuery.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val adcs = sorted.map(_.getDouble(3))
+      assert(adcs.forall(_ >= 0), s"negative ADC for query $qid")
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        s"ADC not monotone in rank for query $qid: ${adcs.toSeq}")
+      assert(sorted.forall(_.getLong(2) != qid))
+    }
+  }
+
   test("sim_srp_hamming: codes of identical vectors collide (hamming 0 to self)") {
     // the ranker excludes self-pairs, so check the underlying guarantee
     // at the query level: a query's hamming to its rank-1 neighbor is
