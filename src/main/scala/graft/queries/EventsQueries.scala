@@ -305,7 +305,81 @@ object EventsQueries extends QueryRegistry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin))
 
+  // ---- Time-series resampling with linear interpolation: regularize
+  // each user's irregular event stream onto an hourly grid — the
+  // classic sensor/metrics prep step (resample → interpolate → model).
+  // Known hours carry round(avg(value),6); missing hours interpolate
+  // linearly between the bracketing knowns via IGNORE NULLS navigation
+  // windows (the gap-fill pattern of q_window_ignore_nulls, upgraded
+  // from hold-last to linear). The spine never leaves a user's
+  // [min,max] hour, so both interpolation endpoints always exist. The
+  // interpolation formula is pure IEEE +−×÷ over identical inputs
+  // (rounded knowns, exact integer hours) and is emitted RAW per
+  // COVERAGE rule 2. Scale: the spine explodes to |users|·|hours| rows
+  // — bounded by the calendar, not the event volume — and both windows
+  // run in one partition pass per user.
+  private val resample = NamedQuery(
+    "q_time_resample",
+    (spark, d) => {
+      val known = Tables.events(spark, d)
+        .filter(col("user_id") < 5)
+        .groupBy(col("user_id"), expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val spine = known.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val wPrev = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(known, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph",
+          last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh",
+          first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("h"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("h") - col("ph")) / (col("nh") - col("ph")).cast("double"))
+            .as("value_interp"),
+          when(col("v").isNotNull, lit(0)).otherwise(lit(1)).as("interpolated"))
+        .orderBy("user_id", "h")
+    },
+    Some("""WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value
+        |  FROM events WHERE user_id < 5),
+        |known AS (
+        |  SELECT user_id, h, round(avg(value), 6) AS v
+        |  FROM ev GROUP BY user_id, h),
+        |bounds AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM known GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM bounds),
+        |joined AS (
+        |  SELECT s.user_id, s.h, k.v,
+        |    last_value(k.v IGNORE NULLS) OVER w_prev AS pv,
+        |    last_value(CASE WHEN k.v IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER w_prev AS ph,
+        |    first_value(k.v IGNORE NULLS) OVER w_next AS nv,
+        |    first_value(CASE WHEN k.v IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER w_next AS nh
+        |  FROM spine s LEFT JOIN known k USING (user_id, h)
+        |  WINDOW
+        |    w_prev AS (PARTITION BY s.user_id ORDER BY s.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY s.user_id ORDER BY s.h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * (h - ph) / CAST(nh - ph AS DOUBLE) END
+        |    AS value_interp,
+        |  CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated
+        |FROM joined
+        |ORDER BY user_id, h""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
-      rangeFrame, ignoreNulls, saltedJoin, scd2)
+      rangeFrame, ignoreNulls, saltedJoin, scd2, resample)
 }

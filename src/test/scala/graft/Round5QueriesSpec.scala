@@ -140,6 +140,36 @@ class Round5QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_time_resample: gapless hourly spine per user, interpolated values inside the bracket") {
+    val rows = run("q_time_resample").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val hs = rs.map(_.getLong(1)).sorted
+      // spine is contiguous from min to max hour
+      assert(hs.last - hs.head + 1 == hs.length, s"user $uid spine has gaps")
+      // endpoints are always known (never interpolated)
+      val byH = rs.map(r => r.getLong(1) -> r).toMap
+      assert(byH(hs.head).getInt(3) == 0 && byH(hs.last).getInt(3) == 0,
+        s"user $uid spine endpoint interpolated")
+    }
+    // every interpolated value lies between its bracketing known values
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val knownIdx = sorted.zipWithIndex.filter(_._1.getInt(3) == 0).map(_._2)
+      knownIdx.zip(knownIdx.tail).foreach { case (a, b) =>
+        val (lo, hi) = {
+          val x = sorted(a).getDouble(2); val y = sorted(b).getDouble(2)
+          (math.min(x, y), math.max(x, y))
+        }
+        (a + 1 until b).foreach { i =>
+          val v = sorted(i).getDouble(2)
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+            s"user $uid hour ${sorted(i).getLong(1)}: $v outside [$lo,$hi]")
+        }
+      }
+    }
+  }
+
   test("sim_srp_hamming: codes of identical vectors collide (hamming 0 to self)") {
     // the ranker excludes self-pairs, so check the underlying guarantee
     // at the query level: a query's hamming to its rank-1 neighbor is
