@@ -189,7 +189,9 @@ object SimilarityOps {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var planes: Array[Array[Double]] = null
-        it.map { case (id, v) =>
+        // empty vectors produce NO row — the relational form (posexplode
+        // of an empty array) and the oracle's unnest drop them the same way
+        it.filter(_._2.length > 0).map { case (id, v) =>
           if (planes == null || planes(0).length != v.length)
             planes = Array.tabulate(nPlanes, v.length)(srpPlane)
           val dots = new Array[Double](nPlanes)

@@ -379,7 +379,76 @@ object EventsQueries extends QueryRegistry {
         |FROM joined
         |ORDER BY user_id, h""".stripMargin))
 
+  // ---- Funnel conversion with attribution windows: the ordered
+  // event-sequence shape (view → click within 24h → purchase within 72h
+  // of the click). Spark has no MATCH_RECOGNIZE; the engine-portable
+  // form is staged conditional aggregation — each stage is one
+  // groupBy(user) over the events pre-filtered to its type, joined to
+  // the previous stage's anchor timestamp. Every join key is user_id,
+  // so all three stages reuse one shuffle partitioning; the stage
+  // relations shrink monotonically (150 → 60 → 45 here). Timestamps
+  // compare in exact integer microseconds (unix_micros ≡ epoch_us) —
+  // no float time math anywhere.
+  private val funnel = NamedQuery(
+    "q_funnel_conversion",
+    (spark, d) => {
+      val ev = Tables.events(spark, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val v = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("tus"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("tus") > col("t_view") &&
+          col("tus") <= col("t_view") + lit(86400L * 1000000L))
+        .groupBy("user_id").agg(min(col("tus")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("tus") > col("t_click") &&
+          col("tus") <= col("t_click") + lit(259200L * 1000000L))
+        .groupBy("user_id").agg(min(col("tus")).as("t_purchase"))
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      val w = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stage("1_view", v)
+        .unionByName(stage("2_click", c))
+        .unionByName(stage("3_purchase", p))
+        .withColumn("rate_vs_top",
+          round(col("n_users") / first(col("n_users")).over(w).cast("double"), 6))
+        .orderBy("stage")
+    },
+    Some("""WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tus END) AS t_view
+        |  FROM ev GROUP BY user_id
+        |  HAVING min(CASE WHEN event_type = 'view' THEN tus END) IS NOT NULL),
+        |c AS (
+        |  SELECT e.user_id, min(tus) AS t_click
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND tus > t_view
+        |    AND tus <= t_view + 86400::BIGINT * 1000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(tus) AS t_purchase
+        |  FROM ev e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND tus > t_click
+        |    AND tus <= t_click + 259200::BIGINT * 1000000
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users,
+        |  round(n_users / CAST(first_value(n_users) OVER (
+        |    ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 6) AS rate_vs_top
+        |FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p) t
+        |ORDER BY stage""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
-      rangeFrame, ignoreNulls, saltedJoin, scd2, resample)
+      rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel)
 }

@@ -644,8 +644,11 @@ object TextQueries extends QueryRegistry {
   private val duplicateSpans = NamedQuery(
     "text_duplicate_spans",
     (spark, d) => {
+      // read twice (df aggregation + the per-doc join): pin the kernel
+      // output or the whole corpus re-shingles per branch
       val sh = TextOps.shinglesHashedLocal(
         Tables.documents(spark, d), "doc_id", "text", n = 8)
+        .localCheckpoint()
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
       sh.join(df, "shingle")
         .groupBy("doc_id")

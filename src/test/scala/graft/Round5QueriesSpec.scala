@@ -170,6 +170,19 @@ class Round5QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel_conversion: stages shrink monotonically, rates anchored at the top") {
+    val rows = run("q_funnel_conversion").collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel stages must shrink: ${counts.toSeq}")
+    assert(rows.head.getDouble(2) == 1.0)
+    val rates = rows.map(_.getDouble(2))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b })
+    // a real funnel, not a degenerate one: some users convert, not all
+    assert(counts.last > 0 && counts.last < counts.head)
+  }
+
   test("sim_srp_hamming: codes of identical vectors collide (hamming 0 to self)") {
     // the ranker excludes self-pairs, so check the underlying guarantee
     // at the query level: a query's hamming to its rank-1 neighbor is
