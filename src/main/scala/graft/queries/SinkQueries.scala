@@ -84,5 +84,38 @@ object SinkQueries extends QueryRegistry {
         |  md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
         |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(partitionedParquet, csvRoundTrip)
+  // ---- ORC round-trip: the other columnar format Spark speaks
+  // natively. Same contract as the CSV round-trip: write the projection
+  // to ORC, read it back, and aggregate to a content digest the oracle
+  // reproduces from the ORIGINAL parquet — so the check proves the
+  // write→read cycle is lossless (any dropped/mangled row changes the
+  // sorted digest). ORC brings its own stripe statistics; the read-back
+  // aggregation pushes the column projection into the ORC scan the same
+  // way parquet does.
+  private val orcRoundTrip = NamedQuery(
+    "q_sink_orc_roundtrip",
+    (spark, d) => {
+      val out = scratch(spark, "graft_sink_orc", d)
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").orc(out)
+      spark.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          md5(concat_ws(",", array_sort(collect_list(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber"))))))
+            .as("content_md5"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  md5(string_agg(l_orderkey || ':' || l_linenumber, ','
+        |    ORDER BY l_orderkey || ':' || l_linenumber)) AS content_md5
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(partitionedParquet, csvRoundTrip, orcRoundTrip)
 }
