@@ -204,7 +204,14 @@ object Components {
       nE = nSmall
       iter += 1
     }
-    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    if (!converged) {
+      // release storage BEFORE throwing — a caught non-convergence in a
+      // long-lived session must not pin the node set and last edge round
+      freeCheckpoint(nodes)
+      freeCheckpoint(e)
+      throw new IllegalArgumentException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    }
     // the converged relation is a star forest: (component-min, member).
     // Non-root members appear exactly once as `hi`; roots and isolated
     // nodes label themselves.

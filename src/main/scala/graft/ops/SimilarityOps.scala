@@ -152,6 +152,10 @@ object SimilarityOps {
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, v) =>
+          // fail fast: a remainder subspace would silently drop dims here
+          // while an oracle bucketing by d/dimsPer would keep them
+          require(v.length % nSub == 0,
+            s"subspaceL2: ${v.length} dims not divisible into $nSub subspaces")
           val dimsPer = v.length / nSub
           cs.iterator.flatMap { case (cid, c) =>
             (0 until nSub).iterator.map { s =>

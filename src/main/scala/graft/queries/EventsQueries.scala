@@ -325,6 +325,9 @@ object EventsQueries extends QueryRegistry {
         .filter(col("user_id") < 5)
         .groupBy(col("user_id"), expr("unix_timestamp(ts) div 3600").as("h"))
         .agg(round(avg(col("value")), 6).as("v"))
+        // read twice (spine bounds + the left join): pin so the events
+        // scan + hourly aggregation cannot re-execute per branch
+        .localCheckpoint()
       val spine = known.groupBy("user_id")
         .agg(min("h").as("h0"), max("h").as("h1"))
         .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))

@@ -312,6 +312,9 @@ object SimilarityQueries extends QueryRegistry {
         .groupBy("vec_id")
         .agg(sum(when(col("dot") >= 0, expr("shiftleft(1L, p)"))
           .otherwise(lit(0L))).cast("long").as("code"))
+        // read twice (query filter + ranking side): pin the codes or the
+        // projection kernel and pack aggregation run twice over the corpus
+        .localCheckpoint()
       val q = sig.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("code").as("qcode"))
       val w = Window.partitionBy(col("query_id"))

@@ -273,21 +273,48 @@ object TextQueries extends QueryRegistry {
   // per-language yield report. Every stage is one of the oracle-checked
   // primitives above; this query pins that they COMPOSE without
   // re-deriving anything (the shape an actual pretraining data job has).
+  /** The curation quality score (doc_id, quality) — ONE definition
+    * shared by pipeline_curate and pipeline_train_mix so the capstone
+    * provably composes the same gate the curate query verifies. */
+  private def qualityScored(docs: org.apache.spark.sql.DataFrame) =
+    TextOps.qualityStatsLocal(docs, "doc_id", "text", col("n_chars"), stopwords)
+      .select(col("doc_id"),
+        (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
+          + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
+          + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
+          .as("quality"))
+
+  /** Exact-dedup keepers (min doc_id per distinct text) — shared for the
+    * same reason. */
+  private def exactKeepers(docs: org.apache.spark.sql.DataFrame) =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** SQL mirrors of the two shared stages (CTE bodies, identical text in
+    * both oracles). */
+  private val keepersCteSql =
+    "keepers AS (\n  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))"
+  private def qualityCteSql = s"""q AS (
+    |  SELECT doc_id,
+    |    0.4 * least(n_chars / 500.0, 1.0)
+    |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
+    |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
+    |  FROM (
+    |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
+    |      sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
+    |          THEN 1 ELSE 0 END) AS n_stop,
+    |      first(n_chars) AS n_chars
+    |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+    |          FROM documents) t
+    |    GROUP BY doc_id) s)""".stripMargin
+
   private val curate = NamedQuery(
     "pipeline_curate",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val quality = TextOps.qualityStatsLocal(docs,
-          "doc_id", "text", col("n_chars"), stopwords)
-        .select(col("doc_id"),
-          (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
-            + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
-            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
-            .as("quality"))
-      val keepers = docs
-        .groupBy(md5(col("text")).as("text_md5"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
+      val quality = qualityScored(docs)
+      val keepers = exactKeepers(docs)
       docs
         .join(keepers, "doc_id")
         .join(quality, "doc_id")
@@ -298,21 +325,8 @@ object TextQueries extends QueryRegistry {
           round(avg(col("quality")), 4).as("avg_quality"))
         .orderBy("lang")
     },
-    Some(s"""WITH q AS (
-        |  SELECT doc_id,
-        |    0.4 * least(n_chars / 500.0, 1.0)
-        |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
-        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
-        |  FROM (
-        |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
-        |      sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
-        |          THEN 1 ELSE 0 END) AS n_stop,
-        |      first(n_chars) AS n_chars
-        |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
-        |          FROM documents) t
-        |    GROUP BY doc_id) s),
-        |keepers AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    Some(s"""WITH $qualityCteSql,
+        |$keepersCteSql
         |SELECT d.lang, count(*) AS n_kept,
         |  round(avg(q.quality), 4) AS avg_quality
         |FROM documents d
@@ -692,6 +706,9 @@ object TextQueries extends QueryRegistry {
     (spark, d) => {
       val tok = Tables.documents(spark, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        // read twice (vocabulary aggregation + probe side of the join):
+        // pin so the corpus is tokenized once, not per branch
+        .localCheckpoint()
       val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
       val tot = cnt.agg(sum(col("c")).as("t"))
       tok.join(broadcast(cnt), "w")
@@ -730,17 +747,8 @@ object TextQueries extends QueryRegistry {
     "pipeline_train_mix",
     (spark, d) => {
       val docs = Tables.documents(spark, d)
-      val keepers = docs
-        .groupBy(md5(col("text")).as("text_md5"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val quality = TextOps.qualityStatsLocal(docs,
-          "doc_id", "text", col("n_chars"), stopwords)
-        .select(col("doc_id"),
-          (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
-            + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
-            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
-            .as("quality"))
+      val keepers = exactKeepers(docs)
+      val quality = qualityScored(docs)
       def grams(pred: org.apache.spark.sql.Column) =
         TextOps.shinglesHashedLocal(docs.filter(pred), "doc_id", "text", 8)
       val evalGrams = grams(col("doc_id") % 10 === 0)
@@ -767,21 +775,8 @@ object TextQueries extends QueryRegistry {
           round(col("n_tokens") / (col("n_sequences") * 512.0), 6))
         .orderBy("lang")
     },
-    Some(s"""WITH keepers AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |q AS (
-        |  SELECT doc_id,
-        |    0.4 * least(n_chars / 500.0, 1.0)
-        |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
-        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
-        |  FROM (
-        |    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
-        |      sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
-        |          THEN 1 ELSE 0 END) AS n_stop,
-        |      first(n_chars) AS n_chars
-        |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
-        |          FROM documents) t
-        |    GROUP BY doc_id) s),
+    Some(s"""WITH $keepersCteSql,
+        |$qualityCteSql,
         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |g_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
         |        FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)),

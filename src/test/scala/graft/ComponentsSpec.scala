@@ -118,6 +118,19 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star contraction: non-convergence releases its checkpoints before throwing") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      // maxIter=0 with a non-empty graph: the loop never runs, converged
+      // stays false, and the error path must free nodes + canonical edges
+      Components.connectedComponentsStar(
+        Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst"), maxIter = 0)
+    }
+    assert(sc.getPersistentRDDs.keySet -- before === Set.empty,
+      "non-convergence leaked persisted blocks")
+  }
+
   test("star contraction: 120-node path converges within the round budget") {
     val got = ccStar((0L until 119L).map(i => i -> (i + 1)))
     assert(got.size == 120 && got.values.forall(_ == 0L))
