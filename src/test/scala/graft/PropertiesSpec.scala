@@ -274,4 +274,94 @@ class PropertiesSpec extends SparkSpec {
       assert(sigmaFlagged < 5, s"3-sigma should mask some planted outliers (got $sigmaFlagged) — else the robustness claim is untested")
     }
   }
+
+  test("subspaceL2 kernel ≡ declarative HOF distances, bit-for-bit (randomized)") {
+    import graft.ops.SimilarityOps
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f))
+    for (vs <- samples(Gen.listOfN(12, vecGen), 3)) {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val cent = df.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val got = SimilarityOps.subspaceL2(df, "vec_id", "embedding",
+          cent, "cid", "cemb", nSub = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      // declarative mirror: HOF fold over the same subspace slices — the
+      // fold visits elements in index order, the SAME order the kernel
+      // sums, so the doubles must agree exactly (not just approximately)
+      def subD2(s: Int) = aggregate(
+        zip_with(
+          slice(col("embedding"), s * 8 + 1, 8), slice(col("cemb"), s * 8 + 1, 8),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      val expected = df.crossJoin(cent)
+        .select(col("vec_id") +: col("cid") +:
+          (0 until 2).map(s => subD2(s).as(s"d2_$s")): _*)
+        .selectExpr("vec_id", "cid", "stack(2, 0, d2_0, 1, d2_1) AS (s, d2)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (k, v) =>
+        assert(java.lang.Double.compare(v, expected(k)) == 0,
+          s"$k: kernel $v != declarative ${expected(k)}")
+      }
+    }
+  }
+
+  test("srpPlane ≡ the oracle's SQL md5 derivation, bit-for-bit") {
+    import graft.ops.SimilarityOps
+    // the same conv(substr(md5(...))) chain the DuckDB oracle runs,
+    // evaluated by Spark SQL — both must reproduce the Scala kernel value
+    val rows = spark.range(8).selectExpr("CAST(id AS INT) AS p")
+      .crossJoin(spark.range(8).selectExpr("CAST(id AS INT) AS d"))
+      .selectExpr("p", "d",
+        """CAST(conv(substr(md5(concat('srp_', p, '_', d)), 1, 15), 16, 10) AS DOUBLE)
+           / 1152921504606846976.0 * 2 - 1 AS u""")
+      .collect()
+    rows.foreach { r =>
+      val (p, dd, u) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      assert(java.lang.Double.compare(u, SimilarityOps.srpPlane(p, dd)) == 0,
+        s"plane ($p,$dd): SQL $u != kernel ${SimilarityOps.srpPlane(p, dd)}")
+    }
+  }
+
+  test("funnel stages ≡ driver-side event-stream simulation (randomized)") {
+    val evGen = for {
+      u <- Gen.chooseNum(0L, 9L)
+      ty <- Gen.oneOf("view", "click", "purchase", "other")
+      t <- Gen.chooseNum(0L, 1000L)
+    } yield (u, ty, t)
+    val wClick = 100L
+    val wBuy = 300L
+    for (evs <- samples(Gen.listOfN(120, evGen), 4)) {
+      // driver oracle: first view; first click in (view, view+wClick];
+      // first purchase in (click, click+wBuy]
+      val byUser = evs.groupBy(_._1)
+      val views = byUser.flatMap { case (u, es) =>
+        es.filter(_._2 == "view").map(_._3).minOption.map(u -> _)
+      }
+      val clicks = views.flatMap { case (u, tv) =>
+        byUser(u).filter(e => e._2 == "click" && e._3 > tv && e._3 <= tv + wClick)
+          .map(_._3).minOption.map(u -> _)
+      }
+      val buys = clicks.flatMap { case (u, tc) =>
+        byUser(u).filter(e => e._2 == "purchase" && e._3 > tc && e._3 <= tc + wBuy)
+          .map(_._3).minOption.map(u -> _)
+      }
+      // engine pipeline, same shape as q_funnel_conversion
+      val ev = evs.toDF("user_id", "event_type", "tus")
+      val v = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("tus"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("tus") > col("t_view") && col("tus") <= col("t_view") + wClick)
+        .groupBy("user_id").agg(min(col("tus")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("tus") > col("t_click") && col("tus") <= col("t_click") + wBuy)
+        .groupBy("user_id").agg(min(col("tus")).as("t_purchase"))
+      assert(v.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === views)
+      assert(c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === clicks)
+      assert(p.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === buys)
+    }
+  }
 }
