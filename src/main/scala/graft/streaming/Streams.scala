@@ -89,6 +89,63 @@ object Streams {
       }
   }
 
+  final case class FunnelSnap(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long])
+  final case class FunnelState(minView: Long, clicks: List[Long],
+      buys: List[Long])
+
+  /** Streaming funnel (view → click within wClick → purchase within wBuy
+    * of the click) as a per-user state machine — the stateful-stream dual
+    * of the batch q_funnel_conversion. Events arrive out of order within
+    * and across micro-batches, so the state machine cannot finalize
+    * stages eagerly: a late-arriving EARLIER view moves the whole
+    * attribution window. The state therefore keeps the provable minimum:
+    * the min view time plus only those click/purchase times that could
+    * still be chosen under some FUTURE window — minView only ever
+    * decreases, so clicks > minView + wClick (and purchases beyond
+    * minView + wClick + wBuy) are discarded permanently; everything else
+    * is a live candidate. Each batch re-derives the funnel from state
+    * (an order-insensitive fold), emitting the user's current snapshot
+    * in update mode; once all input is consumed the last snapshot per
+    * user EQUALS the batch funnel (StreamsSpec proves it). State is
+    * O(candidate events inside one attribution window) per user, not
+    * O(stream). */
+  def funnelStages(events: DataFrame, wClick: Long, wBuy: Long): Dataset[FunnelSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Nil, Nil))
+          rows.foreach { case (_, ty, t) =>
+            ty match {
+              case "view" =>
+                if (t < st.minView) st = st.copy(minView = t)
+              case "click" => st = st.copy(clicks = t :: st.clicks)
+              case "purchase" => st = st.copy(buys = t :: st.buys)
+              case _ => ()
+            }
+          }
+          val v = st.minView
+          if (v != Long.MaxValue) st = st.copy(
+            clicks = st.clicks.filter(_ <= v + wClick),
+            buys = st.buys.filter(_ <= v + wClick + wBuy))
+          state.update(st)
+          val tView = if (v == Long.MaxValue) None else Some(v)
+          val tClick = tView.flatMap(tv =>
+            st.clicks.filter(t => t > tv && t <= tv + wClick)
+              .minOption)
+          val tBuy = tClick.flatMap(tc =>
+            st.buys.filter(t => t > tc && t <= tc + wBuy).minOption)
+          FunnelSnap(user, tView, tClick, tBuy)
+      }
+  }
+
   final case class Milestone(user_id: Long, milestone: Long)
 
   /** Arbitrary stateful processing with MULTI-ROW emission

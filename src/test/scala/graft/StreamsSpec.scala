@@ -226,4 +226,54 @@ class StreamsSpec extends SparkSpec {
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("streaming funnel state machine == batch funnel, across out-of-order micro-batches") {
+    // 4 interleaved slices → 4 files → 4 micro-batches; slicing by
+    // event_id scatters each user's events (and their time order) across
+    // batches, so late-arriving EARLIER views genuinely occur and the
+    // state machine's window-rewind logic is exercised, not just replayed
+    val multiPath = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(Streams.eventsRawSchema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+      (0 until 4).foreach { k =>
+        raw.filter(col("event_id") % 4 === k).coalesce(1)
+          .write.mode("append").parquet(dir.toString)
+      }
+      dir.toString
+    }
+    val (wClick, wBuy) = (86400L * 1000000L, 259200L * 1000000L)
+    val q = Streams.runToMemory(
+      Streams.funnelStages(Streams.readEvents(spark, multiPath), wClick, wBuy).toDF(),
+      "stream_funnel", OutputMode.Update())
+    try {
+      val got = spark.table("stream_funnel")
+        .withColumn("ord", monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(max_by(struct(col("t_view"), col("t_click"), col("t_purchase")),
+          col("ord")).as("s"))
+        .collect().map { r =>
+          val s = r.getStruct(1)
+          r.getLong(0) -> (Option(s.get(0)), Option(s.get(1)), Option(s.get(2)))
+        }.toMap
+      // driver-side batch oracle: order-insensitive min/window derivation
+      val byUser = batchEvents
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1)
+      val expected = byUser.map { case (u, es) =>
+        val tv = es.filter(_._2 == "view").map(_._3).minOption
+        val tc = tv.flatMap(v =>
+          es.filter(e => e._2 == "click" && e._3 > v && e._3 <= v + wClick)
+            .map(_._3).minOption)
+        val tb = tc.flatMap(c =>
+          es.filter(e => e._2 == "purchase" && e._3 > c && e._3 <= c + wBuy)
+            .map(_._3).minOption)
+        u -> (tv.map(x => x: Any), tc.map(x => x: Any), tb.map(x => x: Any))
+      }
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
