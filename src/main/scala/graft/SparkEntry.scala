@@ -13,6 +13,7 @@ object SparkEntry {
     RelationalQueries,
     Relational2Queries,
     Relational3Queries,
+    Relational4Queries,
     AggQueries,
     StatsQueries,
     ScalarFuncQueries,

@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth relational wave: the remaining classic TPC-H templates,
+  * adapted to the fixtures' reduced schema (no l_shipmode /
+  * l_commitdate / l_receiptdate / partsupp — the equivalent predicate is
+  * built from columns that exist). Each row in this file is a named
+  * optimizer stress: full-scan conjunctive pushdown (Q6), fact-fact
+  * CASE-sum (Q12), broadcast-dimension conditional ratio (Q14),
+  * disjunctive OR-of-ANDs pushdown (Q19), the double-correlated
+  * EXISTS / NOT EXISTS "sole blame" shape (Q21), and scalar-subquery +
+  * anti-join (Q22).
+  */
+object Relational4Queries extends QueryRegistry {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  // ---- Q6 forecast revenue: the purest pushdown test — no join at
+  // all, three conjunctive predicates on one scan, one global sum. The
+  // whole WHERE must reach the parquet reader as PushedFilters; at
+  // 100 TB this is the difference between reading three row-group
+  // stats-pruned columns and reading the table.
+  private val q6 = NamedQuery(
+    "q6_forecast_revenue",
+    (spark, d) => Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+    Some("""SELECT count(*) AS n,
+        |  round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin))
+
+  // ---- Q12 priority mix (adapted: l_linestatus stands in for the
+  // missing l_shipmode): one fact-fact join, then per-group CASE-counts
+  // splitting urgent from non-urgent order priorities — the
+  // "conditional histogram after a join" template. Both CASE branches
+  // come from ONE aggregation pass; the shipdate filter prunes the
+  // lineitem scan before the shuffle.
+  private val q12 = NamedQuery(
+    "q12_priority_mix",
+    (spark, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(spark, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin))
+
+  // ---- Q14 promo revenue share: conditional-sum ratio over a
+  // broadcast dimension join — sum(CASE)/sum() in one pass, never a
+  // self-join. The month filter stays on the fact scan; only matching
+  // partkeys flow through the broadcast hash lookup.
+  private val q14 = NamedQuery(
+    "q14_promo_revenue",
+    (spark, d) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(spark, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1997-04-01"))
+        .join(broadcast(Tables.part(spark, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
+          sum(vol), 4).as("promo_share"))
+    },
+    Some("""SELECT round(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin))
+
+  // ---- Q19 disjunctive pushdown: OR of three (brand ∧ size ∧
+  // quantity) conjunctions across BOTH join sides. Catalyst must (a)
+  // keep the cross-side disjunction as the join residual, and (b)
+  // derive the side-local implied filters (p_brand ∈ {...},
+  // l_quantity ∈ [1,30]) so each scan still prunes — the classic test
+  // that an optimizer doesn't give up on OR.
+  private val q19 = NamedQuery(
+    "q19_disjunctive_filter",
+    (spark, d) => {
+      val li = Tables.lineitem(spark, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = broadcast(Tables.part(spark, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(pt, col("l_partkey") === col("p_partkey") && cond)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    },
+    Some("""SELECT count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  // ---- Q21 sole blame (adapted: l_returnflag = 'R' stands in for the
+  // missing late-receipt predicate): suppliers whose line is the ONLY
+  // returned one in a finished multi-supplier order. The textbook
+  // formulation is a correlated EXISTS + NOT EXISTS over two extra
+  // lineitem self-scans (and the naive decorrelation still scans the
+  // fact twice — Spark plans no common-subtree sharing). Here the fact
+  // is shuffled ONCE by l_orderkey; that single partitioning satisfies
+  // the (l_orderkey, l_suppkey) rollup AND the per-order window that
+  // replaces both correlated subqueries (n_suppliers, returns-count
+  // over the rolled-up relation), so three logical passes collapse to
+  // one scan + one exchange — verified in PLANS.md; at 100 TB the
+  // EXISTS formulation's extra fact scans are the whole cost.
+  private val q21 = NamedQuery(
+    "q21_sole_blame",
+    (spark, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("returned"))
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_ret", sum(col("returned")).over(wOrd))
+        .filter(col("returned") === 1L && col("n_supp") >= 2 &&
+          col("n_ret") === 1)
+        .join(Tables.orders(spark, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(Tables.supplier(spark, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    },
+    Some("""SELECT s_name, numwait FROM (
+        |  SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM supplier
+        |  JOIN (SELECT l_orderkey, l_suppkey,
+        |          max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |            AS returned
+        |        FROM lineitem GROUP BY 1, 2) l1
+        |    ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  WHERE o_orderstatus = 'F' AND l1.returned = 1
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R')
+        |  GROUP BY s_name)
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+
+  // ---- Q22 idle balance (adapted: "no open order" replaces the
+  // missing phone-prefix predicate — at sf≥0.01 every customer has
+  // SOME order, so the classic never-ordered anti-join is vacuous):
+  // rich customers with no in-flight business. Scalar subquery →
+  // one-row broadcast cross join; NOT EXISTS → left-anti against the
+  // filtered orders projection. Threshold goes through floor() so both
+  // engines compare against the identical integer — a raw double
+  // average is summation-order-dependent and would flap rows at the
+  // boundary.
+  private val q22 = NamedQuery(
+    "q22_idle_balance",
+    (spark, d) => {
+      val cust = Tables.customer(spark, d)
+      val thresh = cust.filter(col("c_acctbal") > 0)
+        .agg(floor(avg(col("c_acctbal"))).as("bal_floor"))
+      cust.crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("bal_floor"))
+        .join(Tables.orders(spark, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("segment")
+    },
+    Some("""SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT floor(avg(c_acctbal))
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY segment""".stripMargin))
+
+  override def all: Seq[NamedQuery] = Seq(q6, q12, q14, q19, q21, q22)
+}
