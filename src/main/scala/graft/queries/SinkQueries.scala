@@ -117,5 +117,38 @@ object SinkQueries extends QueryRegistry {
         |    ORDER BY l_orderkey || ':' || l_linenumber)) AS content_md5
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(partitionedParquet, csvRoundTrip, orcRoundTrip)
+  // JSON-lines round-trip: the interchange format every pipeline ends up
+  // speaking. Schema applied EXPLICITLY on read — schema inference at
+  // 100 TB is a full extra pass over the data before the real one —
+  // and doubles survive the text encoding bit-exactly (Jackson writes
+  // shortest-roundtrip decimals). The per-group sorted-key digest
+  // proves no row is dropped, duplicated, or key-corrupted through the
+  // write-read cycle.
+  private val jsonRoundTrip = NamedQuery(
+    "q_sink_json_roundtrip",
+    (spark, d) => {
+      val out = scratch(spark, "graft_sink_json", d)
+      Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").json(out)
+      spark.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          md5(concat_ws(",", array_sort(collect_list(
+            col("o_orderkey").cast("string"))))).as("content_md5"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY CAST(o_orderkey AS VARCHAR))) AS content_md5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(partitionedParquet, csvRoundTrip, orcRoundTrip, jsonRoundTrip)
 }
