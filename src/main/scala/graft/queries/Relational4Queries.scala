@@ -232,5 +232,103 @@ object Relational4Queries extends QueryRegistry {
         |GROUP BY c_mktsegment
         |ORDER BY segment""".stripMargin))
 
-  override def all: Seq[NamedQuery] = Seq(q6, q12, q14, q19, q21, q22)
+  // ---- Q9 product profit (adapted: no partsupp, so supply cost is a
+  // deterministic fraction of p_retailprice): profit per supplier
+  // nation per year over parts matching a name pattern. The 5-relation
+  // join with every dimension broadcast and the LIKE filter applied
+  // inside the part broadcast subtree — the fact joins only surviving
+  // partkeys.
+  private val q9 = NamedQuery(
+    "q9_product_profit",
+    (spark, d) => {
+      val redParts = Tables.part(spark, d)
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supNation = Tables.supplier(spark, d)
+        .join(broadcast(Tables.nation(spark, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(spark, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(spark, d)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("l_quantity") * col("p_retailprice")), 2).as("profit"))
+        .orderBy("nation", "o_year")
+    },
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - 0.6 * l_quantity * p_retailprice), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin))
+
+  // ---- Q13 order-count histogram: the distribution query — LEFT join
+  // whose extra predicate lives in the ON clause (NOT pushable to a
+  // WHERE: it must null-extend, not drop, customers whose only orders
+  // are urgent), then a group-by OVER a group-by. The second aggregation
+  // is over at most |customers| rows; only the first touches facts.
+  private val q13 = NamedQuery(
+    "q13_order_histogram",
+    (spark, d) => {
+      val perCust = Tables.customer(spark, d)
+        .select(col("c_custkey"))
+        .join(Tables.orders(spark, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+      perCust.groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(desc("n_cust"), desc("n_orders"))
+    },
+    Some("""SELECT n_orders, count(*) AS n_cust FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY n_orders
+        |ORDER BY n_cust DESC, n_orders DESC""".stripMargin))
+
+  // ---- Q16 supplier variety (adapted: lineitem is the part↔supplier
+  // bridge in place of the missing partsupp): how many distinct
+  // suppliers ship each (brand, size) bucket, excluding blacklisted
+  // suppliers via NOT IN — the null-aware anti-join shape (sub-plan
+  // result must be checked for NULLs before any row can pass; here the
+  // column is non-nullable so Catalyst degrades it to a plain anti).
+  // Expressed through spark.sql to exercise the SQL surface end-to-end.
+  private val q16 = NamedQuery(
+    "q16_supplier_variety",
+    (spark, d) => {
+      Tables.registerAll(spark, d)
+      spark.sql(
+        """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN
+          |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+    },
+    Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin))
+
+  override def all: Seq[NamedQuery] =
+    Seq(q6, q9, q12, q13, q14, q16, q19, q21, q22)
 }
