@@ -176,6 +176,64 @@ object AggQueries extends QueryRegistry {
         |LEFT JOIN per_month p ON p.o_custkey = c.o_custkey AND p.ym = m.ym
         |ORDER BY c.o_custkey, m.ym""".stripMargin))
 
+  // Data-quality audit: the validation gate every ingest runs before
+  // promoting a batch. ALL row-local rules are conditional sums in ONE
+  // fact scan (adding a rule costs zero passes); only the referential
+  // check (orphan lineitem → orders) needs a join — anti-join on the
+  // natural key, broadcast-able when the key side is a dimension. The
+  // output is the per-rule violation count relation a scheduler gates
+  // on; rules that SHOULD be zero and a rule that fires (returned rows
+  // still marked open) both appear, so the oracle pins firing and
+  // non-firing paths.
+  private val dqAudit = NamedQuery(
+    "q_dq_audit",
+    (spark, d) => {
+      val li = Tables.lineitem(spark, d)
+      val rowLocal = li.agg(
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("nonpositive_price"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("quantity_out_of_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("discount_out_of_range"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("null_shipdate"),
+        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "O",
+          1L).otherwise(0L)).as("returned_but_open"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("nonpositive_price"), col("quantity_out_of_range"),
+            col("discount_out_of_range"), col("null_shipdate"),
+            col("returned_but_open")),
+          "rule", "n_violations")
+      val orphans = li.select(col("l_orderkey"))
+        .join(Tables.orders(spark, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orphan_lineitem").as("rule"), col("n_violations"))
+      rowLocal.unionByName(orphans).orderBy("rule")
+    },
+    Some("""SELECT rule, n_violations FROM (
+        |  SELECT 'nonpositive_price' AS rule,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM lineitem
+        |  UNION ALL SELECT 'quantity_out_of_range',
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'discount_out_of_range',
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'null_shipdate',
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'returned_but_open',
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
+        |             THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'orphan_lineitem',
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |) t ORDER BY rule""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(rollup, cube, argmax, distincts, approx, stats, trend, spine)
+    Seq(rollup, cube, argmax, distincts, approx, stats, trend, spine, dqAudit)
 }
