@@ -227,6 +227,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes exactly-once (file-source offsets + file-sink metadata log)") {
+    // the production crash-recovery contract: a NEW query started on the
+    // SAME checkpoint must skip everything the dead query committed and
+    // pick up only files that arrived after — no row lost, none doubled.
+    // Both halves matter: the source checkpoint holds the processed-file
+    // log; the parquet sink's _spark_metadata commit log makes partially
+    // written batches invisible to readers.
+    val mk = () => java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (srcDir, outDir, ckptDir) = (mk(), mk(), mk())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(Streams.eventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val total = raw.count()
+    def start() = spark.readStream
+      .schema(Streams.eventsRawSchema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .start()
+    raw.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    raw.filter(col("event_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === total, "every event exactly once after restart")
+    assert(out.select("event_id").distinct().count() === total,
+      "no event processed twice across the restart")
+  }
+
   test("streaming funnel state machine == batch funnel, across out-of-order micro-batches") {
     // 4 interleaved slices → 4 files → 4 micro-batches; slicing by
     // event_id scatters each user's events (and their time order) across
