@@ -14,6 +14,7 @@ object SparkEntry {
     Relational2Queries,
     Relational3Queries,
     Relational4Queries,
+    Relational5Queries,
     AggQueries,
     StatsQueries,
     ScalarFuncQueries,

@@ -451,7 +451,52 @@ object EventsQueries extends QueryRegistry {
         |  UNION ALL SELECT '3_purchase', count(*) FROM p) t
         |ORDER BY stage""".stripMargin))
 
+  // ---- Gaps-and-islands: per-user consecutive-day activity streaks
+  // via the difference-of-rankings idiom (day_number − row_number is
+  // constant within a run of consecutive days). Complements
+  // q_window_session (TIME-gap sessionization): islands are defined on
+  // the integer day grid, and the whole computation is integer
+  // arithmetic — no tolerance, no rounding. One keyed window + two
+  // keyed aggregations, all partitioned by user_id; the distinct
+  // (user, day) projection collapses the fact before the window ever
+  // sorts.
+  private val gapsIslands = NamedQuery(
+    "q_gap_islands",
+    (spark, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = Tables.events(spark, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      days
+        .withColumn("grp",
+          datediff(col("day"), lit("1995-01-01").cast("date")) -
+            row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("streak_len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("streak_len")).as("longest_streak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |runs AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1995-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, count(*) AS streak_len
+        |  FROM runs GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(streak_len) AS BIGINT) AS longest_streak
+        |FROM streaks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
-      rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel)
+      rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel, gapsIslands)
 }

@@ -807,9 +807,47 @@ object TextQueries extends QueryRegistry {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin))
 
+  // ---- Deterministic train/val/test split: every corpus prep ends by
+  // carving held-out splits, and at 100 TB the split MUST be a pure
+  // function of a stable key (a random() split is irreproducible across
+  // retries and re-partitions, and leaks rows between splits on
+  // recompute). md5-bucket assignment: bucket = md5_60(doc_id) mod 20 →
+  // 18/1/1 buckets = 90/5/5. The query emits the per-(lang, split)
+  // census — counts and token volume — the sanity report checked before
+  // any training run. One scan, one shuffle on the tiny (lang, split)
+  // key space; the assignment itself is row-local and embarrassingly
+  // parallel.
+  private val splitTvt = NamedQuery(
+    "q_split_train_val_test",
+    (spark, d) => {
+      val bucket = pmod(TextOps.md5Long(col("doc_id")), lit(20L))
+      val split = when(bucket < 18, "train")
+        .when(bucket === 18, "val")
+        .otherwise("test")
+      Tables.documents(spark, d)
+        .select(col("lang"), split.as("split"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "split")
+    },
+    Some("""SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM (SELECT lang, text,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |            % 20 AS b
+        |        FROM documents) h) t
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
-      duplicateSpans, unigramLogprob, trainMix)
+      duplicateSpans, unigramLogprob, trainMix, splitTvt)
 }
