@@ -21,6 +21,7 @@ object SparkEntry {
     SinkQueries,
     SetOpQueries,
     EventsQueries,
+    AdvancedQueries,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

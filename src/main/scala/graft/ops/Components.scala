@@ -41,7 +41,7 @@ object Components {
     * persisted blocks ARE the data — only unpersist frames no downstream
     * consumer will read again (the returned labels keep their final
     * checkpoint; everything intermediate is released here). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

@@ -1,0 +1,364 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Components, TextOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 surface growth: the operator families a production lakehouse
+  * pipeline leans on that earlier rounds had not yet pinned —
+  * CDC changelog compaction, sketch-prefiltered joins (Bloom), weighted
+  * reservoir sampling, multi-dimensional clustering keys (Z-order),
+  * sequential-fold analytics (EWMA), skyline/Pareto queries, interval
+  * concurrency sweeps, and fixed-point iterative graph ranking
+  * (PageRank). Every query keeps the engine's determinism contract
+  * (COVERAGE.md §determinism): integer-cents money, md5-derived
+  * randomness, ORDER BY with id tie-breaks, doubles emitted raw only
+  * when both engines compute bit-identical sequences.
+  */
+object AdvancedQueries extends QueryRegistry {
+
+  /** floor-to-cents: exact integer money, immune to double-sum order and
+    * to the Spark-vs-DuckDB round() tie-break divergence. */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  // ---- CDC changelog apply (compaction): replay a keyed stream of
+  // versioned I/U/D changes into final table state — the core of every
+  // lakehouse MERGE/CDC sink (Debezium→Delta/Hudi/Iceberg shape). The
+  // changelog is synthesized deterministically from orders: an insert for
+  // every key, an update (+123.45) for keys ≡1 (mod 3), a delete for keys
+  // ≡2 (mod 5). Compaction = arg-max-by-version per key, drop deletes —
+  // ONE hash shuffle on the key (row_number over a key-partitioned
+  // window); at 100 TB this is the same single shuffle, and since
+  // changelog sinks are usually date-partitioned the window runs
+  // per-partition with no global sort anywhere.
+  private val cdcApply = NamedQuery(
+    "q_cdc_apply",
+    (spark, d) => {
+      val o = Tables.orders(spark, d)
+      val ins = o.select(col("o_orderkey").as("k"), lit("I").as("op"),
+        lit(1L).as("version"), cents(col("o_totalprice")).as("price_cents"))
+      val upd = o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          lit(2L).as("version"), (cents(col("o_totalprice")) + 12345L).as("price_cents"))
+      val del = o.filter(col("o_orderkey") % 5 === 2)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(3L).as("version"), lit(0L).as("price_cents"))
+      val w = Window.partitionBy("k").orderBy(desc("version"))
+      ins.unionByName(upd).unionByName(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("op"), col("version"), col("price_cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH log AS (
+        |  SELECT o_orderkey AS k, 'I' AS op, CAST(1 AS BIGINT) AS version,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 2, CAST(floor(o_totalprice * 100) AS BIGINT) + 12345
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 3, 0 FROM orders WHERE o_orderkey % 5 = 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |      FROM log)
+        |SELECT k AS o_orderkey, op, version, price_cents
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin))
+
+  // ---- Bloom-prefiltered decontamination: the 100 TB posture for
+  // text_contamination. When the held-out gram set is too large to
+  // broadcast as a JOIN relation (100M 8-byte keys ≈ GBs of hash table),
+  // a Bloom filter at ~10 bits/key still broadcasts, and prefiltering
+  // the corpus-side grams with it cuts the shuffled join input by the
+  // corpus' true-negative rate (≈99% at fpp=0.01) BEFORE the exact
+  // verify join. The final answer is EXACT — Bloom false positives are
+  // killed by the equi-join — so the oracle is the plain exact SQL; the
+  // sketch only moves bytes out of the shuffle. Built with
+  // DataFrameStatFunctions.bloomFilter: one distributed treeAggregate
+  // pass over the eval grams, no driver-side collect of the gram set.
+  private val bloomDecontaminate = NamedQuery(
+    "text_contamination_bloom",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      def grams(pred: Column) =
+        TextOps.shinglesHashedLocal(docs.filter(pred), "doc_id", "text", 8)
+          .select(col("doc_id"), col("shingle").as("g"))
+      val evalGrams = grams(col("doc_id") % 10 === 0).select("g").distinct()
+      val bloom = evalGrams.stat.bloomFilter("g", 200000L, 0.01)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+      val contaminated = grams(col("doc_id") % 10 =!= 0)
+        .filter(mightContain(col("g"))) // sketch gate: kills ~99% pre-shuffle
+        .join(evalGrams, "g")           // exact verify: kills the fp remainder
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("n_clean", col("n_docs") - col("n_contaminated"))
+        .orderBy("lang")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        |        FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)),
+        |g AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g FROM g_s),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (g) WHERE doc_id % 10 <> 0)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+        |  CAST(count(*) - sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+        |FROM documents d LEFT JOIN cont c USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+
+  // ---- Weighted sampling without replacement (Efraimidis–Spirakis
+  // A-Res): priority = ln(u)/w with u an md5-derived uniform — taking
+  // the top-k priorities draws a weighted sample WITHOUT replacement,
+  // exactly reproducible on recompute (the data-mixing sampler when
+  // "sample 1M docs proportional to quality score" must be re-runnable).
+  // At scale top-k is a TakeOrdered / bounded-heap (q_topk_per_group's
+  // operator), never a global sort. ln() is evaluated per row on
+  // IDENTICAL doubles in both engines; selection flips only if two
+  // rows' priorities collide within 1 ulp (≈1e-8 probability corpus-
+  // wide) — the ranks themselves carry an id tie-break.
+  private val weightedSample = NamedQuery(
+    "q_weighted_sample",
+    (spark, d) => {
+      val u = TextOps.md5Long(col("o_orderkey")) / lit(1152921504606846976.0) // 2^60
+      val w = Window.orderBy(desc("priority"), asc("o_orderkey"))
+      Tables.orders(spark, d)
+        .withColumn("priority", log(u) / col("o_totalprice"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("rank")
+    },
+    Some("""SELECT rank, o_orderkey, price_cents FROM (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ln(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |                  / 1152921504606846976.0) / o_totalprice DESC,
+        |        o_orderkey) AS rank,
+        |    o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+
+  // ---- Z-order clustering key: interleave the bits of two dimensions
+  // (customer mod 256 × day-of-year mod 256) into a 16-bit Morton code
+  // and bucket the table by its high bits. Rows near in Z-value are near
+  // in BOTH dimensions, so every bucket's per-dimension min/max spans
+  // are narrow — which is exactly what makes parquet row-group min/max
+  // stats prune multi-dimension predicates after a Z-order write
+  // (Delta/Iceberg OPTIMIZE ZORDER BY). The emitted per-bucket spans ARE
+  // the pruning statistics: a query box touches only buckets whose
+  // spans intersect it. Pure bitwise arithmetic — bit-identical across
+  // engines.
+  private val zorder = NamedQuery(
+    "q_zorder_cluster",
+    (spark, d) => {
+      val x = (col("o_custkey") % 256).cast("long")
+      val y = (dayofyear(col("o_orderdate")) % 256).cast("long")
+      val morton = (0 until 8).map { b =>
+        shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+          shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+      }.reduce(_ + _)
+      Tables.orders(spark, d)
+        .select(x.as("x"), y.as("y"), morton.as("z"))
+        .withColumn("bucket", shiftright(col("z"), 10)) // 64 buckets of 1024 codes
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_lo"), max("x").as("x_hi"),
+          min("y").as("y_lo"), max("y").as("y_hi"))
+        .orderBy("bucket")
+    },
+    Some {
+      val terms = (0 until 8).map { b =>
+        s"((x >> $b) & 1) * ${1L << (2 * b)} + ((y >> $b) & 1) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         |         CAST(dayofyear(o_orderdate) % 256 AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($terms) AS z FROM pts)
+         |SELECT z >> 10 AS bucket, count(*) AS n,
+         |  min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    })
+
+  // ---- EWMA (exponentially weighted moving average) of daily revenue:
+  // the smoothing/anomaly-baseline primitive. EWMA is a RECURSION
+  // (ewma_t = 0.8·ewma_{t-1} + 0.2·x_t), which window frames cannot
+  // express with pow() weights without transcendental drift — instead
+  // the ordered frame is collected and folded sequentially with
+  // aggregate() (Spark) / list_reduce (DuckDB): the SAME left fold of
+  // the SAME IEEE multiply-adds over the SAME integer-cents inputs, so
+  // both engines produce bit-identical doubles and the output needs no
+  // round(). The day count is bounded (one row per day), so the O(days²)
+  // window-collect is trivia; at 100 TB the daily rollup before it is
+  // the only big shuffle.
+  private val ewma = NamedQuery(
+    "q_ewma_daily",
+    (spark, d) => {
+      val daily = Tables.orders(spark, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("xs", collect_list(col("rev_cents").cast("double")).over(w))
+        .withColumn("ewma",
+          aggregate(slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+            element_at(col("xs"), 1),
+            (acc, x) => acc * lit(0.8) + x * lit(0.2)))
+        .select(col("day"), col("rev_cents"), col("ewma"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |seq AS (
+        |  SELECT day, rev_cents,
+        |    list(CAST(rev_cents AS DOUBLE))
+        |      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        |  FROM daily)
+        |SELECT day, rev_cents,
+        |  list_reduce(xs, (acc, x) -> acc * 0.8 + x * 0.2) AS ewma
+        |FROM seq ORDER BY day""".stripMargin))
+
+  // ---- Skyline (Pareto frontier): customers not dominated on (total
+  // spend, order count). The scalable shape: one sort-order window pass
+  // computes a CANDIDATE dominator set (sorted by spend desc, a point
+  // below the running max of order-count is dominated by that argmax —
+  // so survivors form a superset of the true skyline), then one
+  // broadcast anti-join against that small set removes the dominated —
+  // exact because domination is transitive, so every dominated point
+  // has a dominator inside the candidate set. No O(n²) self-join ever
+  // materializes at scale; the oracle states the NOT EXISTS definition
+  // directly. Integer-cents spend keeps domination comparisons exact.
+  private val skyline = NamedQuery(
+    "q_skyline_pareto",
+    (spark, d) => {
+      val pts = Tables.orders(spark, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(desc("spend_cents"), desc("n_orders"), asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cand = pts
+        .withColumn("pm", max("n_orders").over(w))
+        .filter(col("pm").isNull || col("n_orders") >= col("pm"))
+        .select(col("spend_cents").as("d_s"), col("n_orders").as("d_n"))
+      pts.join(broadcast(cand),
+          col("d_s") >= col("spend_cents") && col("d_n") >= col("n_orders") &&
+            (col("d_s") > col("spend_cents") || col("d_n") > col("n_orders")),
+          "left_anti")
+        .orderBy(desc("spend_cents"), asc("o_custkey"))
+    },
+    Some("""WITH pts AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend_cents, n_orders FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.spend_cents >= p.spend_cents AND q.n_orders >= p.n_orders
+        |    AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders))
+        |ORDER BY spend_cents DESC, o_custkey""".stripMargin))
+
+  // ---- Interval-overlap sweep: maximum concurrent 30-minute sessions
+  // per day — the classic +1/−1 event-boundary prefix sum (room
+  // scheduling, peak concurrency, resource sizing). Half-open [s, e)
+  // semantics via the tie order (ends sort before starts at the same
+  // instant); the RANGE window frame makes tied rows peers sharing one
+  // cumulative value, so the prefix sum is permutation-proof. The
+  // global-ordered running sum is the textbook form; at 100 TB the
+  // sweep partitions by coarse time range with per-range offsets added
+  // back (a two-phase prefix sum — same arithmetic, no global sort).
+  private val intervalOverlap = NamedQuery(
+    "q_interval_overlap",
+    (spark, d) => {
+      val v = Tables.events(spark, d)
+        .filter(col("event_type") === "view")
+        .select(col("ts"))
+      val deltas = v.select(col("ts").as("t"), lit(1).as("delta"))
+        .unionByName(v.select((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1).as("delta")))
+      val w = Window.orderBy(col("t"), col("delta")) // RANGE frame: peers share the sum
+      deltas
+        .withColumn("c", sum("delta").over(w))
+        .groupBy(date_format(col("t"), "yyyy-MM-dd").as("day"))
+        .agg(max("c").as("max_concurrent"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+        .orderBy("day")
+    },
+    Some("""WITH s AS (SELECT ts FROM events WHERE event_type = 'view'),
+        |deltas AS (
+        |  SELECT ts AS t, 1 AS delta FROM s
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 30 MINUTE, -1 FROM s),
+        |sweep AS (
+        |  SELECT t, delta, sum(delta) OVER (ORDER BY t, delta) AS c FROM deltas)
+        |SELECT strftime(t, '%Y-%m-%d') AS day,
+        |  CAST(max(c) AS BIGINT) AS max_concurrent,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin))
+
+  // ---- PageRank, 5 fixed iterations (damping 0.85) over the
+  // supplier↔customer trade graph (distinct lineitem⋈orders pairs,
+  // symmetrized; suppliers offset by 1e6 into a shared id space). The
+  // canonical iterative-relational workload: each iteration is one
+  // edge⋈rank join + one group-sum — the edge relation is checkpointed
+  // ONCE and reused by all five iterations (only the small rank
+  // relation moves per round, the Components.connectedComponents
+  // posture), and the fixed iteration count makes the result an exact
+  // relational fixed point the oracle replays with a recursive CTE.
+  // Per-node incoming sums are order-unspecified in both engines →
+  // round(8) on ranks ~1e-3 absorbs the ~1e-15 reassociation drift.
+  private val pagerank = NamedQuery(
+    "q_pagerank",
+    (spark, d) => {
+      val e = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+        .distinct()
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+      val n = deg.count().toDouble
+      var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+      for (_ <- 1 to 5) {
+        pr = sym
+          .join(pr, sym("src") === pr("node"))
+          .join(deg, "src")
+          .groupBy(col("dst").as("node"))
+          .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
+      }
+      val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
+        .localCheckpoint() // materialize before releasing the loop inputs
+      Components.freeCheckpoint(sym)
+      Components.freeCheckpoint(deg)
+      out.orderBy("node")
+    },
+    Some("""WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, 1.0::DOUBLE / (SELECT n FROM n) FROM deg
+        |  UNION ALL
+        |  SELECT p.iter + 1, s.dst,
+        |    0.15::DOUBLE / (SELECT n FROM n) + 0.85::DOUBLE * sum(p.rank / g.deg)
+        |  FROM pr p JOIN sym s ON p.node = s.src JOIN deg g ON g.src = p.node
+        |  WHERE p.iter < 5
+        |  GROUP BY p.iter, s.dst)
+        |SELECT node, round(rank, 8) AS rank FROM pr WHERE iter = 5
+        |ORDER BY node""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(cdcApply, bloomDecontaminate, weightedSample,
+    zorder, ewma, skyline, intervalOverlap, pagerank)
+}
