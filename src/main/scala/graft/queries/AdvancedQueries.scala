@@ -359,6 +359,59 @@ object AdvancedQueries extends QueryRegistry {
         |SELECT node, round(rank, 8) AS rank FROM pr WHERE iter = 5
         |ORDER BY node""".stripMargin))
 
+  // ---- Hierarchy rollup (org chart / BOM ancestry): every node's root
+  // and depth in a forest given as a parent pointer (here synthesized:
+  // parent(c) = c/10, roots 0..9 — custkeys are contiguous so every
+  // parent exists). The relational form of recursive-CTE traversal,
+  // which Spark lacks: POINTER DOUBLING on (node, anc, dist) — each
+  // round replaces anc by anc's anc and adds the distances, so chains
+  // halve and an h-deep hierarchy resolves in ⌈log₂ h⌉ self-joins, not
+  // h (the difference between 4 rounds and 40 on a deep BOM).
+  // Convergence rides observe() on sum(dist) exactly like
+  // Components.connectedComponents: dist only grows, two equal sums =
+  // every pointer reached its root, no separate probe job.
+  private val hierarchy = NamedQuery(
+    "q_hierarchy_rollup",
+    (spark, d) => {
+      val init = Tables.customer(spark, d)
+        .select(col("c_custkey").as("node"),
+          when(col("c_custkey") >= 10, (col("c_custkey") / 10).cast("long"))
+            .otherwise(col("c_custkey")).as("anc"),
+          when(col("c_custkey") >= 10, lit(1)).otherwise(lit(0)).as("dist"))
+      var state = init.localCheckpoint()
+      var prevSum: Option[Option[Any]] = None
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 12) {
+        val obs = org.apache.spark.sql.Observation(s"hier_round_$iter")
+        val next = state.as("a")
+          .join(state.as("b"), col("a.anc") === col("b.node"))
+          .select(col("a.node"),
+            col("b.anc").as("anc"),
+            (col("a.dist") + col("b.dist")).as("dist"))
+          .observe(obs, sum(col("dist").cast("decimal(38,0)")).as("dist_sum"))
+          .localCheckpoint()
+        val cur = Option(obs.get("dist_sum"))
+        converged = prevSum.contains(cur)
+        prevSum = Some(cur)
+        Components.freeCheckpoint(state)
+        state = next
+        iter += 1
+      }
+      require(converged, s"hierarchy rollup did not converge in $iter rounds")
+      state.select(col("node"), col("anc").as("root"), col("dist").as("depth"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE chain(node, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT node, anc // 10, depth + 1 FROM chain WHERE anc >= 10),
+        |final AS (
+        |  SELECT node, anc AS root, depth,
+        |    row_number() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+        |  FROM chain)
+        |SELECT node, root, depth FROM final WHERE rn = 1 ORDER BY node""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(cdcApply, bloomDecontaminate, weightedSample,
-    zorder, ewma, skyline, intervalOverlap, pagerank)
+    zorder, ewma, skyline, intervalOverlap, pagerank, hierarchy)
 }

@@ -103,6 +103,19 @@ class AdvancedQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).max >= 1)
   }
 
+  test("q_hierarchy_rollup: roots are fixpoints, depth matches the decimal chain length") {
+    val rows = run("q_hierarchy_rollup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (node, root, depth) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(root < 10, s"node $node resolved to non-root $root")
+      // replay the parent chain directly: parent(c) = c/10
+      var (c, d) = (node, 0)
+      while (c >= 10) { c /= 10; d += 1 }
+      assert(root == c && depth == d, s"node $node: got ($root,$depth), chain says ($c,$d)")
+    }
+  }
+
   test("q_pagerank: a probability distribution concentrated where degree is") {
     val rows = run("q_pagerank").collect()
     assert(rows.nonEmpty)
