@@ -146,6 +146,62 @@ object Streams {
       }
   }
 
+  final case class EwmaSnap(user_id: Long, n: Long, ewma: Double)
+  final case class EwmaState(ewma: Double, n: Long, buf: List[(Long, Double)])
+
+  /** Streaming EWMA per user over event VALUES in EVENT-TIME order — the
+    * stateful dual of the q_ewma_daily fold, and the harder streaming
+    * shape: unlike the funnel (an order-insensitive fold) a recurrence
+    * consumes its inputs in sequence, so out-of-order arrival cannot be
+    * folded eagerly. The state machine buffers (ts, value) pairs and
+    * COMMITS the prefix older than the current watermark into the
+    * running recurrence (sorted by (ts, value) — the same deterministic
+    * order the batch dual uses); everything younger stays buffered, so
+    * state is O(events inside the watermark lag), not O(stream). Each
+    * batch emits a snapshot that folds the buffered tail on top of the
+    * committed accumulator WITHOUT committing it — once input is
+    * exhausted the last snapshot per user equals the batch fold
+    * bit-for-bit (same doubles, same order; StreamsSpec proves it).
+    * Requires `withWatermark("ts", …)` upstream; the watermark is the
+    * correctness contract — a late row behind the committed prefix
+    * would rewrite history the recurrence has already consumed. */
+  def ewmaOrderedFold(events: DataFrame, alpha: Double,
+                      watermarkDelay: String): Dataset[EwmaSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // the watermark-tagged ts column must flow INTO the grouped
+      // Dataset — projecting it away (e.g. to unix_micros) prunes the
+      // EventTimeWatermark node and getCurrentWatermarkMs throws
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L, Nil))
+          st = st.copy(buf = rows.foldLeft(st.buf) {
+            case (b, (_, t, v)) =>
+              val i = t.toInstant
+              (i.getEpochSecond * 1000000L + i.getNano / 1000L, v) :: b
+          })
+          def fold(e0: Double, n0: Long, xs: List[(Long, Double)]): (Double, Long) =
+            xs.sorted.foldLeft((e0, n0)) { case ((e, n), (_, v)) =>
+              (if (n == 0L) v else (1 - alpha) * e + alpha * v, n + 1)
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, hold) = st.buf.partition(_._1 < wmUs)
+          if (ready.nonEmpty) {
+            val (e, n) = fold(st.ewma, st.n, ready)
+            st = EwmaState(e, n, hold)
+          }
+          state.update(st)
+          val (e, n) = fold(st.ewma, st.n, st.buf)
+          EwmaSnap(user, n, e)
+      }
+  }
+
   final case class Milestone(user_id: Long, milestone: Long)
 
   /** Arbitrary stateful processing with MULTI-ROW emission

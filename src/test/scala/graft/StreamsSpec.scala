@@ -258,6 +258,85 @@ class StreamsSpec extends SparkSpec {
       "no event processed twice across the restart")
   }
 
+  // driver-side replica of the EWMA fold: same (ts, value) sort, same
+  // IEEE arithmetic → the streaming result must match BIT-FOR-BIT
+  private def ewmaBatchOracle(alpha: Double): Map[Long, (Long, Double)] =
+    batchEvents
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sorted
+        val ewma = sorted.drop(1).foldLeft(sorted.head._2) {
+          case (e, (_, v)) => (1 - alpha) * e + alpha * v
+        }
+        u -> (es.length.toLong, ewma)
+      }
+
+  test("streaming ordered-fold EWMA == batch fold under shuffled arrival (nothing commits)") {
+    // event_id slicing scatters each user's events across 4 micro-batches
+    // in arbitrary time order; a 365-day watermark keeps every event
+    // buffered, so the snapshot path must reproduce the recurrence alone
+    val multiPath = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(Streams.eventsRawSchema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+      (0 until 4).foreach { k =>
+        raw.filter(col("event_id") % 4 === k).coalesce(1)
+          .write.mode("append").parquet(dir.toString)
+      }
+      dir.toString
+    }
+    val q = Streams.runToMemory(
+      Streams.ewmaOrderedFold(
+        Streams.readEvents(spark, multiPath), 0.2, "365 days").toDF(),
+      "stream_ewma_shuffled", OutputMode.Update())
+    try {
+      val got = lastSnapshotPerUser("stream_ewma_shuffled")
+      assert(got === ewmaBatchOracle(0.2))
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming ordered-fold EWMA == batch fold with advancing watermark (commit path)") {
+    // time-ordered slices: each micro-batch advances the watermark past
+    // the previous batch's events, so earlier prefixes genuinely COMMIT
+    // into the recurrence and the buffer stays bounded by the lag
+    val orderedPath = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma_ord")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(Streams.eventsRawSchema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+      val qs = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      val bounds = Seq(Long.MinValue) ++ qs.map(_.toLong) ++ Seq(Long.MaxValue)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        raw.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+          .write.mode("append").parquet(dir.toString)
+      }
+      dir.toString
+    }
+    val q = Streams.runToMemory(
+      Streams.ewmaOrderedFold(
+        Streams.readEvents(spark, orderedPath), 0.2, "1 hour").toDF(),
+      "stream_ewma_ordered", OutputMode.Update())
+    try {
+      val got = lastSnapshotPerUser("stream_ewma_ordered")
+      assert(got === ewmaBatchOracle(0.2))
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  private def lastSnapshotPerUser(table: String): Map[Long, (Long, Double)] =
+    spark.table(table)
+      .withColumn("ord", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n"), col("ewma")), col("ord")).as("s"))
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getLong(0) -> (s.getLong(0), s.getDouble(1))
+      }.toMap
+
   test("streaming funnel state machine == batch funnel, across out-of-order micro-batches") {
     // 4 interleaved slices → 4 files → 4 micro-batches; slicing by
     // event_id scatters each user's events (and their time order) across
