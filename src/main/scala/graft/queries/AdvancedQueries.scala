@@ -23,6 +23,77 @@ object AdvancedQueries extends QueryRegistry {
     * to the Spark-vs-DuckDB round() tie-break divergence. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
+  /** 2-D skyline (maximize both columns): one window pass builds a
+    * candidate dominator superset (sorted by x desc, a point below the
+    * running max of y is dominated by that running argmax), then a
+    * broadcast anti-join removes every dominated point — exact because
+    * dominance is transitive. Exercised on random point sets (incl.
+    * exact duplicates, which are mutually non-dominating) by
+    * PropertiesSpec. */
+  private[graft] def skyline2d(pts: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w = Window.orderBy(desc(xCol), desc(yCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = pts
+      .withColumn("pm", max(yCol).over(w))
+      .filter(col("pm").isNull || col(yCol) >= col("pm"))
+      .select(col(xCol).as("d_x"), col(yCol).as("d_y"))
+    pts.join(broadcast(cand),
+      col("d_x") >= col(xCol) && col("d_y") >= col(yCol) &&
+        (col("d_x") > col(xCol) || col("d_y") > col(yCol)),
+      "left_anti")
+  }
+
+  /** Pointer-doubling ancestor rollup: `init` is (node, anc, dist) with
+    * anc = parent (or self for roots) and dist = 1 (or 0 for roots);
+    * every anc must itself be a node. Each round substitutes anc := anc's
+    * anc and adds distances, so an h-deep forest converges in ⌈log₂ h⌉
+    * rounds; convergence is detected by two consecutive equal dist sums
+    * on the observe() channel (dist only grows). Returns the converged
+    * (node, anc = root, dist = depth). */
+  private[graft] def pointerDoubleRollup(init: DataFrame, maxIter: Int = 12): DataFrame = {
+    var state = init.localCheckpoint()
+    var prevSum: Option[Option[Any]] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"hier_round_${System.nanoTime()}")
+      val next = state.as("a")
+        .join(state.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node"),
+          col("b.anc").as("anc"),
+          (col("a.dist") + col("b.dist")).as("dist"))
+        .observe(obs, sum(col("dist").cast("decimal(38,0)")).as("dist_sum"))
+        .localCheckpoint()
+      val cur = Option(obs.get("dist_sum"))
+      converged = prevSum.contains(cur)
+      prevSum = Some(cur)
+      Components.freeCheckpoint(state)
+      state = next
+      iter += 1
+    }
+    require(converged, s"pointerDoubleRollup did not converge in $iter rounds")
+    state
+  }
+
+  /** Graph metrics over canonically-oriented (u < v) edges: node count,
+    * edge count, and the wedge-close triangle count (each triangle
+    * {a<b<c} found exactly once as (a,b)+(b,c)+(a,c)). */
+  private[graft] def triangleStats(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val nodes = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x"))).distinct()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+    val out = nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .localCheckpoint()
+    Components.freeCheckpoint(edges)
+    out
+  }
+
   // ---- CDC changelog apply (compaction): replay a keyed stream of
   // versioned I/U/D changes into final table state — the core of every
   // lakehouse MERGE/CDC sink (Debezium→Delta/Hudi/Iceberg shape). The
@@ -243,16 +314,7 @@ object AdvancedQueries extends QueryRegistry {
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
           count(lit(1)).as("n_orders"))
-      val w = Window.orderBy(desc("spend_cents"), desc("n_orders"), asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cand = pts
-        .withColumn("pm", max("n_orders").over(w))
-        .filter(col("pm").isNull || col("n_orders") >= col("pm"))
-        .select(col("spend_cents").as("d_s"), col("n_orders").as("d_n"))
-      pts.join(broadcast(cand),
-          col("d_s") >= col("spend_cents") && col("d_n") >= col("n_orders") &&
-            (col("d_s") > col("spend_cents") || col("d_n") > col("n_orders")),
-          "left_anti")
+      skyline2d(pts, "spend_cents", "n_orders")
         .orderBy(desc("spend_cents"), asc("o_custkey"))
     },
     Some("""WITH pts AS (
@@ -323,22 +385,28 @@ object AdvancedQueries extends QueryRegistry {
         .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
         .distinct()
+      // the Components posture: the (big) edge relation is shuffled onto
+      // the per-round join key ONCE and cached — InMemoryRelation
+      // preserves outputPartitioning where a checkpoint's LogicalRDD
+      // would not — so all 5 iterations move only the (1 row/node) rank
+      // relation. Pre-joining the degree onto the edges removes the
+      // second per-round join entirely.
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-      val n = deg.count().toDouble
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edges = sym.join(deg, "src")
+        .repartition(col("src"))
+        .cache()
+      val n = edges.select(col("src")).distinct().count().toDouble
       var pr = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to 5) {
-        pr = sym
-          .join(pr, sym("src") === pr("node"))
-          .join(deg, "src")
+        pr = edges
+          .join(pr, edges("src") === pr("node"))
           .groupBy(col("dst").as("node"))
           .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
       }
       val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
-        .localCheckpoint() // materialize before releasing the loop inputs
-      Components.freeCheckpoint(sym)
-      Components.freeCheckpoint(deg)
+        .localCheckpoint() // materialize before releasing the cached edges
+      edges.unpersist(false)
       out.orderBy("node")
     },
     Some("""WITH RECURSIVE
@@ -378,28 +446,8 @@ object AdvancedQueries extends QueryRegistry {
           when(col("c_custkey") >= 10, (col("c_custkey") / 10).cast("long"))
             .otherwise(col("c_custkey")).as("anc"),
           when(col("c_custkey") >= 10, lit(1)).otherwise(lit(0)).as("dist"))
-      var state = init.localCheckpoint()
-      var prevSum: Option[Option[Any]] = None
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 12) {
-        val obs = org.apache.spark.sql.Observation(s"hier_round_$iter")
-        val next = state.as("a")
-          .join(state.as("b"), col("a.anc") === col("b.node"))
-          .select(col("a.node"),
-            col("b.anc").as("anc"),
-            (col("a.dist") + col("b.dist")).as("dist"))
-          .observe(obs, sum(col("dist").cast("decimal(38,0)")).as("dist_sum"))
-          .localCheckpoint()
-        val cur = Option(obs.get("dist_sum"))
-        converged = prevSum.contains(cur)
-        prevSum = Some(cur)
-        Components.freeCheckpoint(state)
-        state = next
-        iter += 1
-      }
-      require(converged, s"hierarchy rollup did not converge in $iter rounds")
-      state.select(col("node"), col("anc").as("root"), col("dist").as("depth"))
+      pointerDoubleRollup(init)
+        .select(col("node"), col("anc").as("root"), col("dist").as("depth"))
         .orderBy("node")
     },
     Some("""WITH RECURSIVE chain(node, anc, depth) AS (
@@ -412,6 +460,71 @@ object AdvancedQueries extends QueryRegistry {
         |  FROM chain)
         |SELECT node, root, depth FROM final WHERE rn = 1 ORDER BY node""".stripMargin))
 
+  /** Co-purchase graph: distinct part pairs appearing in the same order
+    * (high-quantity lines only, to keep the demo graph an interesting
+    * size), canonically oriented u < v. Shared by the two graph-metric
+    * queries below. */
+  private def copurchaseEdges(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(spark, d)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  private val copurchaseCte =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem WHERE l_quantity >= 48),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
+  // ---- Triangle count: the clustering-coefficient primitive. Edges are
+  // canonically ordered (u < v), so each triangle {a<b<c} is counted
+  // exactly once by the two-join wedge-close (e1=(a,b), e2=(b,c),
+  // e3=(a,c)). At 100 TB the orientation key becomes (degree, id)
+  // instead of raw id — listing every edge under its LOWER-DEGREE
+  // endpoint bounds the wedge fan-out per node and gives the O(m^1.5)
+  // bound; same plan shape, different sort key. The edge relation is
+  // checkpointed once and read by all three legs.
+  private val triangles = NamedQuery(
+    "q_triangle_count",
+    (spark, d) => triangleStats(copurchaseEdges(spark, d)),
+    Some(s"""WITH $copurchaseCte
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT u FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT count(*) FROM edges e1
+        |     JOIN edges e2 ON e1.v = e2.u
+        |     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin))
+
+  // ---- Degree distribution of the same graph — the first diagnostic
+  // run on any graph (skew detection: a power-law tail tells you which
+  // joins need the salting/orientation treatments). One union + two
+  // partial-aggregated shuffles.
+  private val degreeHist = NamedQuery(
+    "q_degree_histogram",
+    (spark, d) => {
+      val edges = copurchaseEdges(spark, d)
+      edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+    Some(s"""WITH $copurchaseCte,
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
+        |  GROUP BY node)
+        |SELECT degree, count(*) AS n_nodes FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(cdcApply, bloomDecontaminate, weightedSample,
-    zorder, ewma, skyline, intervalOverlap, pagerank, hierarchy)
+    zorder, ewma, skyline, intervalOverlap, pagerank, hierarchy,
+    triangles, degreeHist)
 }

@@ -364,4 +364,140 @@ class PropertiesSpec extends SparkSpec {
       assert(p.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === buys)
     }
   }
+
+  test("skyline2d ≡ O(n²) brute force on random points incl. exact duplicates (randomized)") {
+    // small coordinate range forces x-ties, y-ties, and full (x,y)
+    // duplicates — the cases where the candidate-superset window trick
+    // could go wrong
+    val ptsGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(0L, 8L)))
+    for (pts <- samples(ptsGen, 6)) {
+      def dom(a: (Long, Long), b: (Long, Long)) =
+        a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+      val expected = pts.filter(p => !pts.exists(q => dom(q, p)))
+        .groupBy(identity).map { case (p, l) => p -> l.size }
+      val got = graft.queries.AdvancedQueries
+        .skyline2d(pts.toDF("x", "y"), "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).map { case (p, l) => p -> l.size }
+      assert(got === expected, s"pts=$pts")
+    }
+  }
+
+  test("pointerDoubleRollup ≡ chain replay on random forests incl. a 120-deep path (randomized)") {
+    // parent(i) < i keeps it a forest; include a pure path graph, the
+    // depth-adversarial case where doubling (log rounds) matters
+    val forestGen = Gen.listOfN(60, Gen.chooseNum(0, 4))
+    val cases = samples(forestGen, 4).map { picks =>
+      // node i's parent drawn from {i/2, i-1, i/3, root...} variants
+      (1 until picks.length).map { i =>
+        i.toLong -> (picks(i) match {
+          case 0 => 0L
+          case 1 => (i - 1).toLong
+          case 2 => (i / 2).toLong
+          case 3 => (i / 3).toLong
+          case _ => (i * 2 / 3).toLong
+        })
+      }.toMap
+    } :+ (1 until 120).map(i => i.toLong -> (i - 1).toLong).toMap
+    for (parent <- cases) {
+      val nodes = 0L +: parent.keys.toSeq.sorted
+      def chase(n: Long): (Long, Int) = {
+        var (c, d) = (n, 0)
+        while (parent.contains(c)) { c = parent(c); d += 1 }
+        (c, d)
+      }
+      val expected = nodes.map(n => n -> chase(n)).toMap
+      val init = nodes.map { n =>
+        parent.get(n) match {
+          case Some(p) => (n, p, 1)
+          case None => (n, n, 0)
+        }
+      }.toDF("node", "anc", "dist")
+      val got = graft.queries.AdvancedQueries.pointerDoubleRollup(init)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("triangleStats ≡ brute-force enumeration on random graphs (randomized)") {
+    val edgeGen = Gen.listOfN(50, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+    for (raw <- samples(edgeGen, 5)) {
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      val eset = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val triangles = (for {
+        a <- nodes; b <- nodes if a < b && eset((a, b))
+        c <- nodes if b < c && eset((b, c)) && eset((a, c))
+      } yield 1).size
+      val r = graft.queries.AdvancedQueries
+        .triangleStats(edges.toDF("u", "v")).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+        ((nodes.size.toLong, edges.size.toLong, triangles.toLong)), s"edges=$edges")
+    }
+  }
+
+  test("CDC compaction ≡ last-writer-wins replay on random changelogs (randomized)") {
+    // random per-key version chains with interleaved I/U/D ops — the
+    // arg-max-by-version window must agree with a driver-side replay
+    val logGen = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(1L, 9L), Gen.oneOf("I", "U", "D")))
+    for (raw <- samples(logGen, 5)) {
+      // de-dup (key, version) collisions: keep the first occurrence, so
+      // both sides see an identical, well-defined changelog
+      val log = raw.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val expected = log.groupBy(_._1).flatMap { case (k, es) =>
+        val last = es.maxBy(_._2)
+        if (last._3 == "D") None else Some(k -> ((last._3, last._2)))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(desc("version"))
+      val got = log.toDF("k", "version", "op")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(1)))).toMap
+      assert(got === expected, s"log=$log")
+    }
+  }
+
+  test("interval sweep max-concurrency ≡ brute force over boundaries (randomized)") {
+    val ivGen = Gen.listOfN(30, Gen.chooseNum(0L, 500L))
+    val width = 40L
+    for (starts <- samples(ivGen, 5)) {
+      // brute force: concurrency with half-open [s, s+width) evaluated
+      // at every start point
+      val expected = starts.map(t => starts.count(s => s <= t && t < s + width)).max
+      val deltas = starts.map(s => (s, 1)) ++ starts.map(s => (s + width, -1))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"), col("delta"))
+      val got = deltas.toDF("t", "delta")
+        .withColumn("c", sum("delta").over(w))
+        .agg(max("c")).collect().head.getLong(0)
+      assert(got === expected.toLong, s"starts=$starts")
+    }
+  }
+
+  test("EWMA fold ≡ closed-form weighted sum (randomized)") {
+    val xsGen = Gen.listOfN(25, Gen.chooseNum(-50.0, 50.0))
+    for (xs <- samples(xsGen, 5)) {
+      val alpha = 0.2
+      // closed form: ewma_n = (1-a)^(n-1) x_1 + a·Σ (1-a)^(n-1-i) x_i
+      val n = xs.length
+      val closed = math.pow(1 - alpha, n - 1) * xs.head +
+        xs.tail.zipWithIndex.map { case (x, i) =>
+          alpha * math.pow(1 - alpha, n - 2 - i) * x
+        }.sum
+      val w = org.apache.spark.sql.expressions.Window.orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val folded = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+        .withColumn("xs", collect_list(col("x")).over(w))
+        .withColumn("ewma",
+          aggregate(slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+            element_at(col("xs"), 1),
+            (acc, x) => acc * lit(1 - alpha) + x * lit(alpha)))
+        .orderBy(desc("i")).select("ewma").collect().head.getDouble(0)
+      assert(math.abs(folded - closed) < 1e-9 * (1 + math.abs(closed)), s"xs=$xs")
+    }
+  }
 }
