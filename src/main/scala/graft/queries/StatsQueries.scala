@@ -153,5 +153,78 @@ object StatsQueries extends QueryRegistry {
         |FROM lineitem l JOIN mad USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments, madOutliers)
+  // Shannon entropy of the language mix per source — the diversity
+  // metric behind data-mixing decisions ("is this crawl slice
+  // monolingual?"). Probabilities are exact integer ratios; the ln runs
+  // on identical doubles in both engines and the per-group sum spans ≤
+  // a handful of languages, so round(6) is far beyond the ulp noise.
+  // One partial-aggregated shuffle on (source, lang), then a broadcast
+  // of per-source totals back onto the tiny group relation.
+  private val entropyMix = NamedQuery(
+    "q_entropy_mix",
+    (spark, d) => {
+      val c = Tables.documents(spark, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val t = c.groupBy("source").agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), "source")
+        .withColumn("p", col("n") / col("tot"))
+        .groupBy("source")
+        .agg(max(col("tot")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          round(-sum(col("p") * log(col("p"))), 6).as("entropy_nats"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source)
+        |SELECT source, max(tot) AS n_docs, count(*) AS n_langs,
+        |  round(-sum((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE))), 6) AS entropy_nats
+        |FROM c JOIN t USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin))
+
+  // Exact mode and exact DISCRETE median (percentile_disc dual of
+  // q_percentile_cont's interpolation): mode = arg-max of the value
+  // histogram with a value tie-break, discrete median = the row at rank
+  // ⌈n/2⌉ in value order. Both are rank selections with deterministic
+  // tie-breaks — engine-portable where built-in mode() (arbitrary tie)
+  // is not. The histogram aggregation collapses the rank window's input
+  // to |distinct values| rows, so nothing global-sorts the raw table.
+  private val modeDisc = NamedQuery(
+    "q_mode_disc",
+    (spark, d) => {
+      val hist = Tables.lineitem(spark, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val byCount = Window.partitionBy("l_returnflag")
+        .orderBy(desc("cnt"), asc("l_quantity"))
+      val byValue = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      hist
+        .withColumn("mode_rn", row_number().over(byCount))
+        .withColumn("cum", sum(col("cnt")).over(byValue))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("mode_rn") === 1, col("l_quantity"))).as("mode_qty"),
+          max(when(col("mode_rn") === 1, col("cnt"))).as("mode_n"),
+          min(when(col("cum") >= ceil(col("total") / 2), col("l_quantity"))).as("median_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH hist AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_quantity) AS mode_rn,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN mode_rn = 1 THEN l_quantity END) AS mode_qty,
+        |  CAST(max(CASE WHEN mode_rn = 1 THEN cnt END) AS BIGINT) AS mode_n,
+        |  min(CASE WHEN cum >= ceil(total / 2.0) THEN l_quantity END) AS median_disc
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments, madOutliers,
+    entropyMix, modeDisc)
 }
