@@ -496,7 +496,74 @@ object EventsQueries extends QueryRegistry {
         |FROM streaks GROUP BY user_id
         |ORDER BY user_id""".stripMargin))
 
+  // Sequence pattern matching (the MATCH_RECOGNIZE family): count
+  // STRICTLY CONSECUTIVE view→click→purchase triples per user — no
+  // intervening event of any kind, unlike q_funnel_conversion's
+  // windowed any-gap stages. lead()-chaining over the user-partitioned
+  // event sequence is the relational compilation of a fixed-length
+  // pattern: ONE shuffle on user_id, no joins, no state. Ordering ties
+  // on ts are broken by event_id so both engines walk the identical
+  // sequence. Variable-length patterns (A B+ C) compile to the
+  // gaps-and-islands idiom (q_gap_islands) instead of lead-chains.
+  private val patternTriples = NamedQuery(
+    "q_pattern_triples",
+    (spark, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("e1", lead(col("event_type"), 1).over(w))
+        .withColumn("e2", lead(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "view" &&
+          col("e1") === "click" && col("e2") === "purchase")
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT count(*) AS n_triples, count(DISTINCT user_id) AS n_users
+        |FROM seq
+        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'""".stripMargin))
+
+  // Cohort retention: users bucketed by FIRST-purchase week, activity =
+  // distinct purchase weeks, cell = users from cohort c active at week
+  // offset o — the product-analytics staple. Week truncation is ISO
+  // Monday in both engines; offsets are exact integer week multiples so
+  // the divide-then-cast is lossless. Two partial-aggregated shuffles
+  // plus a broadcast of the per-user cohort relation; the matrix itself
+  // is tiny at any scale.
+  private val cohortRetention = NamedQuery(
+    "q_cohort_retention",
+    (spark, d) => {
+      val p = Tables.events(spark, d).filter(col("event_type") === "purchase")
+      val first = p.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val act = p.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      act.join(broadcast(first), "user_id")
+        .groupBy(unix_timestamp(col("cohort")).as("cohort_week"),
+          ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
+            .cast("long").as("offset_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+    Some("""WITH first AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_week,
+        |  CAST((epoch(wk) - epoch(cohort)) / 604800 AS BIGINT) AS offset_weeks,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
-      rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel, gapsIslands)
+      rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel, gapsIslands,
+      patternTriples, cohortRetention)
 }

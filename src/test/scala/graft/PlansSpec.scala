@@ -221,4 +221,33 @@ class PlansSpec extends SparkSpec {
         "spark.sql.optimizer.dynamicPartitionPruning.useStats")
     }
   }
+
+  test("CDC compaction plans a map-side WindowGroupLimit before its one shuffle") {
+    // rank-limit pushdown: the row_number()=1 filter must compact the
+    // changelog BEFORE the exchange — shuffling ~one row per key, not
+    // the raw change stream (PLANS.md §q_cdc_apply)
+    val plan = SparkEntry.queries("q_cdc_apply")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit (rank-limit pushdown) in CDC plan:\n$plan")
+  }
+
+  test("skyline plans a broadcast anti-join, never a pair materialization") {
+    val plan = SparkEntry.queries("q_skyline_pareto")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftAnti"),
+      s"skyline did not plan the broadcast anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"skyline materialized a cartesian pair relation:\n$plan")
+  }
+
+  test("weighted sample plans a bounded top-k heap, no global sort of the table") {
+    // the limit-20 selection must become TakeOrderedAndProject (per-
+    // partition bounded heaps merged on the driver) — the raw table is
+    // never globally sorted; only the 20 survivors meet the rank window
+    val plan = SparkEntry.queries("q_weighted_sample")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no bounded top-k in weighted-sample plan:\n$plan")
+  }
 }
