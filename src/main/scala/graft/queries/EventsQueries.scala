@@ -562,8 +562,47 @@ object EventsQueries extends QueryRegistry {
         |FROM act a JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // The NEGATION pattern (A not-followed-by B): users whose first click
+  // was never followed by a purchase within 72h — the abandoned-cart /
+  // churn-risk query, and the pattern family funnels cannot express
+  // (funnels count successes; this counts the ABSENCE of a successor).
+  // Compiled to a windowed anti-join: first click per user (one
+  // aggregation), left-anti against purchases constrained to the
+  // attribution interval. Both sides shuffle once on user_id; the
+  // interval predicate rides the join condition so no pair relation
+  // materializes.
+  private val abandoned = NamedQuery(
+    "q_abandoned_funnel",
+    (spark, d) => {
+      val ev = Tables.events(spark, d)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("t_buy"))
+      firstClick.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("t_buy") > col("t_click") &&
+            col("t_buy") <= col("t_click") + lit(72L * 3600 * 1000000),
+          "left_anti")
+        .select(col("user_id"), (col("t_click") / 1000000L).cast("long").as("click_epoch"))
+        .orderBy("user_id")
+    },
+    Some("""WITH fc AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(t_click // 1000000 AS BIGINT) AS click_epoch
+        |FROM fc
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = fc.user_id
+        |    AND epoch_us(p.ts) > fc.t_click
+        |    AND epoch_us(p.ts) <= fc.t_click + CAST(72 AS BIGINT) * 3600 * 1000000)
+        |ORDER BY user_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
       rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel, gapsIslands,
-      patternTriples, cohortRetention)
+      patternTriples, cohortRetention, abandoned)
 }

@@ -257,6 +257,35 @@ object Streams {
         unix_timestamp(col("click_ts")).as("click_epoch"))
   }
 
+  /** Stream-STREAM LEFT OUTER interval join — the semantics inner joins
+    * cannot give: every click appears, purchases matched within the
+    * following hour where they exist, NULLs where they do not. The
+    * engine-level subtlety this exists to pin: an outer-join NULL row
+    * can only be emitted once the watermark proves no matching purchase
+    * can still arrive — so unmatched results trail the data by the
+    * watermark delay, and a test must advance the watermark past the
+    * tail (a sentinel late file) before the NULLs surface. Same state
+    * bound as the inner join: both sides evicted as the watermark
+    * passes the interval. */
+  def clickPurchaseLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"),
+        unix_timestamp(col("click_ts")).as("click_epoch"),
+        col("purchase_id"))
+  }
+
   /** Streaming corpus ingest with CROSS-BATCH exact dedup — the
     * streaming twin of the batch `dedup_incremental` query: every
     * micro-batch dedupes within itself (min-doc_id keeper per text

@@ -337,6 +337,57 @@ class StreamsSpec extends SparkSpec {
         r.getLong(0) -> (s.getLong(0), s.getDouble(1))
       }.toMap
 
+  test("stream-stream LEFT OUTER interval join == batch left join once the watermark passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_louter")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.runToMemory(
+      Streams.clickPurchaseLeftOuter(
+        Streams.readEvents(spark, dir.toString), Streams.readEvents(spark, dir.toString)),
+      "stream_louter", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      // outer NULL rows cannot exist yet: the watermark still sits inside
+      // the data. A far-future sentinel (click + purchase, user -1)
+      // advances BOTH sides' watermarks past every real interval.
+      val maxNanos = spark.read.schema(Streams.eventsRawSchema)
+        .parquet(dir.resolve("events.parquet").toString)
+        .agg(max("ts")).collect().head.getLong(0)
+      val far = maxNanos + 30L * 86400 * 1000000000L
+      Seq((-1L, far, -1L, "click", 0.0, "{}"),
+          (-2L, far, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val got = spark.table("stream_louter").filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+      val c = batchEvents.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val p = batchEvents.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      val expected = c.join(p,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"), col("purchase_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got === expected)
+      assert(got.exists(_._4.isEmpty), "no unmatched clicks — outer semantics unexercised")
+      assert(got.exists(_._4.nonEmpty), "no matched clicks — join unexercised")
+    } finally q.stop()
+  }
+
   test("streaming funnel state machine == batch funnel, across out-of-order micro-batches") {
     // 4 interleaved slices → 4 files → 4 micro-batches; slicing by
     // event_id scatters each user's events (and their time order) across
