@@ -17,8 +17,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2); driver leaves it unset
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2); driver leaves it
+    // unset. Names are trimmed and empties dropped (a trailing comma or
+    // padded space must not silently skip queries); unknown names warn.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

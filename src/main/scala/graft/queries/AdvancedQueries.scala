@@ -154,7 +154,11 @@ object AdvancedQueries extends QueryRegistry {
       def grams(pred: Column) =
         TextOps.shinglesHashedLocal(docs.filter(pred), "doc_id", "text", 8)
           .select(col("doc_id"), col("shingle").as("g"))
+      // materialized once: the gram set feeds BOTH the bloomFilter
+      // treeAggregate action and the exact verify join — un-checkpointed
+      // the eval split would be shingled and distinct'd twice
       val evalGrams = grams(col("doc_id") % 10 === 0).select("g").distinct()
+        .localCheckpoint()
       val bloom = evalGrams.stat.bloomFilter("g", 200000L, 0.01)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
@@ -333,8 +337,13 @@ object AdvancedQueries extends QueryRegistry {
   // per day — the classic +1/−1 event-boundary prefix sum (room
   // scheduling, peak concurrency, resource sizing). Half-open [s, e)
   // semantics via the tie order (ends sort before starts at the same
-  // instant); the RANGE window frame makes tied rows peers sharing one
-  // cumulative value, so the prefix sum is permutation-proof. The
+  // instant, with zero-delta samples between them); the RANGE window
+  // frame makes tied rows peers sharing one cumulative value, so the
+  // prefix sum is permutation-proof. Each day also gets a ZERO-delta
+  // midnight sample row: without it, a day whose peak is carried in
+  // from intervals straddling midnight (starts at 23:50, no boundary
+  // until the next morning) would under-report — the midnight sample
+  // records the carried-in level in the day it belongs to. The
   // global-ordered running sum is the textbook form; at 100 TB the
   // sweep partitions by coarse time range with per-range offsets added
   // back (a two-phase prefix sum — same arithmetic, no global sort).
@@ -344,9 +353,13 @@ object AdvancedQueries extends QueryRegistry {
       val v = Tables.events(spark, d)
         .filter(col("event_type") === "view")
         .select(col("ts"))
-      val deltas = v.select(col("ts").as("t"), lit(1).as("delta"))
+      val boundaries = v.select(col("ts").as("t"), lit(1).as("delta"))
         .unionByName(v.select((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
           lit(-1).as("delta")))
+      val midnights = boundaries
+        .select(date_trunc("day", col("t")).as("t"), lit(0).as("delta"))
+        .distinct()
+      val deltas = boundaries.unionByName(midnights)
       val w = Window.orderBy(col("t"), col("delta")) // RANGE frame: peers share the sum
       deltas
         .withColumn("c", sum("delta").over(w))
@@ -356,10 +369,14 @@ object AdvancedQueries extends QueryRegistry {
         .orderBy("day")
     },
     Some("""WITH s AS (SELECT ts FROM events WHERE event_type = 'view'),
-        |deltas AS (
+        |b AS (
         |  SELECT ts AS t, 1 AS delta FROM s
         |  UNION ALL
         |  SELECT ts + INTERVAL 30 MINUTE, -1 FROM s),
+        |deltas AS (
+        |  SELECT t, delta FROM b
+        |  UNION ALL
+        |  SELECT DISTINCT date_trunc('day', t), 0 FROM b),
         |sweep AS (
         |  SELECT t, delta, sum(delta) OVER (ORDER BY t, delta) AS c FROM deltas)
         |SELECT strftime(t, '%Y-%m-%d') AS day,

@@ -533,8 +533,10 @@ object EventsQueries extends QueryRegistry {
   // offset o — the product-analytics staple. Week truncation is ISO
   // Monday in both engines; offsets are exact integer week multiples so
   // the divide-then-cast is lossless. Two partial-aggregated shuffles
-  // plus a broadcast of the per-user cohort relation; the matrix itself
-  // is tiny at any scale.
+  // plus a user-keyed join of the cohort relation — which is one row
+  // PER USER, so it is deliberately NOT broadcast-hinted (at scale a
+  // per-user relation is exactly what must shuffle; AQE may still
+  // broadcast it at fixture size). Only the output matrix is tiny.
   private val cohortRetention = NamedQuery(
     "q_cohort_retention",
     (spark, d) => {
@@ -543,7 +545,7 @@ object EventsQueries extends QueryRegistry {
         .agg(date_trunc("week", min(col("ts"))).as("cohort"))
       val act = p.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
         .distinct()
-      act.join(broadcast(first), "user_id")
+      act.join(first, "user_id")
         .groupBy(unix_timestamp(col("cohort")).as("cohort_week"),
           ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
             .cast("long").as("offset_weeks"))

@@ -146,8 +146,9 @@ object Streams {
       }
   }
 
-  final case class EwmaSnap(user_id: Long, n: Long, ewma: Double)
-  final case class EwmaState(ewma: Double, n: Long, buf: List[(Long, Double)])
+  final case class EwmaSnap(user_id: Long, n: Long, ewma: Double, n_late_dropped: Long)
+  final case class EwmaState(ewma: Double, n: Long, frontier: Long,
+      dropped: Long, buf: List[(Long, Double)])
 
   /** Streaming EWMA per user over event VALUES in EVENT-TIME order — the
     * stateful dual of the q_ewma_daily fold, and the harder streaming
@@ -162,9 +163,13 @@ object Streams {
     * committed accumulator WITHOUT committing it — once input is
     * exhausted the last snapshot per user equals the batch fold
     * bit-for-bit (same doubles, same order; StreamsSpec proves it).
-    * Requires `withWatermark("ts", …)` upstream; the watermark is the
-    * correctness contract — a late row behind the committed prefix
-    * would rewrite history the recurrence has already consumed. */
+    * The watermark is the correctness contract — but mapGroupsWithState
+    * does NOT drop watermark-late input for us (Spark only filters late
+    * rows under EventTimeTimeout), so the contract is ENFORCED here: a
+    * row behind the committed frontier would rewrite history the
+    * recurrence has already consumed, and is dropped and counted in
+    * `n_late_dropped` — the same fate a streaming aggregation gives it,
+    * made observable instead of silent. */
   def ewmaOrderedFold(events: DataFrame, alpha: Double,
                       watermarkDelay: String): Dataset[EwmaSnap] = {
     val spark = events.sparkSession
@@ -180,12 +185,16 @@ object Streams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
          state: GroupState[EwmaState]) =>
-          var st = state.getOption.getOrElse(EwmaState(0.0, 0L, Nil))
-          st = st.copy(buf = rows.foldLeft(st.buf) {
-            case (b, (_, t, v)) =>
-              val i = t.toInstant
-              (i.getEpochSecond * 1000000L + i.getNano / 1000L, v) :: b
-          })
+          var st = state.getOption.getOrElse(
+            EwmaState(0.0, 0L, Long.MinValue, 0L, Nil))
+          // enforce the frontier: rows at/behind the committed prefix
+          // cannot enter the recurrence without corrupting its order
+          rows.foreach { case (_, t, v) =>
+            val i = t.toInstant
+            val tus = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            if (tus < st.frontier) st = st.copy(dropped = st.dropped + 1)
+            else st = st.copy(buf = (tus, v) :: st.buf)
+          }
           def fold(e0: Double, n0: Long, xs: List[(Long, Double)]): (Double, Long) =
             xs.sorted.foldLeft((e0, n0)) { case ((e, n), (_, v)) =>
               (if (n == 0L) v else (1 - alpha) * e + alpha * v, n + 1)
@@ -194,11 +203,11 @@ object Streams {
           val (ready, hold) = st.buf.partition(_._1 < wmUs)
           if (ready.nonEmpty) {
             val (e, n) = fold(st.ewma, st.n, ready)
-            st = EwmaState(e, n, hold)
+            st = EwmaState(e, n, math.max(st.frontier, wmUs), st.dropped, hold)
           }
           state.update(st)
           val (e, n) = fold(st.ewma, st.n, st.buf)
-          EwmaSnap(user, n, e)
+          EwmaSnap(user, n, e, st.dropped)
       }
   }
 

@@ -327,6 +327,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA drops (and counts) rows behind the committed frontier") {
+    import spark.implicits._
+    // time-ordered slices commit prefixes and advance the frontier …
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma_late")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(Streams.eventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val qs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)
+    Seq((col("ts") < qs(0).toLong), (col("ts") >= qs(0).toLong)).foreach { pred =>
+      raw.filter(pred).coalesce(1).write.mode("append").parquet(dir.toString)
+    }
+    val q = Streams.runToMemory(
+      Streams.ewmaOrderedFold(
+        Streams.readEvents(spark, dir.toString), 0.2, "1 hour").toDF(),
+      "stream_ewma_late", OutputMode.Update())
+    try {
+      q.processAllAvailable()
+      // … then a straggler lands BEHIND the frontier: it must be dropped
+      // and counted, never folded out of order into the recurrence
+      val victim = raw.select(min("user_id")).collect().head.getLong(0)
+      val ancient = raw.agg(min("ts")).collect().head.getLong(0) - 10L * 86400 * 1000000000L
+      Seq((-99L, ancient, victim, "view", 999.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val last = spark.table("stream_ewma_late")
+        .filter(col("user_id") === victim)
+        .withColumn("ord", monotonically_increasing_id())
+        .orderBy(desc("ord")).limit(1)
+        .collect().head
+      assert(last.getLong(3) === 1L, "late row not counted as dropped")
+      val (expN, expE) = ewmaBatchOracle(0.2)(victim)
+      assert(last.getLong(1) === expN && last.getDouble(2) === expE,
+        "late row corrupted the recurrence instead of being dropped")
+    } finally q.stop()
+  }
+
   private def lastSnapshotPerUser(table: String): Map[Long, (Long, Double)] =
     spark.table(table)
       .withColumn("ord", monotonically_increasing_id())
