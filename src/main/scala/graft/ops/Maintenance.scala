@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators — the write-side hygiene a 100 TB lake
+  * needs between queries. The reference writes one tiny side-car per
+  * image (appV2.py:178-179), the pathological small-file shape at scale;
+  * ingest pipelines (streaming micro-batches, per-task parquet parts)
+  * produce the same problem: thousands of KB-sized files whose
+  * open/footer costs dominate scans and whose row groups are too small
+  * for min/max pruning to bite.
+  *
+  * `compactParquet` rewrites a parquet directory into ~target-sized,
+  * range-clustered files: partition count from actual byte size,
+  * `repartitionByRange(sortCol)` + `sortWithinPartitions` so every
+  * output file owns a contiguous key range (file-level min/max stats
+  * become disjoint → a point/range predicate prunes to one file — the
+  * 1-D cousin of q_zorder_cluster's multi-dim layout). The rewrite goes
+  * to a staging directory first and swaps in atomically-per-rename —
+  * the simple-FS stand-in for what a table format does with a commit;
+  * readers never observe a half-written directory, and the pre-compact
+  * data is left in `<dir>.pre-compact` until the caller deletes it. */
+object Maintenance {
+
+  final case class CompactionReport(
+      filesBefore: Int, bytesBefore: Long,
+      filesAfter: Int, bytesAfter: Long,
+      rows: Long)
+
+  private def parquetFiles(spark: SparkSession, dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq.filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  def compactParquet(spark: SparkSession, dir: String, sortCol: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    val before = parquetFiles(spark, dir)
+    val bytesBefore = before.map(_.getLen).sum
+    // at least one output file; sized from the REAL byte footprint, not
+    // a row-count guess (row width varies wildly across tables)
+    val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(dir)
+    val staging = dir + ".compacting"
+    val retired = dir + ".pre-compact"
+    df.repartitionByRange(nOut, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(staging)
+    val rows = spark.read.parquet(staging).count()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
+    require(fs.rename(p, new org.apache.hadoop.fs.Path(retired)),
+      s"could not retire $dir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
+      s"could not swap staging into $dir — data retained at $retired")
+    val after = parquetFiles(spark, dir)
+    CompactionReport(before.size, bytesBefore, after.size, after.map(_.getLen).sum, rows)
+  }
+
+  /** File-level min/max of `sortCol` per parquet part file — the
+    * pruning statistics a range-clustered layout produces. Disjoint
+    * ranges across files mean a predicate on sortCol opens one file. */
+  def fileRanges(spark: SparkSession, dir: String, sortCol: String) = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), col(sortCol).cast("long").as("k"))
+      .groupBy("file")
+      .agg(min("k").as("k_min"), max("k").as("k_max"), count(lit(1)).as("rows"))
+      .orderBy("k_min")
+  }
+}
