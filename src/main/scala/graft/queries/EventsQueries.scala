@@ -603,8 +603,42 @@ object EventsQueries extends QueryRegistry {
         |    AND epoch_us(p.ts) <= fc.t_click + CAST(72 AS BIGINT) * 3600 * 1000000)
         |ORDER BY user_id""".stripMargin))
 
+  // Trailing 7-day distinct active users per day — COUNT(DISTINCT) OVER
+  // a sliding frame, which neither Spark nor most engines support
+  // directly (distinct is not decomposable over frames). The standard
+  // rewrite: distinct (day, user) once, broadcast the tiny day spine,
+  // fan each activity row into the ≤7 window anchors it serves, then
+  // one distinct-aggregate per anchor. The fan-out is × window-days on
+  // the ALREADY-deduplicated day×user relation — at 100 TB that
+  // relation is |days|×|users|, orders smaller than the raw events; a
+  // sketch (per-day HLL union) is the approximate alternative when even
+  // that is too wide.
+  private val rollingDistinct = NamedQuery(
+    "q_window_distinct_rolling",
+    (spark, d) => {
+      val du = Tables.events(spark, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val spine = du.select(col("day").as("anchor")).distinct()
+      du.join(broadcast(spine),
+          col("day") >= date_sub(col("anchor"), 6) && col("day") <= col("anchor"))
+        .groupBy("anchor")
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+        .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+          col("active_users_7d"))
+        .orderBy("day")
+    },
+    Some("""WITH du AS (
+        |  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |spine AS (SELECT DISTINCT day AS anchor FROM du)
+        |SELECT strftime(anchor, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS active_users_7d
+        |FROM du JOIN spine
+        |  ON du.day >= anchor - 6 AND du.day <= anchor
+        |GROUP BY anchor ORDER BY day""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
       rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel, gapsIslands,
-      patternTriples, cohortRetention, abandoned)
+      patternTriples, cohortRetention, abandoned, rollingDistinct)
 }
