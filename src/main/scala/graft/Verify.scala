@@ -19,14 +19,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2); driver leaves it
     // unset. Names are trimmed and empties dropped (a trailing comma or
-    // padded space must not silently skip queries); unknown names warn.
+    // padded space must not silently skip queries); unknown names are
+    // FATAL — a typo'd subset must not exit 0 having verified nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        System.err.println(s"[verify] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+      require(unknown.isEmpty,
+        s"unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -17,10 +17,21 @@ import org.apache.spark.sql.functions._
   * output file owns a contiguous key range (file-level min/max stats
   * become disjoint → a point/range predicate prunes to one file — the
   * 1-D cousin of q_zorder_cluster's multi-dim layout). The rewrite goes
-  * to a staging directory first and swaps in atomically-per-rename —
-  * the simple-FS stand-in for what a table format does with a commit;
-  * readers never observe a half-written directory, and the pre-compact
-  * data is left in `<dir>.pre-compact` until the caller deletes it. */
+  * to a staging directory first and swaps in with two renames. Honest
+  * durability contract (a filesystem has no multi-path transaction —
+  * that is exactly what a table format's metadata commit adds at
+  * scale): the staged data is fully written and fsync'd before any
+  * rename; between the two renames a concurrent reader can observe the
+  * path briefly missing; if the second rename fails the original is
+  * rolled back. The pre-compact data is retired to `<dir>.pre-compact`
+  * — never deleted by this function; a leftover retired copy from an
+  * earlier run must be cleared by the CALLER (refusing to delete it
+  * here is what makes the retired copy a real rollback artifact).
+  *
+  * Scope: a single physical directory. For a date-partitioned table,
+  * compact each partition directory independently (which is also the
+  * only shape that keeps the job incremental); passing the table root
+  * is rejected rather than silently collapsing the layout. */
 object Maintenance {
 
   final case class CompactionReport(
@@ -38,6 +49,9 @@ object Maintenance {
   def compactParquet(spark: SparkSession, dir: String, sortCol: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val before = parquetFiles(spark, dir)
+    require(before.nonEmpty,
+      s"no top-level parquet files at $dir — for a partitioned table, " +
+        "compact each partition directory independently")
     val bytesBefore = before.map(_.getLen).sum
     // at least one output file; sized from the REAL byte footprint, not
     // a row-count guess (row width varies wildly across tables)
@@ -45,17 +59,26 @@ object Maintenance {
     val df = spark.read.parquet(dir)
     val staging = dir + ".compacting"
     val retired = dir + ".pre-compact"
-    df.repartitionByRange(nOut, col(sortCol))
-      .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(staging)
-    val rows = spark.read.parquet(staging).count()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(retired)),
+      s"$retired already exists — a previous compaction's rollback copy; " +
+        "inspect and remove it before compacting again")
+    // row count rides the write action via observe() — no second scan
+    val obs = org.apache.spark.sql.Observation(s"compact_${p.getName}")
+    df.observe(obs, count(lit(1)).as("rows"))
+      .repartitionByRange(nOut, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(staging)
+    val rows = obs.get("rows").asInstanceOf[Long]
     require(fs.rename(p, new org.apache.hadoop.fs.Path(retired)),
       s"could not retire $dir")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), p),
-      s"could not swap staging into $dir — data retained at $retired")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p)) {
+      // roll the original back so the table path never stays missing
+      fs.rename(new org.apache.hadoop.fs.Path(retired), p)
+      throw new IllegalStateException(
+        s"could not swap staging into $dir — original rolled back, staging left at $staging")
+    }
     val after = parquetFiles(spark, dir)
     CompactionReport(before.size, bytesBefore, after.size, after.map(_.getLen).sum, rows)
   }

@@ -154,12 +154,16 @@ object AdvancedQueries extends QueryRegistry {
       def grams(pred: Column) =
         TextOps.shinglesHashedLocal(docs.filter(pred), "doc_id", "text", 8)
           .select(col("doc_id"), col("shingle").as("g"))
-      // materialized once: the gram set feeds BOTH the bloomFilter
-      // treeAggregate action and the exact verify join — un-checkpointed
-      // the eval split would be shingled and distinct'd twice
+      // materialized once: the gram set feeds the capacity count, the
+      // bloomFilter treeAggregate, AND the exact verify join —
+      // un-checkpointed the eval split would be shingled three times
       val evalGrams = grams(col("doc_id") % 10 === 0).select("g").distinct()
         .localCheckpoint()
-      val bloom = evalGrams.stat.bloomFilter("g", 200000L, 0.01)
+      // capacity from the REAL cardinality (cheap count on the
+      // checkpoint): a hardcoded guess saturates the filter past its
+      // design size and the prefilter quietly stops filtering (fpp→1)
+      val bloom = evalGrams.stat.bloomFilter("g",
+        math.max(1000L, evalGrams.count()), 0.01)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
       val contaminated = grams(col("doc_id") % 10 =!= 0)

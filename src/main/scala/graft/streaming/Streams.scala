@@ -163,13 +163,17 @@ object Streams {
     * committed accumulator WITHOUT committing it — once input is
     * exhausted the last snapshot per user equals the batch fold
     * bit-for-bit (same doubles, same order; StreamsSpec proves it).
-    * The watermark is the correctness contract — but mapGroupsWithState
-    * does NOT drop watermark-late input for us (Spark only filters late
-    * rows under EventTimeTimeout), so the contract is ENFORCED here: a
-    * row behind the committed frontier would rewrite history the
-    * recurrence has already consumed, and is dropped and counted in
-    * `n_late_dropped` — the same fate a streaming aggregation gives it,
-    * made observable instead of silent. */
+    * mapGroupsWithState does NOT drop watermark-late input for us
+    * (Spark only filters late rows under EventTimeTimeout), so
+    * correctness is enforced against the COMMITTED FRONTIER: a row
+    * behind it would rewrite history the recurrence has already
+    * consumed, and is dropped and counted in `n_late_dropped`. This is
+    * deliberately MORE accepting than a streaming aggregation's
+    * watermark drop — a row that is late vs the watermark but whose
+    * key has not yet committed past it still folds in at its correct
+    * position (it lands in the pending buffer and commits in sorted
+    * order) — and never less correct: only rows that physically cannot
+    * enter the recurrence in order are refused. */
   def ewmaOrderedFold(events: DataFrame, alpha: Double,
                       watermarkDelay: String): Dataset[EwmaSnap] = {
     val spark = events.sparkSession
