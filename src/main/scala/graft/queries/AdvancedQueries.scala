@@ -415,12 +415,14 @@ object AdvancedQueries extends QueryRegistry {
       // the per-round join key ONCE and cached — InMemoryRelation
       // preserves outputPartitioning where a checkpoint's LogicalRDD
       // would not — so all 5 iterations move only the (1 row/node) rank
-      // relation. Pre-joining the degree onto the edges removes the
-      // second per-round join entirely.
+      // relation. The degree is attached by an UNORDERED window over
+      // the same src partitioning: one exchange yields the degree
+      // column AND the cached partitioning (a groupBy+join formulation
+      // costs three exchanges for the identical relation), and no
+      // per-round degree join exists at all.
       val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edges = sym.join(deg, "src")
-        .repartition(col("src"))
+      val edges = sym
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
         .cache()
       val nodes = edges.select(col("src")).distinct()
       val n = nodes.count().toDouble // materializes the cache

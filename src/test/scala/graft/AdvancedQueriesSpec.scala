@@ -116,6 +116,37 @@ class AdvancedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_window_distinct_rolling: equals a driver-side brute force over the fixture") {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val expected = du.map(_._1).distinct.sorted(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)).map { anchor =>
+      anchor.toString ->
+        du.filter { case (d, _) =>
+          !d.isAfter(anchor) && !d.isBefore(anchor.minusDays(6))
+        }.map(_._2).distinct.length.toLong
+    }.toMap
+    val got = run("q_window_distinct_rolling").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("q_cohort_retention: equals a driver-side replay over the fixture") {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000))
+    val cohort = p.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val expected = p.map { case (u, wk) =>
+      (cohort(u), (wk - cohort(u)) / 604800, u)
+    }.distinct.groupBy(t => (t._1, t._2)).map { case (k, l) => k -> l.size.toLong }
+    val got = run("q_cohort_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_pagerank: a probability distribution concentrated where degree is") {
     val rows = run("q_pagerank").collect()
     assert(rows.nonEmpty)
