@@ -477,6 +477,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within its rank-error contract vs exact percentile") {
+    // SCALE.md names approx_percentile (mergeable sketch) as the 100 TB
+    // replacement for the exact oracle-checked form — this pins that the
+    // swap is actually safe: with accuracy a, the sketch's result must
+    // sit within ±1/a of the requested RANK. Checked on the real
+    // fixture distribution, both tails and the median.
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, d).select(col("l_extendedprice").as("x"))
+    val n = li.count()
+    val accuracy = 1000
+    val sorted = li.orderBy("x").collect().map(_.getDouble(0))
+    Seq(0.05, 0.5, 0.95).foreach { q =>
+      val approx = li.agg(
+        expr(s"approx_percentile(x, $q, $accuracy)").as("p"))
+        .collect().head.getDouble(0)
+      // translate the value back to its rank in the exact ordering
+      val rank = sorted.count(_ <= approx).toDouble / n
+      assert(math.abs(rank - q) <= 1.0 / accuracy + 1.0 / n,
+        s"q=$q: approx value $approx sits at rank $rank")
+    }
+  }
+
   test("EWMA fold ≡ closed-form weighted sum (randomized)") {
     val xsGen = Gen.listOfN(25, Gen.chooseNum(-50.0, 50.0))
     for (xs <- samples(xsGen, 5)) {
