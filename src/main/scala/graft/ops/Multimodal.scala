@@ -142,6 +142,48 @@ object Multimodal {
       .toDF()
   }
 
+  final case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Int,
+      mean_byte: Double, status: String)
+
+  /** Frame sampling as a FIRST-CLASS row expansion: every k-th frame of
+    * each video becomes its own output row — the explode step a video
+    * training pipeline runs before per-frame downstream work (dedup,
+    * embedding, captioning), where one media row fans into many frame
+    * rows and the frame relation, not the video relation, is what
+    * shuffles from then on. Iterator-in/iterator-out (a flatMap inside
+    * mapPartitions — one decoder handle per partition, rows never
+    * buffered per video), per-row error isolation: non-video and
+    * undecodable inputs emit ONE error-channel row each, so every input
+    * is accounted for in the output. */
+  def sampleFrames(media: DataFrame, every: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"), col("n_frames"))
+      .as[(Long, String, Array[Byte], Int)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, kind, bytes, nFrames) =>
+          if (kind != "video")
+            Iterator.single(FrameRow(id, -1, 0, 0.0,
+              s"error: not a video (kind=$kind)"))
+          else try {
+            val frameSize = if (nFrames > 0) bytes.length / nFrames
+                            else throw new IllegalArgumentException("zero frames")
+            (0 until nFrames by every).iterator.map { f =>
+              val fr = decodeVideoFrame(bytes, f, frameSize)
+              val mean = fr.map(b => (b & 0xff).toDouble).sum / fr.length
+              FrameRow(id, f, fr.length, math.rint(mean * 1e6) / 1e6, "ok")
+            }
+          } catch {
+            case e: Exception =>
+              Iterator.single(FrameRow(id, -1,
+                if (bytes == null) 0 else bytes.length, 0.0,
+                s"error: ${e.getMessage}"))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Batch feature extraction: per-partition init (the scorer/codec
     * handle), iterator-in/iterator-out, per-row error isolation — the
     * exact batch shape a Pandas-UDF stage has, minus Python. Features:

@@ -50,5 +50,15 @@ object ImageQueries extends QueryRegistry {
       .orderBy("media_id"),
     None)
 
-  val all: Seq[NamedQuery] = Seq(e2e, mm, thumbs)
+  // Frame sampling as row expansion (rows-only check): every 4th frame
+  // of each fixture video becomes its own row; non-video inputs land in
+  // the error channel, one row each.
+  private val frames = NamedQuery(
+    "mm_frame_sample",
+    (spark, _) => graft.ops.Multimodal
+      .sampleFrames(graft.ops.Multimodal.fixtureMedia(spark, 30), every = 4)
+      .orderBy("media_id", "frame_idx"),
+    None)
+
+  val all: Seq[NamedQuery] = Seq(e2e, mm, thumbs, frames)
 }

@@ -74,4 +74,27 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(bad).collect()
     assert(out.length === 1 && out.head.getAs[String]("status").startsWith("error:"))
   }
+
+  test("frame sampling: every 4th frame as its own row, non-videos in the error channel") {
+    val media = Multimodal.fixtureMedia(spark, 30)
+    val out = Multimodal.sampleFrames(media, every = 4).collect()
+    // every input row is accounted for: videos fan out, others emit one
+    // error row each
+    val videos = media.filter(org.apache.spark.sql.functions.col("kind") === "video").count()
+    val ok = out.filter(_.getAs[String]("status") == "ok")
+    val err = out.filter(_.getAs[String]("status").startsWith("error:"))
+    assert(err.length.toLong === media.count() - videos)
+    // fixture videos have 12 frames → frames 0, 4, 8 sampled
+    assert(ok.map(_.getAs[Long]("media_id")).distinct.length.toLong === videos)
+    assert(ok.groupBy(_.getAs[Long]("media_id")).values.forall(
+      _.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 4, 8))))
+    // per-frame means match a driver replay of the deterministic codec
+    ok.foreach { r =>
+      val (id, f) = (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"))
+      var s = 0.0
+      (f * 256 until (f + 1) * 256).foreach(i => s += ((i * 31 + id * 17) % 251).toDouble)
+      assert(r.getAs[Double]("mean_byte") === math.rint(s / 256 * 1e6) / 1e6,
+        s"media $id frame $f")
+    }
+  }
 }
