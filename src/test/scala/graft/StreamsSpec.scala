@@ -170,6 +170,16 @@ class StreamsSpec extends SparkSpec {
       assert(out === Seq(1L, 3L, 5L))
       val ledgerHashes = spark.read.parquet(ledger).collect().map(_.getString(0))
       assert(ledgerHashes.length === 3 && ledgerHashes.distinct.length === 3)
+      // maintenance integration: the micro-batch sink accumulated one
+      // file per batch — compact it between batches (the SCALE.md
+      // posture) with the stream STOPPED for this sink; content and the
+      // dedup ledger are untouched by the rewrite
+      q.stop()
+      val report = graft.ops.Maintenance.compactParquet(spark, outDir, "doc_id")
+      assert(report.filesAfter <= report.filesBefore && report.rows === 3L)
+      val recheck = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      assert(recheck === Seq(1L, 3L, 5L), "compaction changed sink content")
     } finally q.stop()
   }
 
