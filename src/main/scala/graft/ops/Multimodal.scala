@@ -88,6 +88,15 @@ object Multimodal {
     java.util.Arrays.copyOfRange(bytes, frame * frameSize,
       math.min(bytes.length, (frame + 1) * frameSize))
 
+  /** Mean unsigned-byte value of one decoded frame — shared by
+    * extractFeatures and sampleFrames so edge handling cannot drift
+    * between them. Empty frames are a decode error, never a NaN. */
+  private def frameByteMean(bytes: Array[Byte], frame: Int, frameSize: Int): Double = {
+    val fr = decodeVideoFrame(bytes, frame, frameSize)
+    if (fr.isEmpty) throw new IllegalArgumentException(s"empty frame $frame")
+    fr.map(b => (b & 0xff).toDouble).sum / fr.length
+  }
+
   // ---------- the feature-extraction stage ----------
 
   final case class MediaFeatures(
@@ -156,6 +165,7 @@ object Multimodal {
     * undecodable inputs emit ONE error-channel row each, so every input
     * is accounted for in the output. */
   def sampleFrames(media: DataFrame, every: Int = 4): DataFrame = {
+    require(every > 0, s"every must be positive, got $every")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("content"), col("n_frames"))
@@ -163,19 +173,22 @@ object Multimodal {
       .mapPartitions { iter =>
         iter.flatMap { case (id, kind, bytes, nFrames) =>
           if (kind != "video")
-            Iterator.single(FrameRow(id, -1, 0, 0.0,
-              s"error: not a video (kind=$kind)"))
+            Seq(FrameRow(id, -1, 0, 0.0, s"error: not a video (kind=$kind)"))
           else try {
-            val frameSize = if (nFrames > 0) bytes.length / nFrames
-                            else throw new IllegalArgumentException("zero frames")
-            (0 until nFrames by every).iterator.map { f =>
-              val fr = decodeVideoFrame(bytes, f, frameSize)
-              val mean = fr.map(b => (b & 0xff).toDouble).sum / fr.length
-              FrameRow(id, f, fr.length, math.rint(mean * 1e6) / 1e6, "ok")
+            val frameSize = if (nFrames > 0) bytes.length / nFrames else 0
+            if (frameSize <= 0)
+              throw new IllegalArgumentException(
+                s"undecodable: ${bytes.length} bytes for $nFrames frames")
+            // materialized INSIDE the try: a lazy iterator would escape
+            // the catch and a frame-decode failure would kill the task
+            // instead of landing in the error channel
+            (0 until nFrames by every).map { f =>
+              val mean = frameByteMean(bytes, f, frameSize)
+              FrameRow(id, f, frameSize, math.rint(mean * 1e6) / 1e6, "ok")
             }
           } catch {
             case e: Exception =>
-              Iterator.single(FrameRow(id, -1,
+              Seq(FrameRow(id, -1,
                 if (bytes == null) 0 else bytes.length, 0.0,
                 s"error: ${e.getMessage}"))
           }
@@ -215,8 +228,7 @@ object Multimodal {
               case "video" =>
                 val frameSize = if (nFrames > 0) bytes.length / nFrames else bytes.length
                 (0 until nFrames by frameSampleEvery).map { f =>
-                  val fr = decodeVideoFrame(bytes, f, frameSize)
-                  fr.map(b => (b & 0xff).toDouble).sum / fr.length
+                  frameByteMean(bytes, f, frameSize)
                 }.toArray
               case other => throw new IllegalArgumentException(s"unknown kind $other")
             }

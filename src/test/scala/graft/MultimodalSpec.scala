@@ -97,4 +97,19 @@ class MultimodalSpec extends SparkSpec {
         s"media $id frame $f")
     }
   }
+
+  test("frame sampling edge cases: truncated video errors (no NaN), bad step rejected") {
+    import spark.implicits._
+    // 6 bytes claiming 12 frames → frameSize 0 → ONE error row, never
+    // NaN frames with status ok
+    val truncated = Seq((7L, "video", Array.fill(6)(1.toByte), 0, 0, 0, 12))
+      .toDF("media_id", "kind", "content", "width", "height", "sample_rate", "n_frames")
+    val out = Multimodal.sampleFrames(truncated).collect()
+    assert(out.length === 1 && out.head.getAs[String]("status").startsWith("error:"))
+    assert(!out.exists(r => r.getAs[Double]("mean_byte").isNaN))
+    // a non-positive step is a caller error, not silent row loss
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(truncated, every = -1)
+    }
+  }
 }
