@@ -561,7 +561,116 @@ object AdvancedQueries extends QueryRegistry {
         |SELECT degree, count(*) AS n_nodes FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin))
 
+  // ---- Snapshot diff / reconciliation: classify every key across two
+  // table snapshots as added / removed / changed / unchanged by
+  // comparing row CONTENT HASHES, never row contents — the anti-entropy
+  // check between a source table and its replicated/lakehouse copy.
+  // The two snapshots derive deterministically from orders (the "old"
+  // snapshot is missing keys ≡0 mod 7, the "new" one dropped keys ≡0
+  // mod 11 and re-priced keys ≡0 mod 5). Scale shape: each side
+  // reduces to (key, md5(content)) BEFORE the full-outer join, so the
+  // shuffle carries two narrow columns per row regardless of how wide
+  // the table is; the classification is a map over the joined pairs
+  // and the report is a 4-row aggregate. At 100 TB both sides
+  // partition on the key, so the join co-locates; a bucketed layout
+  // (BucketingSpec) removes even that exchange.
+  private val tableDiff = NamedQuery(
+    "q_table_diff",
+    (spark, d) => {
+      val base = Tables.orders(spark, d).select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderstatus").as("status"))
+      val oldSnap = base.filter(pmod(col("k"), lit(7)) =!= 0)
+      val newSnap = base.filter(pmod(col("k"), lit(11)) =!= 0)
+        .withColumn("price_cents",
+          when(pmod(col("k"), lit(5)) === 0, col("price_cents") + 100L)
+            .otherwise(col("price_cents")))
+      def hashed(s: DataFrame, as: String) = s.select(col("k"),
+        md5(concat_ws("|", col("price_cents"), col("status"))).as(as))
+      hashed(oldSnap, "h_old")
+        .join(hashed(newSnap, "h_new"), Seq("k"), "full_outer")
+        .select(when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("change_type")
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderstatus AS status FROM orders),
+        |olds AS (SELECT k, md5(concat_ws('|', price_cents, status)) AS h_old
+        |  FROM base WHERE k % 7 <> 0),
+        |news AS (SELECT k,
+        |  md5(concat_ws('|',
+        |    CASE WHEN k % 5 = 0 THEN price_cents + 100 ELSE price_cents END,
+        |    status)) AS h_new
+        |  FROM base WHERE k % 11 <> 0)
+        |SELECT change_type, count(*) AS n_keys FROM (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |              WHEN h_new IS NULL THEN 'removed'
+        |              WHEN h_old <> h_new THEN 'changed'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM olds FULL OUTER JOIN news USING (k)) t
+        |GROUP BY change_type ORDER BY change_type""".stripMargin))
+
+  // ---- Binned range join: assign each order to a price tier given by
+  // IRREGULAR, non-overlapping [lo, hi) boundaries (cut points
+  // harvested from the data — every 997th orderkey's price). The naive
+  // tier lookup is a theta-join (BroadcastNestedLoop at best, O(n·m));
+  // the scale technique COMPILES the range predicate into an equi-join:
+  // each tier is exploded onto the fixed-width integer bins it covers,
+  // each fact row computes its bin with one division, the join runs
+  // hash-partitioned on the bin, and the exact [lo, hi) residual
+  // filters after the match. Non-overlapping tiers → at most one
+  // surviving match per fact row. Bin width W trades dimension
+  // expansion ((hi−lo)/W rows per tier) against residual selectivity.
+  // The oracle states the range join directly — identical answer.
+  private val rangeBinJoin = NamedQuery(
+    "q_range_bin_join",
+    (spark, d) => {
+      val W = 5000000L // $50k bins over a ~$1k..$500k price domain
+      val priceCents = cents(col("o_totalprice"))
+      // the cut set is tiny (|orders|/997 rows) — a driver-sized dim;
+      // the single-partition window that pairs consecutive cuts is fine
+      val cuts = Tables.orders(spark, d)
+        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select(priceCents.as("c")).distinct()
+      val wOrd = Window.orderBy(col("c"))
+      val tiers = cuts
+        .withColumn("tier", row_number().over(wOrd))
+        .withColumn("hi", lead(col("c"), 1).over(wOrd))
+        .filter(col("hi").isNotNull)
+        .select(col("tier"), col("c").as("lo"), col("hi"))
+      val binnedTiers = tiers
+        .withColumn("bin",
+          explode(sequence(floor(col("lo") / W).cast("long"),
+            floor((col("hi") - 1) / W).cast("long"))))
+      val fact = Tables.orders(spark, d)
+        .select(col("o_orderkey"), priceCents.as("pc"))
+        .withColumn("bin", floor(col("pc") / W).cast("long"))
+      // broadcast: the exploded tier dim stays tiny here; with a large
+      // tier table the same plan runs as a shuffled hash join on `bin`
+      fact.join(broadcast(binnedTiers), Seq("bin"))
+        .filter(col("pc") >= col("lo") && col("pc") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("sum_cents"))
+        .orderBy("tier")
+    },
+    Some("""WITH cuts AS (
+        |  SELECT DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 997 = 0),
+        |tiers AS (SELECT row_number() OVER (ORDER BY c) AS tier, c AS lo,
+        |  lead(c, 1) OVER (ORDER BY c) AS hi FROM cuts),
+        |t AS (SELECT tier, lo, hi FROM tiers WHERE hi IS NOT NULL),
+        |f AS (SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT tier, count(*) AS n_orders, CAST(sum(pc) AS BIGINT) AS sum_cents
+        |FROM f JOIN t ON f.pc >= t.lo AND f.pc < t.hi
+        |GROUP BY tier ORDER BY tier""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(cdcApply, bloomDecontaminate, weightedSample,
     zorder, ewma, skyline, intervalOverlap, pagerank, hierarchy,
-    triangles, degreeHist)
+    triangles, degreeHist, tableDiff, rangeBinJoin)
 }

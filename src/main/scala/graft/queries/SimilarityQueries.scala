@@ -442,7 +442,87 @@ object SimilarityQueries extends QueryRegistry {
         |WHERE rnk <= $topK
         |ORDER BY query_id, rnk""".stripMargin))
 
+  // ---- K-means (Lloyd), 2 full fixed iterations, k=4, deterministic
+  // init (the first k vectors) — the clustering step behind semantic
+  // dedup and IVF-index training. Spark-first shape: the centroid set
+  // is TINY (k×64 doubles) and broadcast, so ASSIGNMENT IS MAP-ONLY —
+  // the squared distance is a higher-order left fold over
+  // zip_with(emb, cemb) (index order, no explode, no shuffle) and the
+  // argmin is a map-side-combinable min(struct(d2, cid)); the only
+  // shuffles per iteration are the k×64-cell aggregations of the
+  // UPDATE step (here an exploded (cid, dim) partial agg; at 100 TB a
+  // mapPartitions fold of per-partition vector sums — the same
+  // two-phase partial-agg plan with less explode traffic). Distances
+  // and updated centroid means are round(6)-ed identically on both
+  // engines so iteration 2 consumes identical inputs (avg/sum
+  // reassociation, determinism rule 2); ties break on cid.
+  private val kmeans = NamedQuery(
+    "sim_kmeans",
+    (spark, d) => {
+      val k = 4
+      val v = vecs(spark, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val expl = v.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+      def assign(cent: DataFrame): DataFrame =
+        v.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            round(aggregate(
+              zip_with(col("emb"), col("cemb"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, z) => acc + z), 6).as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("b"))
+          .select(col("vec_id"), col("b.cid").as("cid"), col("b.d2").as("d2"))
+      def update(asg: DataFrame): DataFrame =
+        asg.select("vec_id", "cid").join(expl, "vec_id")
+          .groupBy("cid", "i")
+          .agg(round(avg(col("x")), 6).as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
+          .select(col("cid"), transform(col("p"), p => p.getField("m")).as("cemb"))
+      val cent0 = v.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val cent2 = update(assign(update(assign(cent0))))
+      assign(cent2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("d2")), 3).as("inertia"))
+        .orderBy("cid")
+    },
+    Some("""WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT vec_id, generate_subscripts(emb, 1) AS i,
+        |        unnest(emb) AS x FROM v),
+        |c0 AS (SELECT vec_id AS cid, i, x AS m FROM e WHERE vec_id < 4),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |         round(sum((e.x - c.m) * (e.x - c.m)), 6) AS d2
+        |       FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) t
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cid, e.i, round(avg(e.x), 6) AS m
+        |       FROM a1 a JOIN e USING (vec_id) GROUP BY a.cid, e.i),
+        |d2_ AS (SELECT e.vec_id, c.cid,
+        |          round(sum((e.x - c.m) * (e.x - c.m)), 6) AS d2
+        |        FROM e JOIN c1 c USING (i) GROUP BY e.vec_id, c.cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_) t
+        |       WHERE rn = 1),
+        |c2 AS (SELECT a.cid, e.i, round(avg(e.x), 6) AS m
+        |       FROM a2 a JOIN e USING (vec_id) GROUP BY a.cid, e.i),
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |         round(sum((e.x - c.m) * (e.x - c.m)), 6) AS d2
+        |       FROM e JOIN c2 c USING (i) GROUP BY e.vec_id, c.cid),
+        |a3 AS (SELECT vec_id, cid, d2 FROM (
+        |         SELECT vec_id, cid, d2, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d3) t
+        |       WHERE rn = 1)
+        |SELECT cid, count(*) AS n_members, round(sum(d2), 3) AS inertia
+        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify,
-      srpHamming, pqAdc)
+      srpHamming, pqAdc, kmeans)
 }

@@ -845,9 +845,45 @@ object TextQueries extends QueryRegistry {
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin))
 
+  // ---- Corpus heavy hitters: tokens carrying more than 0.2% of all
+  // token occurrences — the vocabulary-pruning / stopword-discovery
+  // pass. The token counts are a two-phase partial agg (one (token,
+  // count) pair per distinct token crosses the wire), the corpus total
+  // is ONE scalar derived from that same aggregate and broadcast back
+  // (never a second corpus scan — the q11/q15 posture), and the
+  // threshold compares integer cross-products (cnt·1000 > tot·2), so no
+  // float enters the decision. At 100 TB the same plan stands; if the
+  // distinct-token set itself outgrew the shuffle, a count-min sketch
+  // would pre-gate candidates (the text_contamination_bloom posture)
+  // with this exact agg as the verify step.
+  private val heavyHitters = NamedQuery(
+    "text_heavy_hitters",
+    (spark, d) => {
+      val counts = Tables.documents(spark, d)
+        .select(explode(TextOps.words(lower(col("text")))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 1000L > col("tot") * 2L)
+        .select(col("token"), col("cnt"),
+          (col("cnt").cast("double") / col("tot").cast("double")).as("ratio"))
+        .orderBy(desc("cnt"), col("token"))
+    },
+    Some("""WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts)
+        |SELECT token, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS ratio
+        |FROM counts, tot
+        |WHERE cnt * 1000 > tot * 2
+        |ORDER BY cnt DESC, token""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
-      duplicateSpans, unigramLogprob, trainMix, splitTvt)
+      duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters)
 }
