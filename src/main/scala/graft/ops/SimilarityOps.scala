@@ -213,4 +213,110 @@ object SimilarityOps {
       }
       .toDF(idCol, "dots")
   }
+
+  /** Spark SQL round() semantics for doubles (decimal HALF_UP) — the
+    * local kernels must round exactly as the relational pipeline does
+    * or iteration inputs drift between the two paths. */
+  @inline private def roundN(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Nearest centroid (index, d2) under the relational sim_kmeans
+    * pipeline's exact tie rules: index-order distance fold, round(6)
+    * HALF_UP, argmin ties to the lower cid via Double.compare (an
+    * object-level method so executor closures stay self-contained). */
+  private def nearestCentroid(c: Array[(Long, Array[Double])],
+                              v: Array[Double]): (Int, Double) = {
+    var best = -1; var bestD = 0.0
+    var j = 0
+    while (j < c.length) {
+      val cj = c(j)._2
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, cj.length)
+      while (i < n) { val t = v(i) - cj(i); d += t * t; i += 1 }
+      d = roundN(d, 6)
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) { best = j; bestD = d }
+      j += 1
+    }
+    (best, bestD)
+  }
+
+  /** K-means (Lloyd) — the cluster-scale kernel behind the relational
+    * `sim_kmeans` query. Centroids live on the driver (k×dim doubles:
+    * tiny by definition), and each iteration fuses ASSIGN + UPDATE into
+    * ONE mapPartitions pass that emits at most k partial
+    * (cid, count, Σvec) rows per partition, collected straight to the
+    * driver — no exploded (vec × dim) relation, no shuffle at all. At
+    * 100 TB this moves k×dim×partitions doubles per round versus the
+    * relational plan's per-dimension aggregate exchange.
+    *
+    * Arithmetic parity with the relational query (so the two paths are
+    * interchangeable): distances fold in index order and round(6) with
+    * Spark's HALF_UP decimal semantics, argmin ties break on the lower
+    * cid (Double.compare — NaN-greatest like Spark's struct ordering),
+    * centroid means round(6). SimilarityKernelSpec proves both paths
+    * yield identical centroids and membership censuses.
+    *
+    * Returns (per-cluster (cid, n_members, inertia), final centroids);
+    * inertia = round(Σ member d2, 3) as in the query. Clusters that
+    * lose every member disappear, exactly as the relational groupBy
+    * does. Init = the k lowest-id vectors (the query's init). */
+  def kmeansLocal(df: DataFrame, idCol: String, embCol: String,
+                  k: Int, iters: Int): (Array[(Long, Long, Double)], Array[(Long, Array[Double])]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(embCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    var cent: Array[(Long, Array[Double])] =
+      pts.filter(_._1 < k).collect().sortBy(_._1)
+    require(cent.nonEmpty, s"need at least one init vector with $idCol < $k")
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cent)
+      val partials = pts.mapPartitions { it =>
+        val c = bc.value
+        val cnt = new Array[Long](c.length)
+        var sums: Array[Array[Double]] = null
+        it.foreach { case (_, v) =>
+          if (sums == null) sums = Array.fill(c.length)(new Array[Double](v.length))
+          val (j, _) = nearestCentroid(c, v)
+          cnt(j) += 1
+          val s = sums(j); var i = 0
+          while (i < v.length) { s(i) += v(i); i += 1 }
+        }
+        if (sums == null) Iterator.empty
+        else Iterator.range(0, c.length).filter(cnt(_) > 0)
+          .map(j => (c(j)._1, cnt(j), sums(j)))
+      }.collect()
+      bc.destroy()
+      // merge the ≤ k×partitions partials driver-side (tiny)
+      cent = partials.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, ps) =>
+        val n = ps.map(_._2).sum
+        val dim = ps.head._3.length
+        val mean = Array.tabulate(dim) { i =>
+          roundN(ps.map(_._3(i)).sum / n, 6)
+        }
+        cid -> mean
+      }
+    }
+
+    val bc = spark.sparkContext.broadcast(cent)
+    val census = pts.mapPartitions { it =>
+      val c = bc.value
+      val cnt = new Array[Long](c.length)
+      val inertia = new Array[Double](c.length)
+      it.foreach { case (_, v) =>
+        val (j, d) = nearestCentroid(c, v)
+        cnt(j) += 1; inertia(j) += d
+      }
+      Iterator.range(0, c.length).filter(cnt(_) > 0)
+        .map(j => (c(j)._1, cnt(j), inertia(j)))
+    }.collect()
+    val rows = census.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, ps) =>
+      (cid, ps.map(_._2).sum, roundN(ps.map(_._3).sum, 3))
+    }
+    (rows, cent)
+  }
 }

