@@ -845,6 +845,76 @@ object TextQueries extends QueryRegistry {
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin))
 
+  // ---- Temperature-scaled mixture sampling (the multilingual-corpus
+  // rebalancing rule: sampling probability ∝ share^α, α = 0.5): unlike
+  // q_sample_mixture's FIXED per-language rates, the rates here are
+  // COMPUTED from the observed language shares — upsampling the tail
+  // languages, downsampling the head — then realized as deterministic
+  // md5-Bernoulli thinning targeting half the corpus. Two corpus scans
+  // by construction (shares must exist before thinning); everything
+  // between them is language-cardinality-sized one-row/`k`-row
+  // broadcasts, so at 100 TB the cost is exactly two passes with
+  // map-side-combined aggregates. α enters as sqrt (IEEE-exact both
+  // engines); the keep predicate compares the raw 60-bit md5 uniform
+  // against rate·2^60 — sub-ulp rate drift can only flip a hash lying
+  // within ~2^-40 of the boundary, i.e. never on real corpora.
+  private val temperatureSample = NamedQuery(
+    "q_sample_temperature",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val shares = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val tot = shares.agg(sum(col("n_total")).as("n_corpus"))
+      val weights = shares.crossJoin(broadcast(tot))
+        .withColumn("w",
+          sqrt(col("n_total").cast("double") / col("n_corpus").cast("double")))
+      val wsum = weights.agg(sum(col("w")).as("wsum"))
+      val rates = weights.crossJoin(broadcast(wsum))
+        .withColumn("rate",
+          least(lit(1.0),
+            col("w") / col("wsum") * lit(0.5) * col("n_corpus").cast("double")
+              / col("n_total").cast("double")))
+        .select(col("lang"), col("rate"))
+      val keep = TextOps.md5Long(col("doc_id")) <
+        col("rate") * lit(1152921504606846976.0)
+      docs.join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          round(first(col("rate")), 6).as("target_rate"))
+        .select(col("lang"), col("n_total"), col("n_kept"), col("target_rate"),
+          (col("n_kept").cast("double") / col("n_total").cast("double"))
+            .as("achieved_rate"))
+        .orderBy("lang")
+    },
+    Some("""WITH shares AS (
+        |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS n_corpus FROM shares),
+        |weights AS (
+        |  SELECT lang, n_total,
+        |    sqrt(CAST(n_total AS DOUBLE) / CAST(n_corpus AS DOUBLE)) AS w,
+        |    n_corpus
+        |  FROM shares, tot),
+        |wsum AS (SELECT sum(w) AS wsum FROM weights),
+        |rates AS (
+        |  SELECT lang, n_total,
+        |    least(1.0, w / wsum * 0.5 * CAST(n_corpus AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE)) AS rate
+        |  FROM weights, wsum)
+        |SELECT d.lang, r.n_total,
+        |  CAST(sum(CASE WHEN
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < r.rate * 1152921504606846976.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(r.rate, 6) AS target_rate,
+        |  CAST(sum(CASE WHEN
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < r.rate * 1152921504606846976.0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(r.n_total AS DOUBLE)
+        |    AS achieved_rate
+        |FROM documents d JOIN rates r USING (lang)
+        |GROUP BY d.lang, r.n_total, r.rate
+        |ORDER BY d.lang""".stripMargin))
+
   // ---- Corpus heavy hitters: tokens carrying more than 0.2% of all
   // token occurrences — the vocabulary-pruning / stopword-discovery
   // pass. The token counts are a two-phase partial agg (one (token,
@@ -885,5 +955,6 @@ object TextQueries extends QueryRegistry {
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
-      duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters)
+      duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,
+      temperatureSample)
 }
