@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 connector: a deterministic synthetic document corpus —
+  * the engine's demonstration of Spark's full connector surface
+  * (TableProvider → Table → ScanBuilder → Batch → PartitionReader) with
+  * the two pushdowns that matter at 100 TB:
+  *
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`): readers
+  *     materialize ONLY requested columns — a `select(count(*))` never
+  *     synthesizes a byte of text;
+  *   - **filter → partition pruning** (`SupportsPushDownFilters`):
+  *     doc_id range predicates are absorbed into the scan, and
+  *     `planInputPartitions` drops every id-range slice the predicate
+  *     excludes — the source-side analogue of parquet row-group pruning:
+  *     pruned partitions are never scheduled, not just filtered empty.
+  *
+  * Rows derive purely from doc_id (content hash-stable under any
+  * `partitions` setting), mirroring how the fixture corpus is seeded —
+  * at cluster scale `partitions` is the parallelism dial and each slice
+  * is one task with zero skew by construction.
+  *
+  * Usage:
+  *   spark.read.format("graft-synth")          // DataSourceRegister name
+  *     .option("rows", 10000).option("partitions", 8).load()
+  *
+  * Schema: doc_id LONG, lang STRING, text STRING, n_tokens INT.
+  * Counterpart of the reference's directory-scan source (appV2.py:132-137)
+  * in connector form: the scan IS the generator, options are the bound
+  * parameters (appV2.py:107-129's interactive binding, declarative).
+  */
+class SynthDocsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocsSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SynthDocsSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+
+  private val langs = Array("en", "zh", "es", "de", "fr")
+
+  def lang(id: Long): String = langs((id % langs.length).toInt)
+
+  /** Deterministic per-doc token count / text (content depends only on
+    * the id — stable under any partitioning). */
+  def nTokens(id: Long): Int = 5 + (id * 2654435761L % 28).toInt.abs
+
+  def text(id: Long): String = {
+    val n = nTokens(id)
+    val sb = new java.lang.StringBuilder(8 * n)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append("w").append((id * 31 + i * 7) % 97)
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+final class SynthDocsTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($rows)"
+  override def schema(): StructType = SynthDocsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthDocsScanBuilder(rows, partitions)
+}
+
+final class SynthDocsScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L          // inclusive doc_id lower bound
+  private var hi: Long = rows        // exclusive doc_id upper bound
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = SynthDocsSource.schema
+
+  /** Absorb doc_id range predicates exactly (they tighten [lo, hi) and
+    * need no re-evaluation); everything else stays residual for Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case EqualTo("doc_id", _: Long) => true
+      case IsNotNull("doc_id") => true // non-nullable: always true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SynthDocsScan(rows, partitions, lo, hi, required)
+}
+
+final class SynthDocsScan(rows: Long, partitions: Int,
+                          lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth rows=$rows range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** One id-range slice per partition; slices wholly outside [lo, hi)
+    * are NOT planned — the tasks never exist. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0 until partitions).iterator
+      .map(p => SynthSlice(math.max(p * per, lo),
+        math.min(math.min((p + 1) * per, rows), hi)))
+      .filter(s => s.start < s.end)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+final case class SynthSlice(start: Long, end: Long) extends InputPartition
+
+final class SynthReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[SynthSlice]
+    // per-column emitters bound ONCE per reader: pruned columns cost 0
+    val emit: Array[Long => Any] = required.fieldNames.map {
+      case "doc_id" => (id: Long) => id
+      case "lang" => (id: Long) => UTF8String.fromString(SynthDocsSource.lang(id))
+      case "text" => (id: Long) => UTF8String.fromString(SynthDocsSource.text(id))
+      case "n_tokens" => (id: Long) => SynthDocsSource.nTokens(id)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    val emitSeq = emit.toIndexedSeq
+    new PartitionReader[InternalRow] {
+      private var id = s.start - 1
+      override def next(): Boolean = { id += 1; id < s.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(emitSeq.map(f => f(id)))
+      override def close(): Unit = ()
+    }
+  }
+}

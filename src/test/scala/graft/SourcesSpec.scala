@@ -1,5 +1,6 @@
 package graft
 
+import graft.sources.SynthDocsSource
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,5 +83,59 @@ class SourcesSpec extends SparkSpec {
     // pruning proof: the scan's partition filters mention lang
     val scan = one.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+  }
+
+  // ---- graft-synth DataSourceV2 connector ----
+
+  private def synth(rows: Int, partitions: Int) =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("partitions", partitions).load()
+
+  private def synthScanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.mkString("; ")
+
+  test("graft-synth: short-name resolution, row count, deterministic content") {
+    val df = synth(1000, 4)
+    assert(df.count() === 1000)
+    // content is a pure function of doc_id: stable across partitioning
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(xxhash64(col("doc_id"), col("text"), col("lang")).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    val a = fingerprint(synth(1000, 3))
+    val b = fingerprint(synth(1000, 7))
+    assert(a === b)
+  }
+
+  test("graft-synth: column pruning reaches the connector scan") {
+    val df = synth(500, 4).select("doc_id", "lang")
+    val desc = synthScanDesc(df)
+    assert(desc.contains("cols=doc_id,lang"), s"scan was: $desc")
+    assert(!desc.contains("text"), s"text should be pruned: $desc")
+    assert(df.agg(countDistinct("lang")).head.getLong(0) === 5)
+  }
+
+  test("graft-synth: doc_id range filter prunes partitions at planning time") {
+    // rows=1000 over 4 slices of 250; doc_id < 250 must plan exactly 1 task
+    val df = synth(1000, 4).filter(col("doc_id") < 250)
+    assert(df.count() === 250)
+    val desc = synthScanDesc(df)
+    assert(desc.contains("range=[0,250)"), s"scan was: $desc")
+    assert(df.rdd.getNumPartitions === 1, "excluded slices must never be planned")
+    // equality predicate collapses to a single-row range
+    val one = synth(1000, 4).filter(col("doc_id") === 777L)
+    assert(one.count() === 1)
+    assert(synthScanDesc(one).contains("range=[777,778)"))
+    // contradictory range plans zero tasks and returns zero rows
+    val none = synth(1000, 4).filter(col("doc_id") > 900).filter(col("doc_id") < 100)
+    assert(none.count() === 0)
+  }
+
+  test("graft-synth: residual filters still apply on top of pushed ranges") {
+    val df = synth(1000, 4).filter(col("doc_id") >= 100 && col("doc_id") < 300 && col("lang") === "en")
+    val expected = (100L until 300L).count(SynthDocsSource.lang(_) == "en")
+    assert(df.count() === expected)
   }
 }
