@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 sink: an auditing blackhole demonstrating Spark's
+  * two-phase batch commit protocol end-to-end — the part of the
+  * connector surface a 100 TB pipeline leans on for exactly-once
+  * writes:
+  *
+  *   - each task's [[DataWriter]] counts rows/bytes locally and ships
+  *     them to the driver as its [[WriterCommitMessage]] — per-task
+  *     state never touches shared mutable memory, exactly as it must on
+  *     a 1000-executor cluster;
+  *   - the driver-side [[BatchWrite.commit]] aggregates the messages
+  *     ATOMICALLY into [[GraftSinkRegistry]]: a job that fails mid-write
+  *     reaches [[BatchWrite.abort]] instead, and the registry never
+  *     observes a partial total (speculative/retried task attempts are
+  *     resolved by Spark before commit — one message per successful
+  *     partition);
+  *   - `SupportsTruncate` makes `mode("overwrite")` legal, so the sink
+  *     slots into the same writer code paths as a real table.
+  *
+  * Usage:
+  *   df.write.format("graft-sink").option("name", "run1")
+  *     .mode("append").save()
+  *   GraftSinkRegistry.committed("run1")   // Some(CommitStats(...))
+  *
+  * Counterpart of the reference's results sink (appV2.py:174-186 writes
+  * one .txt per image, no atomicity): here the "write" is the audit
+  * itself, and the commit point is explicit.
+  */
+class GraftSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-sink"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftSinkTable(properties.getOrDefault("name", "default"), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+/** Driver-side audit log, keyed by the sink's `name` option. */
+object GraftSinkRegistry {
+  final case class CommitStats(rows: Long, bytes: Long, tasks: Int)
+  private val commits = TrieMap.empty[String, CommitStats]
+  private val aborts = TrieMap.empty[String, Int]
+
+  private[sources] def recordCommit(name: String, s: CommitStats): Unit =
+    commits.put(name, s)
+  private[sources] def recordAbort(name: String): Unit =
+    aborts.updateWith(name) { n => Some(n.getOrElse(0) + 1) }
+
+  def committed(name: String): Option[CommitStats] = commits.get(name)
+  def abortCount(name: String): Int = aborts.getOrElse(name, 0)
+  def clear(name: String): Unit = { commits.remove(name); aborts.remove(name) }
+}
+
+final class GraftSinkTable(name: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_sink($name)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftSinkWriteBuilder(name, info.schema())
+}
+
+final class GraftSinkWriteBuilder(name: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  // blackhole: truncation is a no-op, but accepting it enables overwrite
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftSinkBatchWrite(name, schema)
+  }
+}
+
+/** One message per successfully committed partition. */
+final case class AuditMessage(rows: Long, bytes: Long) extends WriterCommitMessage
+
+final class GraftSinkBatchWrite(name: String, schema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftSinkWriterFactory(schema.length)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: AuditMessage => m }
+    GraftSinkRegistry.recordCommit(name, GraftSinkRegistry.CommitStats(
+      rows = ms.map(_.rows).sum, bytes = ms.map(_.bytes).sum, tasks = ms.length))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkRegistry.recordAbort(name)
+}
+
+final class GraftSinkWriterFactory(nFields: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      private var bytes = 0L
+      override def write(record: InternalRow): Unit = {
+        rows += 1
+        var i = 0
+        while (i < nFields) {
+          // cheap width proxy: nulls are free, everything else its
+          // UnsafeRow-ish footprint (exactness is not the audit's point)
+          if (!record.isNullAt(i)) bytes += 8
+          i += 1
+        }
+      }
+      override def commit(): WriterCommitMessage = AuditMessage(rows, bytes)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

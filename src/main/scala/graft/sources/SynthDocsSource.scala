@@ -3,6 +3,8 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -93,12 +95,14 @@ final class SynthDocsTable(rows: Long, partitions: Int)
 
 final class SynthDocsScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var lo: Long = 0L          // inclusive doc_id lower bound
   private var hi: Long = rows        // exclusive doc_id upper bound
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SynthDocsSource.schema
+  private var countStarAggs: Int = 0 // >0: completely-pushed COUNT(*) scan
 
   /** Absorb doc_id range predicates exactly (they tighten [lo, hi) and
     * need no re-evaluation); everything else stays residual for Spark. */
@@ -129,7 +133,58 @@ final class SynthDocsScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthDocsScan(rows, partitions, lo, hi, required)
+  /** LIMIT n after fully-pushed filters tightens the id range itself —
+    * Spark only offers the push when no residual filter sits between the
+    * limit and the scan, so trimming [lo, lo+n) is exact. Declared
+    * partially-pushed: Spark keeps its global Limit (partitions still
+    * emit concurrently), but the source now plans at most
+    * ceil(n / sliceWidth) tasks instead of `partitions`. */
+  override def pushLimit(n: Int): Boolean = {
+    hi = math.min(hi, lo + n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Ungrouped COUNT(*) is answered from the range arithmetic alone —
+    * the connector analogue of parquet's metadata-only count: zero rows
+    * synthesized, one task planned. Complete pushdown, so Spark consumes
+    * the single returned row as the final aggregate. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[aggregate.CountStar])
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) {
+      countStarAggs = agg.aggregateExpressions.length
+      true
+    } else false
+
+  override def build(): Scan =
+    if (countStarAggs > 0)
+      new SynthCountScan(math.max(0L, hi - lo), countStarAggs)
+    else new SynthDocsScan(rows, partitions, lo, hi, required)
+}
+
+/** Metadata-only COUNT(*) answer: one partition, one row. */
+final class SynthCountScan(count: Long, nAggs: Int) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nAggs).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-synth pushed_countstar=$count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthSlice(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val c = count
+    val n = nAggs
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(Seq.fill(n)(c))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class SynthDocsScan(rows: Long, partitions: Int,

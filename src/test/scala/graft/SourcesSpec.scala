@@ -138,4 +138,67 @@ class SourcesSpec extends SparkSpec {
     val expected = (100L until 300L).count(SynthDocsSource.lang(_) == "en")
     assert(df.count() === expected)
   }
+
+  test("graft-synth: limit pushdown trims planned tasks to the limit") {
+    // 1000 rows / 4 slices of 250; LIMIT 10 → only slice [0,10) planned
+    val df = synth(1000, 4).limit(10)
+    assert(df.count() === 10)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(synthScanDesc(df).contains("range=[0,10)"))
+    // limit must NOT be pushed through a residual (non-doc_id) filter
+    val guarded = synth(1000, 4).filter(col("lang") === "en").limit(10)
+    assert(guarded.count() === 10)
+    assert(synthScanDesc(guarded).contains("range=[0,1000)"),
+      "residual filter must block the limit push")
+  }
+
+  test("graft-synth: ungrouped count(*) is answered from metadata alone") {
+    val df = synth(1000000, 8)
+    assert(df.count() === 1000000L)
+    val agg = df.groupBy().count()
+    assert(synthScanDesc(agg).contains("pushed_countstar=1000000"),
+      s"was: ${synthScanDesc(agg)}")
+    // composes with filter pushdown: the pushed range feeds the count
+    val filtered = synth(1000000, 8).filter(col("doc_id") >= 250).groupBy().count()
+    assert(filtered.head.getLong(0) === 999750L)
+    assert(synthScanDesc(filtered).contains("pushed_countstar=999750"))
+    // grouped aggregates refuse the push and scan normally
+    val grouped = synth(1000, 4).groupBy("lang").count()
+    assert(!synthScanDesc(grouped).contains("pushed_countstar"))
+    assert(grouped.count() === 5)
+  }
+
+  // ---- graft-sink DataSourceV2 write path ----
+
+  test("graft-sink: two-phase commit aggregates per-task audit messages") {
+    graft.sources.GraftSinkRegistry.clear("t_commit")
+    val df = synth(1000, 4)
+    df.write.format("graft-sink").option("name", "t_commit").mode("append").save()
+    val stats = graft.sources.GraftSinkRegistry.committed("t_commit")
+    assert(stats.nonEmpty, "commit must reach the registry")
+    assert(stats.get.rows === 1000)
+    assert(stats.get.tasks === 4, "one commit message per partition")
+    assert(stats.get.bytes === 4 * 8 * 1000L)
+    assert(graft.sources.GraftSinkRegistry.abortCount("t_commit") === 0)
+  }
+
+  test("graft-sink: overwrite mode rides SupportsTruncate") {
+    graft.sources.GraftSinkRegistry.clear("t_over")
+    synth(100, 2).write.format("graft-sink").option("name", "t_over")
+      .mode("overwrite").save()
+    assert(graft.sources.GraftSinkRegistry.committed("t_over").map(_.rows) === Some(100L))
+  }
+
+  test("graft-sink: failed job aborts — no partial totals are committed") {
+    graft.sources.GraftSinkRegistry.clear("t_abort")
+    val poison = udf((id: Long) =>
+      if (id == 777L) throw new RuntimeException("poison row") else id)
+    val bad = synth(1000, 4).withColumn("doc_id", poison(col("doc_id")))
+    intercept[Exception] {
+      bad.write.format("graft-sink").option("name", "t_abort").mode("append").save()
+    }
+    assert(graft.sources.GraftSinkRegistry.committed("t_abort").isEmpty,
+      "a failed write must never surface a commit")
+    assert(graft.sources.GraftSinkRegistry.abortCount("t_abort") === 1)
+  }
 }
