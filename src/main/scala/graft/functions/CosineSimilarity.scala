@@ -132,10 +132,37 @@ object GraftFunctions {
   val jaccardBuilder: Seq[Expression] => Expression =
     binary("graft_jaccard", JaccardSimilarity.apply)
 
+  /** graft_topk(col, k): k must be a foldable INT literal — it sizes the
+    * aggregation buffer, so a per-row k is meaningless. The analyzer
+    * wraps the returned AggregateFunction in an AggregateExpression. */
+  val topkBuilder: Seq[Expression] => Expression =
+    binary("graft_topk", (child, kExpr) => {
+      val k = kExpr match {
+        case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval() match {
+            case i: Integer => i.intValue()
+            case _ => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> "`graft_topk`",
+                "expectedNum" -> "a non-null INT literal k", "actualNum" -> "NULL",
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          }
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> "`graft_topk`",
+            "expectedNum" -> "a foldable INT literal k",
+            "actualNum" -> other.sql,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      TopKLargest(child, k)
+    })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard", jaccardBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", topkBuilder, "scala_udf")
   }
 }

@@ -95,5 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.JaccardSimilarity].getName, "graft_jaccard"),
       graft.functions.GraftFunctions.jaccardBuilder))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TopKLargest].getName, "graft_topk"),
+      graft.functions.GraftFunctions.topkBuilder))
   }
 }

@@ -234,6 +234,33 @@ object AggQueries extends QueryRegistry {
         |                       WHERE o.o_orderkey = l.l_orderkey))
         |) t ORDER BY rule""".stripMargin))
 
+  // ---- Custom native aggregate: graft_topk (functions/TopKLargest) —
+  // per-nation 3 largest balances, carried as a bounded k-heap through
+  // two-phase aggregation (map tasks ship ≤k values per group into the
+  // shuffle, never the group itself), then exploded to rows for the
+  // oracle compare. Values only — ties beyond the boundary are equal
+  // values, so the array is deterministic under any merge order.
+  private val topkAgg = NamedQuery(
+    "q_topk_agg",
+    (spark, d) => {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.customer(spark, d)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(expr("graft_topk(c_acctbal, 3)").as("arr"))
+        .select(col("nation"), posexplode(col("arr")))
+        .select(col("nation"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("bal"))
+        .orderBy("nation", "pos")
+    },
+    Some("""WITH g AS (
+        |  SELECT c_nationkey AS nation,
+        |    (list(c_acctbal ORDER BY c_acctbal DESC))[1:3] AS arr
+        |  FROM customer GROUP BY 1)
+        |SELECT nation, CAST(generate_subscripts(arr, 1) AS BIGINT) AS pos,
+        |  unnest(arr) AS bal
+        |FROM g ORDER BY nation, pos""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(rollup, cube, argmax, distincts, approx, stats, trend, spine, dqAudit)
+    Seq(rollup, cube, argmax, distincts, approx, stats, trend, spine, dqAudit,
+      topkAgg)
 }

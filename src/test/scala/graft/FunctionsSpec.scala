@@ -147,4 +147,63 @@ class FunctionsSpec extends SparkSpec {
     val jgen = codegenString(jdf.queryExecution.executedPlan)
     assert(jgen.contains(".getLong(") && !jgen.contains("CodegenFallback"))
   }
+
+  // ---- graft_topk: custom TypedImperativeAggregate ----
+
+  test("graft_topk equals sort-desc-take under forced partial merges") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 32 partitions force map-side partials + serialize/merge on every key
+    val rows = (1 to 5000).map(i => ((i % 7).toLong, (i * 2654435761L % 10007).toDouble))
+    val df = rows.toDF("key", "v").repartition(32)
+    df.createOrReplaceTempView("fs_topk")
+    val got = spark.sql(
+      "SELECT key, graft_topk(v, 5) AS arr FROM fs_topk GROUP BY key")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sorted(Ordering[Double].reverse).take(5) }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, vs) => assert(got(k) === vs, s"key $k") }
+  }
+
+  test("graft_topk skips nulls, handles k > group size, and works on strings") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", Some(3L)), ("a", None), ("a", Some(9L)), ("b", None))
+      .toDF("g", "v").createOrReplaceTempView("fs_topk_n")
+    val rows = spark.sql(
+      "SELECT g, graft_topk(v, 4) AS arr FROM fs_topk_n GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    assert(rows(0) === ("a" -> Seq(9L, 3L)), "nulls skipped, short group kept whole")
+    assert(rows(1) === ("b" -> Seq.empty[Long]), "all-null group yields empty array")
+    Seq("pear", "apple", "quince", "fig").toDF("s").createOrReplaceTempView("fs_topk_s")
+    val top2 = spark.sql("SELECT graft_topk(s, 2) AS arr FROM fs_topk_s")
+      .collect().head.getSeq[String](0)
+    assert(top2 === Seq("quince", "pear"))
+  }
+
+  test("graft_topk rejects bad arity and non-literal k with analysis errors") {
+    GraftFunctions.register(spark)
+    spark.range(5).createOrReplaceTempView("fs_topk_e")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(id) FROM fs_topk_e").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(id, id) FROM fs_topk_e").collect()
+    }
+  }
+
+  test("graft_topk composes in an agg list and partial-aggregates map-side") {
+    GraftFunctions.register(spark)
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+    c.createOrReplaceTempView("fs_cust")
+    val df = spark.sql(
+      """SELECT c_nationkey, graft_topk(c_acctbal, 3) AS top3,
+        |  count(*) AS n FROM fs_cust GROUP BY c_nationkey""".stripMargin)
+    // partial aggregation: plan carries two HashAggregate/ObjectHashAggregate
+    // phases (partial_graft_topk before the exchange)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), s"no map-side partial in:\n$plan")
+    assert(df.count() === c.select("c_nationkey").distinct().count())
+  }
 }
