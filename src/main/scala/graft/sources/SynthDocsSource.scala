@@ -52,7 +52,8 @@ class SynthDocsSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new SynthDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "250").toLong)
 }
 
 object SynthDocsSource {
@@ -83,17 +84,18 @@ object SynthDocsSource {
   }
 }
 
-final class SynthDocsTable(rows: Long, partitions: Int)
+final class SynthDocsTable(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthDocsScanBuilder(rows, partitions)
+    new SynthDocsScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-final class SynthDocsScanBuilder(rows: Long, partitions: Int)
+final class SynthDocsScanBuilder(rows: Long, partitions: Int,
+                                 rowsPerBatch: Long = 250L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -163,7 +165,7 @@ final class SynthDocsScanBuilder(rows: Long, partitions: Int)
   override def build(): Scan =
     if (countStarAggs > 0)
       new SynthCountScan(math.max(0L, hi - lo), countStarAggs)
-    else new SynthDocsScan(rows, partitions, lo, hi, required)
+    else new SynthDocsScan(rows, partitions, lo, hi, required, rowsPerBatch)
 }
 
 /** Metadata-only COUNT(*) answer: one partition, one row. */
@@ -188,10 +190,13 @@ final class SynthCountScan(count: Long, nAggs: Int) extends Scan with Batch {
 }
 
 final class SynthDocsScan(rows: Long, partitions: Int,
-                          lo: Long, hi: Long, required: StructType)
+                          lo: Long, hi: Long, required: StructType,
+                          rowsPerBatch: Long = 250L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SynthDocsStream(rows, partitions, rowsPerBatch, required)
   override def description(): String =
     s"graft-synth rows=$rows range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -210,6 +215,69 @@ final class SynthDocsScan(rows: Long, partitions: Int,
 }
 
 final case class SynthSlice(start: Long, end: Long) extends InputPartition
+
+/** Streaming offset = exclusive doc_id high-water mark. */
+final case class SynthOffset(v: Long) extends streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch face of the same source: offsets ARE id ranges, so a
+  * batch is a pure function of its (start, end] offsets — identical
+  * rows on any replay, which is the whole exactly-once source contract.
+  *
+  * The stream keeps NO driver-side progress state. It implements
+  * [[streaming.SupportsAdmissionControl]] and derives each batch's end
+  * from the START offset Spark passes in — which after a restart is the
+  * offset restored from the checkpoint — so resumption is correct by
+  * construction. (The no-arg `latestOffset()` variant cannot express
+  * this: a fresh instance would answer from a zeroed high-water mark,
+  * BEHIND the committed offset, and corrupt batch planning — caught by
+  * SourcesSpec's restart test.) `rowsPerBatch` is surfaced as the
+  * default ReadLimit, the Kafka maxOffsetsPerTrigger analogue; Spark
+  * may override it per trigger (Trigger.AvailableNow composes limits),
+  * so the cap honors whatever limit is handed down. Column pruning
+  * negotiated at plan time applies to every batch. */
+final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
+                            required: StructType)
+    extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+
+  override def initialOffset(): streaming.Offset = SynthOffset(0L)
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val lo = start.asInstanceOf[SynthOffset].v
+    val cap = limit match {
+      case m: streaming.ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    SynthOffset(math.min(rows, lo + cap))
+  }
+  override def reportLatestOffset(): streaming.Offset = SynthOffset(rows)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    SynthOffset(json.trim.toLong)
+  override def commit(end: streaming.Offset): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SynthOffset].v
+    val hi = end.asInstanceOf[SynthOffset].v
+    val per = math.max(1L, (hi - lo + partitions - 1) / partitions)
+    (0 until partitions).iterator
+      .map(p => SynthSlice(lo + p * per, math.min(lo + (p + 1) * per, hi)))
+      .filter(s => s.start < s.end)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+  override def stop(): Unit = ()
+}
 
 final class SynthReaderFactory(required: StructType)
     extends PartitionReaderFactory {

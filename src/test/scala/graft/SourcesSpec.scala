@@ -168,6 +168,48 @@ class SourcesSpec extends SparkSpec {
     assert(grouped.count() === 5)
   }
 
+  // ---- graft-synth as a micro-batch streaming source ----
+
+  test("graft-synth streaming: drains in rowsPerBatch batches to exact batch parity") {
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 1000).option("partitions", 4).option("rowsPerBatch", 300)
+      .load()
+      .writeStream.format("memory").queryName("synth_stream").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("synth_stream")
+    assert(got.count() === 1000)
+    assert(got.select("doc_id").distinct().count() === 1000, "no batch overlap")
+    // identical content to the batch face of the same source
+    def fp(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(xxhash64(col("doc_id"), col("text"), col("lang"), col("n_tokens")).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    assert(fp(got) === fp(synth(1000, 4)))
+    // 1000 rows at 300/trigger = 4 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) === 4)
+  }
+
+  test("graft-synth streaming: restart from checkpoint resumes, never re-emits") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format("graft-synth")
+        .option("rows", rows).option("partitions", 4).option("rowsPerBatch", 250)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(600)  // first life: emits [0, 600)
+    run(1200) // restart, source grew: must emit ONLY [600, 1200)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1200, "exactly-once across the restart")
+    assert(back.select("doc_id").distinct().count() === 1200, "no re-emission")
+    assert(back.agg(min("doc_id"), max("doc_id")).head ===
+      org.apache.spark.sql.Row(0L, 1199L))
+  }
+
   // ---- graft-sink DataSourceV2 write path ----
 
   test("graft-sink: two-phase commit aggregates per-task audit messages") {
