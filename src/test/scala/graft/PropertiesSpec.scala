@@ -522,4 +522,24 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(folded - closed) < 1e-9 * (1 + math.abs(closed)), s"xs=$xs")
     }
   }
+
+  test("property: graft_topk == sorted.take(k) for random multisets, k, partitioning") {
+    graft.functions.GraftFunctions.register(spark)
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 200)
+      // narrow value domain forces duplicates (the tie-heavy regime)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+      k <- Gen.chooseNum(1, 12)
+      parts <- Gen.chooseNum(1, 16)
+    } yield (xs, k, parts)
+    for (((xs, k, parts), i) <- samples(caseGen, 12).zipWithIndex) {
+      val df = (xs.map(Option(_)) :+ (None: Option[Long]))
+        .toDF("v").repartition(parts)
+      df.createOrReplaceTempView(s"prop_topk_$i")
+      val got = spark.sql(s"SELECT graft_topk(v, $k) AS arr FROM prop_topk_$i")
+        .collect().head.getSeq[Long](0)
+      val want = xs.sorted(Ordering[Long].reverse).take(k)
+      assert(got === want, s"xs=$xs k=$k parts=$parts")
+    }
+  }
 }
