@@ -86,7 +86,17 @@ case class TopKLargest(
   override def update(heap: mutable.PriorityQueue[Any],
                       input: InternalRow): mutable.PriorityQueue[Any] = {
     val v = child.eval(input)
-    if (v != null) offer(heap, v)
+    if (v != null) {
+      // UTF8String from a columnar scan points into a batch-reused
+      // buffer — retaining it across rows without a copy silently
+      // corrupts the heap when the next batch loads (numerics box, so
+      // only strings need this)
+      val owned = v match {
+        case s: UTF8String => s.clone()
+        case other => other
+      }
+      offer(heap, owned)
+    }
     heap
   }
 

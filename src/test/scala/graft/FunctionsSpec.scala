@@ -193,6 +193,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk retains owned copies of strings from a columnar parquet scan") {
+    // parquet's vectorized reader hands out UTF8Strings backed by
+    // batch-reused buffers; a heap that retains them uncopied returns
+    // garbage once the scan crosses a batch boundary (>4096 rows here)
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    docs.createOrReplaceTempView("fs_docs_str")
+    val got = spark.sql("SELECT graft_topk(text, 3) AS arr FROM fs_docs_str")
+      .collect().head.getSeq[String](0)
+    val want = docs.select("text").orderBy(desc("text")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === want)
+  }
+
   test("graft_topk composes in an agg list and partial-aggregates map-side") {
     GraftFunctions.register(spark)
     val c = Tables.customer(spark, "/root/testdata/sf0.001")
