@@ -65,6 +65,41 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("malformed JSON ingestion: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST dies") {
+    // at 100 TB some upstream JSON WILL be garbage; mode choice decides
+    // whether the pipeline quarantines, skips, or halts — all three must
+    // behave predictably
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"doc_id": 1, "lang": "en"}
+        |{"doc_id": 2, "lang": "de"}
+        |{not json at all
+        |{"doc_id": "NaN-ish", "lang": 7}
+        |{"doc_id": 4, "lang": "fr"}""".stripMargin.getBytes)
+    val schema = "doc_id LONG, lang STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(permissive.count() === 5)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 2,
+        "both bad rows quarantined with their raw text")
+      assert(permissive.filter(col("_corrupt_record").isNull)
+        .agg(sum("doc_id")).head.getLong(0) === 7L)
+    } finally permissive.unpersist()
+    // DROPMALFORMED drops only syntactically-broken rows; the
+    // type-mismatch row survives with nulled fields (Spark semantics —
+    // PERMISSIVE's corrupt column is the stricter quarantine)
+    val dropped = spark.read.schema("doc_id LONG, lang STRING")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 4)
+    intercept[Exception] {
+      spark.read.schema("doc_id LONG, lang STRING")
+        .option("mode", "FAILFAST").json(dir).count()
+    }
+  }
+
   test("column pruning reaches the scan: 2-column projection reads a 2-column schema") {
     val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val narrow = lineitem.select("l_orderkey", "l_quantity")
