@@ -54,15 +54,27 @@ object GraftSinkRegistry {
   final case class CommitStats(rows: Long, bytes: Long, tasks: Int)
   private val commits = TrieMap.empty[String, CommitStats]
   private val aborts = TrieMap.empty[String, Int]
+  // streaming: one entry per committed epoch — idempotent on epoch
+  // replay (a re-committed epochId overwrites with identical stats
+  // rather than double-counting, the sink half of exactly-once)
+  private val epochs = TrieMap.empty[String, TrieMap[Long, CommitStats]]
 
   private[sources] def recordCommit(name: String, s: CommitStats): Unit =
     commits.put(name, s)
   private[sources] def recordAbort(name: String): Unit =
     aborts.updateWith(name) { n => Some(n.getOrElse(0) + 1) }
+  private[sources] def recordEpoch(name: String, epochId: Long, s: CommitStats): Unit =
+    epochs.getOrElseUpdate(name, TrieMap.empty).put(epochId, s)
 
   def committed(name: String): Option[CommitStats] = commits.get(name)
   def abortCount(name: String): Int = aborts.getOrElse(name, 0)
-  def clear(name: String): Unit = { commits.remove(name); aborts.remove(name) }
+  def committedEpochs(name: String): Map[Long, CommitStats] =
+    epochs.get(name).map(_.toMap).getOrElse(Map.empty)
+  def streamedRows(name: String): Long =
+    committedEpochs(name).values.map(_.rows).sum
+  def clear(name: String): Unit = {
+    commits.remove(name); aborts.remove(name); epochs.remove(name)
+  }
 }
 
 final class GraftSinkTable(name: String, writeSchema: StructType)
@@ -70,8 +82,8 @@ final class GraftSinkTable(name: String, writeSchema: StructType)
   override def name(): String = s"graft_sink($name)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftSinkWriteBuilder(name, info.schema())
 }
@@ -82,7 +94,33 @@ final class GraftSinkWriteBuilder(name: String, schema: StructType)
   override def truncate(): WriteBuilder = this
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftSinkBatchWrite(name, schema)
+    override def toStreaming: streaming.StreamingWrite =
+      new GraftSinkStreamingWrite(name, schema)
   }
+}
+
+/** Streaming face: the same per-task → driver commit protocol, with the
+  * epoch id as the idempotence key. Structured Streaming may re-run a
+  * micro-batch after a crash between sink commit and offset-log write;
+  * keying the registry by epochId makes the replayed commit overwrite
+  * its identical predecessor instead of double-counting — how every
+  * exactly-once sink (file sink's _spark_metadata, JDBC upsert-by-epoch)
+  * actually achieves the guarantee. */
+final class GraftSinkStreamingWrite(name: String, schema: StructType)
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    val nFields = schema.length
+    (partitionId: Int, _: Long, _: Long) =>
+      new GraftSinkWriterFactory(nFields).createWriter(partitionId, 0L)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: AuditMessage => m }
+    GraftSinkRegistry.recordEpoch(name, epochId, GraftSinkRegistry.CommitStats(
+      rows = ms.map(_.rows).sum, bytes = ms.map(_.bytes).sum, tasks = ms.length))
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkRegistry.recordAbort(name)
 }
 
 /** One message per successfully committed partition. */

@@ -266,6 +266,23 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.GraftSinkRegistry.committed("t_over").map(_.rows) === Some(100L))
   }
 
+  test("graft-sink streaming: per-epoch commits sum to the source total (connector-to-connector)") {
+    graft.sources.GraftSinkRegistry.clear("t_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 1000).option("partitions", 4).option("rowsPerBatch", 300)
+      .load()
+      .writeStream.format("graft-sink").option("name", "t_stream")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val epochs = graft.sources.GraftSinkRegistry.committedEpochs("t_stream")
+    assert(graft.sources.GraftSinkRegistry.streamedRows("t_stream") === 1000)
+    assert(epochs.size === 4, s"300/trigger over 1000 rows = 4 epochs, got $epochs")
+    assert(epochs.values.map(_.rows).toSeq.sorted === Seq(100L, 300L, 300L, 300L))
+    assert(graft.sources.GraftSinkRegistry.abortCount("t_stream") === 0)
+  }
+
   test("graft-sink: failed job aborts — no partial totals are committed") {
     graft.sources.GraftSinkRegistry.clear("t_abort")
     val poison = udf((id: Long) =>
