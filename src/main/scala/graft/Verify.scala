@@ -32,6 +32,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // stderr marker BEFORE each query: lets engine WARNs (e.g.
+      // single-partition WindowExec) be attributed to their query when
+      // auditing the log
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -23,24 +23,34 @@ object AdvancedQueries extends QueryRegistry {
     * to the Spark-vs-DuckDB round() tie-break divergence. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
-  /** 2-D skyline (maximize both columns): one window pass builds a
-    * candidate dominator superset (sorted by x desc, a point below the
-    * running max of y is dominated by that running argmax), then a
-    * broadcast anti-join removes every dominated point — exact because
-    * dominance is transitive. Exercised on random point sets (incl.
-    * exact duplicates, which are mutually non-dominating) by
-    * PropertiesSpec. */
+  /** 2-D skyline (maximize both columns), grid-prefiltered so no window
+    * ever runs unpartitioned: phase 1 hashes each point into one of 32
+    * cells and computes a PER-CELL dominator prefilter (sorted by x
+    * desc within the cell, a point strictly below the running max of y
+    * has a strict in-cell dominator and cannot be in the skyline — the
+    * window is partitioned by cell, so every partition sorts locally).
+    * Survivors are a superset of the true skyline: every pruned point
+    * has a strict dominator among the survivors (strict dominance is a
+    * finite strict partial order, so the dominator chain ends at an
+    * unpruned point). Phase 2 anti-joins the survivors against the
+    * broadcast survivor set — exact because any global dominator of a
+    * survivor is itself dominated only by survivors (transitivity).
+    * Exercised on random point sets (incl. exact duplicates, which are
+    * mutually non-dominating) by PropertiesSpec. */
   private[graft] def skyline2d(pts: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val w = Window.orderBy(desc(xCol), desc(yCol))
+    val w = Window.partitionBy("skyline_cell").orderBy(desc(xCol), desc(yCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cand = pts
+    val surv = pts
+      .withColumn("skyline_cell", pmod(hash(col(xCol), col(yCol)), lit(32)))
       .withColumn("pm", max(yCol).over(w))
       .filter(col("pm").isNull || col(yCol) >= col("pm"))
-      .select(col(xCol).as("d_x"), col(yCol).as("d_y"))
-    pts.join(broadcast(cand),
+      .drop("pm")
+    val cand = surv.select(col(xCol).as("d_x"), col(yCol).as("d_y"))
+    surv.join(broadcast(cand),
       col("d_x") >= col(xCol) && col("d_y") >= col(yCol) &&
         (col("d_x") > col(xCol) || col("d_y") > col(yCol)),
       "left_anti")
+      .drop("skyline_cell")
   }
 
   /** Pointer-doubling ancestor rollup: `init` is (node, anc, dist) with
@@ -196,20 +206,27 @@ object AdvancedQueries extends QueryRegistry {
   // the top-k priorities draws a weighted sample WITHOUT replacement,
   // exactly reproducible on recompute (the data-mixing sampler when
   // "sample 1M docs proportional to quality score" must be re-runnable).
-  // At scale top-k is a TakeOrdered / bounded-heap (q_topk_per_group's
-  // operator), never a global sort. ln() is evaluated per row on
-  // IDENTICAL doubles in both engines; selection flips only if two
-  // rows' priorities collide within 1 ulp (≈1e-8 probability corpus-
-  // wide) — the ranks themselves carry an id tie-break.
+  // The top-k runs through the repo's own bounded-heap operator
+  // (TopKPerGroup with a constant group): each mapper keeps k rows, the
+  // exchange carries ≤ k rows per input partition, and NO global sort
+  // ever materializes — the only window is the rank assignment over the
+  // 20 surviving rows, partitioned on the constant group key. ln() is
+  // evaluated per row on IDENTICAL doubles in both engines; selection
+  // flips only if two rows' priorities collide within 1 ulp (≈1e-8
+  // probability corpus-wide) — the ranks themselves carry an id
+  // tie-break.
   private val weightedSample = NamedQuery(
     "q_weighted_sample",
     (spark, d) => {
       val u = TextOps.md5Long(col("o_orderkey")) / lit(1152921504606846976.0) // 2^60
-      val w = Window.orderBy(desc("priority"), asc("o_orderkey"))
-      Tables.orders(spark, d)
+      val scored = Tables.orders(spark, d)
         .withColumn("priority", log(u) / col("o_totalprice"))
+        .withColumn("g", lit(0))
+      val top = graft.plans.TopK.perGroup(scored, Seq("g"),
+        Seq(col("priority").desc, col("o_orderkey").asc), 20)
+      val w = Window.partitionBy("g").orderBy(desc("priority"), asc("o_orderkey"))
+      top
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
         .orderBy("rank")
     },
@@ -282,12 +299,22 @@ object AdvancedQueries extends QueryRegistry {
       val daily = Tables.orders(spark, d)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
         .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
-      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("xs", collect_list(col("rev_cents").cast("double")).over(w))
+      // WINDOW-FREE sequential fold: the EWMA recursion is inherently
+      // sequential across ALL days, and the daily rollup is
+      // domain-bounded (one row per day) — so the whole series is
+      // gathered by ONE day-sorted collect_list aggregate (the intended
+      // single reducer, no WindowExec) and each day's prefix is folded
+      // back out after posexplode
+      val series = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("rev_cents")))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("i", "s")), col("xs"))
+        .select(col("s.day").as("day"), col("s.rev_cents").as("rev_cents"),
+          transform(slice(col("xs"), lit(1), col("i") + 1),
+            e => e("rev_cents").cast("double")).as("vals"))
+      series
         .withColumn("ewma",
-          aggregate(slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
-            element_at(col("xs"), 1),
+          aggregate(slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+            element_at(col("vals"), 1),
             (acc, x) => acc * lit(0.8) + x * lit(0.2)))
         .select(col("day"), col("rev_cents"), col("ewma"))
         .orderBy("day")
@@ -347,10 +374,15 @@ object AdvancedQueries extends QueryRegistry {
   // midnight sample row: without it, a day whose peak is carried in
   // from intervals straddling midnight (starts at 23:50, no boundary
   // until the next morning) would under-report — the midnight sample
-  // records the carried-in level in the day it belongs to. The
-  // global-ordered running sum is the textbook form; at 100 TB the
-  // sweep partitions by coarse time range with per-range offsets added
-  // back (a two-phase prefix sum — same arithmetic, no global sort).
+  // records the carried-in level in the day it belongs to. TWO-PHASE
+  // prefix sum (the 100 TB shape — no global sort anywhere): the
+  // running sum is computed per DAY (a partitioned window, each day
+  // sorts locally), and each day's carried-in level is the sum of all
+  // earlier days' deltas — a per-day aggregate (≤ one row per day)
+  // whose strictly-earlier cumulation is a broadcast non-equi
+  // self-join on that tiny relation. carry + local prefix = the
+  // identical global prefix, because a day's rows are exactly the
+  // global-order rows after every earlier day's.
   private val intervalOverlap = NamedQuery(
     "q_interval_overlap",
     (spark, d) => {
@@ -364,10 +396,20 @@ object AdvancedQueries extends QueryRegistry {
         .select(date_trunc("day", col("t")).as("t"), lit(0).as("delta"))
         .distinct()
       val deltas = boundaries.unionByName(midnights)
-      val w = Window.orderBy(col("t"), col("delta")) // RANGE frame: peers share the sum
+        .withColumn("day0", date_trunc("day", col("t")))
+      val wDay = Window.partitionBy("day0")
+        .orderBy(col("t"), col("delta")) // RANGE frame: peers share the sum
+      val daySums = deltas.groupBy(col("day0").as("dd"))
+        .agg(sum(col("delta")).as("dsum"))
+      val carry = daySums.as("a")
+        .join(broadcast(daySums.as("b")), col("b.dd") < col("a.dd"), "left")
+        .groupBy(col("a.dd").as("day0"))
+        .agg(coalesce(sum(col("b.dsum")), lit(0L)).as("carry"))
       deltas
-        .withColumn("c", sum("delta").over(w))
-        .groupBy(date_format(col("t"), "yyyy-MM-dd").as("day"))
+        .withColumn("c_local", sum("delta").over(wDay))
+        .join(broadcast(carry), "day0")
+        .withColumn("c", col("carry") + col("c_local"))
+        .groupBy(date_format(col("day0"), "yyyy-MM-dd").as("day"))
         .agg(max("c").as("max_concurrent"),
           sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
         .orderBy("day")
@@ -426,22 +468,25 @@ object AdvancedQueries extends QueryRegistry {
         .cache()
       val nodes = edges.select(col("src")).distinct()
       val n = nodes.count().toDouble // materializes the cache
-      // each round is MATERIALIZED (eager checkpoint) so every iteration
-      // is a shallow 2-shuffle job against the cached edges rather than
-      // one 10-shuffle-deep AQE plan — the same rhythm as
-      // Components.connectedComponents; superseded rounds are freed
+      // the five iterations stay LAZY — one deep plan where each round
+      // is a join against the cached edges plus a group-sum of the
+      // (1 row/node) rank relation, executed as one AQE job. Round 5
+      // measured the alternative (eager localCheckpoint per round) at
+      // 7-32s on identical code: five driver-synchronized barrier jobs
+      // amplify every GC pause / shared-VM hiccup into the query time.
+      // One lazy job has one scheduling boundary, and only the FINAL
+      // (small) rank relation is materialized — after which the cache
+      // and checkpoint can be freed before the caller consumes the
+      // result.
       var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-        .localCheckpoint()
       for (_ <- 1 to 5) {
-        val next = edges
+        pr = edges
           .join(pr, edges("src") === pr("node"))
           .groupBy(col("dst").as("node"))
           .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
-          .localCheckpoint()
-        Components.freeCheckpoint(pr)
-        pr = next
       }
       val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
+        .localCheckpoint()
       edges.unpersist(false)
       Components.freeCheckpoint(e0)
       out.orderBy("node")
@@ -633,16 +678,19 @@ object AdvancedQueries extends QueryRegistry {
       val W = 5000000L // $50k bins over a ~$1k..$500k price domain
       val priceCents = cents(col("o_totalprice"))
       // the cut set is tiny (|orders|/997 rows) — a driver-sized dim;
-      // the single-partition window that pairs consecutive cuts is fine
+      // consecutive cuts pair WINDOW-FREE via broadcast self-joins on
+      // that dim (hi = min cut above lo; tier = #cuts ≤ lo), so no
+      // single-partition WindowExec exists even here
       val cuts = Tables.orders(spark, d)
         .filter(pmod(col("o_orderkey"), lit(997)) === 0)
         .select(priceCents.as("c")).distinct()
-      val wOrd = Window.orderBy(col("c"))
-      val tiers = cuts
-        .withColumn("tier", row_number().over(wOrd))
-        .withColumn("hi", lead(col("c"), 1).over(wOrd))
-        .filter(col("hi").isNotNull)
-        .select(col("tier"), col("c").as("lo"), col("hi"))
+      val bounds = cuts.as("a")
+        .join(broadcast(cuts.as("b")), col("b.c") > col("a.c"))
+        .groupBy(col("a.c").as("lo")).agg(min(col("b.c")).as("hi"))
+      val tiers = bounds
+        .join(broadcast(cuts.as("r")), col("r.c") <= col("lo"))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("tier"))
+        .select(col("tier"), col("lo"), col("hi"))
       val binnedTiers = tiers
         .withColumn("bin",
           explode(sequence(floor(col("lo") / W).cast("long"),

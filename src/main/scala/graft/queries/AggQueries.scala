@@ -104,16 +104,26 @@ object AggQueries extends QueryRegistry {
   private val trend = NamedQuery(
     "q_monthly_trend",
     (spark, d) => {
-      import org.apache.spark.sql.expressions.Window
       val monthly = Tables.orders(spark, d)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
-      val w = Window.orderBy(col("ym"))
+      // WINDOW-FREE lag: the month rollup is domain-bounded (~80 rows),
+      // so the "previous existing month" is two broadcast self-joins on
+      // that tiny relation (argmax of earlier months, then its revenue)
+      // — exact lag() semantics incl. gaps, and no single-partition
+      // WindowExec anywhere in the suite's plans
+      val prevKey = monthly.as("a")
+        .join(broadcast(monthly.as("b")), col("b.ym") < col("a.ym"), "left")
+        .groupBy(col("a.ym").as("ym"))
+        .agg(max(col("b.ym")).as("prev_ym"))
       monthly
-        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .join(broadcast(prevKey), "ym")
+        .join(broadcast(monthly.select(col("ym").as("prev_ym"),
+          col("revenue").as("prev_revenue"))), Seq("prev_ym"), "left")
         .withColumn("mom_delta",
           round(col("revenue") - coalesce(col("prev_revenue"), col("revenue")), 2))
+        .select("ym", "revenue", "n_orders", "prev_revenue", "mom_delta")
         .orderBy("ym")
     },
     Some("""SELECT ym, revenue, n_orders, prev_revenue,

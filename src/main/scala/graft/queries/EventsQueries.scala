@@ -413,13 +413,17 @@ object EventsQueries extends QueryRegistry {
         .groupBy("user_id").agg(min(col("tus")).as("t_purchase"))
       def stage(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
-      val w = Window.orderBy("stage")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // WINDOW-FREE "first stage" reference: rate_vs_top divides by the
+      // 1_view count, which is a one-row aggregate — broadcast it as a
+      // cross join instead of a first() window over the 3 stage rows
+      val top = v.agg(count(lit(1)).as("top_n"))
       stage("1_view", v)
         .unionByName(stage("2_click", c))
         .unionByName(stage("3_purchase", p))
+        .crossJoin(broadcast(top))
         .withColumn("rate_vs_top",
-          round(col("n_users") / first(col("n_users")).over(w).cast("double"), 6))
+          round(col("n_users") / col("top_n").cast("double"), 6))
+        .drop("top_n")
         .orderBy("stage")
     },
     Some("""WITH ev AS (

@@ -53,13 +53,41 @@ object StatsQueries extends QueryRegistry {
   // engines share ntile's definition (equal buckets, remainder spread
   // over the leading buckets); the ORDER BY carries the id tie-break so
   // equal balances land identically.
+  //
+  // TWO-PHASE global rank (the 100 TB shape — `ntile(10) OVER (ORDER BY
+  // …)` would sort the corpus in ONE partition): phase 1 histograms the
+  // rows on a coarse value bucket (floor of the balance — the bucket
+  // count is bounded by the VALUE DOMAIN, not the row count) and turns
+  // the tiny histogram into per-bucket rank offsets; phase 2 ranks
+  // rows WITHIN their bucket (a partitioned window — every partition
+  // sorts locally) and adds the broadcast offset. bucket order is
+  // consistent with the (balance, id) total order, so offset + local
+  // rank IS the global rank, and the ntile bucket is closed-form
+  // arithmetic on that rank (first n%10 deciles get ⌈n/10⌉ rows).
   private val deciles = NamedQuery(
     "q_ntile_deciles",
     (spark, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(spark, d)
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(10).over(w).as("decile"))
+      import spark.implicits._
+      val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_acctbal"))
+      val bucket = floor(col("c_acctbal")).cast("long")
+      val hist = cust.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy("b").collect() // ≤ |distinct floor(balance)| rows — domain-bounded
+      val n = hist.map(_.getLong(1)).sum
+      var acc = 0L
+      val offs = hist.map { r => val o = (r.getLong(0), acc); acc += r.getLong(1); o }
+        .toSeq.toDF("b", "off")
+      val q10 = n / 10
+      val rem = n % 10
+      val hi1 = (q10 + 1) * rem // ranks 1..hi1 fall in the first `rem` (larger) deciles
+      val wB = Window.partitionBy("b").orderBy("c_acctbal", "c_custkey")
+      cust
+        .withColumn("b", bucket)
+        .withColumn("lr", row_number().over(wB))
+        .join(broadcast(offs), "b")
+        .withColumn("rank", col("off") + col("lr"))
+        .withColumn("decile",
+          when(col("rank") <= hi1, ceil(col("rank") / lit((q10 + 1).toDouble)))
+            .otherwise(lit(rem) + ceil((col("rank") - lit(hi1)) / lit(q10.toDouble))))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           round(min(col("c_acctbal")), 2).as("lo"),

@@ -568,24 +568,30 @@ object TextQueries extends QueryRegistry {
         |WHERE doc_id % 10 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  // Greedy sequence packing (concat-and-chunk): lay all documents out
-  // on one token tape in doc_id order and cut every 512 tokens — each
-  // doc's pack is floor(start_offset / 512). The step after chunking in
-  // sequence prep: small docs share a training sequence instead of
-  // wasting pad tokens. The global cumulative window is the determinism
-  // contract with the oracle; at 100 TB packing runs per shard
-  // (partitionBy(shard-hash) window — embarrassingly parallel, same
-  // arithmetic, no global order needed or wanted).
+  // Greedy sequence packing (concat-and-chunk), SHARDED — the declared
+  // query IS the scale shape: documents are routed to 16 shards by
+  // doc_id, each shard lays its documents out on its own token tape in
+  // doc_id order and cuts every 512 tokens (each doc's pack is
+  // floor(shard_start_offset / 512), namespaced as shard·10⁶ + local
+  // pack). The step after chunking in sequence prep: small docs share
+  // a training sequence instead of wasting pad tokens. Packing has no
+  // cross-shard semantics — training sequences are independent — so
+  // the cumulative window runs partitionBy(shard): embarrassingly
+  // parallel, every partition sorts locally, no global order needed or
+  // wanted. The oracle replays the identical sharded arithmetic.
   private val packSequences = NamedQuery(
     "text_pack_sequences",
     (spark, d) => {
       val seqLen = 512
-      val w = Window.orderBy(col("doc_id"))
+      val nShards = 16
+      val w = Window.partitionBy("shard").orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(spark, d)
         .select(col("doc_id"), size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / seqLen))
+        .withColumn("pack_id",
+          col("shard") * 1000000L + floor((col("cum") - col("n_tokens")) / seqLen))
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"),
@@ -598,7 +604,8 @@ object TextQueries extends QueryRegistry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM (
         |  SELECT doc_id, n_tokens,
-        |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |    (doc_id % 16) * 1000000 +
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |  FROM (SELECT doc_id,

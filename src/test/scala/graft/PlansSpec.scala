@@ -242,12 +242,16 @@ class PlansSpec extends SparkSpec {
   }
 
   test("weighted sample plans a bounded top-k heap, no global sort of the table") {
-    // the limit-20 selection must become TakeOrderedAndProject (per-
-    // partition bounded heaps merged on the driver) — the raw table is
-    // never globally sorted; only the 20 survivors meet the rank window
+    // the top-20 selection runs through the TopKPerGroup partial/final
+    // exec pair (per-partition bounded heaps, exchange carries ≤ k rows
+    // per partition) — the raw table is never globally sorted; only the
+    // 20 survivors meet the rank window, which is PARTITIONED (on the
+    // constant group) so no "No Partition Defined" WindowExec exists
     val plan = SparkEntry.queries("q_weighted_sample")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"no bounded top-k in weighted-sample plan:\n$plan")
+    assert(plan.contains("TopKPerGroupPartial") && plan.contains("TopKPerGroup 20"),
+      s"no bounded top-k heap pair in weighted-sample plan:\n$plan")
+    assert(!plan.contains("windowspecdefinition()"),
+      s"unpartitioned window in weighted-sample plan:\n$plan")
   }
 }

@@ -43,7 +43,7 @@ class ReconQueriesSpec extends SparkSpec {
         val in = cents.filter(c => c >= lo && c < hi)
         if (in.isEmpty) None else Some((i + 1, in.length.toLong, in.sum))
     }
-    val got = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val got = rows.map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
     assert(got.toSeq == expected.toSeq,
       s"binned join diverged from the direct range join")
     // no fact row double-counted across tiers (tiers are non-overlapping)

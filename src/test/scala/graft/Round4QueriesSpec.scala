@@ -24,12 +24,12 @@ class Round4QueriesSpec extends SparkSpec {
 
   test("q_ntile_deciles: 10 buckets, near-equal sizes, ordered non-overlapping ranges") {
     val rows = run("q_ntile_deciles").collect()
-    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
     val sizes = rows.map(_.getLong(1))
     assert(sizes.max - sizes.min <= 1, s"ntile sizes must differ by <=1: ${sizes.toSeq}")
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a.getDouble(3) <= b.getDouble(2),
-        s"decile ${a.getInt(0)} hi > decile ${b.getInt(0)} lo")
+        s"decile ${a.getLong(0)} hi > decile ${b.getLong(0)} lo")
     }
   }
 
@@ -121,10 +121,18 @@ class Round4QueriesSpec extends SparkSpec {
       .agg(sum(col("n")), count(lit(1))).collect()(0)
     assert(totalTokens == src.getLong(0), "every token lands in exactly one pack")
     assert(totalDocs == src.getLong(1), "every doc lands in exactly one pack")
-    // consecutive packs: doc ranges must not interleave
-    rows.sortBy(_.getLong(0)).sliding(2).foreach {
-      case Array(a, b) => assert(a.getLong(4) <= b.getLong(3))
-      case _ => ()
+    // packing is per-shard (pack_id = shard·10⁶ + local pack): within a
+    // shard, consecutive packs' doc ranges must not interleave, and a
+    // pack's docs must all carry its shard residue (doc_id % 16)
+    rows.groupBy(_.getLong(0) / 1000000L).foreach { case (shard, packs) =>
+      packs.foreach { p =>
+        assert(p.getLong(3) % 16 == shard && p.getLong(4) % 16 == shard,
+          s"pack ${p.getLong(0)} holds docs outside shard $shard")
+      }
+      packs.sortBy(_.getLong(0)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(3))
+        case _ => ()
+      }
     }
   }
 
