@@ -63,18 +63,32 @@ object Bench {
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name; -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // each query runs TWICE and reports the MIN: the first run absorbs
+      // that query's codegen/JIT compilation and any shared-VM or GC
+      // hiccup concentrated in it; the min of two runs is the number
+      // that reflects the PLAN rather than the machine's bad moment
+      // (round-5 lesson: one query measured 32.5s vs 6.0s on identical
+      // code across two runs of the same bench).
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name; return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
       // UNTIMED inter-query hygiene: queries that localCheckpoint
       // internally leave their blocks in the block manager until the
       // driver GCs the RDD references and ContextCleaner unpersists them.
       // Left to accumulate, ~80 queries of dead blocks turn into old-gen
       // pressure that surfaces as multi-second GC pauses *inside* some
-      // later query's timing. One explicit GC per query keeps each
+      // later query's timing. One explicit GC per run keeps each
       // measurement independent of its predecessors.
+      val a = once()
       System.gc()
+      val dt = if (a < 0) a else {
+        val b = once()
+        System.gc()
+        if (b < 0) b else math.min(a, b)
+      }
       name -> dt
     }
     val total = results.map(_._2).sum

@@ -54,6 +54,22 @@ object ImageFixtures {
     val corrupt = new File(d, "corrupt.png")
     if (!corrupt.exists())
       java.nio.file.Files.write(corrupt.toPath, "not an image at all".getBytes)
+    // a STRUCTURALLY VALID WebP container (RIFF/WEBP/VP8 chunk headers,
+    // truncated bitstream): the reference allow-list includes .webp
+    // (appV2.py:17) but JDK ImageIO ships no webp decoder, so the
+    // documented contract (Images.scala) is source-inclusion + decode-
+    // stage error status — NOT a silent drop. This fixture pins that.
+    val webp = new File(d, "photo.webp")
+    if (!webp.exists()) {
+      val payload = new Array[Byte](10) // fake VP8 bitstream bytes
+      val body = "WEBP".getBytes("US-ASCII") ++ "VP8 ".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(payload.length).array() ++ payload
+      val riff = "RIFF".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(body.length).array() ++ body
+      java.nio.file.Files.write(webp.toPath, riff)
+    }
     val excluded = new File(d, "note.txt")
     if (!excluded.exists())
       java.nio.file.Files.write(excluded.toPath, "excluded by extension".getBytes)

@@ -137,22 +137,27 @@ object GraftFunctions {
     * wraps the returned AggregateFunction in an AggregateExpression. */
   val topkBuilder: Seq[Expression] => Expression =
     binary("graft_topk", (child, kExpr) => {
+      // arity here is CORRECT (two args) — a bad k is a data-type
+      // problem, so the structured error is DATATYPE_MISMATCH (callers
+      // matching on error class see the truthful category), not a
+      // repurposed WRONG_NUM_ARGS with prose stuffed into its counts
       val k = kExpr match {
         case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
           e.eval() match {
             case i: Integer => i.intValue()
             case _ => throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map("functionName" -> "`graft_topk`",
-                "expectedNum" -> "a non-null INT literal k", "actualNum" -> "NULL",
-                "docroot" -> "https://spark.apache.org/docs/latest"))
+              errorClass = "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+              messageParameters = Map(
+                "sqlExpr" -> s"\"graft_topk(${child.sql}, ${kExpr.sql})\"",
+                "exprName" -> "`k`"))
           }
         case other => throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map("functionName" -> "`graft_topk`",
-            "expectedNum" -> "a foldable INT literal k",
-            "actualNum" -> other.sql,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
+          errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+          messageParameters = Map(
+            "sqlExpr" -> s"\"graft_topk(${child.sql}, ${kExpr.sql})\"",
+            "inputName" -> "`k`",
+            "inputType" -> "\"INT\"",
+            "inputExpr" -> s"\"${other.sql}\""))
       }
       TopKLargest(child, k)
     })

@@ -139,31 +139,85 @@ object TaggerQueries extends QueryRegistry {
          |ORDER BY image_id""".stripMargin))
   }
 
-  /** Throughput headline (rows-only; trig differs across libm so no
-    * oracle): the full tagging program over 500k synthetic 64-logit score
-    * vectors generated distributively, through the SCALE path
-    * (Tagging.pipelineLocal): the whole selection — sigmoid, per-category
-    * argmax, thresholds, blacklist, ordered concat — runs array-locally
-    * inside one whole-stage-codegen map with ZERO shuffles, instead of
-    * exploding to 32M rows through two shuffles and a 500k×500k join.
-    * Output is bit-identical to the relational Tagging.pipeline (pinned
-    * by TaggingSpec and the tagger_pipeline_local oracle query below).
-    * The reference processes ~1 image/sec single-threaded
-    * (appV2.py:165-185, batch=1); this measures 5000× that item count in
-    * one bench entry. */
+  /** Throughput headline, HASH-CHECKED: the full tagging program over
+    * 500k synthetic 64-logit score vectors generated distributively,
+    * through the SCALE path (Tagging.pipelineLocal): the whole
+    * selection — sigmoid, per-category argmax, thresholds, blacklist,
+    * ordered concat — runs array-locally inside one whole-stage-codegen
+    * map with ZERO shuffles, instead of exploding to 32M rows through
+    * two shuffles and a 500k×500k join.
+    *
+    * Earlier rounds left this rows-only because sin()-generated logits
+    * differ across libm implementations. The generator is now PURE
+    * INTEGER arithmetic — logit = ((v·2654435761 mod p) mod 8000001 −
+    * 4·10⁶)/10⁶ with v = id·64+j, p = 1073741789 — a multiplicative
+    * hash both engines evaluate bit-identically, so the oracle replays
+    * the entire 500k-row pipeline. The output is a 32-bucket DIGEST
+    * (row count + modular sum of 60-bit md5 of "id:tags" per id%32
+    * bucket): any flipped tag anywhere in the 500k rows moves a
+    * digest, and the aggregate both forces the full tag computation
+    * under count() and keeps the compared relation small. The
+    * reference processes ~1 image/sec single-threaded
+    * (appV2.py:165-185, batch=1); this measures 5000× that item count
+    * in one bench entry. */
   private val throughput = NamedQuery(
     "tagger_throughput_500k",
     (spark, _) => {
       val scores = spark.range(500000).select(
         col("id").as("image_id"),
         transform(sequence(lit(0), lit(63)),
-          j => sin(col("id") * 0.7 + j.cast("double") * 1.3) * 4.0).as("logits"))
-      // the trailing filter REFERENCES the computed tag string, so a
-      // bench-style count() cannot prune the tag computation away
+          j => (((col("id") * 64 + j.cast("long")) * 2654435761L % 1073741789L
+            % 8000001L) - 4000000L) / lit(1000000.0)).as("logits"))
       Tagging.pipelineLocal(scores, Tagging.syntheticVocabEntries(64))
-        .filter(length(col("tags")) >= 0)
+        .groupBy((col("image_id") % 32).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.ops.TextOps.md5Long(
+            concat_ws(":", col("image_id"), col("tags"))) % 1000000000000L)
+            .as("digest"))
+        .orderBy("bucket")
     },
-    None)
+    Some(s"""WITH ids AS (SELECT range AS image_id FROM range(500000)),
+       |vocab AS (${Tagging.syntheticVocabSql(64)}),
+       |probs AS (
+       |  SELECT image_id, j AS tag_idx,
+       |    1/(1 + exp(-greatest(least(
+       |      (((image_id * 64 + j) * 2654435761 % 1073741789 % 8000001) - 4000000)
+       |        / 1000000.0, 30), -30))) AS prob
+       |  FROM ids CROSS JOIN range(0, 64) t(j)),
+       |joined AS (
+       |  SELECT p.image_id, p.tag_idx, p.prob, v.tag_name, v.category
+       |  FROM probs p JOIN vocab v USING (tag_idx)),
+       |argmax AS (
+       |  SELECT image_id, category, tag_idx, tag_name
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY image_id, category ORDER BY prob DESC, tag_idx) AS rn
+       |        FROM joined WHERE category IN ('rating','quality')) r
+       |  WHERE rn = 1),
+       |thresh AS (
+       |  SELECT image_id, category, tag_idx, tag_name FROM joined
+       |  WHERE (category IN ('general','meta','model') AND prob >= 0.55)
+       |     OR (category IN ('character','copyright','artist') AND prob >= 0.60)),
+       |sel AS (
+       |  SELECT image_id,
+       |         CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
+       |              WHEN 'general' THEN 2 WHEN 'meta' THEN 3 WHEN 'model' THEN 4
+       |              WHEN 'character' THEN 5 WHEN 'copyright' THEN 6 ELSE 7 END AS cat_rank,
+       |         tag_idx, replace(tag_name, '_', ' ') AS display
+       |  FROM (SELECT * FROM argmax UNION ALL SELECT * FROM thresh) u
+       |  WHERE NOT (category = 'meta' AND (
+       |        lower(replace(tag_name,'_',' ')) LIKE '%id%'
+       |     OR lower(replace(tag_name,'_',' ')) LIKE '%commentary%'
+       |     OR lower(replace(tag_name,'_',' ')) LIKE '%request%'
+       |     OR lower(replace(tag_name,'_',' ')) LIKE '%mismatch%'))),
+       |tagged AS (
+       |  SELECT i.image_id, coalesce(t.tags, '') AS tags
+       |  FROM ids i LEFT JOIN (
+       |    SELECT image_id, string_agg(display, ', ' ORDER BY cat_rank, tag_idx) AS tags
+       |    FROM sel GROUP BY image_id) t USING (image_id))
+       |SELECT image_id % 32 AS bucket, count(*) AS n,
+       |  CAST(sum(('0x' || substr(md5(CAST(image_id AS VARCHAR) || ':' || tags), 1, 15))::BIGINT
+       |           % 1000000000000) AS BIGINT) AS digest
+       |FROM tagged GROUP BY 1 ORDER BY bucket""".stripMargin))
 
   /** The scale path under the SAME DuckDB oracle as the relational form:
     * proves pipelineLocal ≡ pipeline ≡ the reference, hash-checked. */

@@ -52,7 +52,10 @@ class GraftSink extends TableProvider with DataSourceRegister {
 /** Driver-side audit log, keyed by the sink's `name` option. */
 object GraftSinkRegistry {
   final case class CommitStats(rows: Long, bytes: Long, tasks: Int)
-  private val commits = TrieMap.empty[String, CommitStats]
+  // batch: EVERY commit is retained (newest first) — two appends to the
+  // same name are two audit records, symmetric with the streaming
+  // epochs map; `committed` surfaces the most recent for convenience
+  private val commits = TrieMap.empty[String, List[CommitStats]]
   private val aborts = TrieMap.empty[String, Int]
   // streaming: one entry per committed epoch — idempotent on epoch
   // replay (a re-committed epochId overwrites with identical stats
@@ -60,13 +63,20 @@ object GraftSinkRegistry {
   private val epochs = TrieMap.empty[String, TrieMap[Long, CommitStats]]
 
   private[sources] def recordCommit(name: String, s: CommitStats): Unit =
-    commits.put(name, s)
+    commits.updateWith(name) { l => Some(s :: l.getOrElse(Nil)) }
   private[sources] def recordAbort(name: String): Unit =
     aborts.updateWith(name) { n => Some(n.getOrElse(0) + 1) }
   private[sources] def recordEpoch(name: String, epochId: Long, s: CommitStats): Unit =
     epochs.getOrElseUpdate(name, TrieMap.empty).put(epochId, s)
 
-  def committed(name: String): Option[CommitStats] = commits.get(name)
+  /** Most recent batch commit for `name`; full history in commitHistory. */
+  def committed(name: String): Option[CommitStats] =
+    commits.get(name).flatMap(_.headOption)
+  /** All batch commits for `name`, oldest first. */
+  def commitHistory(name: String): Seq[CommitStats] =
+    commits.get(name).map(_.reverse).getOrElse(Nil)
+  /** Total rows across every batch commit (streamedRows' batch dual). */
+  def batchRows(name: String): Long = commitHistory(name).map(_.rows).sum
   def abortCount(name: String): Int = aborts.getOrElse(name, 0)
   def committedEpochs(name: String): Map[Long, CommitStats] =
     epochs.get(name).map(_.toMap).getOrElse(Map.empty)

@@ -196,7 +196,11 @@ final class SynthDocsScan(rows: Long, partitions: Int,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new SynthDocsStream(rows, partitions, rowsPerBatch, required)
+    // the pushed doc_id range travels into the stream: pushFilters
+    // ABSORBS range predicates (they are not returned as residual), so
+    // dropping lo/hi here would silently unfilter a streaming read if
+    // Spark ever applies scan-level pushdown to micro-batch plans
+    new SynthDocsStream(rows, partitions, rowsPerBatch, required, lo, hi)
   override def description(): String =
     s"graft-synth rows=$rows range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -238,10 +242,17 @@ final case class SynthOffset(v: Long) extends streaming.Offset {
   * so the cap honors whatever limit is handed down. Column pruning
   * negotiated at plan time applies to every batch. */
 final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
-                            required: StructType)
+                            required: StructType,
+                            filterLo: Long = 0L, filterHi: Long = Long.MaxValue)
     extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
 
-  override def initialOffset(): streaming.Offset = SynthOffset(0L)
+  // the streamed id range is [rangeLo, rangeHi): the source's row count
+  // intersected with any pushed doc_id range — batches never plan rows
+  // a pushed filter excluded
+  private val rangeLo = math.max(0L, filterLo)
+  private val rangeHi = math.min(rows, filterHi)
+
+  override def initialOffset(): streaming.Offset = SynthOffset(rangeLo)
   override def getDefaultReadLimit: streaming.ReadLimit =
     streaming.ReadLimit.maxRows(rowsPerBatch)
 
@@ -251,14 +262,16 @@ final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
 
   override def latestOffset(start: streaming.Offset,
                             limit: streaming.ReadLimit): streaming.Offset = {
-    val lo = start.asInstanceOf[SynthOffset].v
+    // clamp up too: a checkpoint written before a filter change could
+    // restore an offset below the pushed lower bound
+    val lo = math.max(start.asInstanceOf[SynthOffset].v, rangeLo)
     val cap = limit match {
       case m: streaming.ReadMaxRows => m.maxRows()
       case _ => rowsPerBatch
     }
-    SynthOffset(math.min(rows, lo + cap))
+    SynthOffset(math.min(rangeHi, lo + cap))
   }
-  override def reportLatestOffset(): streaming.Offset = SynthOffset(rows)
+  override def reportLatestOffset(): streaming.Offset = SynthOffset(rangeHi)
 
   override def deserializeOffset(json: String): streaming.Offset =
     SynthOffset(json.trim.toLong)
@@ -266,8 +279,8 @@ final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
 
   override def planInputPartitions(start: streaming.Offset,
                                    end: streaming.Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[SynthOffset].v
-    val hi = end.asInstanceOf[SynthOffset].v
+    val lo = math.max(start.asInstanceOf[SynthOffset].v, rangeLo)
+    val hi = math.min(end.asInstanceOf[SynthOffset].v, rangeHi)
     val per = math.max(1L, (hi - lo + partitions - 1) / partitions)
     (0 until partitions).iterator
       .map(p => SynthSlice(lo + p * per, math.min(lo + (p + 1) * per, hi)))

@@ -188,9 +188,12 @@ class FunctionsSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_topk(id) FROM fs_topk_e").collect()
     }
-    intercept[org.apache.spark.sql.AnalysisException] {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_topk(id, id) FROM fs_topk_e").collect()
     }
+    // arity is correct here, so the structured class must be a DATATYPE
+    // error (not a repurposed WRONG_NUM_ARGS) — callers match on this
+    assert(e.getCondition == "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT", e.getCondition)
   }
 
   test("graft_topk retains owned copies of strings from a columnar parquet scan") {

@@ -14,10 +14,28 @@ class ImagesSpec extends SparkSpec {
     val files = Images.source(spark, dir, recursive = false)
       .select(col("path")).collect().map(_.getString(0))
     val names = files.map(_.split('/').last).sorted
-    // note.txt excluded; nested.png (in sub/) excluded; corrupt.png INCLUDED
-    // (extension passes — failure surfaces at decode, appV2.py:183)
+    // note.txt excluded; nested.png (in sub/) excluded; corrupt.png and
+    // photo.webp INCLUDED (extension passes — failure surfaces at
+    // decode, appV2.py:183)
     assert(names === Array("alpha.png", "anim.gif", "corrupt.png",
-      "landscape.png", "photo.jpg", "portrait.png", "square.PNG", "tiny.bmp"))
+      "landscape.png", "photo.jpg", "photo.webp", "portrait.png",
+      "square.PNG", "tiny.bmp"))
+  }
+
+  test("webp contract: allow-listed at source, routed to the error channel at decode") {
+    // appV2.py:17 includes .webp; JDK ImageIO has no webp decoder, so
+    // the row must survive to the output WITH an error status — never a
+    // silent drop, never a job failure (Images.scala:21-24 contract)
+    val scored = Images.scoreImages(
+      Images.source(spark, dir), Images.FixtureScorer(8), targetSize = 16)
+      .collect().map(r => r.getString(0).split('/').last ->
+        (Option(r.getSeq[Float](1)), r.getString(2))).toMap
+    val (logits, status) = scored("photo.webp")
+    assert(status.startsWith("error:"), s"webp status was '$status'")
+    assert(logits.isEmpty, "error rows carry null logits")
+    // a webp-capable ImageIO plugin on the classpath would flip this row
+    // to "ok" with zero code changes — the assertion above is the
+    // documented NO-PLUGIN contract
   }
 
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {
@@ -67,14 +85,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 8L && m("n_ok") === 7L && m("n_failed") === 1L)
+    assert(m("n_total") === 9L && m("n_ok") === 7L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 8)
+    assert(rows.length === 9)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))

@@ -46,8 +46,18 @@ class SimilarityKernelSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val (census, cent) = SimilarityOps.kmeansLocal(
       Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 2)
-    assert(census.toSeq === relational,
-      "fused kernel census diverged from the relational pipeline")
+    // memberships/counts must match EXACTLY; inertia is compared within
+    // an epsilon because the two paths merge partial sums in different
+    // orders (driver-side fold vs Spark's agg), and the shared round(3)
+    // contract only masks that reassociation drift away from the .0005
+    // boundary — exact Double === could flip on a boundary-adjacent sum
+    // under a different partition count or JVM
+    assert(census.map(c => (c._1, c._2)).toSeq === relational.map(r => (r._1, r._2)),
+      "fused kernel membership census diverged from the relational pipeline")
+    census.zip(relational).foreach { case ((cid, _, ik), (_, _, ir)) =>
+      assert(math.abs(ik - ir) <= 1e-3 + 1e-9,
+        s"cluster $cid inertia: kernel $ik vs relational $ir")
+    }
     // centroid parity too: replay the relational update chain's final
     // centroids and compare the rounded coordinates
     assert(cent.length == relational.length)

@@ -259,6 +259,19 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.GraftSinkRegistry.abortCount("t_commit") === 0)
   }
 
+  test("graft-sink: repeated batch appends ACCUMULATE audit records (no overwrite)") {
+    graft.sources.GraftSinkRegistry.clear("t_multi")
+    synth(300, 2).write.format("graft-sink").option("name", "t_multi")
+      .mode("append").save()
+    synth(500, 2).write.format("graft-sink").option("name", "t_multi")
+      .mode("append").save()
+    val hist = graft.sources.GraftSinkRegistry.commitHistory("t_multi")
+    assert(hist.map(_.rows) === Seq(300L, 500L), "oldest-first, both retained")
+    assert(graft.sources.GraftSinkRegistry.committed("t_multi").map(_.rows)
+      === Some(500L), "committed() surfaces the most recent")
+    assert(graft.sources.GraftSinkRegistry.batchRows("t_multi") === 800L)
+  }
+
   test("graft-sink: overwrite mode rides SupportsTruncate") {
     graft.sources.GraftSinkRegistry.clear("t_over")
     synth(100, 2).write.format("graft-sink").option("name", "t_over")
