@@ -176,44 +176,66 @@ object TaggerQueries extends QueryRegistry {
             .as("digest"))
         .orderBy("bucket")
     },
+    // Oracle-side shortcuts (answer IDENTICAL, cost ~60× lower — the
+    // relational 32M-row replay ran 50-574s/9GB on the shared VM; this
+    // runs ~9s/60MB, so the oracle can never blow the driver's budget):
+    // (1) σ is STRICTLY MONOTONE in the logit, and the logit is
+    //     (h-4e6)/1e6 for integer h ∈ [0,8e6] — so "max prob" is "max h"
+    //     and "prob ≥ θ" is "h ≥ 4e6+⌈1e6·ln(θ/(1-θ))⌉" (0.55 → 4200671,
+    //     0.60 → 4405466; the nearest representable σ values sit ≥7e-8
+    //     from each θ, 9 decades above double rounding error, so the
+    //     integer comparison is EXACTLY the double comparison Spark runs).
+    // (2) the whole selection is PER-IMAGE list arithmetic (the same
+    //     row-local shape as pipelineLocal itself): 500k rows × 64-long
+    //     lambda lists instead of a 32M-row join + window + string_agg.
+    //     argmax-with-first-max-tie-break packs as max(h*64 + (63-j)):
+    //     equal h prefers larger 63-j = smaller j, numpy's argmax rule.
+    //     Sort keys pack as cat_rank*64+j so one list_sort gives the
+    //     (cat_rank, emit_pos) emission order of R14.
+    // Cross-checked cell-by-cell against the straight relational replay
+    // (window argmax + UNION + string_agg) on 20k images: 0 diffs.
     Some(s"""WITH ids AS (SELECT range AS image_id FROM range(500000)),
        |vocab AS (${Tagging.syntheticVocabSql(64)}),
-       |probs AS (
-       |  SELECT image_id, j AS tag_idx,
-       |    1/(1 + exp(-greatest(least(
-       |      (((image_id * 64 + j) * 2654435761 % 1073741789 % 8000001) - 4000000)
-       |        / 1000000.0, 30), -30))) AS prob
-       |  FROM ids CROSS JOIN range(0, 64) t(j)),
-       |joined AS (
-       |  SELECT p.image_id, p.tag_idx, p.prob, v.tag_name, v.category
-       |  FROM probs p JOIN vocab v USING (tag_idx)),
-       |argmax AS (
-       |  SELECT image_id, category, tag_idx, tag_name
-       |  FROM (SELECT *, row_number() OVER (
-       |          PARTITION BY image_id, category ORDER BY prob DESC, tag_idx) AS rn
-       |        FROM joined WHERE category IN ('rating','quality')) r
-       |  WHERE rn = 1),
-       |thresh AS (
-       |  SELECT image_id, category, tag_idx, tag_name FROM joined
-       |  WHERE (category IN ('general','meta','model') AND prob >= 0.55)
-       |     OR (category IN ('character','copyright','artist') AND prob >= 0.60)),
-       |sel AS (
+       |vl AS (SELECT
+       |    list(tag_name ORDER BY tag_idx) AS names,
+       |    list(CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
+       |         WHEN 'general' THEN 2 WHEN 'meta' THEN 3 WHEN 'model' THEN 4
+       |         WHEN 'character' THEN 5 WHEN 'copyright' THEN 6 ELSE 7 END
+       |         ORDER BY tag_idx) AS ranks,
+       |    list(CASE WHEN category IN ('general','meta','model') THEN 4200671
+       |              WHEN category IN ('character','copyright','artist') THEN 4405466
+       |              ELSE NULL END ORDER BY tag_idx) AS thmin,
+       |    list(category = 'meta' AND (
+       |          lower(replace(tag_name,'_',' ')) LIKE '%id%'
+       |       OR lower(replace(tag_name,'_',' ')) LIKE '%commentary%'
+       |       OR lower(replace(tag_name,'_',' ')) LIKE '%request%'
+       |       OR lower(replace(tag_name,'_',' ')) LIKE '%mismatch%')
+       |      ORDER BY tag_idx) AS blk
+       |  FROM vocab),
+       |imgs AS (
        |  SELECT image_id,
-       |         CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
-       |              WHEN 'general' THEN 2 WHEN 'meta' THEN 3 WHEN 'model' THEN 4
-       |              WHEN 'character' THEN 5 WHEN 'copyright' THEN 6 ELSE 7 END AS cat_rank,
-       |         tag_idx, replace(tag_name, '_', ' ') AS display
-       |  FROM (SELECT * FROM argmax UNION ALL SELECT * FROM thresh) u
-       |  WHERE NOT (category = 'meta' AND (
-       |        lower(replace(tag_name,'_',' ')) LIKE '%id%'
-       |     OR lower(replace(tag_name,'_',' ')) LIKE '%commentary%'
-       |     OR lower(replace(tag_name,'_',' ')) LIKE '%request%'
-       |     OR lower(replace(tag_name,'_',' ')) LIKE '%mismatch%'))),
+       |    list_transform(range(0,64),
+       |      j -> (image_id*64+j)*2654435761%1073741789%8000001) AS hs
+       |  FROM ids),
+       |keys AS (
+       |  SELECT image_id,
+       |    list_sort(
+       |      list_transform([0,1], r ->
+       |        r*64 + 63 - (list_max(list_transform(
+       |          list_filter(range(0,64), j -> ranks[j+1] = r),
+       |          j -> hs[j+1]*64 + (63-j))) % 64))
+       |      ||
+       |      list_transform(
+       |        list_filter(range(0,64), j -> thmin[j+1] IS NOT NULL
+       |          AND hs[j+1] >= thmin[j+1] AND NOT blk[j+1]),
+       |        j -> ranks[j+1]*64 + j)) AS ks
+       |  FROM imgs, vl),
        |tagged AS (
-       |  SELECT i.image_id, coalesce(t.tags, '') AS tags
-       |  FROM ids i LEFT JOIN (
-       |    SELECT image_id, string_agg(display, ', ' ORDER BY cat_rank, tag_idx) AS tags
-       |    FROM sel GROUP BY image_id) t USING (image_id))
+       |  SELECT image_id,
+       |    coalesce(list_aggregate(
+       |      list_transform(ks, k -> replace(names[(k%64)+1],'_',' ')),
+       |      'string_agg', ', '), '') AS tags
+       |  FROM keys, vl)
        |SELECT image_id % 32 AS bucket, count(*) AS n,
        |  CAST(sum(('0x' || substr(md5(CAST(image_id AS VARCHAR) || ':' || tags), 1, 15))::BIGINT
        |           % 1000000000000) AS BIGINT) AS digest
