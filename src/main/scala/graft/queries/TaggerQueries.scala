@@ -163,11 +163,23 @@ object TaggerQueries extends QueryRegistry {
   private val throughput = NamedQuery(
     "tagger_throughput_500k",
     (spark, _) => {
-      val scores = spark.range(500000).select(
-        col("id").as("image_id"),
-        transform(sequence(lit(0), lit(63)),
-          j => (((col("id") * 64 + j.cast("long")) * 2654435761L % 1073741789L
-            % 8000001L) - 4000000L) / lit(1000000.0)).as("logits"))
+      import spark.implicits._
+      // typed generator, NOT a transform() lambda: higher-order-function
+      // lambdas evaluate interpreted with per-element boxing (measured
+      // 30s for 32M hash evals vs 0.3s as a JIT'd primitive loop) — the
+      // generator must not dwarf the operator it feeds
+      val scores = spark.range(500000).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val arr = new Array[Double](64)
+          var j = 0
+          while (j < 64) {
+            val h = (id * 64 + j) * 2654435761L % 1073741789L % 8000001L
+            arr(j) = (h - 4000000L) / 1.0e6
+            j += 1
+          }
+          (id, arr)
+        }
+      }.toDF("image_id", "logits")
       Tagging.pipelineLocal(scores, Tagging.syntheticVocabEntries(64))
         .groupBy((col("image_id") % 32).as("bucket"))
         .agg(count(lit(1)).as("n"),
