@@ -64,30 +64,16 @@ object StatsQueries extends QueryRegistry {
   // consistent with the (balance, id) total order, so offset + local
   // rank IS the global rank, and the ntile bucket is closed-form
   // arithmetic on that rank (first n%10 deciles get ⌈n/10⌉ rows).
+  // The shape is factored as ops.Ranking.groupedRank/ntileFromRank and
+  // reused by text_perplexity_buckets (per-language terciles).
   private val deciles = NamedQuery(
     "q_ntile_deciles",
     (spark, d) => {
-      import spark.implicits._
       val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_acctbal"))
-      val bucket = floor(col("c_acctbal")).cast("long")
-      val hist = cust.groupBy(bucket.as("b")).agg(count(lit(1)).as("cnt"))
-        .orderBy("b").collect() // ≤ |distinct floor(balance)| rows — domain-bounded
-      val n = hist.map(_.getLong(1)).sum
-      var acc = 0L
-      val offs = hist.map { r => val o = (r.getLong(0), acc); acc += r.getLong(1); o }
-        .toSeq.toDF("b", "off")
-      val q10 = n / 10
-      val rem = n % 10
-      val hi1 = (q10 + 1) * rem // ranks 1..hi1 fall in the first `rem` (larger) deciles
-      val wB = Window.partitionBy("b").orderBy("c_acctbal", "c_custkey")
-      cust
-        .withColumn("b", bucket)
-        .withColumn("lr", row_number().over(wB))
-        .join(broadcast(offs), "b")
-        .withColumn("rank", col("off") + col("lr"))
+      graft.ops.Ranking.groupedRank(cust, Seq.empty, col("c_acctbal"),
+          floor(col("c_acctbal")).cast("long"), Seq("c_custkey"))
         .withColumn("decile",
-          when(col("rank") <= hi1, ceil(col("rank") / lit((q10 + 1).toDouble)))
-            .otherwise(lit(rem) + ceil((col("rank") - lit(hi1)) / lit(q10.toDouble))))
+          graft.ops.Ranking.ntileFromRank(col("rank"), col("grp_n"), 10))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           round(min(col("c_acctbal")), 2).as("lo"),

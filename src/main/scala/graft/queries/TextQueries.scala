@@ -958,10 +958,144 @@ object TextQueries extends QueryRegistry {
         |WHERE cnt * 1000 > tot * 2
         |ORDER BY cnt DESC, token""".stripMargin))
 
+  // ---- DSIR-style importance weights (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): score every raw
+  // document by how target-like its hashed bag-of-words is under two
+  // Laplace-smoothed multinomial LMs — log w(x) = Σ_f n_f(x)·(ln
+  // p_tgt(f) − ln p_raw(f)) over 1024 md5-hashed word features. The
+  // target distribution here is the `src0` slice of the corpus; at
+  // 100 TB it is the curated seed corpus. Scale shape: the entire model
+  // is a ≤1024-row feature table (broadcast); corpus cost is one
+  // (doc, feature) aggregate feeding both LM fits and the probe join
+  // (pinned so the corpus tokenizes once), and no shuffle carries more
+  // than one row per (doc, distinct feature). The top-50 selection runs
+  // through the bounded-heap TopKPerGroup operator — no global sort
+  // anywhere; `selected` is the resampling decision downstream stages
+  // would act on.
+  private val dsirWeights = NamedQuery(
+    "text_dsir_weights",
+    (spark, d) => {
+      val feats = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("source"),
+          pmod(TextOps.md5Long(col("w")), lit(1024L)).as("f"))
+        .groupBy("doc_id", "source", "f")
+        .agg(count(lit(1)).as("nf"))
+        .localCheckpoint()
+      val tgt = feats.filter(col("source") === "src0")
+        .groupBy("f").agg(sum("nf").as("ct"))
+      val raw = feats.groupBy("f").agg(sum("nf").as("cr"))
+      val tt = tgt.agg(sum(col("ct")).as("t_tgt"))
+      val rt = raw.agg(sum(col("cr")).as("t_raw"))
+      val model = raw.join(tgt, Seq("f"), "left")
+        .crossJoin(tt).crossJoin(rt)
+        .select(col("f"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("t_tgt") + lit(1024.0))) -
+            log((col("cr") + lit(1L)) / (col("t_raw") + lit(1024.0)))).as("lr"))
+      val weights = feats.join(broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(sum("nf").cast("bigint").as("n_tokens"),
+          round(sum(col("nf") * col("lr")), 6).as("logw"))
+      val top = graft.plans.TopK.perGroup(
+          weights.withColumn("g", lit(0)), Seq("g"),
+          Seq(col("logw").desc, col("doc_id").asc), 50)
+        .select(col("doc_id"), lit(1).as("selected"))
+      weights.join(broadcast(top), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("logw"),
+          coalesce(col("selected"), lit(0)).as("selected"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS f,
+        |    count(*) AS nf
+        |  FROM tok GROUP BY 1, 2, 3),
+        |tgt AS (SELECT f, sum(nf) AS ct FROM feats WHERE source = 'src0' GROUP BY f),
+        |raw AS (SELECT f, sum(nf) AS cr FROM feats GROUP BY f),
+        |tt AS (SELECT sum(ct) AS t_tgt FROM tgt),
+        |rt AS (SELECT sum(cr) AS t_raw FROM raw),
+        |model AS (
+        |  SELECT r.f,
+        |    ln((coalesce(ct, 0) + 1) / (t_tgt + 1024.0)) -
+        |    ln((cr + 1) / (t_raw + 1024.0)) AS lr
+        |  FROM raw r LEFT JOIN tgt USING (f) CROSS JOIN tt CROSS JOIN rt),
+        |w AS (SELECT doc_id, CAST(sum(nf) AS BIGINT) AS n_tokens,
+        |        round(sum(nf * lr), 6) AS logw
+        |      FROM feats JOIN model USING (f) GROUP BY doc_id),
+        |sel AS (SELECT doc_id FROM w ORDER BY logw DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_tokens, logw,
+        |  CAST(doc_id IN (SELECT doc_id FROM sel) AS INT) AS selected
+        |FROM w ORDER BY doc_id""".stripMargin))
+
+  // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+  // every document by unigram-LM average log-prob WITHIN its language
+  // and cut head/middle/tail terciles — the standard "keep the head,
+  // maybe the middle, drop the tail" pre-training quality gate. A
+  // per-language `ntile(3)` window would sort each language's full
+  // corpus slice in one partition (languages are few ⇒ partitions are
+  // corpus-sized); the declared shape ranks through the two-phase
+  // histogram (ops.Ranking.groupedRank): the only window partitions by
+  // (language, logprob-bucket), and the histogram/offset relations stay
+  // broadcast-sized at any corpus size.
+  private val perplexityBuckets = NamedQuery(
+    "text_perplexity_buckets",
+    (spark, d) => {
+      val tok = Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint() // vocabulary aggregation + probe join: tokenize once
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("t"))
+      val lp = tok.join(broadcast(cnt), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(log(col("c") / col("t").cast("double"))), 6).as("lp"))
+      // rank on −lp (ascending) ≡ lp DESC: tercile 1 = head (highest
+      // log-prob = least perplexed). Bucket key floor(−lp·16) is
+      // monotone in −lp, so offset + local rank is the global rank.
+      val ranked = graft.ops.Ranking.groupedRank(
+        lp, Seq("lang"), negate(col("lp")),
+        floor(negate(col("lp")) * 16).cast("long"), Seq("doc_id"))
+      ranked
+        .withColumn("tercile",
+          graft.ops.Ranking.ntileFromRank(col("rank"), col("grp_n"), 3))
+        .withColumn("bucket",
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          round(min("lp"), 6).as("lp_min"),
+          round(max("lp"), 6).as("lp_max"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |lp AS (SELECT doc_id, lang,
+        |         round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS lp
+        |       FROM tok JOIN cnt USING (w) CROSS JOIN tot
+        |       GROUP BY doc_id, lang),
+        |r AS (SELECT lang, lp, ntile(3) OVER (
+        |        PARTITION BY lang ORDER BY lp DESC, doc_id) AS tercile
+        |      FROM lp)
+        |SELECT lang,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(lp), 6) AS lp_min,
+        |  round(max(lp), 6) AS lp_max
+        |FROM r GROUP BY lang, tercile ORDER BY lang, bucket""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
       duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,
-      temperatureSample)
+      temperatureSample, dsirWeights, perplexityBuckets)
 }

@@ -240,6 +240,57 @@ object Streams {
       }
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, event_type) running counts through the Spark 4
+    * `transformWithState` StatefulProcessor API — the successor to
+    * mapGroupsWithState. What it adds, and why this operator uses it:
+    * the per-user state here is a MAP keyed by event_type, and
+    * `MapState` supports PER-ENTRY get/update against the state store —
+    * with GroupState the whole map would deserialize + reserialize as
+    * one blob per key per batch, which at a 100 TB key space (users ×
+    * types) turns every micro-batch into a full-state rewrite. Only the
+    * types touched in this batch are read or written, and only those
+    * (user, type) pairs are emitted (update-mode change feed).
+    * Requires the RocksDB state store provider (StreamsSpec sets it). */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, ty) =>
+        val cur = touched.getOrElse(ty,
+          if (counts.containsKey(ty)) counts.getValue(ty) else 0L)
+        touched.update(ty, cur + 1L)
+      }
+      touched.foreach { case (ty, n) => counts.updateValue(ty, n) }
+      touched.iterator.map { case (ty, n) => TypeCount(user, ty, n) }
+    }
+  }
+
+  /** The transformWithState wrapper: counts per (user, event_type) as an
+    * update-mode change feed; the last emitted row per pair equals the
+    * batch groupBy count (StreamsSpec proves it). */
+  def typeCountsTws(events: DataFrame): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (broadcast per micro-batch — the streaming dual of the engine's
     * vocab join). */

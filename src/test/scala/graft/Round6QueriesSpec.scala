@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 additions: DSIR importance
+  * weights and CCNet perplexity terciles. The oracle gate pins exact
+  * values; these pin the properties any refactor must preserve. */
+class Round6QueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("text_dsir_weights: one row per doc, exactly 50 selected, selection is top-by-weight") {
+    val rows = run("text_dsir_weights").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs)
+    val (sel, unsel) = rows.partition(_.getInt(3) == 1)
+    assert(sel.length == 50)
+    // the cut is a total order on (logw DESC, doc_id): no unselected doc
+    // may strictly outweigh a selected one
+    assert(sel.map(_.getDouble(2)).min >= unsel.map(_.getDouble(2)).max)
+  }
+
+  test("text_dsir_weights: target-source docs skew target-like per token") {
+    // the raw weight is length-dominated (longer doc = bigger |Σ n_f·lr|);
+    // the self-fit bias shows in the per-token normalized weight
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val by = run("text_dsir_weights").join(docs, "doc_id")
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("logw") / col("n_tokens")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(by(true) > by(false),
+      s"src0 docs must score more target-like per token: $by")
+  }
+
+  test("text_perplexity_buckets: per-language terciles partition the corpus") {
+    val rows = run("text_perplexity_buckets").collect()
+    val perLang = rows.groupBy(_.getString(0))
+    val docCounts = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq == Seq("head", "middle", "tail"))
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.sum == docCounts(lang), s"$lang tercile sizes must cover the corpus")
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles must be balanced: ${sizes.toSeq}")
+      // head = least perplexed: bucket ranges ordered and non-overlapping
+      val byB = rs.map(r => r.getString(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+      assert(byB("head")._1 >= byB("middle")._2,
+        s"$lang head lp_min below middle lp_max")
+      assert(byB("middle")._1 >= byB("tail")._2,
+        s"$lang middle lp_min below tail lp_max")
+    }
+  }
+}

@@ -101,6 +101,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState MapState change feed converges to batch groupBy (RocksDB store)") {
+    // transformWithState requires the RocksDB state store provider; set
+    // it for this query and restore so the rest of the suite keeps the
+    // default HDFS-backed provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.runToMemory(
+        Streams.typeCountsTws(Streams.readEvents(spark, path)).toDF(),
+        "stream_tws", OutputMode.Update())
+      try {
+        // update-mode change feed: last emitted row per (user, type) is
+        // the converged count
+        val finalState = spark.table("stream_tws")
+          .withColumn("ord", monotonically_increasing_id())
+          .groupBy("user_id", "event_type")
+          .agg(max_by(col("n"), col("ord")).as("n"))
+          .orderBy("user_id", "event_type").collect()
+        val batch = batchEvents.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("user_id", "event_type").collect()
+        assert(finalState.toSeq === batch.toSeq)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState emits one alert per count milestone (multi-row stateful)") {
     val q = Streams.runToMemory(
       Streams.milestoneAlerts(Streams.readEvents(spark, path)).toDF(),
