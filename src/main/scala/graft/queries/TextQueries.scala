@@ -997,6 +997,8 @@ object TextQueries extends QueryRegistry {
         .groupBy("doc_id")
         .agg(sum("nf").cast("bigint").as("n_tokens"),
           round(sum(col("nf") * col("lr")), 6).as("logw"))
+        .localCheckpoint() // feeds the TopK cut AND the output join: pin
+                           // (24 B/doc) or the corpus-wide weight agg runs twice
       val top = graft.plans.TopK.perGroup(
           weights.withColumn("g", lit(0)), Seq("g"),
           Seq(col("logw").desc, col("doc_id").asc), 50)
