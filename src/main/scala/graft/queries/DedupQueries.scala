@@ -407,7 +407,69 @@ object DedupQueries extends QueryRegistry {
         |GROUP BY text_md5
         |ORDER BY keeper""".stripMargin))
 
+  // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+  // = cluster embeddings, then inside each cluster drop every point that
+  // has a cosine-near neighbor EARLIER in farthest-from-centroid order —
+  // the paper's keep-rule retains the cluster's outliers (low similarity
+  // to centroid) and prunes the redundant core. Differs from
+  // dedup_embedding_blocked in both output contract (a keep/drop
+  // decision per vector, not a pair list) and the keep-rule (centroid
+  // geometry, not min-id). Scale: assignment is the map-side max_by
+  // broadcast posture (shuffle = |points| rows); the prune self-join is
+  // cell-local (Σ|cell|², SemDeDup's own cost model — cluster count is
+  // the knob that bounds it); the ordering window partitions by cell.
+  // The cosine threshold sits IN the join condition, so sub-threshold
+  // pairs never materialize past the join.
+  private val semantic = NamedQuery(
+    "dedup_semantic",
+    (spark, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      val cent = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val assign = SimilarityOps.assignNearestCell(
+        spark, v, "vec_id", "embedding", cent, carryEmbedding = true)
+      val withC = assign.join(broadcast(cent), "cid")
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          SimilarityOps.cosineNative6(spark, col("embedding"), col("cemb"))
+            .as("sim_c"))
+      val w = Window.partitionBy("cid").orderBy(col("sim_c").asc, col("vec_id").asc)
+      val ord = withC.withColumn("pos", row_number().over(w))
+      val dropped = ord.as("a").join(ord.as("b"),
+          col("a.cid") === col("b.cid") && col("a.pos") < col("b.pos") &&
+            SimilarityOps.cosineNative6(spark,
+              col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      // no broadcast hint: `dropped` is O(points) in the worst case —
+      // AQE picks broadcast when the actual drop set is small
+      ord.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("sim_c"),
+          when(col("dup").isNotNull, 0).otherwise(1).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, emb, cid, sim_c FROM (
+        |    SELECT v.vec_id, v.emb, cent.cid,
+        |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC,
+        |          cent.cid) AS crn
+        |    FROM v CROSS JOIN cent) t
+        |  WHERE crn = 1),
+        |ord AS (SELECT vec_id, emb, cid, sim_c,
+        |          row_number() OVER (PARTITION BY cid ORDER BY sim_c, vec_id) AS pos
+        |        FROM assign),
+        |dropped AS (SELECT DISTINCT b.vec_id FROM ord a JOIN ord b
+        |            ON a.cid = b.cid AND a.pos < b.pos
+        |            WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4)
+        |SELECT o.vec_id, o.cid, o.sim_c,
+        |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM ord o LEFT JOIN dropped d ON o.vec_id = d.vec_id
+        |ORDER BY o.vec_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(exact, exactKeepers, ngram, ngramCapped, minhash, simhashQ, simhashPairs,
-      embCosine, embCosineBlocked, clusters, incremental)
+      embCosine, embCosineBlocked, clusters, incremental, semantic)
 }

@@ -33,6 +33,20 @@ class Round6QueriesSpec extends SparkSpec {
       s"src0 docs must score more target-like per token: $by")
   }
 
+  test("dedup_semantic: one decision per vector, outlier-first keep rule") {
+    val rows = run("dedup_semantic").collect() // (vec_id, cid, sim_c, kept)
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == nVecs)
+    assert(rows.exists(_.getInt(3) == 0), "fixture near-dups must produce drops")
+    // SemDeDup keeps cluster outliers: the farthest-from-centroid row of
+    // every cluster is first in prune order and can never be dropped
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val farthest = rs.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(farthest.getInt(3) == 1,
+        s"cell $cid: farthest-from-centroid vector must be kept")
+    }
+  }
+
   test("text_perplexity_buckets: per-language terciles partition the corpus") {
     val rows = run("text_perplexity_buckets").collect()
     val perLang = rows.groupBy(_.getString(0))
