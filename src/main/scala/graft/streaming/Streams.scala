@@ -291,6 +291,115 @@ object Streams {
         OutputMode.Update())
   }
 
+  final case class SessionClose(user_id: Long, session_start: Long, n: Long)
+
+  /** Session-CLOSE detector through transformWithState EVENT-TIME TIMERS —
+    * the StatefulProcessor capability neither mapGroupsWithState timeouts
+    * nor `session_window` aggregation expresses cleanly: emit each
+    * user's session exactly once, AT the moment the watermark proves the
+    * 30-minute gap (append-mode "session ended" events feeding a
+    * downstream alert/archival sink). Buffered event times live in a
+    * `ListState` (per-entry appends — a micro-batch touching a user
+    * appends its rows without rewriting the buffer, unlike a GroupState
+    * blob); the registered timer sits at the EARLIEST pending close
+    * instant (min over open sessions of last-event + gap), and
+    * `handleExpiredTimer` splits the sorted buffer on the gap, emits
+    * every session whose close instant the watermark has passed, keeps
+    * the still-open tail, and re-arms. Spark filters watermark-late rows
+    * before the processor in TimeMode.EventTime, so the buffer never
+    * holds a row the emitted history already accounted for. State is
+    * O(events inside the watermark lag + one open session) per user;
+    * emitted sessions leave the store, so a year-long stream holds hours
+    * of state. StreamsSpec proves the emitted set equals batch
+    * `session_window` exactly once all input is behind the watermark. */
+  class SessionCloseProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionClose] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var armed:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("buf",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    /** Sorted buffer → maximal runs split where the inter-event gap
+      * reaches `gapUs` (session_window's [start, last + gap) semantics:
+      * an event AT the gap boundary opens a new session). */
+    private def sessions(ts: Seq[Long]): Seq[Seq[Long]] = {
+      val sorted = ts.sorted
+      if (sorted.isEmpty) Nil
+      else sorted.tail.foldLeft(List(List(sorted.head))) { (acc, t) =>
+        if (t - acc.head.head < gapUs) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }.map(_.reverse).reverse
+    }
+
+    /** Re-arm the timer at the earliest pending close instant (session
+      * close times only grow, so min over open sessions is the next
+      * emission the watermark can unlock). */
+    private def rearm(openSessions: Seq[Seq[Long]]): Unit = {
+      val prev = if (armed.exists()) Some(armed.get()) else None
+      val next = openSessions.map(s => (s.last + gapUs) / 1000 + 1).minOption
+      if (prev != next) {
+        prev.foreach(getHandle.deleteTimer)
+        next.foreach(getHandle.registerTimer)
+        next match {
+          case Some(t) => armed.update(t)
+          case None => armed.clear()
+        }
+      }
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionClose] = {
+      rows.foreach { case (_, t) =>
+        val i = t.toInstant
+        buf.appendValue(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }
+      rearm(sessions(buf.get().toSeq))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClose] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val (closed, open) = sessions(buf.get().toSeq)
+        .partition(s => s.last + gapUs <= wmUs)
+      if (open.isEmpty) buf.clear()
+      else if (closed.nonEmpty) buf.put(open.flatten.toArray)
+      armed.clear() // this timer just fired; rearm records the next one
+      rearm(open)
+      closed.iterator.map(s =>
+        SessionClose(user, s.head / 1000000L, s.length.toLong))
+    }
+  }
+
+  /** Append-mode feed of closed 30-minute-gap sessions per user: each
+    * session surfaces exactly once, when the event-time watermark passes
+    * its close instant. */
+  def sessionCloseTws(events: DataFrame, watermarkDelay: String): Dataset[SessionClose] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor(30L * 60 * 1000000),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (broadcast per micro-batch — the streaming dual of the engine's
     * vocab join). */

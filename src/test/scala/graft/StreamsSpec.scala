@@ -132,6 +132,58 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers emit each closed session exactly once (RocksDB store)") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // time-ordered quantile slices: each micro-batch advances the
+      // watermark past the previous slice, so earlier sessions close
+      // MID-STREAM through timer expiry — the timer path runs four
+      // times, not once at a final flush
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess_tws")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(Streams.eventsRawSchema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+      val qs = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      val bounds = Seq(Long.MinValue) ++ qs.map(_.toLong) ++ Seq(Long.MaxValue)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        raw.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+          .write.mode("append").parquet(dir.toString)
+      }
+      val q = Streams.runToMemory(
+        Streams.sessionCloseTws(Streams.readEvents(spark, dir.toString), "1 hour").toDF(),
+        "stream_sess_tws", OutputMode.Append())
+      try {
+        q.processAllAvailable()
+        val midStream = spark.table("stream_sess_tws").count()
+        assert(midStream > 0, "no session closed before the end of input — timers untested")
+        // a far-future sentinel (user -1) drags the watermark past every
+        // real close instant; its own session stays open and unemitted
+        val maxNanos = raw.agg(max("ts")).collect().head.getLong(0)
+        Seq((-1L, maxNanos + 30L * 86400 * 1000000000L, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+        val got = spark.table("stream_sess_tws").filter(col("user_id") >= 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val expected = batchEvents
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+            col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got.sorted === expected.sorted)
+        assert(got.length === got.distinct.length, "a session was emitted twice")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState emits one alert per count milestone (multi-row stateful)") {
     val q = Streams.runToMemory(
       Streams.milestoneAlerts(Streams.readEvents(spark, path)).toDF(),
