@@ -210,6 +210,33 @@ object TextOps {
       .toDF(idCol, "shingle")
   }
 
+  /** Row-local POSITIONED shingle relation: (id, pos, shingle LONG), one
+    * row per occurrence (non-distinct — position identity is the point),
+    * hashed to the same 60-bit md5 keys as shinglesHashedLocal. Feeds
+    * span-level operators that must map a duplicated gram back onto the
+    * token range it covers (ExactSubstr-style removal). Same scale
+    * posture as the other kernels: built per row in mapPartitions, no
+    * posexplode, no per-doc window sort, 8-byte join keys. */
+  def shinglePositionsLocal(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          (0 to ws.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(ws(i))
+            var k = 1
+            while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+            (id, i.toLong, md5Long60(sb.toString))
+          }
+        }
+      }
+      .toDF(idCol, "pos", "shingle")
+  }
+
   /** Exact thresholded Jaccard pairs via PREFIX FILTERING — identical
     * output to `jaccardPairs(shinglesHashedLocal(df)).filter(jaccard >=
     * minJaccard)`, at a fraction of the cost (5.5× fewer index rows and

@@ -1094,10 +1094,86 @@ object TextQueries extends QueryRegistry {
         |  round(max(lp), 6) AS lp_max
         |FROM r GROUP BY lang, tercile ORDER BY lang, bucket""".stripMargin))
 
+  // ---- ExactSubstr span-REMOVAL dedup (the Lee et al. 2021
+  // "Deduplicating Training Data Makes Language Models Better" shape,
+  // arXiv:2107.06499, reduced to its 8-gram-seed relational core): where
+  // text_duplicate_spans only PROFILES cross-doc span overlap, this
+  // produces the cleaned corpus — every token range covered by an
+  // 8-gram that also occurs in an earlier document (min-doc_id keeper)
+  // is cut from the later document, and the query emits each doc's
+  // token count, removed-token count, and the md5 of its cleaned text
+  // (the digest stands in for the corpus-sized string column, same
+  // rationale as tagger_throughput_500k). A maximal duplicated run of
+  // L ≥ 8 tokens is exactly the union of its L−7 duplicated 8-gram
+  // windows, so removing gram-covered positions removes whole spans,
+  // not samples of them. Scale shape: the positioned grams are built
+  // row-locally (no per-doc window), duplicated grams survive a
+  // two-phase groupBy BEFORE the occurrence join, position expansion is
+  // 8× only on duplicated occurrences, and the doc-partitioned rollup
+  // is the single corpus-wide shuffle — no window ever sorts more than
+  // one document's tokens.
+  private val exactSubstr = NamedQuery(
+    "text_exactsubstr_dedup",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      // read twice (gram-frequency aggregation + occurrence probe): pin
+      // the kernel output or the corpus re-shingles per branch
+      val g = TextOps.shinglePositionsLocal(docs, "doc_id", "text", 8)
+        .localCheckpoint()
+      val dupGrams = g.groupBy("shingle")
+        .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .drop("ndocs")
+      val covered = g.join(dupGrams, "shingle")
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
+        .distinct()
+      val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tw")))
+        .withColumn("pos", col("pos").cast("long"))
+      tok.join(covered.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_removed"),
+          md5(array_join(transform(array_sort(collect_list(
+              when(col("rm").isNull, struct(col("pos"), col("tw"))))),
+            s => s("tw")), " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, words[i] AS tw
+        |  FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+        |g_s AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+7], ' ') AS s
+        |  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)),
+        |g AS (
+        |  SELECT doc_id, pos, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM g_s),
+        |stats AS (
+        |  SELECT h, min(doc_id) AS keeper FROM g GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, u.p AS pos
+        |  FROM g JOIN stats USING (h),
+        |       unnest(generate_series(g.pos, g.pos + 7)) AS u(p)
+        |  WHERE g.doc_id <> stats.keeper)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tw END,
+        |    ' ' ORDER BY t.pos), '')) AS clean_md5
+        |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
       duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,
-      temperatureSample, dsirWeights, perplexityBuckets)
+      temperatureSample, dsirWeights, perplexityBuckets, exactSubstr)
 }

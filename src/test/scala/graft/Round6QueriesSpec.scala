@@ -66,4 +66,45 @@ class Round6QueriesSpec extends SparkSpec {
         s"$lang middle lp_min below tail lp_max")
     }
   }
+
+  test("text_exactsubstr_dedup: removes exactly the maximal shared run from the later doc") {
+    import spark.implicits._
+    // doc 1 owns the 10-token run a..j; doc 2 embeds it at offset 2 —
+    // its three duplicated 8-gram windows (offsets 2,3,4) must union to
+    // the WHOLE run (positions 2..11), leaving exactly "x y z"; doc 3
+    // shares nothing and must survive untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft_exsub").toString
+    Seq(
+      (1L, "a b c d e f g h i j", "en", "s0", 19L),
+      (2L, "x y a b c d e f g h i j z", "en", "s0", 25L),
+      (3L, "p q r s t u v w", "en", "s0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_exactsubstr_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L) === ((10L, 0L, md5("a b c d e f g h i j"))),
+      "keeper doc must be untouched")
+    assert(rows(2L) === ((13L, 10L, md5("x y z"))),
+      "later doc must lose the full maximal run, not just one gram")
+    assert(rows(3L) === ((8L, 0L, md5("p q r s t u v w"))),
+      "unique doc must be untouched")
+  }
+
+  test("text_exactsubstr_dedup: fixture corpus removal is substantial and digest-consistent") {
+    val rows = run("text_exactsubstr_dedup").collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val removed = rows.map(_.getLong(2)).sum
+    assert(removed > 0, "planted near-dup pairs must produce span removal")
+    // a doc with zero removals keeps its original text digest
+    val orig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getLong(2) == 0L).foreach { r =>
+      assert(r.getString(3) === orig(r.getLong(0)),
+        s"doc ${r.getLong(0)}: untouched doc's digest must equal original")
+    }
+  }
 }
