@@ -229,7 +229,63 @@ object ScalarFuncQueries extends QueryRegistry {
         |WHERE len(hits) > 0
         |ORDER BY doc_id""".stripMargin))
 
+  // ---- Blocked approximate string join (the scale path q_edit_distance's
+  // comment promises): Gravano et al., VLDB'01 "Approximate String Joins
+  // in a Database (Almost) for Free". Candidate pairs come from a char-
+  // TRIGRAM inverted-index equi-join with the COUNT FILTER — ed(a,b) ≤ k
+  // implies the pair shares ≥ max(|a|,|b|)−q+1−k·q q-grams (each edit
+  // destroys ≤ q grams), and the join's Σ cₐ·c_b per pair only
+  // overcounts the multiset intersection, so filtering on it never
+  // loses a true pair — then exact Levenshtein verifies the survivors.
+  // The bound degenerates (≤ 0) only when max(|a|,|b|) ≤ q−1+k·q = 8,
+  // so pairs of SHORT strings route through the broadcast all-pairs
+  // kernel over the (tiny) short subset instead; strings with |s| < q
+  // have no grams at all, and any ed ≤ k partner of one is itself short
+  // (|b| ≤ |a|+k < q+k ≤ 8), so the split loses nothing. The oracle
+  // states the naive quadratic join; identical output, index-join cost.
+  private val erGramBlocked = NamedQuery(
+    "q_er_gram_blocked",
+    (spark, d) => {
+      val (q, k, shortMax) = (3, 2, 8) // shortMax = q-1+k*q
+      val rel = Tables.part(spark, d)
+        .filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"),
+          length(col("p_name")).as("len"))
+      // non-distinct trigrams: multiplicity feeds the count filter's
+      // sound overcount (Σ ca·cb ≥ multiset intersection)
+      val grams = rel.filter(col("len") >= q)
+        .select(col("id"), col("len"), explode(expr(
+          s"transform(sequence(1, length(name) - ${q - 1})," +
+            s" i -> substring(name, i, $q))")).as("g"))
+      val candidates = grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+            abs(col("a.len") - col("b.len")) <= k &&
+            greatest(col("a.len"), col("b.len")) > shortMax)
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+          greatest(col("a.len"), col("b.len")).as("mx"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= col("mx") - (q - 1) - k * q)
+        .select("id1", "id2")
+      val verified = candidates
+        .join(rel.select(col("id").as("id1"), col("name").as("n1")), "id1")
+        .join(rel.select(col("id").as("id2"), col("name").as("n2")), "id2")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("n1"), col("n2")).as("dist"))
+        .filter(col("dist") <= k)
+      val shortPairs = graft.ops.TextOps.allPairsLevenshteinLocal(
+        rel.filter(col("len") <= shortMax), "id", "name", k)
+      verified.unionByName(shortPairs).orderBy("id1", "id2")
+    },
+    Some("""SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+        | AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id1, id2""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(strings, dates, mathFns, json, arrays, editDistance, outerJoins,
-      arraySetOps, regexExtractAll)
+      arraySetOps, regexExtractAll, erGramBlocked)
 }

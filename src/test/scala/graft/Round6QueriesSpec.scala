@@ -107,4 +107,37 @@ class Round6QueriesSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: untouched doc's digest must equal original")
     }
   }
+
+  test("q_er_gram_blocked == brute-force all-pairs on adversarial lengths (count-filter soundness)") {
+    import spark.implicits._
+    // strings straddling every code path: below-q (no grams), short
+    // (≤ 8, broadcast fallback), boundary 8/9, long (gram count filter),
+    // plus planted ed ≤ 2 pairs via substitution / insertion / deletion
+    val rng = new scala.util.Random(42)
+    val base = Seq("ab", "hot", "hot bolt", "hot bolts", "cold bolt",
+      "navy lace spring", "navy lace sprigg", "navy lacespring",
+      "goldenrod chocolate", "goldenrod chocolatee", "xgoldenrod chocolate")
+    val fuzz = (0 until 40).map { _ =>
+      val s = "abcdefgh".take(3 + rng.nextInt(6)) + " " +
+        Seq("ring", "bolt", "lace", "ring").apply(rng.nextInt(4))
+      if (rng.nextBoolean()) s.updated(rng.nextInt(s.length), 'z') else s
+    }
+    val names = (base ++ fuzz).zipWithIndex
+      .map { case (n, i) => (i.toLong * 20, n, "x", 1, s"m$i", "JUMBO", 1, 0.0, "c") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_er").toString
+    names.toDF("p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
+        "p_container", "p_size", "p_retailprice", "p_comment")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q_er_gram_blocked")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rel = names.map(t => (t._1, t._2)).toDF("id", "name")
+    val truth = graft.ops.TextOps.allPairsLevenshteinLocal(rel, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "fixture must contain true near-pairs")
+    assert(truth.exists { case (a, b, _) => // both paths exercised
+      val byId = names.map(t => t._1 -> t._2).toMap
+      byId(a).length <= 8 && byId(b).length <= 8
+    }, "no short-short pair — fallback path unexercised")
+  }
 }
