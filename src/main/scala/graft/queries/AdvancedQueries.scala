@@ -718,7 +718,72 @@ object AdvancedQueries extends QueryRegistry {
         |FROM f JOIN t ON f.pc >= t.lo AND f.pc < t.hi
         |GROUP BY tier ORDER BY tier""".stripMargin))
 
+  // Market-basket association rules (support / confidence / lift) — the
+  // classic co-occurrence miner, here over order baskets of parts. Scale
+  // shape: baskets are collected ONCE per order (sorted distinct-item
+  // array, one key shuffle), and candidate pairs are expanded ROW-LOCALLY
+  // from each array — O(Σ|basket|²) with |basket| bounded by order width
+  // (≤13 here), never a basket⋈basket self-join whose skew would follow
+  // the hottest item. Item supports ride the same exploded relation; the
+  // pair→support join is a broadcast (rules above min-support are few by
+  // construction). Confidence/lift are single IEEE divisions over exact
+  // integer counts, written identically both engines → emitted raw.
+  private val assocRules = NamedQuery(
+    "q_assoc_rules",
+    (spark, d) => {
+      val minSupp = 3
+      val baskets = Tables.lineitem(spark, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+      val itemSupp = baskets
+        .select(explode(col("items")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("supp"))
+      // pairs (a < b) expanded row-locally from the sorted basket array
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= minSupp)
+      pairs
+        .join(broadcast(itemSupp.select(col("item").as("item_a"),
+          col("supp").as("supp_a"))), "item_a")
+        .join(broadcast(itemSupp.select(col("item").as("item_b"),
+          col("supp").as("supp_b"))), "item_b")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("item_a"), col("item_b"), col("supp_ab"),
+          (col("supp_ab").cast("double") / col("supp_a")).as("conf_ab"),
+          (col("supp_ab").cast("double") / col("supp_b")).as("conf_ba"),
+          (col("supp_ab").cast("double") * col("n_baskets")
+            / (col("supp_a") * col("supp_b"))).as("lift"))
+        .orderBy(desc("lift"), col("item_a"), col("item_b"))
+    },
+    Some("""WITH b AS (SELECT l_orderkey,
+        |         list_sort(list(DISTINCT l_partkey)) AS items
+        |       FROM lineitem GROUP BY 1),
+        |n AS (SELECT count(*) AS n_baskets FROM b),
+        |it AS (SELECT item, count(*) AS supp
+        |       FROM (SELECT unnest(items) AS item FROM b) t GROUP BY 1),
+        |p AS (SELECT items[i] AS item_a, items[j] AS item_b,
+        |         count(*) AS supp_ab
+        |      FROM b,
+        |        unnest(generate_series(1, len(items))) AS t(i),
+        |        unnest(generate_series(1, len(items))) AS u(j)
+        |      WHERE j > i GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, supp_ab,
+        |  CAST(supp_ab AS DOUBLE) / sa.supp AS conf_ab,
+        |  CAST(supp_ab AS DOUBLE) / sb.supp AS conf_ba,
+        |  CAST(supp_ab AS DOUBLE) * n.n_baskets / (sa.supp * sb.supp) AS lift
+        |FROM p
+        |JOIN it sa ON p.item_a = sa.item
+        |JOIN it sb ON p.item_b = sb.item
+        |CROSS JOIN n
+        |ORDER BY lift DESC, item_a, item_b""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(cdcApply, bloomDecontaminate, weightedSample,
     zorder, ewma, skyline, intervalOverlap, pagerank, hierarchy,
-    triangles, degreeHist, tableDiff, rangeBinJoin)
+    triangles, degreeHist, tableDiff, rangeBinJoin, assocRules)
 }

@@ -270,7 +270,52 @@ object AggQueries extends QueryRegistry {
         |  unnest(arr) AS bal
         |FROM g ORDER BY nation, pos""".stripMargin))
 
+  // Incremental aggregate maintenance — the production incremental-ETL
+  // shape: a materialized per-customer aggregate is REFRESHED by merging
+  // a delta partition's partial aggregate into it, never by re-scanning
+  // the base. Works because every kept statistic is algebraically
+  // mergeable (count/sum add, min/max combine; avg is DERIVED from
+  // sum÷count at read time, which is also why avg itself is never
+  // materialized). At 100 TB the base relation costs nothing per
+  // refresh — only the delta is aggregated, and the merge is a join
+  // between two agg relations keyed the same way. The oracle is the full
+  // recompute: merged == recomputed is exactly the invariant an
+  // incremental pipeline must hold. Money in floor-cents (exact longs),
+  // dates as strings.
+  private val incrementalMerge = NamedQuery(
+    "q_incremental_agg_merge",
+    (spark, d) => {
+      val split = "2000-01-01"
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          max(col("o_orderdate")).as("last_dt"))
+      val orders = Tables.orders(spark, d)
+      val base = aggOf(orders.filter(col("o_orderdate") < lit(split).cast("timestamp_ntz")))
+      val delta = aggOf(orders.filter(col("o_orderdate") >= lit(split).cast("timestamp_ntz")))
+      base.as("b").join(delta.as("dl"), col("b.cust") === col("dl.cust"), "full_outer")
+        .select(
+          coalesce(col("b.cust"), col("dl.cust")).as("cust"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("dl.n"), lit(0L))).as("n"),
+          (coalesce(col("b.sum_cents"), lit(0L))
+            + coalesce(col("dl.sum_cents"), lit(0L))).as("sum_cents"),
+          date_format(greatest(col("b.last_dt"), col("dl.last_dt")),
+            "yyyy-MM-dd").as("last_day"))
+        // floor BEFORE the long cast: Spark's double→long cast truncates
+        // but DuckDB's CAST rounds — floor() makes both sides identical
+        .withColumn("avg_cents", floor(col("sum_cents") / col("n")).cast("long"))
+        .orderBy("cust")
+    },
+    Some("""SELECT o_custkey AS cust, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_day,
+        |  CAST(floor(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    / count(*)) AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY 1 ORDER BY cust""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(rollup, cube, argmax, distincts, approx, stats, trend, spine, dqAudit,
-      topkAgg)
+      topkAgg, incrementalMerge)
 }

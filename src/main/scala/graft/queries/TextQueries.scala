@@ -1170,10 +1170,72 @@ object TextQueries extends QueryRegistry {
         |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
 
+  // BM25 retrieval ranking (Robertson/Okapi, k1=1.2 b=0.75) — the lexical
+  // search / RAG-retrieval scoring stage TF-IDF doesn't cover: term
+  // saturation (k1) and doc-length normalization (b). Scale shape: the
+  // query is a TINY broadcast dimension, so the per-doc tf rows (row-local
+  // termCountsLocal kernel, one row per distinct term) are pruned to query
+  // postings BEFORE any shuffle; df and corpus stats (N, avgdl — integer-
+  // valued sums, exact in double) are one-row broadcasts; at 100 TB only
+  // the postings of the 4 query terms move. Determinism: all constants
+  // written in the SAME literal form both engines (0.25 = 1−b and 0.75
+  // are exact binary; 2.2 = k1+1 as ONE literal, never computed), the
+  // per-doc sum is an explicit LEFT FOLD of the word-ordered score list
+  // (not an unordered SUM), and the transcendental ln result is rounded
+  // only at the very end.
+  private val bm25 = NamedQuery(
+    "text_bm25",
+    (spark, d) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, d)
+      val qterms = Seq("hash", "join", "vector", "stream").toDF("word")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = TextOps.termCountsLocal(docs, "doc_id", "text")
+        .join(broadcast(qterms), "word")
+      val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfc), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("word"), col("s")))),
+              x => x.getField("s")),
+            lit(0.0), (acc, x) => acc + x), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH q AS (SELECT unnest(['hash','join','vector','stream']) AS word),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents) t JOIN q USING (word)
+        |       GROUP BY 1, 2),
+        |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.word,
+        |         ln(1.0 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+        |       FROM tf JOIN dfc USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(s ORDER BY word)), (a, b) -> a + b), 4) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
       duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,
-      temperatureSample, dsirWeights, perplexityBuckets, exactSubstr)
+      temperatureSample, dsirWeights, perplexityBuckets, exactSubstr, bm25)
 }

@@ -108,6 +108,71 @@ class Round6QueriesSpec extends SparkSpec {
     }
   }
 
+  test("text_bm25 == scalar re-derivation from raw corpus statistics") {
+    // recompute BM25 start-to-finish in plain Scala from the collected
+    // corpus and check the engine's top-20 (scores AND ranking) — catches
+    // any drift in tf/df/dl wiring, the fold order, or the constants
+    val qset = Seq("hash", "join", "vector", "stream")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length.toDouble).sum / n
+    val df = qset.map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
+    val scored = docs.toSeq.flatMap { case (id, toks) =>
+      val terms = qset.filter(toks.contains).sorted
+      if (terms.isEmpty) None else Some {
+        val s = terms.foldLeft(0.0) { (acc, t) =>
+          val tf = toks.count(_ == t).toDouble
+          acc + math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+        }
+        (id, terms.size.toLong,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = run("text_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === scored)
+  }
+
+  test("q_assoc_rules: counts/conf/lift re-derived from brute-force basket pairs") {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nB = baskets.size.toDouble
+    val supp = baskets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pairSupp = baskets.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 3)
+    val expect = pairSupp.map { case (Seq(a, b), s) =>
+      (a, b, s.toLong, s / supp(a).toDouble, s / supp(b).toDouble,
+        s * nB / (supp(a).toDouble * supp(b)))
+    }.toSet
+    val got = run("q_assoc_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q_incremental_agg_merge: base+delta merge == full recompute (the refresh invariant)") {
+    val full = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+      .withColumn("avg_cents", floor(col("sum_cents") / col("n")).cast("long"))
+      .orderBy("cust").collect().toSeq
+    val merged = run("q_incremental_agg_merge").collect().toSeq
+    assert(merged === full)
+    // both sides of the split must be non-trivial or the merge is vacuous
+    val split = lit("2000-01-01").cast("timestamp_ntz")
+    assert(Tables.orders(spark, sfDir).filter(col("o_orderdate") < split).count() > 0)
+    assert(Tables.orders(spark, sfDir).filter(col("o_orderdate") >= split).count() > 0)
+  }
+
   test("q_er_gram_blocked == brute-force all-pairs on adversarial lengths (count-filter soundness)") {
     import spark.implicits._
     // strings straddling every code path: below-q (no grams), short
