@@ -239,6 +239,109 @@ object StatsQueries extends QueryRegistry {
         |  min(CASE WHEN cum >= ceil(total / 2.0) THEN l_quantity END) AS median_disc
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  // Pearson χ² independence test over the lang × source contingency
+  // table — the categorical drift / association check a curation
+  // pipeline runs between corpus slices. Scale shape: ONE cell
+  // aggregation (cells bounded by the category-domain product, not row
+  // count), margins re-aggregated from the tiny cell relation and
+  // broadcast back; no second corpus pass, no window. Determinism:
+  // expected counts are exact-integer products through one double
+  // division, per-cell contributions are the identical IEEE sequence
+  // both engines, and the χ² sum is an explicit fold over the
+  // (lang, source)-ordered cell list — never an unordered SUM of
+  // doubles. Cramér's V derives from the unrounded χ².
+  private val chisq = NamedQuery(
+    "q_chisq_independence",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rm = cells.groupBy("lang").agg(sum(col("o")).as("rm"))
+      val cm = cells.groupBy("source").agg(sum(col("o")).as("cm"))
+      val tot = docs.agg(count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"))
+      cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", (col("rm") * col("cm")).cast("double") / col("n"))
+        .withColumn("contrib",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .groupBy("n", "r", "c")
+        .agg(aggregate(
+          transform(
+            array_sort(collect_list(struct(col("lang"), col("source"),
+              col("contrib")))),
+            x => x.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("chi2_raw"))
+        .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("chi2_raw"), 6).as("chi2"),
+          round(sqrt(col("chi2_raw") /
+            (col("n") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, sum(o) AS rm FROM cells GROUP BY 1),
+        |cm AS (SELECT source, sum(o) AS cm FROM cells GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS r,
+        |               count(DISTINCT source) AS c FROM documents),
+        |co AS (SELECT cells.lang, cells.source, n, r, c,
+        |         (o - CAST(rm * cm AS DOUBLE) / n)
+        |           * (o - CAST(rm * cm AS DOUBLE) / n)
+        |           / (CAST(rm * cm AS DOUBLE) / n) AS contrib
+        |       FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+        |       CROSS JOIN tot),
+        |s AS (SELECT n, r, c,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(contrib ORDER BY lang, source)), (a, b) -> a + b)
+        |          AS chi2_raw
+        |      FROM co GROUP BY 1, 2, 3)
+        |SELECT n, (r - 1) * (c - 1) AS dof, round(chi2_raw, 6) AS chi2,
+        |  round(sqrt(chi2_raw / (n * least(r - 1, c - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin))
+
+  // AUC (Mann–Whitney) of a score against a binary label, computed
+  // ENTIRELY from the score's value histogram — the model-eval shape at
+  // corpus scale. auc = [#(pos>neg pairs) + ½·#(ties)] / (n⁺·n⁻); with
+  // an integer-valued score the pair counts come from the domain-bounded
+  // histogram (per-value positive/negative counts + a broadcast
+  // histogram self-join for the strictly-below negative mass), so there
+  // is no per-row rank, no global sort, no window anywhere — and the
+  // arithmetic is EXACT integers (doubled to keep the ½-tie term
+  // integral) until one final division. Label: lang='en'; score:
+  // n_chars.
+  private val aucRank = NamedQuery(
+    "q_auc_rank",
+    (spark, d) => {
+      val docs = Tables.documents(spark, d)
+      val hist = docs
+        .groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("q"))
+      val below = hist.select(col("v").as("v2"), col("q").as("q2"))
+      val joined = hist.as("h")
+        .join(broadcast(below), col("v2") < col("v"), "left")
+        .groupBy(col("v"), col("p"), col("q"))
+        .agg(coalesce(sum(col("q2")), lit(0L)).as("q_below"))
+      joined
+        .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+          sum(col("p") * col("q_below") * 2 + col("p") * col("q")).as("num2"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("num2").cast("double") / (col("n_pos") * col("n_neg") * 2))
+            .as("auc"))
+    },
+    Some("""WITH hist AS (SELECT n_chars AS v,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+        |         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS q
+        |       FROM documents GROUP BY 1),
+        |j AS (SELECT h.v, h.p, h.q,
+        |        coalesce(sum(b.q), 0) AS q_below
+        |      FROM hist h LEFT JOIN hist b ON b.v < h.v
+        |      GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(q) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * q_below * 2 + p * q) AS DOUBLE)
+        |    / (sum(p) * sum(q) * 2) AS auc
+        |FROM j""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments, madOutliers,
-    entropyMix, modeDisc)
+    entropyMix, modeDisc, chisq, aucRank)
 }

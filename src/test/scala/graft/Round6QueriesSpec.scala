@@ -108,6 +108,44 @@ class Round6QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_auc_rank == brute-force pairwise Mann-Whitney AUC") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), (col("lang") === "en").as("y")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val expected = wins.toDouble / (2L * pos.length * neg.length)
+    val got = run("q_auc_rank").collect().head
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-12,
+      s"auc ${got.getDouble(2)} != $expected")
+    // the histogram path must handle ties: the fixture has them
+    assert(pos.toSet.intersect(neg.toSet).nonEmpty, "no tied scores — tie term unexercised")
+  }
+
+  test("q_chisq_independence == scalar contingency recompute") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val rm = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val chi2 = cells.toSeq.sortBy(_._1).foldLeft(0.0) {
+      case (acc, ((l, s), o)) =>
+        val e = (rm(l) * cm(s)).toDouble / n
+        acc + (o - e) * (o - e) / e
+    }
+    val got = run("q_chisq_independence").collect().head
+    assert(got.getLong(0) == rows.length)
+    assert(got.getLong(1) == (rm.size - 1L) * (cm.size - 1L))
+    assert(math.abs(got.getDouble(2) - chi2) < 1e-6)
+    val v = math.sqrt(chi2 / (n * math.min(rm.size - 1, cm.size - 1)))
+    assert(math.abs(got.getDouble(3) - v) < 1e-6)
+  }
+
   test("text_bm25 == scalar re-derivation from raw corpus statistics") {
     // recompute BM25 start-to-finish in plain Scala from the collected
     // corpus and check the engine's top-20 (scores AND ranking) — catches
