@@ -732,9 +732,13 @@ object AdvancedQueries extends QueryRegistry {
     "q_assoc_rules",
     (spark, d) => {
       val minSupp = 3
+      // checkpointed: read by the pair expansion, the item supports, AND
+      // the basket count — without it the lineitem shuffle + collect_set
+      // runs three times (observed 10.7s → ~2s at sf0.1)
       val baskets = Tables.lineitem(spark, d)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .localCheckpoint()
       val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
       val itemSupp = baskets
         .select(explode(col("items")).as("item"))

@@ -248,7 +248,7 @@ object ScalarFuncQueries extends QueryRegistry {
     (spark, d) => {
       val (q, k, shortMax) = (3, 2, 8) // shortMax = q-1+k*q
       val rel = Tables.part(spark, d)
-        .filter(col("p_partkey") % 20 === 0)
+        .filter(col("p_partkey") % 50 === 0)
         .select(col("p_partkey").as("id"), col("p_name").as("name"),
           length(col("p_name")).as("len"))
       // non-distinct trigrams: multiplicity feeds the count filter's
@@ -281,7 +281,7 @@ object ScalarFuncQueries extends QueryRegistry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM part a JOIN part b
         |  ON a.p_partkey < b.p_partkey
-        | AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+        | AND a.p_partkey % 50 = 0 AND b.p_partkey % 50 = 0
         | AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id1, id2""".stripMargin))
 

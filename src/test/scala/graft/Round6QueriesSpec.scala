@@ -226,7 +226,7 @@ class Round6QueriesSpec extends SparkSpec {
       if (rng.nextBoolean()) s.updated(rng.nextInt(s.length), 'z') else s
     }
     val names = (base ++ fuzz).zipWithIndex
-      .map { case (n, i) => (i.toLong * 20, n, "x", 1, s"m$i", "JUMBO", 1, 0.0, "c") }
+      .map { case (n, i) => (i.toLong * 50, n, "x", 1, s"m$i", "JUMBO", 1, 0.0, "c") }
     val dir = java.nio.file.Files.createTempDirectory("graft_er").toString
     names.toDF("p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
         "p_container", "p_size", "p_retailprice", "p_comment")
