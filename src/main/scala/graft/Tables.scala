@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * of the engine; at cluster scale the same loaders work on a directory of
   * many files (Spark parallelizes file listing and splits row groups).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
-  * rejects by default; we read it as raw nanos (legacy conf) and convert to
-  * a microsecond TIMESTAMP (the testdata carries no sub-microsecond
-  * precision, so the conversion is lossless — verified against the files).
+  * `events.ts` normalizes to a session-UTC microsecond TIMESTAMP from
+  * whichever physical layout the fixture generation used (see the branch
+  * in `load` — TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)-as-NTZ have
+  * both appeared across rounds; the conversion is lossless for either).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -22,9 +22,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
+      // The fixture has shipped two layouts for `ts`: parquet
+      // TIMESTAMP(NANOS) (surfaces as raw nano LONGs under the legacy
+      // conf) and TIMESTAMP(MICROS) isAdjustedToUTC=false (surfaces as
+      // TIMESTAMP_NTZ). Both normalize to the same session-UTC
+      // microsecond TIMESTAMP — the naive values ARE UTC instants in
+      // the generator, and the session timezone is pinned to UTC at
+      // every entry point, so the cast is value-preserving.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     case n =>
       spark.read.parquet(s"$sfDir/$n.parquet")
   }

@@ -1046,16 +1046,26 @@ object TextQueries extends QueryRegistry {
   private val perplexityBuckets = NamedQuery(
     "text_perplexity_buckets",
     (spark, d) => {
-      val tok = Tables.documents(spark, d)
+      // (doc, word) → multiplicity FIRST: the map-side partial agg
+      // collapses the exploded token stream before it ever shuffles, and
+      // everything downstream (the pinned relation, the vocab rollup,
+      // the probe join) carries one row per DISTINCT word per doc — an
+      // order of magnitude narrower than the raw token table the
+      // previous shape checkpointed and joined.
+      val docWord = Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
-        .localCheckpoint() // vocabulary aggregation + probe join: tokenize once
-      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint() // vocab rollup + probe join: tokenize once
+      val cnt = docWord.groupBy("w").agg(sum(col("m")).as("c"))
       val tot = cnt.agg(sum(col("c")).as("t"))
-      val lp = tok.join(broadcast(cnt), "w")
+      val lp = docWord.join(broadcast(cnt), "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
-        .agg(round(avg(log(col("c") / col("t").cast("double"))), 6).as("lp"))
+        .agg(round(
+          sum(col("m") * log(col("c") / col("t").cast("double"))) /
+            sum(col("m")), 6).as("lp"))
       // rank on −lp (ascending) ≡ lp DESC: tercile 1 = head (highest
       // log-prob = least perplexed). Bucket key floor(−lp·16) is
       // monotone in −lp, so offset + local rank is the global rank.
@@ -1077,11 +1087,13 @@ object TextQueries extends QueryRegistry {
     Some("""WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
-        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |dw AS (SELECT doc_id, lang, w, count(*) AS m
+        |       FROM tok GROUP BY doc_id, lang, w),
+        |cnt AS (SELECT w, sum(m) AS c FROM dw GROUP BY w),
         |tot AS (SELECT sum(c) AS t FROM cnt),
         |lp AS (SELECT doc_id, lang,
-        |         round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS lp
-        |       FROM tok JOIN cnt USING (w) CROSS JOIN tot
+        |         round(sum(m * ln(c / CAST(t AS DOUBLE))) / sum(m), 6) AS lp
+        |       FROM dw JOIN cnt USING (w) CROSS JOIN tot
         |       GROUP BY doc_id, lang),
         |r AS (SELECT lang, lp, ntile(3) OVER (
         |        PARTITION BY lang ORDER BY lp DESC, doc_id) AS tercile

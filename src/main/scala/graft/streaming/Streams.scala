@@ -15,12 +15,12 @@ import org.apache.spark.sql.types._
   * result (Spark's incremental execution of the SAME logical plan). */
 object Streams {
 
-  /** Raw parquet schema of the events table — ts is INT64 TIMESTAMP(NANOS)
-    * on disk, read as nanos LONG (same trick as Tables.events) and
-    * converted to a microsecond timestamp. */
+  /** Raw parquet schema of the events table — ts is TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false on disk (TIMESTAMP_NTZ to Spark); readEvents
+    * casts it to a session-UTC TIMESTAMP, mirroring Tables.events. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -29,14 +29,12 @@ object Streams {
   /** File-source stream over the events parquet: at scale this is a
     * directory Spark tails for new files; `maxFilesPerTrigger` bounds
     * per-micro-batch work. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling 1-hour counts with a 1-hour watermark (late rows beyond the
     * watermark are dropped in append mode). */

@@ -144,13 +144,15 @@ class StreamsSpec extends SparkSpec {
       // MID-STREAM through timer expiry — the timer path runs four
       // times, not once at a final flush
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess_tws")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.schema(Streams.eventsRawSchema)
         .parquet("/root/testdata/sf0.001/events.parquet")
-      val qs = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      // slice in the epoch-micros domain (ts on disk is TIMESTAMP_NTZ;
+      // quantiles need a numeric column)
+      val rawM = raw.withColumn("tsm", unix_micros(col("ts").cast("timestamp")))
+      val qs = rawM.stat.approxQuantile("tsm", Array(0.25, 0.5, 0.75), 0.0)
       val bounds = Seq(Long.MinValue) ++ qs.map(_.toLong) ++ Seq(Long.MaxValue)
       bounds.sliding(2).foreach { case Seq(lo, hi) =>
-        raw.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+        rawM.filter(col("tsm") >= lo && col("tsm") < hi).drop("tsm").coalesce(1)
           .write.mode("append").parquet(dir.toString)
       }
       val q = Streams.runToMemory(
@@ -162,9 +164,12 @@ class StreamsSpec extends SparkSpec {
         assert(midStream > 0, "no session closed before the end of input — timers untested")
         // a far-future sentinel (user -1) drags the watermark past every
         // real close instant; its own session stays open and unemitted
-        val maxNanos = raw.agg(max("ts")).collect().head.getLong(0)
-        Seq((-1L, maxNanos + 30L * 86400 * 1000000000L, -1L, "view", 0.0, "{}"))
+        val maxMicros = raw
+          .agg(max(unix_micros(col("ts").cast("timestamp"))))
+          .collect().head.getLong(0)
+        Seq((-1L, maxMicros + 30L * 86400 * 1000000L, -1L, "view", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
           .coalesce(1).write.mode("append").parquet(dir.toString)
         q.processAllAvailable()
         val got = spark.table("stream_sess_tws").filter(col("user_id") >= 0)
@@ -329,7 +334,6 @@ class StreamsSpec extends SparkSpec {
     // written batches invisible to readers.
     val mk = () => java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val (srcDir, outDir, ckptDir) = (mk(), mk(), mk())
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(Streams.eventsRawSchema)
       .parquet("/root/testdata/sf0.001/events.parquet")
     val total = raw.count()
@@ -372,7 +376,6 @@ class StreamsSpec extends SparkSpec {
     // buffered, so the snapshot path must reproduce the recurrence alone
     val multiPath = {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.schema(Streams.eventsRawSchema)
         .parquet("/root/testdata/sf0.001/events.parquet")
       (0 until 4).foreach { k =>
@@ -398,13 +401,13 @@ class StreamsSpec extends SparkSpec {
     // into the recurrence and the buffer stays bounded by the lag
     val orderedPath = {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma_ord")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.schema(Streams.eventsRawSchema)
         .parquet("/root/testdata/sf0.001/events.parquet")
-      val qs = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      val rawM = raw.withColumn("tsm", unix_micros(col("ts").cast("timestamp")))
+      val qs = rawM.stat.approxQuantile("tsm", Array(0.25, 0.5, 0.75), 0.0)
       val bounds = Seq(Long.MinValue) ++ qs.map(_.toLong) ++ Seq(Long.MaxValue)
       bounds.sliding(2).foreach { case Seq(lo, hi) =>
-        raw.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+        rawM.filter(col("tsm") >= lo && col("tsm") < hi).drop("tsm").coalesce(1)
           .write.mode("append").parquet(dir.toString)
       }
       dir.toString
@@ -424,12 +427,12 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     // time-ordered slices commit prefixes and advance the frontier …
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ewma_late")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(Streams.eventsRawSchema)
       .parquet("/root/testdata/sf0.001/events.parquet")
-    val qs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)
-    Seq((col("ts") < qs(0).toLong), (col("ts") >= qs(0).toLong)).foreach { pred =>
-      raw.filter(pred).coalesce(1).write.mode("append").parquet(dir.toString)
+    val rawM = raw.withColumn("tsm", unix_micros(col("ts").cast("timestamp")))
+    val qs = rawM.stat.approxQuantile("tsm", Array(0.5), 0.0)
+    Seq((col("tsm") < qs(0).toLong), (col("tsm") >= qs(0).toLong)).foreach { pred =>
+      rawM.filter(pred).drop("tsm").coalesce(1).write.mode("append").parquet(dir.toString)
     }
     val q = Streams.runToMemory(
       Streams.ewmaOrderedFold(
@@ -440,9 +443,12 @@ class StreamsSpec extends SparkSpec {
       // … then a straggler lands BEHIND the frontier: it must be dropped
       // and counted, never folded out of order into the recurrence
       val victim = raw.select(min("user_id")).collect().head.getLong(0)
-      val ancient = raw.agg(min("ts")).collect().head.getLong(0) - 10L * 86400 * 1000000000L
+      val ancient = raw
+        .agg(min(unix_micros(col("ts").cast("timestamp"))))
+        .collect().head.getLong(0) - 10L * 86400 * 1000000L
       Seq((-99L, ancient, victim, "view", 999.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
         .coalesce(1).write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
       val last = spark.table("stream_ewma_late")
@@ -482,13 +488,15 @@ class StreamsSpec extends SparkSpec {
       // outer NULL rows cannot exist yet: the watermark still sits inside
       // the data. A far-future sentinel (click + purchase, user -1)
       // advances BOTH sides' watermarks past every real interval.
-      val maxNanos = spark.read.schema(Streams.eventsRawSchema)
+      val maxMicros = spark.read.schema(Streams.eventsRawSchema)
         .parquet(dir.resolve("events.parquet").toString)
-        .agg(max("ts")).collect().head.getLong(0)
-      val far = maxNanos + 30L * 86400 * 1000000000L
+        .agg(max(unix_micros(col("ts").cast("timestamp"))))
+        .collect().head.getLong(0)
+      val far = maxMicros + 30L * 86400 * 1000000L
       Seq((-1L, far, -1L, "click", 0.0, "{}"),
           (-2L, far, -1L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
         .coalesce(1).write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
       val got = spark.table("stream_louter").filter(col("user_id") >= 0)
@@ -525,7 +533,6 @@ class StreamsSpec extends SparkSpec {
     // state machine's window-rewind logic is exercised, not just replayed
     val multiPath = {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.schema(Streams.eventsRawSchema)
         .parquet("/root/testdata/sf0.001/events.parquet")
       (0 until 4).foreach { k =>
