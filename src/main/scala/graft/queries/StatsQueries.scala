@@ -342,6 +342,54 @@ object StatsQueries extends QueryRegistry {
         |    / (sum(p) * sum(q) * 2) AS auc
         |FROM j""".stripMargin))
 
+  // ---- Smoothed target-mean encoding (feature engineering for ML
+  // training tables — the "mean encoding with a Bayesian prior" of
+  // Micci-Barreca, SIGKDD Expl. 2001): encode each (segment, nation)
+  // categorical cell by its average order price shrunk toward the
+  // global mean with an additive pseudo-count (m=10) — sparse cells
+  // collapse to the prior, populous cells approach their raw mean.
+  // All sums run in exact integer cents, so the only doubles are two
+  // final divisions with identical op order on both engines (no FP
+  // accumulation drift). Scale shape: one partial-aggregated shuffle
+  // on the cell key, one broadcast one-row global aggregate; the fact
+  // table is never sorted or windowed.
+  private val targetEncoding = NamedQuery(
+    "q_target_encoding",
+    (spark, d) => {
+      val cust = Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val joined = Tables.orders(spark, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      val g = joined.agg(sum(col("cents")).cast("double").as("gs"),
+        count(lit(1)).as("gn"))
+      joined.groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cs"))
+        .crossJoin(broadcast(g))
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("bigint").as("nation"),
+          col("n_orders").cast("bigint").as("n_orders"),
+          round(col("cs").cast("double") / col("n_orders") / 100.0, 4)
+            .as("raw_avg"),
+          round((col("cs") + lit(10.0) * col("gs") / col("gn")) /
+            (col("n_orders") + 10) / 100.0, 4).as("encoded"))
+        .orderBy("segment", "nation")
+    },
+    Some("""WITH j AS (SELECT c_mktsegment AS segment,
+        |    c_nationkey AS nation,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT CAST(sum(cents) AS DOUBLE) AS gs, count(*) AS gn FROM j)
+        |SELECT segment, CAST(nation AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4) AS raw_avg,
+        |  round((sum(cents) + 10.0 * g.gs / g.gn) / (count(*) + 10) / 100.0, 4)
+        |    AS encoded
+        |FROM j CROSS JOIN g
+        |GROUP BY segment, nation, g.gs, g.gn
+        |ORDER BY segment, nation""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments, madOutliers,
-    entropyMix, modeDisc, chisq, aucRank)
+    entropyMix, modeDisc, chisq, aucRank, targetEncoding)
 }

@@ -1106,6 +1106,51 @@ object TextQueries extends QueryRegistry {
         |  round(max(lp), 6) AS lp_max
         |FROM r GROUP BY lang, tercile ORDER BY lang, bucket""".stripMargin))
 
+  // ---- fastText-style hashed linear quality classifier (Joulin et al.
+  // 2016, arXiv:1607.01759 — the model family behind the CCNet/GPT-3
+  // quality filters): unigram features hashed into a fixed 1024-bucket
+  // space (the hashing trick — collisions are part of the model), a
+  // per-bucket weight from a deterministic "pretrained" table (60-bit
+  // md5 of the bucket id, affine-mapped to [-1, 1]), document margin =
+  // mean feature weight, score = sigmoid(margin), keep/drop at margin 0.
+  // Scale shape: the entire model application is ROW-LOCAL array
+  // arithmetic (transform + fold inside the row — no explode, no
+  // shuffle, no join against a weight table because the weight function
+  // is computable in-expression); a real exported weight vector would
+  // broadcast 1024 floats and nothing else changes. The only exchange
+  // is the final presentation sort.
+  private val hashClassifier = NamedQuery(
+    "text_hash_classifier",
+    (spark, d) => {
+      val dim = 1024
+      def bucket(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        TextOps.md5Long(w) % dim
+      def weight(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (TextOps.md5Long(b.cast("string")) % 2001 - 1000) / lit(1000.0)
+      Tables.documents(spark, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"),
+          (aggregate(col("ws"), lit(0.0), (acc, w) => acc + weight(bucket(w)))
+            / size(col("ws"))).as("margin"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) / (lit(1.0) + exp(negate(col("margin")))), 6).as("score"),
+          when(col("margin") > 0, "keep").otherwise("drop").as("label"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wt AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(CAST(
+        |        ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024
+        |      AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS wv
+        |  FROM tok),
+        |m AS (SELECT doc_id, count(*) AS n_tokens, avg(wv) AS margin
+        |      FROM wt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+        |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM m ORDER BY doc_id""".stripMargin))
+
   // ---- ExactSubstr span-REMOVAL dedup (the Lee et al. 2021
   // "Deduplicating Training Data Makes Language Models Better" shape,
   // arXiv:2107.06499, reduced to its 8-gram-seed relational core): where
@@ -1249,5 +1294,6 @@ object TextQueries extends QueryRegistry {
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
       duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,
-      temperatureSample, dsirWeights, perplexityBuckets, exactSubstr, bm25)
+      temperatureSample, dsirWeights, perplexityBuckets, exactSubstr, bm25,
+      hashClassifier)
 }

@@ -243,4 +243,56 @@ class Round6QueriesSpec extends SparkSpec {
       byId(a).length <= 8 && byId(b).length <= 8
     }, "no short-short pair — fallback path unexercised")
   }
+
+  test("text_hash_classifier: sigmoid bounds, margin/label consistency, both labels present") {
+    val rows = run("text_hash_classifier").collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (score, label) = (r.getDouble(2), r.getString(3))
+      assert(score > 0.0 && score < 1.0, s"sigmoid out of range: $score")
+      // sigmoid(margin) > 0.5 <=> margin > 0 <=> label 'keep' (score is
+      // rounded to 6dp, so allow the knife-edge at exactly 0.5)
+      if (score > 0.500001) assert(label == "keep")
+      if (score < 0.499999) assert(label == "drop")
+    }
+    val labels = rows.map(_.getString(3)).toSet
+    assert(labels == Set("keep", "drop"),
+      s"a hash-random model over 500 docs must split both ways: $labels")
+  }
+
+  test("text_hash_classifier: model is a pure function of the token multiset") {
+    // same doc text => same score: apply the query to a table with a
+    // duplicated text under a new id and require identical scores
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hc").toString
+    val one = Tables.documents(spark, sfDir).limit(1).collect().head
+    Seq((1L, one.getString(1), "en", "src0", one.getString(1).length.toLong),
+        (2L, one.getString(1), "en", "src0", one.getString(1).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = SparkEntry.queries("text_hash_classifier")(spark, dir)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(scores.distinct.size == 1, s"identical texts must tie: $scores")
+  }
+
+  test("q_target_encoding: shrinkage pulls every cell between raw mean and prior") {
+    val rows = run("q_target_encoding").collect()
+    assert(rows.length == 125, "25 nations x 5 segments")
+    // global mean reconstructed from the cells (exact cents weighting)
+    val n = rows.map(_.getLong(2)).sum
+    val gm = rows.map(r => r.getDouble(3) * r.getLong(2)).sum / n
+    rows.foreach { r =>
+      val (nOrders, raw, enc) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val lo = math.min(raw, gm) - 0.02 // raw_avg is rounded to 4dp
+      val hi = math.max(raw, gm) + 0.02
+      assert(enc >= lo && enc <= hi,
+        s"encoded $enc must sit between raw $raw and prior $gm")
+      // shrinkage weight: with m=10, the encoded value is closer to the
+      // raw mean than the prior whenever the cell outweighs the prior
+      if (nOrders > 50)
+        assert(math.abs(enc - raw) < math.abs(enc - gm),
+          s"populous cell must stay near its raw mean ($nOrders orders)")
+    }
+  }
 }
