@@ -150,66 +150,108 @@ object DedupQueries extends QueryRegistry {
     s"($a * (shingle & 1073741823) + $b) % ${TextOps.minhashPrime}"
   }
 
+  /** Shared banded-LSH → exact-verify pipeline: the verified near-dup
+    * pair relation (id1 < id2, jaccard ≥ 0.8) both dedup_minhash_lsh and
+    * dedup_source_matrix consume. Signatures are computed ROW-LOCALLY
+    * (one narrow map — no corpus shingle explode, no per-doc window
+    * sort); checkpointed because the 4-way band union self-joins the
+    * relation 8×. Only CANDIDATE docs are ever shingled for the exact
+    * verify (at scale: |candidates| ≪ corpus). */
+  private def minhashVerifiedPairs(spark: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val sig = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, minhashK)
+      .localCheckpoint()
+    val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val candDocs = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2"))).distinct()
+    val arrs = TextOps.shingleArraysLocal(
+      docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
+      "doc_id", "text", 3).localCheckpoint()
+    TextOps.scoredPairs(cand, arrs, "doc_id", 0.8)
+  }
+
+  /** DuckDB dual of minhashVerifiedPairs, up to a `pairs(id1, id2,
+    * jaccard)` CTE (caller appends its own final SELECT). */
+  private def minhashPairsSqlCtes: String = {
+    val minCols = (0 until minhashK)
+      .map(j => s"min(${minhashSqlHash(j)}) AS h$j").mkString(",\n    ")
+    val bandSelects = (0 until minhashBands).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$shingleCtes,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2,
+       |    round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes s1 ON id1 = s1.doc_id
+       |  JOIN sizes s2 ON id2 = s2.doc_id
+       |  WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8)""".stripMargin
+  }
+
   private val minhash = NamedQuery(
     "dedup_minhash_lsh",
+    (spark, d) => minhashVerifiedPairs(spark, d)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy("id1", "id2"),
+    Some(s"""WITH $minhashPairsSqlCtes
+         |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin))
+
+  // ---- Cross-source near-dup audit matrix: where do the near-dups COME
+  // FROM? Every verified LSH pair maps to its (source, source) cell
+  // (order-normalized), yielding the contamination matrix a corpus audit
+  // reads to find e.g. a crawl slice that duplicates a curated slice.
+  // Scale shape: the pair relation (≪ corpus) joins the (doc_id, source)
+  // projection twice — shuffle-hash on doc_id, the same exchange key the
+  // pair relation already carries; the matrix itself is
+  // |sources|²-bounded, a broadcast-sized result at any corpus size.
+  private val sourceMatrix = NamedQuery(
+    "dedup_source_matrix",
     (spark, d) => {
-      val docs = Tables.documents(spark, d)
-      // signatures are computed ROW-LOCALLY (one narrow map — no corpus
-      // shingle explode, no per-doc window sort, no groupBy); checkpoint
-      // because the 4-way band union self-joins the relation 8×
-      val sig = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, minhashK)
-        .localCheckpoint()
-      val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      // verify candidates with exact Jaccard — only the CANDIDATE docs
-      // are ever shingled (at scale: |candidates| ≪ corpus), and scoring
-      // is the shared sorted-merge array kernel rather than an
-      // inverted-index rebuild over the candidate docs
-      val candDocs = cand.select(col("id1").as("doc_id"))
-        .union(cand.select(col("id2"))).distinct()
-      val arrs = TextOps.shingleArraysLocal(
-        docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
-        "doc_id", "text", 3).localCheckpoint()
-      TextOps.scoredPairs(cand, arrs, "doc_id", 0.8)
-        .select(col("id1"), col("id2"), col("jaccard"))
-        .orderBy("id1", "id2")
+      val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+      minhashVerifiedPairs(spark, d)
+        .join(src.select(col("doc_id").as("id1"), col("source").as("src1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("src2")), "id2")
+        .select(least(col("src1"), col("src2")).as("src_a"),
+          greatest(col("src1"), col("src2")).as("src_b"),
+          col("jaccard"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+        .orderBy("src_a", "src_b")
     },
-    Some {
-      val minCols = (0 until minhashK)
-        .map(j => s"min(${minhashSqlHash(j)}) AS h$j").mkString(",\n    ")
-      val bandSelects = (0 until minhashBands).map { b =>
-        val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(", ")
-        s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH $shingleCtes,
-         |sig AS (
-         |  SELECT doc_id,
-         |    $minCols
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id1, id2,
-         |  round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes s1 ON id1 = s1.doc_id
-         |JOIN sizes s2 ON id2 = s2.doc_id
-         |WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8
-         |ORDER BY id1, id2""".stripMargin
-    })
+    Some(s"""WITH $minhashPairsSqlCtes,
+         |lab AS (
+         |  SELECT least(d1.source, d2.source) AS src_a,
+         |    greatest(d1.source, d2.source) AS src_b, jaccard
+         |  FROM pairs
+         |  JOIN documents d1 ON id1 = d1.doc_id
+         |  JOIN documents d2 ON id2 = d2.doc_id)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(jaccard), 6) AS avg_jaccard
+         |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin))
 
   // ---- SimHash: 60-bit signatures from word-occurrence votes.
   private val simhashQ = NamedQuery(
@@ -470,6 +512,7 @@ object DedupQueries extends QueryRegistry {
         |ORDER BY o.vec_id""".stripMargin))
 
   val all: Seq[NamedQuery] =
-    Seq(exact, exactKeepers, ngram, ngramCapped, minhash, simhashQ, simhashPairs,
-      embCosine, embCosineBlocked, clusters, incremental, semantic)
+    Seq(exact, exactKeepers, ngram, ngramCapped, minhash, sourceMatrix,
+      simhashQ, simhashPairs, embCosine, embCosineBlocked, clusters,
+      incremental, semantic)
 }

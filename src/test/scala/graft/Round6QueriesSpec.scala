@@ -276,6 +276,18 @@ class Round6QueriesSpec extends SparkSpec {
     assert(scores.distinct.size == 1, s"identical texts must tie: $scores")
   }
 
+  test("dedup_source_matrix: cells conserve the verified pair count, order-normalized") {
+    val cells = run("dedup_source_matrix").collect()
+    val pairs = run("dedup_minhash_lsh").count()
+    assert(cells.map(_.getLong(2)).sum == pairs,
+      "every verified pair lands in exactly one (src_a, src_b) cell")
+    cells.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "matrix must be upper-triangular")
+      val avg = r.getDouble(3)
+      assert(avg >= 0.8 && avg <= 1.0, s"avg jaccard of verified pairs: $avg")
+    }
+  }
+
   test("q_target_encoding: shrinkage pulls every cell between raw mean and prior") {
     val rows = run("q_target_encoding").collect()
     assert(rows.length == 125, "25 nations x 5 segments")
