@@ -356,6 +356,72 @@ object SimilarityQueries extends QueryRegistry {
         |WHERE rnk <= $topK
         |ORDER BY query_id, rnk""".stripMargin))
 
+  // ---- kNN-graph construction (the primitive under SemDeDup-style
+  // semantic clustering and graph-based ANN indexes): for EVERY vector,
+  // its top-k most-cosine-similar neighbors — but never all-pairs. The
+  // declared scale shape is IVF-cell-blocked: every vector assigns to
+  // its nearest deterministic coarse centroid (the sim_ann_ivf
+  // quantizer, map-side max_by over a broadcast centroid table), the
+  // candidate set is same-cell pairs, exact-cosine rerank runs on
+  // candidates alone, and the per-vector top-k window partitions by
+  // vec_id (no global sort). Neighbors in other cells are invisible —
+  // that recall trade-off IS the algorithm (pinned by the oracle, which
+  // states the identical cell-blocked computation; the spec checks the
+  // graph agrees with brute force for same-cell true neighbors). At
+  // 100 TB: one corpus exchange keyed on the cell id, per-cell work
+  // quadratic only in the cell size (bounded by the centroid count
+  // scaling with corpus size — √n centroids keeps cells √n).
+  private val knnGraph = NamedQuery(
+    "sim_knn_graph",
+    (spark, d) => {
+      val v = vecs(spark, d)
+      val cent = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val assign = SimilarityOps
+        .assignNearestCell(spark, v, "vec_id", "embedding", cent)
+        .localCheckpoint() // same-cell self-join reads the assignment twice
+      val cand = assign.as("a").join(assign.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+      val scored = cand
+        .join(v.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
+        .join(v.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("e2")), "neighbor_id")
+        .select(col("vec_id"), col("neighbor_id"),
+          SimilarityOps.cosineNative6(spark, col("e1"), col("e2")).as("cosine"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= topK)
+        .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy("vec_id", "rnk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
+        |      AS crn
+        |    FROM v CROSS JOIN cent) t
+        |  WHERE crn = 1),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT c.vec_id, c.neighbor_id,
+        |    round(list_cosine_similarity(v1.emb, v2.emb), 6) AS cosine
+        |  FROM cand c
+        |  JOIN v v1 ON c.vec_id = v1.vec_id
+        |  JOIN v v2 ON c.neighbor_id = v2.vec_id)
+        |SELECT vec_id, rnk, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= $topK
+        |ORDER BY vec_id, rnk""".stripMargin))
+
   // ---- Product quantization with asymmetric distance (Jégou et al.,
   // TPAMI'11, reduced to a deterministic codebook): the third classic
   // ANN tool beside IVF (partition pruning) and SRP (binary codes).
@@ -524,5 +590,5 @@ object SimilarityQueries extends QueryRegistry {
 
   val all: Seq[NamedQuery] =
     Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify,
-      srpHamming, pqAdc, kmeans)
+      srpHamming, knnGraph, pqAdc, kmeans)
 }

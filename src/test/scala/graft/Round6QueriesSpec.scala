@@ -288,6 +288,28 @@ class Round6QueriesSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_graph: full coverage, rank-monotone, useful recall of true top-1s") {
+    val edges = run("sim_knn_graph").collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    // every vector gets a full k=5 list (cells of ~100 always have ≥6)
+    assert(edges.length == nVecs * 5)
+    edges.groupBy(_.getLong(0)).foreach { case (_, es) =>
+      val byRank = es.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+    }
+    // cell blocking must still recover a useful share of the TRUE
+    // (brute-force) nearest neighbors — 0.42 observed on the fixture;
+    // 0.3 is the regression floor, not the target
+    val adj = edges.groupBy(_.getLong(0))
+      .map { case (v, es) => v -> es.map(_.getLong(2)).toSet }
+    val top1 = run("sim_cosine_topk").collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2))
+    val hit = top1.count { case (q, n) => adj.getOrElse(q, Set.empty).contains(n) }
+    assert(hit.toDouble / top1.length >= 0.3,
+      s"top-1 recall collapsed: $hit/${top1.length}")
+  }
+
   test("q_target_encoding: shrinkage pulls every cell between raw mean and prior") {
     val rows = run("q_target_encoding").collect()
     assert(rows.length == 125, "25 nations x 5 segments")
