@@ -243,40 +243,51 @@ object ScalarFuncQueries extends QueryRegistry {
   // have no grams at all, and any ed ≤ k partner of one is itself short
   // (|b| ≤ |a|+k < q+k ≤ 8), so the split loses nothing. The oracle
   // states the naive quadratic join; identical output, index-join cost.
+  /** The %50-sampled part slice both ER queries resolve over. */
+  private def erRel(spark: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.part(spark, d)
+      .filter(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        length(col("p_name")).as("len"),
+        floor(col("p_retailprice") * 100).cast("long").as("cents"))
+
+  /** Blocked near-pair builder shared by q_er_gram_blocked and
+    * q_er_resolve: trigram count-filter candidates + Levenshtein verify,
+    * broadcast all-pairs fallback for the short set (see the comment
+    * above q_er_gram_blocked for the soundness argument). */
+  private def erNearPairs(rel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (q, k, shortMax) = (3, 2, 8) // shortMax = q-1+k*q
+    // non-distinct trigrams: multiplicity feeds the count filter's
+    // sound overcount (Σ ca·cb ≥ multiset intersection)
+    val grams = rel.filter(col("len") >= q)
+      .select(col("id"), col("len"), explode(expr(
+        s"transform(sequence(1, length(name) - ${q - 1})," +
+          s" i -> substring(name, i, $q))")).as("g"))
+    val candidates = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= k &&
+          greatest(col("a.len"), col("b.len")) > shortMax)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        greatest(col("a.len"), col("b.len")).as("mx"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= col("mx") - (q - 1) - k * q)
+      .select("id1", "id2")
+    val verified = candidates
+      .join(rel.select(col("id").as("id1"), col("name").as("n1")), "id1")
+      .join(rel.select(col("id").as("id2"), col("name").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("n1"), col("n2")).as("dist"))
+      .filter(col("dist") <= k)
+    val shortPairs = graft.ops.TextOps.allPairsLevenshteinLocal(
+      rel.filter(col("len") <= shortMax), "id", "name", k)
+    verified.unionByName(shortPairs)
+  }
+
   private val erGramBlocked = NamedQuery(
     "q_er_gram_blocked",
-    (spark, d) => {
-      val (q, k, shortMax) = (3, 2, 8) // shortMax = q-1+k*q
-      val rel = Tables.part(spark, d)
-        .filter(col("p_partkey") % 50 === 0)
-        .select(col("p_partkey").as("id"), col("p_name").as("name"),
-          length(col("p_name")).as("len"))
-      // non-distinct trigrams: multiplicity feeds the count filter's
-      // sound overcount (Σ ca·cb ≥ multiset intersection)
-      val grams = rel.filter(col("len") >= q)
-        .select(col("id"), col("len"), explode(expr(
-          s"transform(sequence(1, length(name) - ${q - 1})," +
-            s" i -> substring(name, i, $q))")).as("g"))
-      val candidates = grams.as("a")
-        .join(grams.as("b"),
-          col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-            abs(col("a.len") - col("b.len")) <= k &&
-            greatest(col("a.len"), col("b.len")) > shortMax)
-        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
-          greatest(col("a.len"), col("b.len")).as("mx"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= col("mx") - (q - 1) - k * q)
-        .select("id1", "id2")
-      val verified = candidates
-        .join(rel.select(col("id").as("id1"), col("name").as("n1")), "id1")
-        .join(rel.select(col("id").as("id2"), col("name").as("n2")), "id2")
-        .select(col("id1"), col("id2"),
-          levenshtein(col("n1"), col("n2")).as("dist"))
-        .filter(col("dist") <= k)
-      val shortPairs = graft.ops.TextOps.allPairsLevenshteinLocal(
-        rel.filter(col("len") <= shortMax), "id", "name", k)
-      verified.unionByName(shortPairs).orderBy("id1", "id2")
-    },
+    (spark, d) => erNearPairs(erRel(spark, d)).orderBy("id1", "id2"),
     Some("""SELECT a.p_partkey AS id1, b.p_partkey AS id2,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM part a JOIN part b
@@ -285,7 +296,58 @@ object ScalarFuncQueries extends QueryRegistry {
         | AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id1, id2""".stripMargin))
 
+  // ---- ER capstone — golden-record resolution: near-pairs → connected
+  // components (transitive closure of "is probably the same entity") →
+  // one survivorship record per cluster (canonical name from the
+  // min-id member, exact-cents average price across members; singletons
+  // resolve to themselves). This is the MDM shape: the pair relation is
+  // blocked (never quadratic), the component step is the repo's
+  // pointer-doubling min-label propagation (O(log diameter) rounds),
+  // and the golden-record rollup is one partial-aggregated shuffle on
+  // the cluster label.
+  private val erResolve = NamedQuery(
+    "q_er_resolve",
+    (spark, d) => {
+      // pairs + the golden rollup both consume the slice: pin it, or the
+      // gram explode and Levenshtein verify run once per consumer
+      val rel = erRel(spark, d).localCheckpoint()
+      val comp = graft.ops.Components.connectedComponents(
+        erNearPairs(rel).select(col("id1").as("src"), col("id2").as("dst")))
+      rel.join(comp.withColumnRenamed("id", "rid"),
+          col("id") === col("rid"), "left")
+        .select(col("id"), col("name"), col("cents"),
+          coalesce(col("component"), col("id")).as("cluster"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("bigint").as("n_members"),
+          min_by(col("name"), col("id")).as("canonical_name"),
+          round(sum(col("cents")).cast("double") / count(lit(1)) / 100.0, 4)
+            .as("avg_price"))
+        .orderBy("cluster")
+    },
+    Some("""WITH RECURSIVE rel AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part WHERE p_partkey % 50 = 0),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2 FROM rel a JOIN rel b
+        |    ON a.id < b.id AND levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT rel.id, rel.name, rel.cents,
+        |    coalesce(comp.cluster, rel.id) AS cluster
+        |  FROM rel LEFT JOIN comp ON rel.id = comp.node)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |  arg_min(name, id) AS canonical_name,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4) AS avg_price
+        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(strings, dates, mathFns, json, arrays, editDistance, outerJoins,
-      arraySetOps, regexExtractAll, erGramBlocked)
+      arraySetOps, regexExtractAll, erGramBlocked, erResolve)
 }

@@ -310,6 +310,28 @@ class Round6QueriesSpec extends SparkSpec {
       s"top-1 recall collapsed: $hit/${top1.length}")
   }
 
+  test("q_er_resolve: cluster sizes equal a driver-side union-find replay of the pairs") {
+    val rows = run("q_er_resolve").collect()
+    val ids = Tables.part(spark, sfDir).filter(col("p_partkey") % 50 === 0)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val pairs = run("q_er_gram_blocked").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    // union-by-min: the surviving root of a component is its min id,
+    // matching the query's min-label propagation
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.groupBy(find).map { case (root, ms) => root -> ms.length.toLong }
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_ > 1), "fixture must produce a real merge")
+  }
+
   test("q_target_encoding: shrinkage pulls every cell between raw mean and prior") {
     val rows = run("q_target_encoding").collect()
     assert(rows.length == 125, "25 nations x 5 segments")
