@@ -787,7 +787,52 @@ object AdvancedQueries extends QueryRegistry {
         |CROSS JOIN n
         |ORDER BY lift DESC, item_a, item_b""".stripMargin))
 
+  // ---- Interval×interval overlap join where BOTH sides are fact-sized
+  // (q_range_bin_join compiles point-in-range; this compiles
+  // range-meets-range): each customer's orders carry a 7-day fulfillment
+  // window [orderdate, +7d), and the query counts same-customer pairs of
+  // overlapping windows (the double-booking audit). The naive form is a
+  // theta-self-join; the scale form explodes each interval onto the
+  // ≤2 fixed 7-day bins it touches and equi-joins on (cust, bin). The
+  // classic duplicate problem (a pair overlapping in several shared
+  // bins counts once per bin) is solved WITHOUT a distinct: a pair is
+  // counted only in the later interval's start bin — overlap guarantees
+  // the earlier interval also covers that day, so exactly one joined
+  // bin row satisfies `bin = greatest(start_bin_a, start_bin_b)`.
+  // One exchange keyed (cust, bin), partial-aggregated rollup on the
+  // customer — no quadratic blowup beyond genuine per-bin co-residency.
+  private val intervalJoin = NamedQuery(
+    "q_interval_join",
+    (spark, d) => {
+      val o = Tables.orders(spark, d).select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("k"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("s"))
+        .withColumn("e", col("s") + 7)
+      val binned = o.select(col("cust"), col("k"), col("s"), col("e"),
+        explode(sequence(floor(col("s") / 7).cast("long"),
+          floor((col("e") - 1) / 7).cast("long"))).as("bin"))
+      binned.as("a").join(binned.as("b"),
+          col("a.cust") === col("b.cust") && col("a.bin") === col("b.bin") &&
+            col("a.k") < col("b.k") &&
+            col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+            col("a.bin") === greatest(floor(col("a.s") / 7).cast("long"),
+              floor(col("b.s") / 7).cast("long")))
+        .groupBy(col("a.cust").as("cust"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+        .orderBy("cust")
+    },
+    Some("""WITH o AS (SELECT o_custkey AS cust, o_orderkey AS k,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 7 AS e
+        |  FROM orders)
+        |SELECT a.cust, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM o a JOIN o b ON a.cust = b.cust AND a.k < b.k
+        |  AND a.s < b.e AND b.s < a.e
+        |GROUP BY a.cust ORDER BY a.cust""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(cdcApply, bloomDecontaminate, weightedSample,
     zorder, ewma, skyline, intervalOverlap, pagerank, hierarchy,
-    triangles, degreeHist, tableDiff, rangeBinJoin, assocRules)
+    triangles, degreeHist, tableDiff, rangeBinJoin, assocRules,
+    intervalJoin)
 }

@@ -332,6 +332,24 @@ class Round6QueriesSpec extends SparkSpec {
     assert(expected.values.exists(_ > 1), "fixture must produce a real merge")
   }
 
+  test("q_interval_join: bin-compiled overlap counts equal a brute-force replay") {
+    val got = run("q_interval_join").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = orders.groupBy(_._1).flatMap { case (cust, os) =>
+      val n = os.combinations(2).count { case Array((_, k1, s1), (_, k2, s2)) =>
+        s1 < s2 + 7 && s2 < s1 + 7
+      }
+      if (n > 0) Some(cust -> n.toLong) else None
+    }.toMap
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture must contain overlapping windows")
+  }
+
   test("q_target_encoding: shrinkage pulls every cell between raw mean and prior") {
     val rows = run("q_target_encoding").collect()
     assert(rows.length == 125, "25 nations x 5 segments")
