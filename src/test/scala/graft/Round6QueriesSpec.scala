@@ -244,6 +244,26 @@ class Round6QueriesSpec extends SparkSpec {
     }, "no short-short pair — fallback path unexercised")
   }
 
+  test("Tables.events normalizes both fixture layouts (nanos-long and micros-NTZ) identically") {
+    import spark.implicits._
+    // canonical read of the current (TIMESTAMP_NTZ micros) fixture
+    val canon = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // re-write the same instants in the LEGACY layout: ts as a raw
+    // nano-of-epoch LONG column (what parquet TIMESTAMP(NANOS) surfaces
+    // as under the nanosAsLong conf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_nanos")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val legacy = Tables.events(spark, dir.toString)
+      .select(col("event_id"), unix_micros(col("ts")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(legacy === canon)
+  }
+
   test("text_hash_classifier: sigmoid bounds, margin/label consistency, both labels present") {
     val rows = run("text_hash_classifier").collect()
     val nDocs = Tables.documents(spark, sfDir).count()
