@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval×interval overlap join compiled to an equi-join — the
+  * both-sides-fact-sized case that a theta-join (BroadcastNestedLoop)
+  * cannot survive at scale.
+  *
+  * Technique (the "bin ownership" form of the classic interval-bin
+  * compilation, cf. the point-in-range variant in q_range_bin_join):
+  * every half-open interval [s, e) explodes onto the fixed-width bins it
+  * touches (⌈len/W⌉+1 rows at most), the join runs hash-partitioned on
+  * (key, bin), and the duplicate problem — a pair overlapping across
+  * several shared bins would match once per bin — is eliminated WITHOUT
+  * a distinct: a pair is counted only in the bin that contains the LATER
+  * interval's start. Overlap (s1 < e2 ∧ s2 < e1) guarantees the earlier
+  * interval also covers that day, so exactly one joined bin row
+  * satisfies `bin = greatest(startBin(a), startBin(b))` — for ANY
+  * interval lengths, any bin width (PropertiesSpec fuzzes both).
+  *
+  * At 100 TB: one exchange keyed (key, bin); per-bin work is quadratic
+  * only in genuine co-residency, and W trades row expansion
+  * (intervals/bin) against join selectivity. */
+object Intervals {
+
+  /** All overlapping same-key pairs (idA < idB) of half-open intervals.
+    * Input columns: key, id, s, e (e exclusive, s < e). Output:
+    * (key, id1, id2). */
+  def overlapPairs(df: DataFrame, keyCol: String, idCol: String,
+                   sCol: String, eCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    val binned = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+        col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
+      .select(col("k"), col("id"), col("s"), col("e"),
+        explode(sequence(bin(col("s")), bin(col("e") - 1))).as("bin"))
+    binned.as("a").join(binned.as("b"),
+        col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
+          col("a.id") < col("b.id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+          col("a.bin") === greatest(bin(col("a.s")), bin(col("b.s"))))
+      .select(col("a.k").as(keyCol), col("a.id").as("id1"),
+        col("b.id").as("id2"))
+  }
+}

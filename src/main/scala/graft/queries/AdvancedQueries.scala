@@ -809,16 +809,8 @@ object AdvancedQueries extends QueryRegistry {
         datediff(col("o_orderdate").cast("date"),
           lit("1992-01-01").cast("date")).cast("long").as("s"))
         .withColumn("e", col("s") + 7)
-      val binned = o.select(col("cust"), col("k"), col("s"), col("e"),
-        explode(sequence(floor(col("s") / 7).cast("long"),
-          floor((col("e") - 1) / 7).cast("long"))).as("bin"))
-      binned.as("a").join(binned.as("b"),
-          col("a.cust") === col("b.cust") && col("a.bin") === col("b.bin") &&
-            col("a.k") < col("b.k") &&
-            col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
-            col("a.bin") === greatest(floor(col("a.s") / 7).cast("long"),
-              floor(col("b.s") / 7).cast("long")))
-        .groupBy(col("a.cust").as("cust"))
+      graft.ops.Intervals.overlapPairs(o, "cust", "k", "s", "e", 7L)
+        .groupBy("cust")
         .agg(count(lit(1)).cast("bigint").as("n_pairs"))
         .orderBy("cust")
     },

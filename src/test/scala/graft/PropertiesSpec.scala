@@ -542,4 +542,33 @@ class PropertiesSpec extends SparkSpec {
       assert(got === want, s"xs=$xs k=$k parts=$parts")
     }
   }
+
+  test("property: Intervals.overlapPairs == brute force for random intervals and bin widths") {
+    // the bin-ownership dedup must hold for ANY interval lengths (longer
+    // and shorter than the bin), any alignment, and duplicate spans
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 60)
+      keys <- Gen.listOfN(n, Gen.chooseNum(0L, 3L))
+      starts <- Gen.listOfN(n, Gen.chooseNum(-40L, 40L))
+      lens <- Gen.listOfN(n, Gen.chooseNum(1L, 25L))
+      w <- Gen.chooseNum(1L, 12L)
+    } yield (keys, starts, lens, w)
+    for (((keys, starts, lens, w), i) <- samples(caseGen, 10).zipWithIndex) {
+      val rows = keys.indices.map(j => (keys(j), j.toLong, starts(j), starts(j) + lens(j)))
+      val got = graft.ops.Intervals
+        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+      } yield (a._1, a._2, b._2)).toSet
+      assert(got === want, s"case $i: w=$w rows=$rows")
+      // each pair appears EXACTLY once (the collect to a Set above would
+      // mask bin-duplicate rows — check the raw count too)
+      val raw = graft.ops.Intervals
+        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", w)
+        .count()
+      assert(raw == want.size, s"case $i: duplicate bin matches, w=$w")
+    }
+  }
 }
