@@ -528,6 +528,54 @@ object Streams {
 
   /** Run a streaming frame to an in-memory table until all available
     * source data is processed (the synchronous batch-parity harness). */
+  /** Ingestion-time near-dup filter — the streaming arm of the dedup
+    * north star: each arriving document's 16-hash MinHash signature
+    * (row-local kernel, no shuffle) is its dedup key; the first doc
+    * carrying a signature survives, later collisions drop. State is one
+    * row per DISTINCT signature — at 100 TB that is the deduplicated
+    * corpus cardinality, partitioned by signature hash across the state
+    * store; attach an ingestion-time watermark +
+    * dropDuplicatesWithinWatermark to bound state when the dedup
+    * horizon is finite. Docs under 3 words have no signature and pass
+    * through on their doc_id (mirroring the batch kernel's drop rule
+    * would silently delete short docs — a FILTER must not lose rows it
+    * cannot fingerprint). */
+  def nearDupFilter(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fam = graft.ops.TextOps.minhashFamily(16).toArray
+    val prime = graft.ops.TextOps.minhashPrime
+    // one TOTAL typed map (a stream cannot self-join its signature
+    // relation back without event-time bounds): every row gets a key in
+    // the same pass, short docs keyed by id
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = graft.ops.TextOps.shingleSet(text, 3)
+          val key =
+            if (sh.isEmpty) s"short:$id"
+            else {
+              val mins = Array.fill(16)(Long.MaxValue)
+              sh.foreach { s =>
+                val base = graft.ops.TextOps.md5Long60(s) & ((1L << 30) - 1)
+                var j = 0
+                while (j < 16) {
+                  val (a, b) = fam(j)
+                  val h = (a * base + b) % prime
+                  if (h < mins(j)) mins(j) = h
+                  j += 1
+                }
+              }
+              mins.mkString(",")
+            }
+          (id, key)
+        }
+      }
+      .toDF("doc_id", "sig_key")
+      .dropDuplicates("sig_key")
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
     val q = df.writeStream
       .format("memory")

@@ -463,6 +463,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter: later signature collisions drop, short docs pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    base.coalesce(1).write.mode("append").parquet(dir.toString)
+    // batch arm of the same function = expected survivor count for slice 1
+    val expected = Streams.nearDupFilter(base).count()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Streams.runToMemory(Streams.nearDupFilter(stream),
+      "stream_neardup", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_neardup").count() === expected)
+      // a LATER micro-batch re-submits an existing text under a new id
+      // (must drop against the signature state) plus a 2-word doc (no
+      // shingles — must pass on its id key, never silently vanish)
+      val dupText = base.orderBy("doc_id").limit(1).collect().head.getString(1)
+      Seq((-5L, dupText), (-6L, "one two")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val ids = spark.table("stream_neardup")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(-5L), "signature collision must be dropped")
+      assert(ids.contains(-6L), "short doc must pass through")
+      assert(spark.table("stream_neardup").count() === expected + 1)
+    } finally q.stop()
+  }
+
   private def lastSnapshotPerUser(table: String): Map[Long, (Long, Double)] =
     spark.table(table)
       .withColumn("ord", monotonically_increasing_id())
