@@ -36,7 +36,14 @@ object Tables {
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        case other =>
+          // the layout has already changed twice across fixture
+          // generations — a third unknown layout must fail HERE with a
+          // name, not propagate misread instants into every query
+          throw new IllegalStateException(
+            s"events.ts: unexpected physical type $other — " +
+              "extend Tables.load's normalization for this layout")
       }
     case n =>
       spark.read.parquet(s"$sfDir/$n.parquet")

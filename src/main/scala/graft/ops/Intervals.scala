@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Interval×interval overlap join compiled to an equi-join — the
@@ -30,16 +30,26 @@ object Intervals {
   def overlapPairs(df: DataFrame, keyCol: String, idCol: String,
                    sCol: String, eCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    // exact long floor-division: pmod subtracts the remainder and `div`
+    // divides in INTEGER arithmetic — floor(c / W) or `/` would round-trip
+    // through a double, and at epoch-nano magnitudes (> 2^53) that
+    // mis-bins boundary-adjacent endpoints
     val binned = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
-      .select(col("k"), col("id"), col("s"), col("e"),
-        explode(sequence(bin(col("s")), bin(col("e") - 1))).as("bin"))
+      .withColumn("sbin",
+        expr(s"(s - pmod(s, ${binWidth}L)) div ${binWidth}L"))
+      .withColumn("ebin",
+        expr(s"(e - 1 - pmod(e - 1, ${binWidth}L)) div ${binWidth}L"))
+      .select(col("k"), col("id"), col("s"), col("e"), col("sbin"),
+        explode(sequence(col("sbin"), col("ebin"))).as("bin"))
+      // the self-join below reads this subtree twice — pin it, or the
+      // caller's upstream scan + explode run once per side
+      .localCheckpoint()
     binned.as("a").join(binned.as("b"),
         col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
           col("a.id") < col("b.id") &&
           col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
-          col("a.bin") === greatest(bin(col("a.s")), bin(col("b.s"))))
+          col("a.bin") === greatest(col("a.sbin"), col("b.sbin")))
       .select(col("a.k").as(keyCol), col("a.id").as("id1"),
         col("b.id").as("id2"))
   }

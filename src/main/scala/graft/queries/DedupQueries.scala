@@ -169,6 +169,9 @@ object DedupQueries extends QueryRegistry {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+      // candDocs (→ arrs) and scoredPairs both consume the candidates:
+      // pin them, or the 8-way band join + distinct run twice
+      .localCheckpoint()
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
     val arrs = TextOps.shingleArraysLocal(

@@ -358,14 +358,18 @@ object StatsQueries extends QueryRegistry {
     (spark, d) => {
       val cust = Tables.customer(spark, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
-      val joined = Tables.orders(spark, d)
+      val cells = Tables.orders(spark, d)
         .select(col("o_custkey"),
           floor(col("o_totalprice") * 100).cast("long").as("cents"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      val g = joined.agg(sum(col("cents")).cast("double").as("gs"),
-        count(lit(1)).as("gn"))
-      joined.groupBy("c_mktsegment", "c_nationkey")
+        .groupBy("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n_orders"), sum("cents").as("cs"))
+        .localCheckpoint() // prior + per-cell output both read the cells
+      // the global prior derives EXACTLY from the 125-row cell relation
+      // (integer sums re-aggregate losslessly) — no second fact scan
+      val g = cells.agg(sum(col("cs")).cast("double").as("gs"),
+        sum(col("n_orders")).as("gn"))
+      cells
         .crossJoin(broadcast(g))
         .select(col("c_mktsegment").as("segment"),
           col("c_nationkey").cast("bigint").as("nation"),

@@ -547,7 +547,10 @@ object Streams {
     val prime = graft.ops.TextOps.minhashPrime
     // one TOTAL typed map (a stream cannot self-join its signature
     // relation back without event-time bounds): every row gets a key in
-    // the same pass, short docs keyed by id
+    // the same pass, short docs keyed by id. The text RIDES THROUGH —
+    // a filter whose survivors lose their payload is useless to the
+    // next stage, and in a stream there is no second chance to join it
+    // back.
     docs.select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -569,10 +572,10 @@ object Streams {
               }
               mins.mkString(",")
             }
-          (id, key)
+          (id, text, key)
         }
       }
-      .toDF("doc_id", "sig_key")
+      .toDF("doc_id", "text", "sig_key")
       .dropDuplicates("sig_key")
   }
 

@@ -555,20 +555,34 @@ class PropertiesSpec extends SparkSpec {
     } yield (keys, starts, lens, w)
     for (((keys, starts, lens, w), i) <- samples(caseGen, 10).zipWithIndex) {
       val rows = keys.indices.map(j => (keys(j), j.toLong, starts(j), starts(j) + lens(j)))
-      val got = graft.ops.Intervals
+      val rawRows = graft.ops.Intervals
         .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", w)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val want = (for {
         a <- rows; b <- rows
         if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
       } yield (a._1, a._2, b._2)).toSet
-      assert(got === want, s"case $i: w=$w rows=$rows")
-      // each pair appears EXACTLY once (the collect to a Set above would
-      // mask bin-duplicate rows — check the raw count too)
-      val raw = graft.ops.Intervals
-        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", w)
-        .count()
-      assert(raw == want.size, s"case $i: duplicate bin matches, w=$w")
+      assert(rawRows.toSet === want, s"case $i: w=$w rows=$rows")
+      // each pair appears EXACTLY once — the Set comparison above would
+      // mask duplicate bin matches, the raw length does not
+      assert(rawRows.length == want.size, s"case $i: duplicate bin matches, w=$w")
+    }
+    // epoch-nanosecond magnitudes: ulp(1.7e18) = 256, so a double-based
+    // floor division mis-bins boundary endpoints — the integer div path
+    // must not
+    locally {
+      val base = 1700000000000000000L
+      val rows = (0 until 40).map(j =>
+        (0L, j.toLong, base + j * 3L - 60L, base + j * 3L - 60L + (j % 9) + 1L))
+      val got = graft.ops.Intervals
+        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = (for {
+        a <- rows; b <- rows
+        if a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+      } yield (a._1, a._2, b._2)).toSet
+      assert(got.toSet === want && got.length == want.size,
+        "epoch-nano magnitudes mis-binned")
     }
   }
 }
