@@ -24,6 +24,20 @@ object TextOps {
   def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Margin of the 1024-bucket hashed ("hashing trick") linear text
+    * classifier: mean over tokens of a deterministic pseudo-weight in
+    * [-1, 1] looked up by md5 bucket. Shared by `text_hash_classifier`
+    * (scores + labels) and `q_model_lift` (decile lift of those scores)
+    * so the two queries grade the SAME model. The fold is row-local and
+    * codegen'd — no UDF, no shuffle. */
+  def hashClassifierMargin(ws: Column): Column = {
+    val dim = 1024
+    def bucket(w: Column): Column = md5Long(w) % dim
+    def weight(b: Column): Column =
+      (md5Long(b.cast("string")) % 2001 - 1000) / lit(1000.0)
+    aggregate(ws, lit(0.0), (acc, w) => acc + weight(bucket(w))) / size(ws)
+  }
+
   /** Distinct word n-gram shingles, exploded to (id, shingle) rows.
     * Documents shorter than n words contribute no shingles (mirrors the
     * DuckDB generate_series dual, which emits an empty series).

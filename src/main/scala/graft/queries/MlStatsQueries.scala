@@ -193,6 +193,190 @@ object MlStatsQueries extends QueryRegistry {
         |       cast(max(n1) AS BIGINT) AS n1, cast(max(n2) AS BIGINT) AS n2
         |FROM c, t""".stripMargin))
 
+  // Decile lift/gains table for the hashed linear classifier
+  // (ops.TextOps.hashClassifierMargin — the SAME model
+  // text_hash_classifier scores): rank docs by score DESC, cut into
+  // deciles, and compare each decile's positive rate (docs ≥300 chars as
+  // the stand-in ground truth) to the base rate. The global ranking goes
+  // through ops.Ranking's two-phase histogram shape — no unpartitioned
+  // ntile window ever sees the corpus; the bucket key is the score's
+  // fixed-point truncation (monotone in -score).
+  private val modelLift = NamedQuery(
+    "q_model_lift",
+    (spark, d) => {
+      val scored = Tables.documents(spark, d)
+        .select(col("doc_id"), col("n_chars"),
+          classifierMargin(col("text")).as("margin"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(negate(col("margin")))), 6).as("score"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("pos"))
+      val ranked = graft.ops.Ranking.groupedRank(
+        scored, Seq.empty, negate(col("score")),
+        floor(negate(col("score")) * 1000).cast("long"), Seq("doc_id"))
+        .withColumn("decile",
+          graft.ops.Ranking.ntileFromRank(col("rank"), col("grp_n"), 10)
+            .cast("long"))
+      val tot = scored.agg(sum("pos").as("tp"), count(lit(1)).as("tn"))
+      ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("pos").as("positives"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("positives"),
+          round(col("positives").cast("double") / col("n"), 4).as("pos_rate"),
+          round((col("positives").cast("double") / col("n")) /
+            (col("tp").cast("double") / col("tn")), 4).as("lift"))
+        .orderBy("decile")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wt AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(CAST(
+        |        ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024
+        |      AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS wv
+        |  FROM tok),
+        |m AS (SELECT doc_id, avg(wv) AS margin FROM wt GROUP BY doc_id),
+        |s AS (SELECT m.doc_id, round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+        |        CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS pos
+        |      FROM m JOIN documents d USING (doc_id)),
+        |r AS (SELECT pos,
+        |        ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile FROM s),
+        |t AS (SELECT sum(pos) AS tp, count(*) AS tn FROM s)
+        |SELECT cast(decile AS BIGINT) AS decile, cast(count(*) AS BIGINT) AS n,
+        |  cast(sum(pos) AS BIGINT) AS positives,
+        |  round(sum(pos) * 1.0 / count(*), 4) AS pos_rate,
+        |  round((sum(pos) * 1.0 / count(*)) / (max(tp) * 1.0 / max(tn)), 4) AS lift
+        |FROM r, t GROUP BY decile ORDER BY decile""".stripMargin))
+
+  // Covariance matrix of the first 8 embedding dimensions — the input
+  // relation of a PCA / whitening step, computed relationally: pairs are
+  // generated ROW-LOCALLY (double posexplode of the sliced vector, 64
+  // rows per vec — no self-join on vec_id), E[x·y] partial-aggregates
+  // map-side, and the 8-row mean relation broadcasts back twice. At
+  // 100 TB the only shuffle is the 64-group aggregate's partials; a d×d
+  // gram at larger d is the same shape with d² bounded by the DIMENSION,
+  // not the corpus.
+  private val covMatrix = NamedQuery(
+    "q_cov_matrix",
+    (spark, d) => {
+      val v = Tables.embeddings(spark, d)
+        .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
+      val xs = v.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
+      val pairs = xs.select(col("i0"), col("x"),
+        posexplode(col("v")).as(Seq("j0", "y")))
+      val mu = v.select(posexplode(col("v")).as(Seq("i0", "x")))
+        .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))
+      val g = pairs.groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
+        .agg(avg(col("x") * col("y")).as("exy"), count(lit(1)).as("n"))
+      val mj = mu.select(col("i").as("j"), col("m").as("mj"))
+      g.join(broadcast(mu), Seq("i"))
+        .join(broadcast(mj), Seq("j"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round(col("exy") - col("m") * col("mj"), 5).as("cov"), col("n"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH p AS (
+        |  SELECT r1.i AS i, r2.i AS j,
+        |         cast(embedding[r1.i] AS DOUBLE) AS x,
+        |         cast(embedding[r2.i] AS DOUBLE) AS y
+        |  FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(i)),
+        |mu AS (
+        |  SELECT r.i AS i, avg(cast(embedding[r.i] AS DOUBLE)) AS m
+        |  FROM embeddings, range(1, 9) r(i) GROUP BY 1),
+        |g AS (SELECT i, j, avg(x * y) AS exy, count(*) AS n FROM p GROUP BY i, j)
+        |SELECT g.i, g.j, round(g.exy - mi.m * mj.m, 5) AS cov,
+        |       cast(g.n AS BIGINT) AS n
+        |FROM g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin))
+
+  // Per-week Pearson correlation between the daily click and purchase
+  // revenue series — "are my engagement and conversion metrics moving
+  // together this week?". The correlation is assembled EXPLICITLY from
+  // the five power sums (n·Σxy − ΣxΣy over the √ of the variance
+  // products) on pre-rounded daily values: one definition, identical
+  // arithmetic both engines — immune to corr() implementation drift.
+  // Degenerate weeks (zero variance in either series) emit NULL.
+  private val weeklyCorr = NamedQuery(
+    "q_weekly_corr",
+    (spark, d) => {
+      val daily = Tables.events(spark, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          round(sum(when(col("event_type") === "click", col("value"))
+            .otherwise(0.0)), 4).as("x"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 4).as("y"))
+      val wk = daily
+        .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      wk.select(col("week"), col("n").cast("long").as("n"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 4)).as("r"))
+        .orderBy("week")
+    },
+    Some("""WITH daily AS (
+        |  SELECT cast(ts AS DATE) AS day,
+        |    round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS x,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |wk AS (
+        |  SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
+        |         cast(count(*) AS DOUBLE) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM daily GROUP BY 1)
+        |SELECT week, cast(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+        |    round((n * sxy - sx * sy) /
+        |          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |  END AS r
+        |FROM wk ORDER BY week""".stripMargin))
+
+  // First-order Markov transition matrix over each user's event-type
+  // sequence: P(next | prev) with exact counts. The lead() runs in a
+  // user-partitioned window (each task sorts one user's history), the
+  // (prev, next) counts partial-aggregate map-side, and the per-prev
+  // normalizing totals re-aggregate from the 25-row count relation —
+  // the behavioral-model / session-simulation input at any scale.
+  private val markov = NamedQuery(
+    "q_markov_transitions",
+    (spark, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(spark, d)
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("prev"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("prev").agg(sum("n").as("tot"))
+      c.join(broadcast(t), Seq("prev"))
+        .select(col("prev"), col("nxt"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("prev", "nxt")
+    },
+    Some("""WITH nx AS (
+        |  SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT prev, nxt, count(*) AS n
+        |      FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.nxt, cast(c.n AS BIGINT) AS n,
+        |  round(c.n * 1.0 / t.tot, 4) AS p
+        |FROM c JOIN t USING (prev) ORDER BY prev, nxt""".stripMargin))
+
+  /** Margin of the shared hashed classifier on raw text (tokenize, then
+    * ops.TextOps.hashClassifierMargin). */
+  private def classifierMargin(text: org.apache.spark.sql.Column) =
+    graft.ops.TextOps.hashClassifierMargin(graft.ops.TextOps.words(text))
+
   override def all: Seq[NamedQuery] =
-    Seq(anomaly, attribution, bpePairs, ksTest)
+    Seq(anomaly, attribution, bpePairs, ksTest,
+      modelLift, covMatrix, weeklyCorr, markov)
 }

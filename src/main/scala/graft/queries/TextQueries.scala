@@ -1122,16 +1122,10 @@ object TextQueries extends QueryRegistry {
   private val hashClassifier = NamedQuery(
     "text_hash_classifier",
     (spark, d) => {
-      val dim = 1024
-      def bucket(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        TextOps.md5Long(w) % dim
-      def weight(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (TextOps.md5Long(b.cast("string")) % 2001 - 1000) / lit(1000.0)
       Tables.documents(spark, d)
         .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
         .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"),
-          (aggregate(col("ws"), lit(0.0), (acc, w) => acc + weight(bucket(w)))
-            / size(col("ws"))).as("margin"))
+          TextOps.hashClassifierMargin(col("ws")).as("margin"))
         .select(col("doc_id"), col("n_tokens"),
           round(lit(1.0) / (lit(1.0) + exp(negate(col("margin")))), 6).as("score"),
           when(col("margin") > 0, "keep").otherwise("drop").as("label"))

@@ -55,6 +55,68 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum <= docs.getLong(0) - docs.getLong(1))
   }
 
+  test("q_model_lift: deciles partition the corpus, lift averages to 1, rates consistent") {
+    val rows = run("q_model_lift").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == totalDocs, "deciles must partition all docs")
+    // base-rate-weighted mean of decile pos_rates equals the base rate:
+    // sum(positives) / sum(n) == tp/tn, so sum(n*lift)/total == 1
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / totalDocs
+    assert(math.abs(weighted - 1.0) < 0.01, s"n-weighted mean lift $weighted != 1")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-4)
+    }
+  }
+
+  test("q_cov_matrix: symmetric, diagonal positive, matches driver-side covariance") {
+    val rows = run("q_cov_matrix").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.size == 64)
+    for (i <- 1L to 8L; j <- 1L to 8L) {
+      assert(rows((i, j)) == rows((j, i)), s"cov($i,$j) asymmetric")
+      if (i == j) assert(rows((i, i)) > 0, s"var($i) not positive")
+    }
+    // spot-check cov(1,2) against a driver-side computation
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(2).map(_.toDouble))
+    val (xs, ys) = (vecs.map(_(0)), vecs.map(_(1)))
+    val naive = xs.zip(ys).map { case (a, b) => a * b }.sum / xs.length -
+      (xs.sum / xs.length) * (ys.sum / ys.length)
+    assert(math.abs(rows((1L, 2L)) - naive) < 1e-4, s"cov(1,2) off: $naive")
+  }
+
+  test("q_weekly_corr: r in [-1,1], weeks are Mondays covering the fixture span") {
+    val rows = run("q_weekly_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val c = r.getDouble(2)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"r=$c out of range")
+      }
+      assert(java.time.LocalDate.parse(r.getString(0)).getDayOfWeek ==
+        java.time.DayOfWeek.MONDAY)
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.events(spark, sfDir).filter(col("event_type").isin("click", "purchase"))
+        .select(to_date(col("ts"))).distinct.count())
+  }
+
+  test("q_markov_transitions: rows form a stochastic matrix over observed transitions") {
+    val rows = run("q_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    // per-prev probabilities sum to ~1 (rounding at 4dp leaves <=0.001 slack)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.002, s"$prev rows sum to $s")
+    }
+    // total transition count = total events - one tail event per user
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct.count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("q_ks_histogram: statistic in [0,1], matches a direct ECDF computation") {
     val row = run("q_ks_histogram").head()
     val ks = row.getDouble(0)
