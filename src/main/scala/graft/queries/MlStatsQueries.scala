@@ -204,12 +204,19 @@ object MlStatsQueries extends QueryRegistry {
   private val modelLift = NamedQuery(
     "q_model_lift",
     (spark, d) => {
+      // pin the scored relation: groupedRank references its input from
+      // four subtrees (histogram, offsets, totals, final join) and the
+      // md5-fold margin is an expensive expression Catalyst would
+      // re-inline into every one (same trap as TextOps.shingles' note —
+      // measured 6.3 s vs 0.8 s at sf0.1). The pinned relation is three
+      // narrow columns per doc.
       val scored = Tables.documents(spark, d)
         .select(col("doc_id"), col("n_chars"),
           classifierMargin(col("text")).as("margin"))
         .select(col("doc_id"),
           round(lit(1.0) / (lit(1.0) + exp(negate(col("margin")))), 6).as("score"),
           when(col("n_chars") >= 300, 1L).otherwise(0L).as("pos"))
+        .localCheckpoint()
       val ranked = graft.ops.Ranking.groupedRank(
         scored, Seq.empty, negate(col("score")),
         floor(negate(col("score")) * 1000).cast("long"), Seq("doc_id"))

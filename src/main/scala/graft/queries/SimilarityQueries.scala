@@ -189,6 +189,80 @@ object SimilarityQueries extends QueryRegistry {
     },
     brute.oracle)
 
+  // ---- ANN quality harness: recall@k of the IVF index against the
+  // exact brute-force ranking, per query and fully oracle-checked — the
+  // evaluation loop every production ANN deployment runs before trading
+  // recall for probe count. Both sides reuse the EXACT pipelines of
+  // sim_cosine_topk / sim_ann_ivf (same fns, same tie-breaks), so this
+  // measures the index, not a reimplementation. The recall join is a
+  // left-semi on (query_id, neighbor_id) over two k·queries-row
+  // relations — negligible at any corpus size.
+  private val annRecall = NamedQuery(
+    "sim_ann_recall",
+    (spark, d) => {
+      val exact = brute.fn(spark, d).filter(col("query_id") < 20)
+        .select("query_id", "neighbor_id")
+      val approx = ivf.fn(spark, d).select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 4)
+            .as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.emb, v.emb), 6) DESC, v.vec_id)
+        |        AS rnk
+        |    FROM v q CROSS JOIN v
+        |    WHERE q.vec_id < 20 AND v.vec_id <> q.vec_id) t
+        |  WHERE rnk <= $topK),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
+        |      AS crn
+        |    FROM v CROSS JOIN cent) t
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT v.vec_id AS query_id, cent.cid, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
+        |      AS crn
+        |    FROM v CROSS JOIN cent WHERE v.vec_id < 20) t
+        |  WHERE crn <= $nProbe),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(qv.emb, nv.emb), 6) AS cosine
+        |  FROM cand c
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  JOIN v nv ON nv.vec_id = c.neighbor_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |    FROM scored) t
+        |  WHERE rnk <= $topK)
+        |SELECT e.query_id, cast(count(*) AS BIGINT) AS k,
+        |  cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hits,
+        |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 4) AS recall
+        |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Symmetric int8 quantization of the embedding column — the storage/
   // bandwidth move every large vector corpus makes (4 bytes → 1 byte per
   // dim). Rounding is floor(x·scale + 0.5), NOT round(): floor of a
@@ -589,6 +663,6 @@ object SimilarityQueries extends QueryRegistry {
         |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin))
 
   val all: Seq[NamedQuery] =
-    Seq(brute, bruteAgg, ivf, labelCentroids, quantize, knnClassify,
+    Seq(brute, bruteAgg, ivf, annRecall, labelCentroids, quantize, knnClassify,
       srpHamming, knnGraph, pqAdc, kmeans)
 }

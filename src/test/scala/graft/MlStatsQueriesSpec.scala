@@ -117,6 +117,25 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == expected)
   }
 
+  test("sim_ann_recall: recall in [0,1], k from exact top-k, perfect recall iff sets equal") {
+    val rows = run("sim_ann_recall").collect()
+    assert(rows.length == 20, "one row per query vector < 20")
+    val exact = run("sim_cosine_topk").filter(col("query_id") < 20)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = run("sim_ann_ivf")
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val (q, k, hits, rec) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == exact(q).size)
+      assert(hits == exact(q).intersect(approx.getOrElse(q, Set.empty)).size,
+        s"query $q: hits $hits != set intersection")
+      assert(math.abs(rec - hits.toDouble / k) < 1e-4)
+    }
+  }
+
   test("q_ks_histogram: statistic in [0,1], matches a direct ECDF computation") {
     val row = run("q_ks_histogram").head()
     val ks = row.getDouble(0)
