@@ -378,6 +378,54 @@ object MlStatsQueries extends QueryRegistry {
         |  round(c.n * 1.0 / t.tot, 4) AS p
         |FROM c JOIN t USING (prev) ORDER BY prev, nxt""".stripMargin))
 
+  // Join-key skew report — the diagnostic that DECIDES the engine's own
+  // skew mitigations (q_salted_join's salt factor, AQE skew thresholds):
+  // per-key cardinalities of the orders→customer join key, their
+  // max/mean/p50/p99, the max/mean skew ratio, the ceil(ratio) salt
+  // factor a salted repartition would use, and the heaviest key. One
+  // count aggregate over the fact table, then a single-row rollup of the
+  // key-cardinality relation (percentile is a merged typed-aggregate —
+  // no sort of the key relation; the heaviest key is a lexicographic
+  // struct-min, no window).
+  private val keySkew = NamedQuery(
+    "q_key_skew_report",
+    (spark, d) => {
+      val c = Tables.orders(spark, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"))
+      c.agg(
+          count(lit(1)).as("n_keys"),
+          sum("n").as("total"),
+          max("n").as("max_n"),
+          round(avg("n"), 4).as("mean_n"),
+          round(expr("percentile(n, 0.50)"), 4).as("p50"),
+          round(expr("percentile(n, 0.99)"), 4).as("p99"),
+          min(struct(negate(col("n")).as("nn"), col("k"))).getField("k")
+            .as("top_key"))
+        .select(col("n_keys"), col("total"), col("max_n"),
+          col("mean_n"), col("p50"), col("p99"),
+          round(col("max_n") / col("mean_n"), 4).as("skew_ratio"),
+          ceil(col("max_n") / col("mean_n")).cast("long").as("salt_factor"),
+          col("top_key"))
+    },
+    Some("""WITH c AS (SELECT o_custkey AS k, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, sum(n) AS total, max(n) AS max_n,
+        |        round(avg(n), 4) AS mean_n,
+        |        round(quantile_cont(n, 0.50), 4) AS p50,
+        |        round(quantile_cont(n, 0.99), 4) AS p99
+        |      FROM c),
+        |top AS (SELECT k AS top_key FROM (
+        |          SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rn
+        |          FROM c) t
+        |        WHERE rn = 1)
+        |SELECT cast(n_keys AS BIGINT) AS n_keys, cast(total AS BIGINT) AS total,
+        |  cast(max_n AS BIGINT) AS max_n, mean_n, p50, p99,
+        |  round(max_n / mean_n, 4) AS skew_ratio,
+        |  cast(ceil(max_n / mean_n) AS BIGINT) AS salt_factor,
+        |  (SELECT top_key FROM top) AS top_key
+        |FROM s""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -385,5 +433,5 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew)
 }

@@ -194,6 +194,62 @@ object TextQueries extends QueryRegistry {
         |FROM documents d LEFT JOIN sig s USING (doc_id)
         |ORDER BY doc_id""".stripMargin))
 
+  // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  // — the MOSS algorithm): hash every k-gram (k=4), slide a w=5 window
+  // over the hash sequence, select each window's minimum; any shared
+  // substring of ≥ k+w−1 tokens between two documents is GUARANTEED to
+  // share a selected hash, at ~2/(w+1) the storage of full shingling.
+  // The output pins each doc's selected-set cardinality and a digest of
+  // the set (min/max/mod-sum) — the downstream join key material.
+  // Scale shape: both transforms are row-local; the hash array is pinned
+  // (localCheckpoint) between the k-gram and window passes because the
+  // window lambda references it once per window and Catalyst would
+  // otherwise re-inline the md5 fold n_windows× per row (the
+  // TextOps.shingles CollapseProject trap). No shuffle anywhere except
+  // the final ORDER BY.
+  private val winnowing = NamedQuery(
+    "text_winnowing",
+    (spark, d) => {
+      val hs = Tables.documents(spark, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8) // ≥ one full window: k+w-1 tokens
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, size(ws) - 3),
+            |  i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, 4))),
+            |                 1, 15), 16, 10) as bigint))""".stripMargin).as("hs"))
+        .localCheckpoint()
+      hs.select(col("doc_id"),
+          (size(col("hs")) - 4).cast("long").as("n_windows"),
+          expr("array_distinct(transform(sequence(1, size(hs) - 4), " +
+            "i -> array_min(slice(hs, i, 5))))").as("sel"))
+        .select(col("doc_id"), col("n_windows"),
+          size(col("sel")).cast("long").as("n_selected"),
+          array_min(col("sel")).as("sel_min"),
+          array_max(col("sel")).as("sel_max"),
+          expr("aggregate(sel, cast(0 as bigint), (a, x) -> a + x % 1000000007)")
+            .as("sel_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |hs AS (
+        |  SELECT doc_id, list_transform(range(1, len(ws) - 2),
+        |    i -> ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT)
+        |    AS hs
+        |  FROM ws),
+        |sel AS (
+        |  SELECT doc_id, len(hs) - 4 AS n_windows,
+        |    list_distinct(list_transform(range(1, len(hs) - 3),
+        |      i -> list_min(hs[i:i+4]))) AS sel
+        |  FROM hs)
+        |SELECT doc_id, cast(n_windows AS BIGINT) AS n_windows,
+        |  cast(len(sel) AS BIGINT) AS n_selected,
+        |  list_min(sel) AS sel_min, list_max(sel) AS sel_max,
+        |  cast(list_sum(list_transform(sel, h -> h % 1000000007)) AS BIGINT)
+        |    AS sel_digest
+        |FROM sel ORDER BY doc_id""".stripMargin))
+
   // Regex tokenization (the BPE-ish split path) + a true polynomial
   // rolling hash over the character stream: h ← (31h + code) mod (2³¹−1),
   // exact BIGINT arithmetic both engines (chars via regexp '.' so the
@@ -1284,7 +1340,7 @@ object TextQueries extends QueryRegistry {
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
 
   val all: Seq[NamedQuery] =
-    Seq(tokenStats, quality, langStats, langid, fingerprint, tokenRegex,
+    Seq(tokenStats, quality, langStats, langid, fingerprint, winnowing, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
       duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,

@@ -117,6 +117,48 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == expected)
   }
 
+  test("text_winnowing: selection density near 2/(w+1), bounds ordered, digest consistent") {
+    val rows = run("text_winnowing").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns) = (r.getLong(1), r.getLong(2))
+      assert(ns >= 1 && ns <= nw, s"selected $ns outside [1, $nw]")
+      assert(r.getLong(3) <= r.getLong(4), "sel_min > sel_max")
+    }
+    // winnowing selects ~2/(w+1) of windows in expectation (w=5 → 1/3);
+    // allow wide slack, but catch select-everything / select-one bugs
+    val density = rows.map(_.getLong(2)).sum.toDouble / rows.map(_.getLong(1)).sum
+    assert(density > 0.15 && density < 0.55, s"density $density implausible")
+    // guarantee: two docs sharing a >= k+w-1 token run share a selected
+    // hash. Construct the check from the fixture's own duplicate pair if
+    // present: identical texts must have identical digests.
+    val byText = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+    val digests = rows.map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    byText.foreach { dup =>
+      val ds = dup.map(_.getLong(0)).filter(digests.contains)
+      if (ds.length > 1)
+        assert(ds.map(digests).distinct.length == 1, "identical texts, different fingerprints")
+    }
+  }
+
+  test("q_key_skew_report: internally consistent and matching a driver-side recount") {
+    val r = run("q_key_skew_report").head()
+    val counts = Tables.orders(spark, sfDir).groupBy("o_custkey").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(r.getLong(0) == counts.length)
+    assert(r.getLong(1) == counts.map(_._2).sum)
+    assert(r.getLong(2) == counts.map(_._2).max)
+    val mean = r.getDouble(3)
+    assert(math.abs(mean - counts.map(_._2).sum.toDouble / counts.length) < 1e-3)
+    assert(math.abs(r.getDouble(6) - r.getLong(2) / mean) < 1e-3)
+    assert(r.getLong(7) == math.ceil(r.getLong(2) / mean).toLong)
+    // heaviest key, smallest key id on ties
+    val maxN = counts.map(_._2).max
+    assert(r.getLong(8) == counts.filter(_._2 == maxN).map(_._1).min)
+  }
+
   test("sim_ann_recall: recall in [0,1], k from exact top-k, perfect recall iff sets equal") {
     val rows = run("sim_ann_recall").collect()
     assert(rows.length == 20, "one row per query vector < 20")
