@@ -24,6 +24,36 @@ object TextOps {
   def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 — MOSS):
+    * hash every k-gram, slide a w-window over the hash sequence, keep
+    * each window's minimum. GUARANTEE: two documents sharing any run of
+    * ≥ k+w−1 identical tokens share a selected hash (a w-window of
+    * k-grams fits inside the run on both sides, and its minimum is the
+    * same value) — at ~2/(w+1) the storage of full shingling. Returns
+    * (idCol, n_windows, sel: array<bigint>); docs shorter than k+w−1
+    * tokens (no full window) are dropped.
+    *
+    * Both passes are row-local transforms; the hash array is pinned
+    * (localCheckpoint) between them because the window lambda references
+    * it per element and Catalyst's CollapseProject would otherwise
+    * re-inline the md5 fold n_windows× per row (the same trap
+    * `shingles` documents). */
+  def winnowSelect(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 5): DataFrame = {
+    val hs = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col(idCol), expr(
+        s"""transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, $k))),
+           |                 1, 15), 16, 10) as bigint))""".stripMargin).as("hs"))
+      .localCheckpoint()
+    hs.select(col(idCol),
+      (size(col("hs")) - (w - 1)).cast("long").as("n_windows"),
+      expr(s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+        s"i -> array_min(slice(hs, i, $w))))").as("sel"))
+  }
+
   /** Margin of the 1024-bucket hashed ("hashing trick") linear text
     * classifier: mean over tokens of a deterministic pseudo-weight in
     * [-1, 1] looked up by md5 bucket. Shared by `text_hash_classifier`

@@ -210,18 +210,8 @@ object TextQueries extends QueryRegistry {
   private val winnowing = NamedQuery(
     "text_winnowing",
     (spark, d) => {
-      val hs = Tables.documents(spark, d)
-        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 8) // ≥ one full window: k+w-1 tokens
-        .select(col("doc_id"), expr(
-          """transform(sequence(1, size(ws) - 3),
-            |  i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, 4))),
-            |                 1, 15), 16, 10) as bigint))""".stripMargin).as("hs"))
-        .localCheckpoint()
-      hs.select(col("doc_id"),
-          (size(col("hs")) - 4).cast("long").as("n_windows"),
-          expr("array_distinct(transform(sequence(1, size(hs) - 4), " +
-            "i -> array_min(slice(hs, i, 5))))").as("sel"))
+      TextOps.winnowSelect(Tables.documents(spark, d), "doc_id", "text",
+          k = 4, w = 5)
         .select(col("doc_id"), col("n_windows"),
           size(col("sel")).cast("long").as("n_selected"),
           array_min(col("sel")).as("sel_min"),

@@ -143,6 +143,34 @@ class MlStatsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("winnowSelect guarantee: docs sharing a k+w-1-token run share a selected hash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def tokens(n: Int, prefix: String) = Seq.fill(n)(prefix + rnd.nextInt(1000))
+    // implant the same 8-token run (k+w-1 = 8) at a random offset in
+    // each doc: the MOSS theorem says every pair must share a fingerprint
+    val shared = (1 to 8).map(i => s"run$i")
+    val docs = (0 until 20).map { i =>
+      (i.toLong,
+        (tokens(rnd.nextInt(30), s"a${i}_") ++ shared ++
+          tokens(rnd.nextInt(30), s"b${i}_")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sel = graft.ops.TextOps.winnowSelect(docs, "doc_id", "text")
+      .select($"doc_id", $"sel").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(sel.size == 20)
+    for (Seq(x, y) <- sel.keys.toSeq.sorted.combinations(2))
+      assert(sel(x).intersect(sel(y)).nonEmpty,
+        s"docs $x,$y share an 8-token run but no fingerprint")
+    // and disjoint-vocabulary docs share nothing
+    val d2 = Seq((100L, tokens(40, "p_").mkString(" ")),
+      (101L, tokens(40, "q_").mkString(" "))).toDF("doc_id", "text")
+    val s2 = graft.ops.TextOps.winnowSelect(d2, "doc_id", "text")
+      .select($"doc_id", $"sel").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(s2(100L).intersect(s2(101L)).isEmpty)
+  }
+
   test("q_key_skew_report: internally consistent and matching a driver-side recount") {
     val r = run("q_key_skew_report").head()
     val counts = Tables.orders(spark, sfDir).groupBy("o_custkey").count()
