@@ -426,6 +426,88 @@ object MlStatsQueries extends QueryRegistry {
         |  (SELECT top_key FROM top) AS top_key
         |FROM s""".stripMargin))
 
+  // Distributed PCA, top component: the covariance matrix is computed
+  // RELATIONALLY (same row-local pair expansion as q_cov_matrix), then
+  // the d×d result — 64 doubles, bounded by the DIMENSION, never the
+  // corpus — is collected and power-iterated on the driver (20 rounds,
+  // each renormalized and rounded to 10 dp so both engines walk the
+  // identical double lattice). This is the canonical distributed-PCA
+  // split: the corpus-sized work (gram/cov accumulation) distributes as
+  // map-side partials; the eigensolve is O(d²) driver arithmetic. The
+  // oracle replays the SAME iteration as a recursive CTE. Sign is
+  // oriented by the first loading; the eigenvalue is the Rayleigh
+  // quotient vᵀCv of the converged vector.
+  private val pcaPower = NamedQuery(
+    "q_pca_power",
+    (spark, d) => {
+      import spark.implicits._
+      val v8 = Tables.embeddings(spark, d)
+        .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
+      val mu = v8.select(posexplode(col("v")).as(Seq("i0", "x")))
+        .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))
+      val g = v8.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
+        .select(col("i0"), col("x"), posexplode(col("v")).as(Seq("j0", "y")))
+        .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
+        .agg(avg(col("x") * col("y")).as("exy"))
+      val mj = mu.select(col("i").as("j"), col("m").as("mj"))
+      val c = g.join(broadcast(mu), Seq("i")).join(broadcast(mj), Seq("j"))
+        .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+          round(col("exy") - col("m") * col("mj"), 8).as("c"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dim = 8
+      // round half-away-from-zero, matching DuckDB round() and Spark's
+      // round() — Math.round would diverge on negative halves
+      def rnd(x: Double, s: Int) =
+        BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to 20) {
+        val raw = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => c((i + 1, j + 1)) * v(j)).sum)
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        v = raw.map(x => rnd(x / nrm, 10))
+      }
+      val lam = (for (i <- 0 until dim; j <- 0 until dim)
+        yield v(i) * c((i + 1, j + 1)) * v(j)).sum
+      val sgn = if (v(0) >= 0) 1.0 else -1.0
+      (0 until dim).map(i => (i + 1L, rnd(sgn * v(i), 6), rnd(lam, 6)))
+        .toDF("dim", "loading", "eigenvalue")
+        .orderBy("dim")
+    },
+    Some("""WITH RECURSIVE
+        |p AS (
+        |  SELECT r1.i AS i, r2.i AS j,
+        |         cast(embedding[r1.i] AS DOUBLE) AS x,
+        |         cast(embedding[r2.i] AS DOUBLE) AS y
+        |  FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(i)),
+        |mu AS (
+        |  SELECT r.i AS i, avg(cast(embedding[r.i] AS DOUBLE)) AS m
+        |  FROM embeddings, range(1, 9) r(i) GROUP BY 1),
+        |cov AS (
+        |  SELECT g.i, g.j, round(g.exy - mi.m * mj.m, 8) AS c
+        |  FROM (SELECT i, j, avg(x * y) AS exy FROM p GROUP BY i, j) g
+        |  JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+        |it AS (
+        |  SELECT 0 AS t, i,
+        |    CASE WHEN i = 1 THEN cast(1.0 AS DOUBLE)
+        |         ELSE cast(0.0 AS DOUBLE) END AS v
+        |  FROM range(1, 9) r(i)
+        |  UNION ALL
+        |  SELECT t + 1, i, round(raw / nrm, 10) AS v FROM (
+        |    SELECT t, i, raw, sqrt(sum(raw * raw) OVER ()) AS nrm FROM (
+        |      SELECT it.t AS t, cov.i AS i, sum(cov.c * it.v) AS raw
+        |      FROM it JOIN cov ON cov.j = it.i
+        |      WHERE it.t < 20
+        |      GROUP BY it.t, cov.i) a) b),
+        |top AS (SELECT i, v FROM it WHERE t = 20),
+        |ray AS (
+        |  SELECT sum(t1.v * cov.c * t2.v) AS lam
+        |  FROM top t1 JOIN cov ON cov.i = t1.i JOIN top t2 ON t2.i = cov.j)
+        |SELECT cast(top.i AS BIGINT) AS dim,
+        |  round(CASE WHEN s.v1 >= 0 THEN top.v ELSE -top.v END, 6) AS loading,
+        |  round((SELECT lam FROM ray), 6) AS eigenvalue
+        |FROM top CROSS JOIN (SELECT v AS v1 FROM top WHERE i = 1) s
+        |ORDER BY dim""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -433,5 +515,5 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov, keySkew)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower)
 }

@@ -187,6 +187,23 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(r.getLong(8) == counts.filter(_._2 == maxN).map(_._1).min)
   }
 
+  test("q_pca_power: unit-norm eigenvector with small residual, eigenvalue dominates variances") {
+    val rows = run("q_pca_power").collect()
+    assert(rows.length == 8)
+    val v = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val lam = rows.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, "loadings not unit norm")
+    // recompute C from q_cov_matrix and check the eigen residual
+    val c = run("q_cov_matrix").collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+    val cv = Array.tabulate(8)(i => (0 until 8).map(j => c((i + 1, j + 1)) * v(j)).sum)
+    val resid = math.sqrt(cv.zip(v).map { case (a, b) => val e = a - lam * b; e * e }.sum)
+    assert(resid < 1e-3, s"||Cv - lambda v|| = $resid")
+    // top eigenvalue of a PSD matrix dominates every diagonal entry
+    (1 to 8).foreach(i => assert(lam >= c((i, i)) - 1e-6))
+    assert(v(0) >= 0, "sign convention: first loading non-negative")
+  }
+
   test("sim_ann_recall: recall in [0,1], k from exact top-k, perfect recall iff sets equal") {
     val rows = run("sim_ann_recall").collect()
     assert(rows.length == 20, "one row per query vector < 20")
