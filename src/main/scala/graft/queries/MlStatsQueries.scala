@@ -437,39 +437,52 @@ object MlStatsQueries extends QueryRegistry {
   // oracle replays the SAME iteration as a recursive CTE. Sign is
   // oriented by the first loading; the eigenvalue is the Rayleigh
   // quotient vᵀCv of the converged vector.
+  // round half-away-from-zero, matching DuckDB round() and Spark's
+  // round() — Math.round would diverge on negative halves
+  private def rnd(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Covariance matrix of the first 8 embedding dims (relational,
+    * dimension-bounded collect) and its sign-oriented top eigenvector
+    * from 20 power iterations on the 10-dp-rounded double lattice —
+    * shared by q_pca_power and q_pca_project; the oracle replays the
+    * identical walk as a recursive CTE. */
+  private def covAndTop(spark: org.apache.spark.sql.SparkSession, d: String)
+      : (Map[(Int, Int), Double], Array[Double]) = {
+    val v8 = Tables.embeddings(spark, d)
+      .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
+    val mu = v8.select(posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))
+    val g = v8.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("i0"), col("x"), posexplode(col("v")).as(Seq("j0", "y")))
+      .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
+      .agg(avg(col("x") * col("y")).as("exy"))
+    val mj = mu.select(col("i").as("j"), col("m").as("mj"))
+    val c = g.join(broadcast(mu), Seq("i")).join(broadcast(mj), Seq("j"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round(col("exy") - col("m") * col("mj"), 8).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val dim = 8
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to 20) {
+      val raw = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c((i + 1, j + 1)) * v(j)).sum)
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      v = raw.map(x => rnd(x / nrm, 10))
+    }
+    val sgn = if (v(0) >= 0) 1.0 else -1.0
+    (c, v.map(x => sgn * x))
+  }
+
   private val pcaPower = NamedQuery(
     "q_pca_power",
     (spark, d) => {
       import spark.implicits._
-      val v8 = Tables.embeddings(spark, d)
-        .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
-      val mu = v8.select(posexplode(col("v")).as(Seq("i0", "x")))
-        .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))
-      val g = v8.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
-        .select(col("i0"), col("x"), posexplode(col("v")).as(Seq("j0", "y")))
-        .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
-        .agg(avg(col("x") * col("y")).as("exy"))
-      val mj = mu.select(col("i").as("j"), col("m").as("mj"))
-      val c = g.join(broadcast(mu), Seq("i")).join(broadcast(mj), Seq("j"))
-        .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-          round(col("exy") - col("m") * col("mj"), 8).as("c"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      val dim = 8
-      // round half-away-from-zero, matching DuckDB round() and Spark's
-      // round() — Math.round would diverge on negative halves
-      def rnd(x: Double, s: Int) =
-        BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-      var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
-      for (_ <- 1 to 20) {
-        val raw = Array.tabulate(dim)(i =>
-          (0 until dim).map(j => c((i + 1, j + 1)) * v(j)).sum)
-        val nrm = math.sqrt(raw.map(x => x * x).sum)
-        v = raw.map(x => rnd(x / nrm, 10))
-      }
+      val (c, v) = covAndTop(spark, d)
+      val dim = v.length
       val lam = (for (i <- 0 until dim; j <- 0 until dim)
         yield v(i) * c((i + 1, j + 1)) * v(j)).sum
-      val sgn = if (v(0) >= 0) 1.0 else -1.0
-      (0 until dim).map(i => (i + 1L, rnd(sgn * v(i), 6), rnd(lam, 6)))
+      (0 until dim).map(i => (i + 1L, rnd(v(i), 6), rnd(lam, 6)))
         .toDF("dim", "loading", "eigenvalue")
         .orderBy("dim")
     },
@@ -508,6 +521,72 @@ object MlStatsQueries extends QueryRegistry {
         |FROM top CROSS JOIN (SELECT v AS v1 FROM top WHERE i = 1) s
         |ORDER BY dim""".stripMargin))
 
+  // The 100 TB half of PCA: project every embedding onto the broadcast
+  // top component (a pure row-local dot product — the eigenvector rides
+  // into the executors as 8 literals; zero joins, zero shuffles until
+  // the per-label rollup) and profile the projection per label. This is
+  // the whitening/feature-extraction step a curation pipeline runs after
+  // q_pca_power, at corpus scale. The oracle recomputes the identical
+  // eigenvector in its recursive CTE and projects via a cross join with
+  // the 8-row vector relation.
+  private val pcaProject = NamedQuery(
+    "q_pca_project",
+    (spark, d) => {
+      val (_, v) = covAndTop(spark, d)
+      val vLit = v.map(x => s"cast($x as double)").mkString("array(", ", ", ")")
+      Tables.embeddings(spark, d)
+        .select(col("label"), round(expr(
+          s"""aggregate(zip_with(transform(slice(embedding, 1, 8),
+             |            x -> cast(x as double)), $vLit, (a, b) -> a * b),
+             |  cast(0 as double), (s, t) -> s + t)""".stripMargin), 8).as("proj"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("proj"), 5).as("mean_proj"),
+          round(stddev("proj"), 5).as("sd_proj"),
+          round(min("proj"), 5).as("min_proj"),
+          round(max("proj"), 5).as("max_proj"))
+        .orderBy("label")
+    },
+    Some("""WITH RECURSIVE
+        |p AS (
+        |  SELECT r1.i AS i, r2.i AS j,
+        |         cast(embedding[r1.i] AS DOUBLE) AS x,
+        |         cast(embedding[r2.i] AS DOUBLE) AS y
+        |  FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(i)),
+        |mu AS (
+        |  SELECT r.i AS i, avg(cast(embedding[r.i] AS DOUBLE)) AS m
+        |  FROM embeddings, range(1, 9) r(i) GROUP BY 1),
+        |cov AS (
+        |  SELECT g.i, g.j, round(g.exy - mi.m * mj.m, 8) AS c
+        |  FROM (SELECT i, j, avg(x * y) AS exy FROM p GROUP BY i, j) g
+        |  JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+        |it AS (
+        |  SELECT 0 AS t, i,
+        |    CASE WHEN i = 1 THEN cast(1.0 AS DOUBLE)
+        |         ELSE cast(0.0 AS DOUBLE) END AS v
+        |  FROM range(1, 9) r(i)
+        |  UNION ALL
+        |  SELECT t + 1, i, round(raw / nrm, 10) AS v FROM (
+        |    SELECT t, i, raw, sqrt(sum(raw * raw) OVER ()) AS nrm FROM (
+        |      SELECT it.t AS t, cov.i AS i, sum(cov.c * it.v) AS raw
+        |      FROM it JOIN cov ON cov.j = it.i
+        |      WHERE it.t < 20
+        |      GROUP BY it.t, cov.i) a) b),
+        |top AS (
+        |  SELECT i, CASE WHEN s.v1 >= 0 THEN it0.v ELSE -it0.v END AS v
+        |  FROM (SELECT i, v FROM it WHERE t = 20) it0
+        |  CROSS JOIN (SELECT v AS v1 FROM it WHERE t = 20 AND i = 1) s),
+        |proj AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(sum(cast(e.embedding[top.i] AS DOUBLE) * top.v), 8) AS proj
+        |  FROM embeddings e CROSS JOIN top
+        |  GROUP BY e.vec_id, e.label)
+        |SELECT label, cast(count(*) AS BIGINT) AS n,
+        |  round(avg(proj), 5) AS mean_proj,
+        |  round(stddev_samp(proj), 5) AS sd_proj,
+        |  round(min(proj), 5) AS min_proj, round(max(proj), 5) AS max_proj
+        |FROM proj GROUP BY label ORDER BY label""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -515,5 +594,5 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject)
 }

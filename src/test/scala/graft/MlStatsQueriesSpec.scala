@@ -204,6 +204,24 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(v(0) >= 0, "sign convention: first loading non-negative")
   }
 
+  test("q_pca_project: label rows partition the corpus; projection variance tracks the eigenvalue") {
+    val rows = run("q_pca_project").collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        "mean outside [min, max]")
+    }
+    // pooled projection variance ~= top eigenvalue (variance along the
+    // top component IS the eigenvalue; per-label pooling loses only the
+    // between-label mean spread, so allow slack)
+    val lam = run("q_pca_power").head().getDouble(2)
+    val pooled = rows.map(r => (r.getLong(1) - 1) * math.pow(r.getDouble(3), 2)).sum /
+      (total - rows.length)
+    assert(pooled > 0.5 * lam && pooled < 1.5 * lam,
+      s"pooled var $pooled vs eigenvalue $lam")
+  }
+
   test("sim_ann_recall: recall in [0,1], k from exact top-k, perfect recall iff sets equal") {
     val rows = run("sim_ann_recall").collect()
     assert(rows.length == 20, "one row per query vector < 20")
