@@ -587,6 +587,66 @@ object MlStatsQueries extends QueryRegistry {
         |  round(min(proj), 5) AS min_proj, round(max(proj), 5) AS max_proj
         |FROM proj GROUP BY label ORDER BY label""".stripMargin))
 
+  // Count–Min sketch (Cormode & Muthukrishnan '05) with md5-derived
+  // hashes (engine-portable, COVERAGE.md determinism rules): depth 3 ×
+  // width 1024 counters built in ONE pass over the fact table (the
+  // 3×-row explode partial-aggregates map-side into ≤ 3·1024 counters —
+  // sketch size is independent of the corpus), then 10 keys probed
+  // (estimate = min over rows of the key's counter). The CM guarantee —
+  // estimate ≥ exact, overshoot bounded by collisions — is pinned by
+  // both the oracle and the spec. At 100 TB the sketch is what you
+  // build when even the per-key count relation is too big to keep.
+  private val countMin = NamedQuery(
+    "q_countmin_probe",
+    (spark, d) => {
+      val depth = 3
+      val width = 1024
+      def bucket(dc: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+        graft.ops.TextOps.md5Long(
+          concat(dc.cast("string"), lit("#"), k.cast("string"))) % width
+      val cnt = Tables.orders(spark, d)
+        .select(col("o_custkey"),
+          explode(array((0 until depth).map(lit): _*)).as("d"))
+        .groupBy(col("d"), bucket(col("d"), col("o_custkey")).as("b"))
+        .agg(count(lit(1)).as("n"))
+      val probes = spark.range(1, 11).select(col("id").as("k"))
+        .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("d"))
+        .select(col("k"), col("d"), bucket(col("d"), col("k")).as("b"))
+      val est = probes.join(broadcast(cnt), Seq("d", "b"), "left")
+        .groupBy("k")
+        .agg(min(coalesce(col("n"), lit(0L))).as("cm_est"))
+      val exact = Tables.orders(spark, d)
+        .filter(col("o_custkey").between(1, 10))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("k"), "left")
+        .select(col("k").as("custkey"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("cm_est"))
+        .orderBy("custkey")
+    },
+    Some("""WITH cnt AS (
+        |  SELECT r.d AS d,
+        |    ('0x' || substr(md5(r.d || '#' || o_custkey), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS n
+        |  FROM orders CROSS JOIN range(0, 3) r(d)
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT p.k AS k FROM range(1, 11) p(k)),
+        |pb AS (
+        |  SELECT probes.k, r.d,
+        |    ('0x' || substr(md5(r.d || '#' || probes.k), 1, 15))::BIGINT % 1024 AS b
+        |  FROM probes CROSS JOIN range(0, 3) r(d)),
+        |est AS (
+        |  SELECT pb.k, min(coalesce(cnt.n, 0)) AS cm_est
+        |  FROM pb LEFT JOIN cnt ON cnt.d = pb.d AND cnt.b = pb.b
+        |  GROUP BY pb.k),
+        |ex AS (
+        |  SELECT o_custkey AS k, count(*) AS exact_n FROM orders
+        |  WHERE o_custkey BETWEEN 1 AND 10 GROUP BY 1)
+        |SELECT est.k AS custkey, cast(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n,
+        |  cast(est.cm_est AS BIGINT) AS cm_est
+        |FROM est LEFT JOIN ex ON ex.k = est.k
+        |ORDER BY custkey""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -594,5 +654,5 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin)
 }

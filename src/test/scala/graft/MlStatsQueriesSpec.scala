@@ -241,6 +241,17 @@ class MlStatsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_countmin_probe: estimate dominates exact count for every probed key") {
+    val rows = run("q_countmin_probe").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CM underestimated key ${r.getLong(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    // sanity: at least one probe key actually occurs in the fixture
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
   test("q_ks_histogram: statistic in [0,1], matches a direct ECDF computation") {
     val row = run("q_ks_histogram").head()
     val ks = row.getDouble(0)
