@@ -647,6 +647,77 @@ object MlStatsQueries extends QueryRegistry {
         |FROM est LEFT JOIN ex ON ex.k = est.k
         |ORDER BY custkey""".stripMargin))
 
+  // Gini coefficient of customer revenue concentration — the inequality
+  // metric behind "what share of the corpus do the top sources own?".
+  // G = 2·Σ(rankᵢ·xᵢ)/(n·Σx) − (n+1)/n over ascending-rank revenues.
+  // Revenue is summed in EXACT integer cents (no FP accumulation — the
+  // q_target_encoding determinism rule) and the global rank goes through
+  // ops.Ranking's windowless two-phase histogram shape, so nothing sorts
+  // the corpus and every sum is order-independent until the one final
+  // division.
+  private val gini = NamedQuery(
+    "q_gini_revenue",
+    (spark, d) => {
+      val rev = Tables.orders(spark, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("xc"))
+      graft.ops.Ranking.groupedRank(rev, Seq.empty, col("xc"),
+          floor(col("xc") / 100000).cast("long"), Seq("k"))
+        .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
+          sum(col("rank") * col("xc")).as("srx"))
+        .select(col("n"),
+          round(col("sx") / 100.0, 2).as("total_revenue"),
+          round(lit(2.0) * col("srx") / (col("n") * col("sx")) -
+            (col("n") + 1.0) / col("n"), 6).as("gini"))
+    },
+    Some("""WITH rev AS (
+        |  SELECT o_custkey AS k,
+        |         sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS xc
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT xc, row_number() OVER (ORDER BY xc, k) AS rn FROM rev),
+        |s AS (SELECT count(*) AS n, sum(xc) AS sx, sum(rn * xc) AS srx FROM r)
+        |SELECT cast(n AS BIGINT) AS n, round(sx / 100.0, 2) AS total_revenue,
+        |  round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini
+        |FROM s""".stripMargin))
+
+  // Conversion latency: per user, the delay from FIRST click to the
+  // first purchase strictly after it, profiled as p50/p90/mean seconds.
+  // Two keyed aggregates + one broadcast-scale join on user_id — the
+  // product-analytics companion to q_funnel_conversion (which counts
+  // stage reach; this measures its speed). Deltas are computed from
+  // microsecond-exact epoch doubles and rounded before the percentile
+  // so both engines interpolate the identical multiset.
+  private val timeToConvert = NamedQuery(
+    "q_time_to_convert",
+    (spark, d) => {
+      val ev = Tables.events(spark, d)
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("c"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, Seq("user_id"))
+        .filter(col("ts") > col("c"))
+        .groupBy("user_id").agg(min(col("ts")).as("p"))
+      fp.join(fc, Seq("user_id"))
+        .select(round(col("p").cast("double") - col("c").cast("double"), 3)
+          .as("delta"))
+        .agg(count(lit(1)).as("converted"),
+          round(expr("percentile(delta, 0.50)"), 3).as("p50_s"),
+          round(expr("percentile(delta, 0.90)"), 3).as("p90_s"),
+          round(avg("delta"), 3).as("mean_s"))
+    },
+    Some("""WITH fc AS (SELECT user_id, min(ts) AS c FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(e.ts) AS p
+        |       FROM events e JOIN fc ON fc.user_id = e.user_id AND e.ts > fc.c
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |dl AS (SELECT round(epoch(fp.p) - epoch(fc.c), 3) AS delta
+        |       FROM fp JOIN fc ON fc.user_id = fp.user_id)
+        |SELECT cast(count(*) AS BIGINT) AS converted,
+        |  round(quantile_cont(delta, 0.50), 3) AS p50_s,
+        |  round(quantile_cont(delta, 0.90), 3) AS p90_s,
+        |  round(avg(delta), 3) AS mean_s
+        |FROM dl""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -654,5 +725,5 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin, gini, timeToConvert)
 }

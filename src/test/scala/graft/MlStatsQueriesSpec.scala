@@ -252,6 +252,35 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum > 0)
   }
 
+  test("q_gini_revenue: matches a driver-side exact-cents recomputation") {
+    val r = run("q_gini_revenue").head()
+    val xs = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("xc"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = xs.length
+    val sx = xs.sum
+    val srx = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val gini = 2.0 * srx / (n.toDouble * sx) - (n + 1.0) / n
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - sx / 100.0) < 0.01)
+    assert(math.abs(r.getDouble(2) - gini) < 1e-5, s"gini ${r.getDouble(2)} vs $gini")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1)
+  }
+
+  test("q_time_to_convert: positive ordered percentiles, converted bounded by clickers") {
+    val r = run("q_time_to_convert").head()
+    val (conv, p50, p90, mean) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(conv > 0)
+    assert(p50 > 0 && p50 <= p90, "percentiles out of order")
+    assert(mean > 0)
+    val clickers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").select("user_id").distinct.count()
+    assert(conv <= clickers, "more converters than clickers")
+  }
+
   test("q_ks_histogram: statistic in [0,1], matches a direct ECDF computation") {
     val row = run("q_ks_histogram").head()
     val ks = row.getDouble(0)
