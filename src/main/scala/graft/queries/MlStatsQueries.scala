@@ -208,7 +208,7 @@ object MlStatsQueries extends QueryRegistry {
       // four subtrees (histogram, offsets, totals, final join) and the
       // md5-fold margin is an expensive expression Catalyst would
       // re-inline into every one (same trap as TextOps.shingles' note —
-      // measured 6.3 s vs 0.8 s at sf0.1). The pinned relation is three
+      // measured 6.3 s vs 2.0 s at sf0.1). The pinned relation is three
       // narrow columns per doc.
       val scored = Tables.documents(spark, d)
         .select(col("doc_id"), col("n_chars"),
@@ -263,23 +263,10 @@ object MlStatsQueries extends QueryRegistry {
   // not the corpus.
   private val covMatrix = NamedQuery(
     "q_cov_matrix",
-    (spark, d) => {
-      val v = Tables.embeddings(spark, d)
-        .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
-      val xs = v.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
-      val pairs = xs.select(col("i0"), col("x"),
-        posexplode(col("v")).as(Seq("j0", "y")))
-      val mu = v.select(posexplode(col("v")).as(Seq("i0", "x")))
-        .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))
-      val g = pairs.groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
-        .agg(avg(col("x") * col("y")).as("exy"), count(lit(1)).as("n"))
-      val mj = mu.select(col("i").as("j"), col("m").as("mj"))
-      g.join(broadcast(mu), Seq("i"))
-        .join(broadcast(mj), Seq("j"))
-        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          round(col("exy") - col("m") * col("mj"), 5).as("cov"), col("n"))
-        .orderBy("i", "j")
-    },
+    (spark, d) => covRelation(spark, d)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("cov"), 5).as("cov"), col("n"))
+      .orderBy("i", "j"),
     Some("""WITH p AS (
         |  SELECT r1.i AS i, r2.i AS j,
         |         cast(embedding[r1.i] AS DOUBLE) AS x,
@@ -442,13 +429,14 @@ object MlStatsQueries extends QueryRegistry {
   private def rnd(x: Double, s: Int): Double =
     BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Covariance matrix of the first 8 embedding dims (relational,
-    * dimension-bounded collect) and its sign-oriented top eigenvector
-    * from 20 power iterations on the 10-dp-rounded double lattice —
-    * shared by q_pca_power and q_pca_project; the oracle replays the
-    * identical walk as a recursive CTE. */
-  private def covAndTop(spark: org.apache.spark.sql.SparkSession, d: String)
-      : (Map[(Int, Int), Double], Array[Double]) = {
+  /** Relational covariance of the first 8 embedding dims: row-local
+    * double-posexplode pair expansion (64 rows per vec, no self-join),
+    * map-side E[x·y] partials, 8-row mean relation broadcast back twice.
+    * Returns (i, j, cov, n) with 1-based int dims and the UNROUNDED
+    * covariance — each caller applies the rounding its oracle states.
+    * Shared by q_cov_matrix and covAndTop (q_pca_power / q_pca_project). */
+  private def covRelation(spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val v8 = Tables.embeddings(spark, d)
       .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
     val mu = v8.select(posexplode(col("v")).as(Seq("i0", "x")))
@@ -456,11 +444,22 @@ object MlStatsQueries extends QueryRegistry {
     val g = v8.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
       .select(col("i0"), col("x"), posexplode(col("v")).as(Seq("j0", "y")))
       .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
-      .agg(avg(col("x") * col("y")).as("exy"))
+      .agg(avg(col("x") * col("y")).as("exy"), count(lit(1)).as("n"))
     val mj = mu.select(col("i").as("j"), col("m").as("mj"))
-    val c = g.join(broadcast(mu), Seq("i")).join(broadcast(mj), Seq("j"))
+    g.join(broadcast(mu), Seq("i")).join(broadcast(mj), Seq("j"))
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        round(col("exy") - col("m") * col("mj"), 8).as("c"))
+        (col("exy") - col("m") * col("mj")).as("cov"), col("n"))
+  }
+
+  /** The covariance matrix (8-dp rounded, dimension-bounded collect) and
+    * its sign-oriented top eigenvector from 20 power iterations on the
+    * 10-dp-rounded double lattice — shared by q_pca_power and
+    * q_pca_project; the oracle replays the identical walk as a
+    * recursive CTE. */
+  private def covAndTop(spark: org.apache.spark.sql.SparkSession, d: String)
+      : (Map[(Int, Int), Double], Array[Double]) = {
+    val c = covRelation(spark, d)
+      .select(col("i"), col("j"), round(col("cov"), 8).as("c"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     val dim = 8
     var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
@@ -663,11 +662,19 @@ object MlStatsQueries extends QueryRegistry {
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("xc"))
       graft.ops.Ranking.groupedRank(rev, Seq.empty, col("xc"),
           floor(col("xc") / 100000).cast("long"), Seq("k"))
-        .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
-          sum(col("rank") * col("xc")).as("srx"))
+        .agg(count(lit(1)).as("n"),
+          // DECIMAL(38) partials: Σxc and Σ(rank·xc) both exceed int64
+          // well below 100 TB scale (Σ(rank·xc) ≈ (n/2)·Σx); DECIMAL(38)
+          // matches the headroom of the oracle's HUGEINT sums, and the
+          // final division converts exact integers to double identically
+          // in both engines
+          sum(col("xc").cast("decimal(38,0)")).as("sx"),
+          sum(col("rank").cast("decimal(19,0)") *
+            col("xc").cast("decimal(19,0)")).as("srx"))
         .select(col("n"),
-          round(col("sx") / 100.0, 2).as("total_revenue"),
-          round(lit(2.0) * col("srx") / (col("n") * col("sx")) -
+          round(col("sx").cast("double") / 100.0, 2).as("total_revenue"),
+          round(lit(2.0) * col("srx").cast("double") /
+            (col("n") * col("sx").cast("double")) -
             (col("n") + 1.0) / col("n"), 6).as("gini"))
     },
     Some("""WITH rev AS (
@@ -681,12 +688,16 @@ object MlStatsQueries extends QueryRegistry {
         |FROM s""".stripMargin))
 
   // Conversion latency: per user, the delay from FIRST click to the
-  // first purchase strictly after it, profiled as p50/p90/mean seconds.
+  // first purchase strictly after it, profiled as p50/p90/mean.
   // Two keyed aggregates + one broadcast-scale join on user_id — the
   // product-analytics companion to q_funnel_conversion (which counts
-  // stage reach; this measures its speed). Deltas are computed from
-  // microsecond-exact epoch doubles and rounded before the percentile
-  // so both engines interpolate the identical multiset.
+  // stage reach; this measures its speed). Deltas are EXACT INTEGER
+  // MICROSECONDS (unix_micros / epoch_us — no floating point anywhere
+  // before the percentile): an even-count median of 3-dp-rounded
+  // second deltas sat exactly on a round-half boundary where the two
+  // engines' interpolation formulas differ by an ulp (observed at
+  // sf0.1); integer inputs make the p50 midpoint exactly k.0/k.5 in
+  // both engines and the 1-dp output a no-op round.
   private val timeToConvert = NamedQuery(
     "q_time_to_convert",
     (spark, d) => {
@@ -698,24 +709,23 @@ object MlStatsQueries extends QueryRegistry {
         .filter(col("ts") > col("c"))
         .groupBy("user_id").agg(min(col("ts")).as("p"))
       fp.join(fc, Seq("user_id"))
-        .select(round(col("p").cast("double") - col("c").cast("double"), 3)
-          .as("delta"))
+        .select((unix_micros(col("p")) - unix_micros(col("c"))).as("delta_us"))
         .agg(count(lit(1)).as("converted"),
-          round(expr("percentile(delta, 0.50)"), 3).as("p50_s"),
-          round(expr("percentile(delta, 0.90)"), 3).as("p90_s"),
-          round(avg("delta"), 3).as("mean_s"))
+          round(expr("percentile(delta_us, 0.50)"), 1).as("p50_us"),
+          round(expr("percentile(delta_us, 0.90)"), 1).as("p90_us"),
+          round(avg("delta_us"), 1).as("mean_us"))
     },
     Some("""WITH fc AS (SELECT user_id, min(ts) AS c FROM events
         |            WHERE event_type = 'click' GROUP BY 1),
         |fp AS (SELECT e.user_id, min(e.ts) AS p
         |       FROM events e JOIN fc ON fc.user_id = e.user_id AND e.ts > fc.c
         |       WHERE e.event_type = 'purchase' GROUP BY 1),
-        |dl AS (SELECT round(epoch(fp.p) - epoch(fc.c), 3) AS delta
+        |dl AS (SELECT epoch_us(fp.p) - epoch_us(fc.c) AS delta_us
         |       FROM fp JOIN fc ON fc.user_id = fp.user_id)
         |SELECT cast(count(*) AS BIGINT) AS converted,
-        |  round(quantile_cont(delta, 0.50), 3) AS p50_s,
-        |  round(quantile_cont(delta, 0.90), 3) AS p90_s,
-        |  round(avg(delta), 3) AS mean_s
+        |  round(quantile_cont(delta_us, 0.50), 1) AS p50_us,
+        |  round(quantile_cont(delta_us, 0.90), 1) AS p90_us,
+        |  round(avg(delta_us), 1) AS mean_us
         |FROM dl""".stripMargin))
 
   /** Margin of the shared hashed classifier on raw text (tokenize, then
