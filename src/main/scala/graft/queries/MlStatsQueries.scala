@@ -728,6 +728,60 @@ object MlStatsQueries extends QueryRegistry {
         |  round(avg(delta_us), 1) AS mean_us
         |FROM dl""".stripMargin))
 
+  // Population Stability Index — the industry-standard model-monitoring
+  // drift score (banking scorecard lineage), complementing q_ks_histogram
+  // (max ECDF gap) with the full-distribution Σ(p−q)·ln(p/q) between the
+  // month's two halves. Laplace-smoothed bucket shares (+1/(n+B)) keep
+  // ln() finite on one-sided buckets deterministically — no ε tuning.
+  // Scale shape: one conditional-sum histogram over the corpus (value-
+  // domain-bounded), a single-row totals broadcast, and a 15-row fold;
+  // PSI > 0.25 is the conventional "investigate the upstream data" alarm.
+  private val psi = NamedQuery(
+    "q_psi_drift",
+    (spark, d) => {
+      val h = Tables.events(spark, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(floor(col("value") / 25).cast("long").as("bkt"))
+        .agg(
+          sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"), 1L)
+            .otherwise(0L)).as("c_ref"),
+          sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"), 1L)
+            .otherwise(0L)).as("c_cur"))
+      val t = h.agg(count(lit(1)).as("nb"), sum("c_ref").as("n_ref"),
+        sum("c_cur").as("n_cur"))
+      h.crossJoin(broadcast(t))
+        .select(col("nb"), col("n_ref"), col("n_cur"),
+          ((col("c_ref") + 1.0) / (col("n_ref") + col("nb"))).as("p"),
+          ((col("c_cur") + 1.0) / (col("n_cur") + col("nb"))).as("q"))
+        .groupBy("nb", "n_ref", "n_cur")
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+        .select(col("nb").as("n_buckets"), col("n_ref"), col("n_cur"),
+          col("psi"))
+    },
+    Some("""WITH b AS (
+        |  SELECT cast(floor(value / 25) AS BIGINT) AS bkt,
+        |    CASE WHEN cast(ts AS DATE) < DATE '2024-01-16'
+        |         THEN 'ref' ELSE 'cur' END AS period
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (
+        |  SELECT bkt,
+        |    sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+        |    sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS nb, sum(c_ref) AS n_ref,
+        |             sum(c_cur) AS n_cur FROM h),
+        |s AS (
+        |  SELECT h.bkt,
+        |    (h.c_ref + 1.0) / (t.n_ref + t.nb) AS p,
+        |    (h.c_cur + 1.0) / (t.n_cur + t.nb) AS q
+        |  FROM h, t)
+        |SELECT cast((SELECT nb FROM t) AS BIGINT) AS n_buckets,
+        |  cast((SELECT n_ref FROM t) AS BIGINT) AS n_ref,
+        |  cast((SELECT n_cur FROM t) AS BIGINT) AS n_cur,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM s""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -735,5 +789,5 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin, gini, timeToConvert)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin, gini, timeToConvert, psi)
 }

