@@ -782,6 +782,72 @@ object MlStatsQueries extends QueryRegistry {
         |  round(sum((p - q) * ln(p / q)), 6) AS psi
         |FROM s""".stripMargin))
 
+  // Ratio-to-report: each nation's share of its region's revenue plus
+  // its in-region rank — the classic OLAP percent-of-total idiom.
+  // Exact-cents sums (rule 10), dims broadcast onto the fact scan, and
+  // both the share denominator and the rank run over the 25-row nation
+  // relation (re-aggregated totals join + a region-partitioned window
+  // over ≤ |nations| rows — never the fact table).
+  private val ratioToReport = NamedQuery(
+    "q_ratio_to_report",
+    (spark, d) => {
+      val rev = Tables.orders(spark, d)
+        .join(broadcast(Tables.customer(spark, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(spark, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.region(spark, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      val tot = rev.groupBy(col("region").as("tregion"))
+        .agg(sum("cents").as("rc"))
+      val w = Window.partitionBy("region")
+        .orderBy(desc("cents"), col("nation"))
+      rev.join(broadcast(tot), col("tregion") === col("region"))
+        .select(col("region"), col("nation"),
+          round(col("cents") / 100.0, 2).as("revenue"),
+          round(col("cents").cast("double") / col("rc"), 6).as("share"),
+          rank().over(w).cast("long").as("rnk"))
+        .orderBy("region", "rnk", "nation")
+    },
+    Some("""WITH rev AS (
+        |  SELECT n.n_name AS nation, r.r_name AS region,
+        |    sum(cast(round(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT region AS tregion, sum(cents) AS rc FROM rev GROUP BY 1)
+        |SELECT rev.region, rev.nation,
+        |  round(rev.cents / 100.0, 2) AS revenue,
+        |  round(cast(rev.cents AS DOUBLE) / tot.rc, 6) AS share,
+        |  rank() OVER (PARTITION BY rev.region
+        |               ORDER BY rev.cents DESC, rev.nation) AS rnk
+        |FROM rev JOIN tot ON tot.tregion = rev.region
+        |ORDER BY region, rnk, nation""".stripMargin))
+
+  // Hour-of-day × ISO-day-of-week seasonality profile — the traffic
+  // heatmap behind capacity planning and anomaly baselines (the
+  // companion q_anomaly_zscore would deseasonalize with). One partial-
+  // aggregated rollup; the output is bounded at 7×24 rows forever.
+  // ISO day parity: Spark weekday() is 0=Monday, DuckDB isodow is
+  // 1=Monday — weekday+1 aligns them exactly.
+  private val seasonality = NamedQuery(
+    "q_hourly_seasonality",
+    (spark, d) => Tables.events(spark, d)
+      .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("dow", "hr"),
+    Some("""SELECT isodow(ts) AS dow, cast(hour(ts) AS INT) AS hr,
+        |  cast(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin))
+
   /** Margin of the shared hashed classifier on raw text (tokenize, then
     * ops.TextOps.hashClassifierMargin). */
   private def classifierMargin(text: org.apache.spark.sql.Column) =
@@ -789,5 +855,6 @@ object MlStatsQueries extends QueryRegistry {
 
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
-      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin, gini, timeToConvert, psi)
+      modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin, gini, timeToConvert, psi,
+      ratioToReport, seasonality)
 }

@@ -306,6 +306,31 @@ class MlStatsQueriesSpec extends SparkSpec {
     assert(self == 0.0)
   }
 
+  test("q_ratio_to_report: shares sum to 1 per region, ranks dense from 1, revenue consistent") {
+    val rows = run("q_ratio_to_report").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (region, rs) =>
+      val shareSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$region shares sum to $shareSum")
+      assert(rs.map(_.getLong(4)).sorted.sameElements(1L to rs.length),
+        s"$region ranks not 1..${rs.length}")
+    }
+    val total = rows.map(_.getDouble(2)).sum
+    val expected = Tables.orders(spark, sfDir)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head.getLong(0) / 100.0
+    assert(math.abs(total - expected) < 0.5)
+  }
+
+  test("q_hourly_seasonality: cells cover the grid, counts total the events table") {
+    val rows = run("q_hourly_seasonality").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 7)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+    }
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sfDir).count())
+    assert(rows.length <= 168)
+  }
+
   test("q_ks_histogram: statistic in [0,1], matches a direct ECDF computation") {
     val row = run("q_ks_histogram").head()
     val ks = row.getDouble(0)
