@@ -77,14 +77,33 @@ object SimilarityOps {
     * EXACT `round(raw_cos, 6) >= θ` predicate on the surviving pairs,
     * with `rawPrefilter` set safely below θ (θ − 1e-5) so rounding can
     * never resurrect a dropped pair — results match the declarative
-    * form bit-for-bit (SimilarityKernelSpec + unchanged oracles). */
+    * form bit-for-bit (SimilarityKernelSpec + unchanged oracles).
+    *
+    * Guarded collect: ONE limit-guarded job decides the path AND
+    * fetches the broadcast payload (the verifyCandidates pattern). An
+    * input over `maxCollectRows` never reaches the driver — it routes
+    * to the distributed BNLJ self-join over the native `graft_cosine`
+    * expression (same left-to-right double loop → bit-identical
+    * raw_cos; length-mismatched pairs yield null and are dropped by
+    * the prefilter, matching the kernel's skip). Slower, but it cannot
+    * OOM the driver on misuse. */
   def allPairsCosineLocal(df: DataFrame, idCol: String, vecCol: String,
-                          rawPrefilter: Double): DataFrame = {
+                          rawPrefilter: Double,
+                          maxCollectRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows: Array[(Long, Array[Float])] =
+    val collected: Array[(Long, Array[Float])] =
       df.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
+        .as[(Long, Array[Float])].collect()
+    if (collected.length > maxCollectRows) {
+      val v = df.select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
+      return v.as("a").join(v.as("b"), col("a.pid") < col("b.pid"))
+        .select(col("a.pid").as("id1"), col("b.pid").as("id2"),
+          call_function("graft_cosine", col("a.pvec"), col("b.pvec")).as("raw_cos"))
+        .filter(col("raw_cos") >= rawPrefilter)
+    }
+    val rows = collected.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(rows)
     spark.range(rows.length).repartition(spark.sparkContext.defaultParallelism)
       .as[Long]

@@ -571,14 +571,33 @@ object TextOps {
     * SimilarityOps.allPairsCosineLocal: the declarative self-join
     * materializes every joined row before the distance filter runs.
     * Emits only pairs with dist ≤ maxDist. Classic DP, identical
-    * integers to Spark's levenshtein() and DuckDB's levenshtein(). */
+    * integers to Spark's levenshtein() and DuckDB's levenshtein().
+    *
+    * Guarded collect (the verifyCandidates pattern): one limit-guarded
+    * job decides the path and fetches the payload; an input over
+    * `maxCollectRows` never reaches the driver — it routes to the
+    * distributed self-join over Spark's built-in levenshtein()
+    * (identical integers), so misuse degrades to a slower shuffle
+    * instead of a silent driver OOM. */
   def allPairsLevenshteinLocal(df: DataFrame, idCol: String, strCol: String,
-                               maxDist: Int): DataFrame = {
+                               maxDist: Int,
+                               maxCollectRows: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows: Array[(Long, String)] =
+    val collected: Array[(Long, String)] =
       df.select(col(idCol).cast("long"), col(strCol).cast("string"))
-        .as[(Long, String)].collect().sortBy(_._1)
+        .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
+        .as[(Long, String)].collect()
+    if (collected.length > maxCollectRows) {
+      val s = df.select(col(idCol).cast("long").as("pid"),
+        col(strCol).cast("string").as("pstr"))
+      return s.as("a").join(s.as("b"), col("a.pid") < col("b.pid"))
+        .select(col("a.pid").as("id1"), col("b.pid").as("id2"),
+          levenshtein(col("a.pstr"), col("b.pstr")).as("dist"))
+        .filter(col("dist") <= maxDist)
+        .withColumn("dist", col("dist").cast("int"))
+    }
+    val rows = collected.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(rows)
     spark.range(rows.length).repartition(spark.sparkContext.defaultParallelism)
       .as[Long]

@@ -526,20 +526,43 @@ object Streams {
       .start()
   }
 
-  /** Run a streaming frame to an in-memory table until all available
-    * source data is processed (the synchronous batch-parity harness). */
+  /** Row-local MinHash signature key shared by both near-dup filter
+    * arms: 16 md5-seeded hashes over 3-shingles, no shuffle. Docs under
+    * 3 words have no shingles and get a per-row `short:<id>` key so a
+    * FILTER never silently loses rows it cannot fingerprint. */
+  private def sigKey(id: Long, text: String,
+                     fam: Array[(Long, Long)], prime: Long): String = {
+    val sh = graft.ops.TextOps.shingleSet(text, 3)
+    if (sh.isEmpty) s"short:$id"
+    else {
+      val mins = Array.fill(16)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = graft.ops.TextOps.md5Long60(s) & ((1L << 30) - 1)
+        var j = 0
+        while (j < 16) {
+          val (a, b) = fam(j)
+          val h = (a * base + b) % prime
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      mins.mkString(",")
+    }
+  }
+
   /** Ingestion-time near-dup filter — the streaming arm of the dedup
     * north star: each arriving document's 16-hash MinHash signature
     * (row-local kernel, no shuffle) is its dedup key; the first doc
-    * carrying a signature survives, later collisions drop. State is one
-    * row per DISTINCT signature — at 100 TB that is the deduplicated
-    * corpus cardinality, partitioned by signature hash across the state
-    * store; attach an ingestion-time watermark +
-    * dropDuplicatesWithinWatermark to bound state when the dedup
-    * horizon is finite. Docs under 3 words have no signature and pass
-    * through on their doc_id (mirroring the batch kernel's drop rule
-    * would silently delete short docs — a FILTER must not lose rows it
-    * cannot fingerprint). */
+    * carrying a signature survives, later collisions drop.
+    *
+    * STATE IS UNBOUNDED here by SEMANTIC intent (ever-seen corpus dedup
+    * = one state row per distinct signature forever). That is NOT the
+    * declared scale path for ingestion: at 100 TB use either
+    * [[nearDupFilterBounded]] (watermark horizon, state evicted as
+    * event time passes — the config-first answer) or the foreachBatch
+    * hash-ledger posture of `dedup_incremental` (the ever-seen set
+    * lives in a compacted parquet ledger anti-joined per batch, not in
+    * the state store). Keep this variant for finite replays and tests. */
   def nearDupFilter(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -554,29 +577,39 @@ object Streams {
     docs.select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val sh = graft.ops.TextOps.shingleSet(text, 3)
-          val key =
-            if (sh.isEmpty) s"short:$id"
-            else {
-              val mins = Array.fill(16)(Long.MaxValue)
-              sh.foreach { s =>
-                val base = graft.ops.TextOps.md5Long60(s) & ((1L << 30) - 1)
-                var j = 0
-                while (j < 16) {
-                  val (a, b) = fam(j)
-                  val h = (a * base + b) % prime
-                  if (h < mins(j)) mins(j) = h
-                  j += 1
-                }
-              }
-              mins.mkString(",")
-            }
-          (id, text, key)
-        }
+        it.map { case (id, text) => (id, text, sigKey(id, text, fam, prime)) }
       }
       .toDF("doc_id", "text", "sig_key")
       .dropDuplicates("sig_key")
+  }
+
+  /** Bounded-state near-dup filter — the DECLARED ingestion-scale path.
+    * Same row-local signature kernel, but the state store only retains
+    * signatures inside the watermark horizon: a signature row is
+    * evicted once `eventTimeCol` falls `delay` behind the stream's
+    * frontier, so state size is bounded by (ingest rate × horizon)
+    * instead of corpus cardinality. Duplicates arriving WITHIN the
+    * horizon drop exactly like [[nearDupFilter]]; a re-submission after
+    * the horizon passes again — that is the contract of a bounded
+    * dedup window (the ever-seen semantics belong to the
+    * `dedup_incremental` hash ledger, not the state store). */
+  def nearDupFilterBounded(docs: DataFrame, eventTimeCol: String,
+                           delay: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fam = graft.ops.TextOps.minhashFamily(16).toArray
+    val prime = graft.ops.TextOps.minhashPrime
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"),
+        col(eventTimeCol).cast("timestamp").as("ingest_ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        it.map { case (id, text, ts) =>
+          (id, text, ts, sigKey(id, text, fam, prime))
+        }
+      }
+      .toDF("doc_id", "text", "ingest_ts", "sig_key")
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("sig_key")
   }
 
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

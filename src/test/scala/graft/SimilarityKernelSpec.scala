@@ -40,6 +40,32 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(kernel === declarative)
   }
 
+  test("allPairsCosineLocal over-limit input routes to the distributed join, same rows") {
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val local = SimilarityOps.allPairsCosineLocal(v, "vec_id", "embedding", 0.45 - 1e-5)
+      .select(col("id1"), col("id2"), round(col("raw_cos"), 6).as("cosine"))
+      .orderBy("id1", "id2").collect().toSeq
+    // maxCollectRows=5 forces the guard: the full input must never be
+    // collected — the kernel degrades to the distributed self-join
+    val guarded = SimilarityOps.allPairsCosineLocal(
+        v, "vec_id", "embedding", 0.45 - 1e-5, maxCollectRows = 5L)
+      .select(col("id1"), col("id2"), round(col("raw_cos"), 6).as("cosine"))
+      .orderBy("id1", "id2").collect().toSeq
+    assert(guarded.nonEmpty)
+    assert(guarded === local)
+  }
+
+  test("allPairsLevenshteinLocal over-limit input routes to the distributed join, same rows") {
+    val s = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name"))
+    val local = TextOps.allPairsLevenshteinLocal(s, "s_suppkey", "s_name", 3)
+      .orderBy("id1", "id2").collect().toSeq
+    val guarded = TextOps.allPairsLevenshteinLocal(
+        s, "s_suppkey", "s_name", 3, maxCollectRows = 5L)
+      .orderBy("id1", "id2").collect().toSeq
+    assert(guarded.nonEmpty)
+    assert(guarded === local)
+  }
+
   test("kmeansLocal (fused mapPartitions rounds) == relational sim_kmeans census") {
     val relational = SparkEntry.queries("sim_kmeans")(spark, sf)
       .collect()

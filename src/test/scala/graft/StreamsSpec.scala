@@ -498,6 +498,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded near-dup filter: dups drop within horizon, state evicts past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = in.toDF.toDF("doc_id", "text", "ingest_ts")
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: 8 unique docs + 1 near-dup of textA + 1 short doc, all near t=0
+    val uniques = (10L to 16L).map(i =>
+      (i, s"unique document number $i with plenty of distinct words $i$i", ts(1)))
+    in.addData(Seq((1L, textA, ts(0)), (2L, textA, ts(1)), (3L, "one two", ts(1))) ++ uniques: _*)
+    val q = Streams.runToMemory(
+      Streams.nearDupFilterBounded(df, "ingest_ts", "10 minutes"),
+      "stream_neardup_bounded", OutputMode.Append())
+    try {
+      val ids1 = spark.table("stream_neardup_bounded")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids1.contains(1L), "first doc of a signature must survive")
+      assert(!ids1.contains(2L), "within-horizon signature collision must drop")
+      assert(ids1.contains(3L), "short doc must pass on its id key")
+      assert(uniques.forall(u => ids1.contains(u._1)))
+      // batch 2 advances the event-time frontier far past the horizon …
+      in.addData((20L, "frontier advancing document with fresh words", ts(60)))
+      q.processAllAvailable()
+      // … so batch 3's re-submission of textA finds its state EVICTED:
+      // it passes again — the bounded-horizon contract (ever-seen
+      // semantics belong to the dedup_incremental hash ledger)
+      in.addData((21L, textA, ts(61)))
+      q.processAllAvailable()
+      val ids3 = spark.table("stream_neardup_bounded")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids3.contains(21L),
+        "signature re-submitted after the watermark horizon must pass again")
+      // the state store only holds in-horizon signatures, not the
+      // ever-seen corpus: 10 distinct keys were seen before the frontier
+      // moved, but only the 2 recent ones may remain
+      val p = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .getOrElse(fail("no state operator progress recorded"))
+      val stateRows = p.stateOperators.head.numRowsTotal
+      assert(stateRows <= 3,
+        s"state must be bounded by the horizon, found $stateRows rows")
+    } finally q.stop()
+  }
+
   private def lastSnapshotPerUser(table: String): Map[Long, (Long, Double)] =
     spark.table(table)
       .withColumn("ord", monotonically_increasing_id())
