@@ -18,6 +18,16 @@ object TextOps {
     * words, FIXTURES.md). */
   def words(text: Column): Column = split(text, " ")
 
+  /** Case-folded whitespace tokenization — the convention of the BPE
+    * family (text_bpe_pairs), DELIBERATELY divergent from [[words]]:
+    * BPE merge training is case-insensitive over arbitrary whitespace
+    * (Sennrich et al., ACL 2016 lowercase their corpora), while the
+    * fingerprinting/classifier family keeps case because winnowing and
+    * hashed features treat "The"≠"the" as signal. Any new query picks
+    * ONE of these two helpers — never a third inline variant. */
+  def lowerWords(text: Column): Column =
+    filter(split(lower(text), "\\s+"), x => x =!= "")
+
   /** 60-bit integer from a string via md5 — the engine-portable hash.
     * Spark: conv(hex,16,10) → decimal string → long.
     * DuckDB dual: ('0x' || substr(md5(x),1,15))::BIGINT. */

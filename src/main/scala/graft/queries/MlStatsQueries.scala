@@ -55,9 +55,11 @@ object MlStatsQueries extends QueryRegistry {
           round(col("mu"), 4).as("mu"),
           round(col("sigma"), 4).as("sigma"),
           col("z"),
+          // the flag derives from the SAME 4-dp z that is emitted, so a
+          // row can never read z=2.0000 with is_anomaly=1 — output is
+          // self-consistent at the rounding boundary by construction
           when(col("sigma") > 0,
-            when(abs((col("revenue") - col("mu")) / col("sigma")) > 2, 1L)
-              .otherwise(0L)).as("is_anomaly"))
+            when(abs(col("z")) > 2, 1L).otherwise(0L)).as("is_anomaly"))
         .orderBy("event_type", "day")
     },
     Some("""WITH daily AS (
@@ -76,7 +78,7 @@ object MlStatsQueries extends QueryRegistry {
         |  round(sigma, 4) AS sigma,
         |  CASE WHEN sigma > 0 THEN round((revenue - mu) / sigma, 4) END AS z,
         |  CASE WHEN sigma > 0 THEN
-        |    (CASE WHEN abs((revenue - mu) / sigma) > 2 THEN 1 ELSE 0 END)
+        |    (CASE WHEN abs(round((revenue - mu) / sigma, 4)) > 2 THEN 1 ELSE 0 END)
         |  END AS is_anomaly
         |FROM z WHERE trail_n >= 3 ORDER BY event_type, day""".stripMargin))
 
@@ -125,7 +127,7 @@ object MlStatsQueries extends QueryRegistry {
     "text_bpe_pairs",
     (spark, d) => {
       val toks = Tables.documents(spark, d)
-        .select(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("ts"))
+        .select(graft.ops.TextOps.lowerWords(col("text")).as("ts"))
         .filter(size(col("ts")) >= 2)
       toks
         .select(
@@ -736,17 +738,24 @@ object MlStatsQueries extends QueryRegistry {
   // Scale shape: one conditional-sum histogram over the corpus (value-
   // domain-bounded), a single-row totals broadcast, and a 15-row fold;
   // PSI > 0.25 is the conventional "investigate the upstream data" alarm.
+  // The ref/cur boundary is DERIVED from the data (midpoint of the
+  // purchase date span, integer day arithmetic both engines share) —
+  // a hard-coded date would silently empty one period if the fixture's
+  // time span ever moved, and Laplace smoothing would keep the score
+  // plausible-looking while it measured nothing.
   private val psi = NamedQuery(
     "q_psi_drift",
     (spark, d) => {
-      val h = Tables.events(spark, d)
+      val ev = Tables.events(spark, d)
         .filter(col("event_type") === "purchase")
+        .select(col("value"), to_date(col("ts")).as("dte"))
+      val split = ev.agg(date_add(min("dte"),
+        floor(datediff(max("dte"), min("dte")) / 2).cast("int")).as("split_d"))
+      val h = ev.crossJoin(broadcast(split))
         .groupBy(floor(col("value") / 25).cast("long").as("bkt"))
         .agg(
-          sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"), 1L)
-            .otherwise(0L)).as("c_ref"),
-          sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"), 1L)
-            .otherwise(0L)).as("c_cur"))
+          sum(when(col("dte") < col("split_d"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("dte") >= col("split_d"), 1L).otherwise(0L)).as("c_cur"))
       val t = h.agg(count(lit(1)).as("nb"), sum("c_ref").as("n_ref"),
         sum("c_cur").as("n_cur"))
       h.crossJoin(broadcast(t))
@@ -759,11 +768,18 @@ object MlStatsQueries extends QueryRegistry {
         .select(col("nb").as("n_buckets"), col("n_ref"), col("n_cur"),
           col("psi"))
     },
-    Some("""WITH b AS (
-        |  SELECT cast(floor(value / 25) AS BIGINT) AS bkt,
-        |    CASE WHEN cast(ts AS DATE) < DATE '2024-01-16'
-        |         THEN 'ref' ELSE 'cur' END AS period
+    Some("""WITH ev AS (
+        |  SELECT value, cast(ts AS DATE) AS dte
         |  FROM events WHERE event_type = 'purchase'),
+        |sp AS (
+        |  SELECT min(dte) + CAST(floor(date_diff('day', min(dte), max(dte)) / 2)
+        |                         AS INTEGER) AS split_d
+        |  FROM ev),
+        |b AS (
+        |  SELECT cast(floor(value / 25) AS BIGINT) AS bkt,
+        |    CASE WHEN ev.dte < sp.split_d
+        |         THEN 'ref' ELSE 'cur' END AS period
+        |  FROM ev, sp),
         |h AS (
         |  SELECT bkt,
         |    sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS c_ref,

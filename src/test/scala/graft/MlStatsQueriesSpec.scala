@@ -17,15 +17,12 @@ class MlStatsQueriesSpec extends SparkSpec {
     rows.foreach { r =>
       val z = if (r.isNullAt(5)) None else Some(r.getDouble(5))
       val flag = if (r.isNullAt(6)) None else Some(r.getLong(6))
-      // flag is defined exactly when z is, and matches |z| > 2. The
-      // flag is computed from the UNROUNDED ratio while z is 4-dp
-      // rounded, so skip the check inside the half-ulp boundary band
-      // where the two can legitimately disagree.
+      // flag is defined exactly when z is, and matches |z| > 2 on the
+      // SAME 4-dp-rounded z that is emitted — no boundary band to skip
       assert(z.isDefined == flag.isDefined)
       z.zip(flag).foreach { case (zv, f) =>
-        if (math.abs(math.abs(zv) - 2.0) > 1e-3)
-          assert((math.abs(zv) > 2) == (f == 1L),
-            s"flag $f disagrees with z=$zv for $r")
+        assert((math.abs(zv) > 2) == (f == 1L),
+          s"flag $f disagrees with z=$zv for $r")
       }
     }
     // first two days of every series are excluded (trail_n >= 3): with a
