@@ -195,15 +195,25 @@ object Images {
     def fromModel(modelPath: String, nTags: Int, preferGpu: Boolean = true): OnnxScorer =
       new OnnxScorer(nTags, () => new ReflectiveSession(modelPath, preferGpu))
 
-    private final class ReflectiveSession(modelPath: String, preferGpu: Boolean)
+    /** Test seam: same adapter, relocated runtime package. OnnxScorerSpec
+      * points this at the compile-checked `ai.onnxruntime` API stubs on
+      * the test classpath (exercising every reflected member against real
+      * class files) and at an absent package (exercising the fail-fast
+      * missing-runtime path without having to hide the stubs). */
+    private[graft] def fromModelInPackage(modelPath: String, nTags: Int,
+        preferGpu: Boolean, pkg: String): OnnxScorer =
+      new OnnxScorer(nTags, () => new ReflectiveSession(modelPath, preferGpu, pkg))
+
+    private final class ReflectiveSession(modelPath: String, preferGpu: Boolean,
+        pkg: String = "ai.onnxruntime")
         extends SessionLike {
       // all resolution happens once per instance (= once per executor
       // partition chain); score() calls then pay only invoke cost
       @transient private lazy val bound: (AnyRef, AnyRef, String, String, Class[_]) =
         try {
-          val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+          val envCls = Class.forName(s"$pkg.OrtEnvironment")
           val env = envCls.getMethod("getEnvironment").invoke(null)
-          val optCls = Class.forName("ai.onnxruntime.OrtSession$SessionOptions")
+          val optCls = Class.forName(s"$pkg.OrtSession$$SessionOptions")
           val opts = optCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
           if (preferGpu) {
             // provider preference with fallback: a missing/broken CUDA
@@ -227,11 +237,17 @@ object Images {
             throw new IllegalStateException(
               "onnxruntime not on classpath: add ai.onnxruntime (onnxruntime-java) " +
                 "to the executor classpath to use OnnxScorer", e)
+          case e: java.lang.reflect.InvocationTargetException =>
+            // surface the runtime's own error (bad model path, init
+            // failure), not the reflection wrapper — the row-level error
+            // channel records this message verbatim
+            throw new IllegalStateException(
+              s"onnx session construction failed: ${e.getCause}", e.getCause)
         }
 
       def run(chw: Array[Float], shape: Array[Long]): Array[Float] = {
         val (env, session, inputName, outputName, envCls) = bound
-        val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+        val tensorCls = Class.forName(s"$pkg.OnnxTensor")
         val tensor = tensorCls
           .getMethod("createTensor", envCls, classOf[java.nio.FloatBuffer],
             classOf[Array[Long]])

@@ -59,10 +59,62 @@ class OnnxScorerSpec extends AnyFunSuite {
   }
 
   test("missing onnxruntime jar fails fast with an actionable message") {
-    val scorer = Images.OnnxScorer.fromModel("/nonexistent/model.onnx", nTags = 3)
+    // the API stubs sit on the test classpath under ai.onnxruntime, so
+    // the absent-runtime path is exercised through the package seam
+    val scorer = Images.OnnxScorer.fromModelInPackage(
+      "/nonexistent/model.onnx", nTags = 3, preferGpu = true,
+      pkg = "ai.onnxruntime.absent")
     val e = intercept[IllegalStateException] { scorer.score(new Array[Float](3 * 2 * 2)) }
     assert(e.getMessage.contains("onnxruntime not on classpath"))
     assert(e.getCause.isInstanceOf[ClassNotFoundException])
+  }
+
+  // ---- reflective binding vs the compile-checked ai.onnxruntime API ----
+  // (test-scope stubs mirroring the published Java API signatures: every
+  // Class.forName string and getMethod signature in ReflectiveSession
+  // resolves against real class files below, and the whole chain —
+  // getEnvironment → SessionOptions → addCUDA fallback → createSession →
+  // introspected I/O names → createTensor → run → Result.get →
+  // getValue → close — actually EXECUTES.)
+
+  private def fakeModelFile(): String = {
+    val f = java.io.File.createTempFile("model", ".onnx")
+    java.nio.file.Files.write(f.toPath, Array[Byte](0x08, 0x01))
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  test("reflective session runs end-to-end against the API stubs (every reflected member resolves)") {
+    val before = ai.onnxruntime.OrtSession.SESSIONS_BUILT.get()
+    val cudaBefore = ai.onnxruntime.OrtSession.CUDA_REQUESTS.get()
+    val scorer = Images.OnnxScorer.fromModel(fakeModelFile(), nTags = 4)
+    val side = 4
+    val tensor = Array.tabulate(3 * side * side)(_.toFloat)
+    val logits = scorer.score(tensor)
+    // the stub "model" emits strided sums of the input tensor: proves the
+    // tensor crossed createTensor→run intact and came back via getValue
+    val want = Array.tabulate(4)(k =>
+      tensor.indices.filter(_ % 4 == k).map(tensor).sum)
+    assert(logits.toSeq == want.toSeq)
+    // one session across repeated calls (appV2.py:149 amortization)
+    scorer.score(tensor)
+    assert(ai.onnxruntime.OrtSession.SESSIONS_BUILT.get() == before + 1)
+    // provider preference attempted, CUDA failure fell back silently
+    assert(ai.onnxruntime.OrtSession.CUDA_REQUESTS.get() == cudaBefore + 1)
+  }
+
+  test("input name is introspected from the model, never hardcoded") {
+    val scorer = Images.OnnxScorer.fromModel(fakeModelFile(), nTags = 4)
+    // the stub session only accepts its own introspected name
+    // ('pixel_values'); a hardcoded 'input' would throw inside run()
+    assert(scorer.score(new Array[Float](3 * 2 * 2)).length == 4)
+  }
+
+  test("bad model path surfaces the runtime's own error, not a reflection wrapper") {
+    val scorer = Images.OnnxScorer.fromModel("/nonexistent/model.onnx", nTags = 3)
+    val e = intercept[IllegalStateException] { scorer.score(new Array[Float](3 * 2 * 2)) }
+    assert(e.getMessage.contains("onnx session construction failed"))
+    assert(e.getCause.isInstanceOf[ai.onnxruntime.OrtException])
   }
 
   test("adapter rides the full scoreImages pipeline (stub session, error isolation intact)") {

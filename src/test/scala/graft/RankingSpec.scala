@@ -58,6 +58,47 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("property: groupedRank equals window row_number across random values/ties/bucket widths") {
+    // ScalaCheck-generated inputs (explicit sampling under fixed seeds —
+    // the scalatest/scalacheck bridge isn't available offline, see
+    // PropertiesSpec). Value domains are deliberately tiny so duplicate
+    // values straddle bucket boundaries constantly, and bucket widths
+    // sweep from finer-than-the-value-grid to one-bucket-holds-all —
+    // the degenerate ends where an offset arithmetic bug would hide.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val cfg: Gen[(Int, Int, Int, Double, Boolean)] = for {
+      n <- Gen.chooseNum(1, 240)          // includes single-row inputs
+      nGroups <- Gen.chooseNum(1, 4)
+      domain <- Gen.oneOf(3, 7, 40)       // distinct-value count → tie density
+      width <- Gen.oneOf(0.25, 0.5, 1.0, 3.0, 1e6) // 1e6 → one global bucket
+      negate <- Gen.oneOf(true, false)    // negative values cross floor()'s sign kink
+    } yield (n, nGroups, domain, width, negate)
+    val configs = (0 until 12).flatMap(i =>
+      cfg.apply(Gen.Parameters.default, Seed(1000L + i)))
+    assert(configs.size >= 10)
+    configs.foreach { case (n, nGroups, domain, width, negate) =>
+      val r = new scala.util.Random(n * 31 + domain)
+      val sign = if (negate) -1.0 else 1.0
+      val df = (1 to n).map(i => (i.toLong,
+          sign * math.floor(r.nextDouble() * domain) / 2.0,
+          s"g${r.nextInt(nGroups)}"))
+        .toDF("id", "v", "grp")
+      val got = Ranking.groupedRank(df, Seq("grp"), col("v"),
+          floor(col("v") / width).cast("long"), Seq("id"))
+        .select("id", "rank", "grp_n").collect()
+        .map(x => (x.getLong(0), x.getLong(2), x.getLong(1))).sorted
+      val w = Window.partitionBy("grp").orderBy(col("v").asc, col("id").asc)
+      val want = df.withColumn("rank", row_number().over(w))
+        .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("grp")))
+        .select("id", "rank", "grp_n").collect()
+        .map(x => (x.getLong(0), x.getLong(2), x.getInt(1).toLong)).sorted
+      assert(got.toSeq == want.toSeq,
+        s"mismatch at n=$n nGroups=$nGroups domain=$domain width=$width negate=$negate")
+    }
+  }
+
   test("groupedRank plan: no unpartitioned window, offsets broadcast") {
     val df = randomDf(13, 100)
     val plan = Ranking.groupedRank(df, Seq("grp"), col("v"),
