@@ -34,6 +34,25 @@ object SimilarityOps {
     round(call_function("graft_cosine", a, b), 6)
   }
 
+  /** Coarse-quantizer stride shared by the IVF / PQ / cell-blocked
+    * dedup family: centroids are the vectors with `vec_id % stride == 0`.
+    * stride = greatest(100, floor(sqrt(N))) — fixed ~100-vector cells in
+    * the fixture regime (≤10⁴ vectors, bit-identical to the historical
+    * fixed `% 100` quantizer there), √N cells beyond, so neither the
+    * centroid-assignment cross product (N·cells) nor the per-cell
+    * candidate work (N·cellSize) ever grows quadratically: both are
+    * N^1.5, the single-level IVF optimum. A fixed stride makes the
+    * centroid COUNT linear in the corpus and assignment cost N²/stride —
+    * the cliff the sf1 headroom run exposed (SCALE.md). */
+  def centroidStride(n: Long): Long =
+    math.max(100L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** DuckDB dual of [[centroidStride]]: the centroid CTE every oracle in
+    * the family shares (expects a `v(vec_id, emb)` CTE upstream). */
+  val centroidSqlCte: String =
+    "cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % " +
+      "(SELECT greatest(100, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM v) = 0)"
+
   /** Nearest-centroid assignment via map-side max_by instead of a
     * row_number window: the point×centroid crossJoin is partitioned by
     * the points side only, so the partial aggregate collapses to one row

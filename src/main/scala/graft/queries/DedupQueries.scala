@@ -343,7 +343,7 @@ object DedupQueries extends QueryRegistry {
     "dedup_embedding_blocked",
     (spark, d) => {
       val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      val cent = v.filter(col("vec_id") % 100 === 0)
+      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       // map-side max_by assignment — shuffle carries |points| rows, no
       // window sort of the crossJoin (same tie-break as the oracle's
@@ -358,8 +358,8 @@ object DedupQueries extends QueryRegistry {
         .filter(col("cosine") >= 0.4)
         .orderBy("id1", "id2")
     },
-    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |${SimilarityOps.centroidSqlCte},
         |assign AS (
         |  SELECT vec_id, emb, cid FROM (
         |    SELECT v.vec_id, v.emb, cent.cid, row_number() OVER (
@@ -379,14 +379,19 @@ object DedupQueries extends QueryRegistry {
   // needs between candidate generation and document dropping; a
   // driver-side union-find doesn't exist at 100 TB, so this runs
   // Components.connectedComponents (iterative min-label propagation).
-  // Edges are the ngram-Jaccard ≥ 0.8 pairs — the same relation the
-  // dedup_ngram_jaccard oracle already reproduces; the oracle folds the
-  // component fixed point (min reachable doc_id) with a recursive
-  // reachability CTE, so the whole pair→cluster pipeline is hash-checked.
+  // Edges are the MinHash-LSH verified pairs (minhashVerifiedPairs —
+  // banded candidates, exact Jaccard ≥ 0.8 on candidates only), the
+  // corpus-scale pair source a production pipeline feeds clustering
+  // from; the inverted-index pair join the r6 version used grows its
+  // candidate set with Σ df² and went 20× super-linear in the sf1
+  // headroom run (SCALE.md). The oracle replays the identical
+  // banding+verify CTEs, then folds the component fixed point
+  // (min reachable doc_id) with a recursive reachability CTE, so the
+  // whole signature→pair→cluster pipeline stays hash-checked.
   private val clusters = NamedQuery(
     "dedup_clusters",
     (spark, d) => {
-      val pairs = TextOps.jaccardPairsPrefix(Tables.documents(spark, d), "doc_id", "text", 3, 0.8)
+      val pairs = minhashVerifiedPairs(spark, d)
         .select(col("id1").as("src"), col("id2").as("dst"))
       val comp = Components.connectedComponents(pairs)
       val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -398,16 +403,7 @@ object DedupQueries extends QueryRegistry {
           (col("id") === col("component")).as("is_keeper"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $shingleCtes,
-        |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id1, id2 FROM inter
-        |  JOIN sizes s1 ON id1 = s1.doc_id
-        |  JOIN sizes s2 ON id2 = s2.doc_id
-        |  WHERE round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) >= 0.8),
+    Some(s"""WITH RECURSIVE $minhashPairsSqlCtes,
         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
         |          UNION ALL SELECT id2, id1 FROM pairs),
         |reach(node, label) AS (
@@ -470,7 +466,7 @@ object DedupQueries extends QueryRegistry {
     (spark, d) => {
       import org.apache.spark.sql.expressions.Window
       val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      val cent = v.filter(col("vec_id") % 100 === 0)
+      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val assign = SimilarityOps.assignNearestCell(
         spark, v, "vec_id", "embedding", cent, carryEmbedding = true)
@@ -492,8 +488,8 @@ object DedupQueries extends QueryRegistry {
           when(col("dup").isNotNull, 0).otherwise(1).as("kept"))
         .orderBy("vec_id")
     },
-    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |${SimilarityOps.centroidSqlCte},
         |assign AS (
         |  SELECT vec_id, emb, cid, sim_c FROM (
         |    SELECT v.vec_id, v.emb, cent.cid,

@@ -52,13 +52,13 @@ object SimilarityQueries extends QueryRegistry {
         |WHERE rnk <= $topK
         |ORDER BY query_id, rnk""".stripMargin))
 
-  // ---- IVF: centroids = vec_id % 100 == 0 (deterministic coarse
+  // ---- IVF: centroids = vec_id % centroidStride == 0 (deterministic coarse
   // quantizer); assign all vectors; probe nprobe cells per query; rerank.
   private val ivf = NamedQuery(
     "sim_ann_ivf",
     (spark, d) => {
       val v = vecs(spark, d)
-      val cent = v.filter(col("vec_id") % 100 === 0)
+      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       def nearestCells(points: DataFrame, idCol: String, embCol: String, n: Int) = {
         val w = Window.partitionBy(col(idCol)).orderBy(desc("ccos"), col("cid"))
@@ -94,7 +94,7 @@ object SimilarityQueries extends QueryRegistry {
         .orderBy("query_id", "rnk")
     },
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |${SimilarityOps.centroidSqlCte},
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
@@ -223,7 +223,7 @@ object SimilarityQueries extends QueryRegistry {
         |    FROM v q CROSS JOIN v
         |    WHERE q.vec_id < 20 AND v.vec_id <> q.vec_id) t
         |  WHERE rnk <= $topK),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |${SimilarityOps.centroidSqlCte},
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
@@ -449,7 +449,7 @@ object SimilarityQueries extends QueryRegistry {
     "sim_knn_graph",
     (spark, d) => {
       val v = vecs(spark, d)
-      val cent = v.filter(col("vec_id") % 100 === 0)
+      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val assign = SimilarityOps
         .assignNearestCell(spark, v, "vec_id", "embedding", cent)
@@ -471,7 +471,7 @@ object SimilarityQueries extends QueryRegistry {
         .orderBy("vec_id", "rnk")
     },
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |${SimilarityOps.centroidSqlCte},
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
@@ -501,7 +501,7 @@ object SimilarityQueries extends QueryRegistry {
   // ANN tool beside IVF (partition pruning) and SRP (binary codes).
   // Each 64-dim vector splits into 4 subspaces of 16 dims; per subspace
   // a vector stores only the id of its nearest codebook centroid (the
-  // same deterministic vec_id % 100 quantizer the IVF path uses), so a
+  // same deterministic centroidStride quantizer the IVF path uses), so a
   // vector compresses to 4 small ints. Query-time ADC: the query
   // precomputes its distance to EVERY (centroid, subspace) cell — a
   // |queries|·|codebook|·4 broadcast-size table — and a neighbor's
@@ -517,7 +517,15 @@ object SimilarityQueries extends QueryRegistry {
     "sim_pq_adc",
     (spark, d) => {
       val v = vecs(spark, d)
-      val cent = v.filter(col("vec_id") % 100 === 0)
+      // PQ's codebook is FIXED-SIZE (≤256 entries/subspace, the published
+      // 1-byte-code design) — unlike IVF's cell count it must NOT grow
+      // with the corpus, or the N×|codebook| encoding pass turns
+      // quadratic (the sf1 headroom run measured it, SCALE.md). The cap
+      // admits every centroid at the fixture SFs (max vec_id ≪
+      // 256·stride), so tested outputs are unchanged.
+      val stride = SimilarityOps.centroidStride(v.count())
+      val cent = v.filter(col("vec_id") % stride === 0 &&
+          col("vec_id") < lit(256L) * stride)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       // encoding kernel: one primitive-loop pass per vector against the
       // broadcast codebook (SimilarityOps.subspaceL2); Spark's round()
@@ -548,7 +556,11 @@ object SimilarityQueries extends QueryRegistry {
         .orderBy("query_id", "rnk")
     },
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % 100 = 0),
+        |cent AS (
+        |  SELECT vec_id AS cid, emb AS cemb FROM v,
+        |    (SELECT greatest(100, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride
+        |     FROM v) st
+        |  WHERE vec_id % stride = 0 AND vec_id < 256 * stride),
         |ev AS (
         |  SELECT vec_id, generate_subscripts(emb,1)-1 AS d, unnest(emb) AS e
         |  FROM v),
