@@ -64,4 +64,19 @@ object Tables {
     * the DuckDB oracle share identical table names. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Catalog-style table row count, computed once per (sfDir, table) and
+    * memoized for the life of the JVM. Queries that size a data structure
+    * from the corpus cardinality (e.g. the ANN family's √N coarse
+    * quantizer) read THIS instead of re-running `count()` per query — the
+    * analogue of the `ANALYZE TABLE` statistics a real deployment keeps in
+    * its catalog for an immutable corpus, and one fewer full-scan action
+    * per query here. Parquet makes the first computation metadata-cheap
+    * (footer row counts; no data pages are read). */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$sfDir/$name",
+      _ => load(spark, sfDir, name).count())
 }

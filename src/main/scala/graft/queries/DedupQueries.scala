@@ -343,7 +343,9 @@ object DedupQueries extends QueryRegistry {
     "dedup_embedding_blocked",
     (spark, d) => {
       val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
+      val stride =
+        SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
+      val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       // map-side max_by assignment — shuffle carries |points| rows, no
       // window sort of the crossJoin (same tie-break as the oracle's
@@ -466,7 +468,9 @@ object DedupQueries extends QueryRegistry {
     (spark, d) => {
       import org.apache.spark.sql.expressions.Window
       val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
+      val stride =
+        SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
+      val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val assign = SimilarityOps.assignNearestCell(
         spark, v, "vec_id", "embedding", cent, carryEmbedding = true)

@@ -58,7 +58,9 @@ object SimilarityQueries extends QueryRegistry {
     "sim_ann_ivf",
     (spark, d) => {
       val v = vecs(spark, d)
-      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
+      val stride =
+        SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
+      val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       def nearestCells(points: DataFrame, idCol: String, embCol: String, n: Int) = {
         val w = Window.partitionBy(col(idCol)).orderBy(desc("ccos"), col("cid"))
@@ -449,7 +451,9 @@ object SimilarityQueries extends QueryRegistry {
     "sim_knn_graph",
     (spark, d) => {
       val v = vecs(spark, d)
-      val cent = v.filter(col("vec_id") % SimilarityOps.centroidStride(v.count()) === 0)
+      val stride =
+        SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
+      val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val assign = SimilarityOps
         .assignNearestCell(spark, v, "vec_id", "embedding", cent)
@@ -523,7 +527,8 @@ object SimilarityQueries extends QueryRegistry {
       // quadratic (the sf1 headroom run measured it, SCALE.md). The cap
       // admits every centroid at the fixture SFs (max vec_id ≪
       // 256·stride), so tested outputs are unchanged.
-      val stride = SimilarityOps.centroidStride(v.count())
+      val stride =
+        SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
       val cent = v.filter(col("vec_id") % stride === 0 &&
           col("vec_id") < lit(256L) * stride)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
