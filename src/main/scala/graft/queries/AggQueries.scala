@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -28,10 +29,10 @@ object AggQueries extends QueryRegistry {
     (spark, d) => Tables.orders(spark, d)
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.centsSum(col("o_totalprice")).as("total"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
-    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+    Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  ${Money.centsSumSql("o_totalprice")} AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
 
@@ -106,7 +107,7 @@ object AggQueries extends QueryRegistry {
     (spark, d) => {
       val monthly = Tables.orders(spark, d)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(Money.centsSum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
       // WINDOW-FREE lag: the month rollup is domain-bounded (~80 rows),
       // so the "previous existing month" is two broadcast self-joins on
@@ -126,13 +127,13 @@ object AggQueries extends QueryRegistry {
         .select("ym", "revenue", "n_orders", "prev_revenue", "mom_delta")
         .orderBy("ym")
     },
-    Some("""SELECT ym, revenue, n_orders, prev_revenue,
+    Some(s"""SELECT ym, revenue, n_orders, prev_revenue,
         |  round(revenue - coalesce(prev_revenue, revenue), 2) AS mom_delta
         |FROM (
         |  SELECT ym, revenue, n_orders,
         |    lag(revenue, 1) OVER (ORDER BY ym) AS prev_revenue
         |  FROM (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
-        |          round(sum(o_totalprice), 2) AS revenue,
+        |          ${Money.centsSumSql("o_totalprice")} AS revenue,
         |          count(*) AS n_orders
         |        FROM orders GROUP BY 1) m) t
         |ORDER BY ym""".stripMargin))
@@ -150,7 +151,7 @@ object AggQueries extends QueryRegistry {
         .filter(col("o_custkey") < 20)
         .groupBy(col("o_custkey"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("ym"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(Money.centsSum(col("o_totalprice")).as("revenue"))
       val bounds = Tables.orders(spark, d)
         .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
           date_trunc("month", max(col("o_orderdate"))).as("hi"))
@@ -167,7 +168,7 @@ object AggQueries extends QueryRegistry {
           col("revenue").isNull.as("gap_filled"))
         .orderBy("o_custkey", "ym")
     },
-    Some("""WITH bounds AS (
+    Some(s"""WITH bounds AS (
         |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
         |         date_trunc('month', max(o_orderdate)) AS hi
         |  FROM orders),
@@ -176,7 +177,7 @@ object AggQueries extends QueryRegistry {
         |  FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) t(m)),
         |per_month AS (
         |  SELECT o_custkey, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    ${Money.centsSumSql("o_totalprice")} AS revenue
         |  FROM orders WHERE o_custkey < 20 GROUP BY 1, 2),
         |custs AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 20)
         |SELECT c.o_custkey, m.ym,

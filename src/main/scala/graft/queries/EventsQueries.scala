@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,12 +20,12 @@ object EventsQueries extends QueryRegistry {
     "q_window_tumbling",
     (spark, d) => Tables.events(spark, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), Money.centsSum(col("value")).as("total"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("total"))
       .orderBy("window_start", "event_type"),
-    Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+    Some(s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+        |  event_type, count(*) AS n, ${Money.centsSumSql("value")} AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
   // Sliding 1-hour window every 30 min: each event lands in exactly two
@@ -48,11 +49,11 @@ object EventsQueries extends QueryRegistry {
     "q_window_session",
     (spark, d) => Tables.events(spark, d)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), Money.centsSum(col("value")).as("total"))
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
         unix_timestamp(col("w.end")).as("session_end"), col("n"), col("total"))
       .orderBy("user_id", "session_start"),
-    Some("""WITH flagged AS (
+    Some(s"""WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
@@ -65,7 +66,7 @@ object EventsQueries extends QueryRegistry {
         |SELECT user_id,
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
-        |  count(*) AS n, round(sum(value), 2) AS total
+        |  count(*) AS n, ${Money.centsSumSql("value")} AS total
         |FROM islands GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin))
 
@@ -148,11 +149,14 @@ object EventsQueries extends QueryRegistry {
     (spark, d) => Tables.events(spark, d)
       .withColumn("salt", pmod(col("event_id"), lit(8)))
       .groupBy("event_type", "salt")
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      // phase-1 partials already in exact cents (Money rule 11), so the
+      // phase-2 merge is integer addition — salting cannot perturb it
+      .agg(count(lit(1)).as("pn"), Money.centsSumRaw(col("value")).as("pv"))
       .groupBy("event_type")
-      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("total"))
+      .agg(sum(col("pn")).as("n"),
+        (sum(col("pv")).cast("double") / 100.0).as("total"))
       .orderBy("event_type"),
-    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    Some(s"""SELECT event_type, count(*) AS n, ${Money.centsSumSql("value")} AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   // Range join: equi-key on user plus a time-band predicate — each
@@ -265,11 +269,11 @@ object EventsQueries extends QueryRegistry {
             fact("salt") === dim("salt").cast("int"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("total"))
+          Money.centsSum(col("l_extendedprice")).as("total"))
         .orderBy("o_orderpriority")
     },
-    Some("""SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS total
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${Money.centsSumSql("l_extendedprice")} AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 

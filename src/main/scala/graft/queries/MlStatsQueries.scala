@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -37,7 +38,7 @@ object MlStatsQueries extends QueryRegistry {
     (spark, d) => {
       val daily = Tables.events(spark, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day_d"))
-        .agg(round(sum("value"), 4).as("revenue"))
+        .agg(Money.centsSum(col("value")).as("revenue"))
       val w = Window.partitionBy("event_type").orderBy("day_d")
         .rowsBetween(-7, -1)
       daily
@@ -62,9 +63,9 @@ object MlStatsQueries extends QueryRegistry {
             when(abs(col("z")) > 2, 1L).otherwise(0L)).as("is_anomaly"))
         .orderBy("event_type", "day")
     },
-    Some("""WITH daily AS (
+    Some(s"""WITH daily AS (
         |  SELECT event_type, strftime(cast(ts AS DATE), '%Y-%m-%d') AS day,
-        |         round(sum(value), 4) AS revenue
+        |         ${Money.centsSumSql("value")} AS revenue
         |  FROM events GROUP BY 1, 2),
         |z AS (
         |  SELECT event_type, day, revenue,
@@ -101,10 +102,10 @@ object MlStatsQueries extends QueryRegistry {
         .filter(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
         .agg(count(lit(1)).as("purchases"),
-          round(sum("value"), 2).as("revenue"))
+          Money.centsSum(col("value")).as("revenue"))
         .orderBy("touch")
     },
-    Some("""WITH t AS (
+    Some(s"""WITH t AS (
         |  SELECT event_type, value,
         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
         |               IGNORE NULLS)
@@ -112,7 +113,7 @@ object MlStatsQueries extends QueryRegistry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
         |  FROM events)
         |SELECT coalesce(touch, 'none') AS touch, count(*) AS purchases,
-        |       round(sum(value), 2) AS revenue
+        |       ${Money.centsSumSql("value")} AS revenue
         |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY touch""".stripMargin))
 
   // BPE merge-step pair counting: the inner loop of byte-pair-encoding

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.functions._
 
 /** Second relational batch: deep star joins through broadcast dimension
@@ -23,13 +24,13 @@ object Relational2Queries extends QueryRegistry {
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     },
-    Some("""SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    Some(s"""SELECT r_name, n_name,
+        |  ${Money.centsSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -50,10 +51,10 @@ object Relational2Queries extends QueryRegistry {
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
       li.join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
         .filter(col("l_quantity") < col("half_avg"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+        .agg(Money.centsSum(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n"))
     },
-    Some("""SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+    Some(s"""SELECT ${Money.centsSumSql("l_extendedprice")} AS total_price, count(*) AS n
         |FROM lineitem l
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
         |                    WHERE l_partkey = l.l_partkey)""".stripMargin))
@@ -109,7 +110,7 @@ object Relational2Queries extends QueryRegistry {
     (spark, d) => Tables.nation(spark, d)
       .join(Tables.customer(spark, d)
           .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"),
-            round(sum(col("c_acctbal")), 2).as("bal")),
+            Money.centsSum(col("c_acctbal")).as("bal")),
         col("n_nationkey") === col("c_nationkey"))
       .select(col("n_name"),
         map_from_entries(array(
@@ -121,8 +122,8 @@ object Relational2Queries extends QueryRegistry {
         size(col("m")).as("m_size"),
         array_join(map_keys(col("m")), ",").as("keys"))
       .orderBy("n_name"),
-    Some("""SELECT n_name, n_cust, bal, 2 AS m_size, 'n_cust,bal' AS keys
-        |FROM (SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+    Some(s"""SELECT n_name, n_cust, bal, 2 AS m_size, 'n_cust,bal' AS keys
+        |FROM (SELECT n_name, count(*) AS n_cust, ${Money.centsSumSql("c_acctbal")} AS bal
         |      FROM nation JOIN customer ON n_nationkey = c_nationkey
         |      GROUP BY n_name) t
         |ORDER BY n_name""".stripMargin))
@@ -329,10 +330,10 @@ object Relational2Queries extends QueryRegistry {
           coalesce(col("u.o_orderpriority"), col("b.o_orderpriority")).as("prio"),
           coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("price"))
         .groupBy("prio")
-        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), Money.centsSum(col("price")).as("total"))
         .orderBy("prio")
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
         |upd AS (
         |  SELECT o_orderkey, '0-UPSERTED' AS o_orderpriority,
@@ -343,7 +344,7 @@ object Relational2Queries extends QueryRegistry {
         |  FROM base WHERE o_orderkey % 10 = 1)
         |SELECT coalesce(u.o_orderpriority, b.o_orderpriority) AS prio,
         |  count(*) AS n,
-        |  round(sum(coalesce(u.o_totalprice, b.o_totalprice)), 2) AS total
+        |  ${Money.centsSumSql("coalesce(u.o_totalprice, b.o_totalprice)")} AS total
         |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin))
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,12 +44,12 @@ object Relational3Queries extends QueryRegistry {
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
-    Some("""SELECT supp_nation, cust_nation, l_year,
-        |  CAST(count(*) AS BIGINT) AS n, round(sum(volume), 2) AS revenue
+    Some(s"""SELECT supp_nation, cust_nation, l_year,
+        |  CAST(count(*) AS BIGINT) AS n, ${Money.centsSumSql("volume")} AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    year(l_shipdate) AS l_year,
@@ -98,14 +99,18 @@ object Relational3Queries extends QueryRegistry {
           "left_semi")
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
+        // both sums in exact cents (Money rule 11) so the ratio's inputs
+        // are bit-identical across engines
         .agg(round(
-          sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0)))
-            / sum(vol), 6).as("mkt_share"))
+          Money.centsSumRaw(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0.0))).cast("double")
+            / Money.centsSumRaw(vol).cast("double"), 6).as("mkt_share"))
         .orderBy("o_year")
     },
-    Some("""SELECT o_year,
-        |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-        |        / sum(volume), 6) AS mkt_share
+    Some(s"""SELECT o_year,
+        |  round(CAST(${Money.centsSumRawSql(
+             "CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END")} AS DOUBLE)
+        |        / CAST(${Money.centsSumRawSql("volume")} AS DOUBLE), 6) AS mkt_share
         |FROM (
         |  SELECT year(o_orderdate) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -138,14 +143,14 @@ object Relational3Queries extends QueryRegistry {
         .join(broadcast(Tables.nation(spark, d)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
     },
-    Some("""SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, n_name
+    Some(s"""SELECT c_custkey, c_name,
+        |  ${Money.centsSumSql("l_extendedprice * (1 - l_discount)")} AS revenue, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,10 +32,10 @@ object Relational4Queries extends QueryRegistry {
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        Money.centsSum(col("l_extendedprice") * col("l_discount"))
           .as("revenue")),
-    Some("""SELECT count(*) AS n,
-        |  round(sum(l_extendedprice * l_discount), 2) AS revenue
+    Some(s"""SELECT count(*) AS n,
+        |  ${Money.centsSumSql("l_extendedprice * l_discount")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -88,14 +89,19 @@ object Relational4Queries extends QueryRegistry {
         .join(broadcast(Tables.part(spark, d)
           .select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
+        // both sums in exact cents (Money rule 11): identical integers
+        // divide to identical doubles, so only round(4)'s tie-break is
+        // shared risk — not the summation order
         .agg(round(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
-          sum(vol), 4).as("promo_share"))
+          Money.centsSumRaw(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0.0))).cast("double") /
+          Money.centsSumRaw(vol).cast("double"), 4).as("promo_share"))
     },
-    Some("""SELECT round(100.0 *
-        |    sum(CASE WHEN p_type = 'PROMO'
-        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
-        |    sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    Some(s"""SELECT round(100.0 *
+        |    CAST(${Money.centsSumRawSql(
+               "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS DOUBLE) /
+        |    CAST(${Money.centsSumRawSql(
+               "l_extendedprice * (1 - l_discount)")} AS DOUBLE), 4) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin))
@@ -123,11 +129,11 @@ object Relational4Queries extends QueryRegistry {
           col("l_quantity").between(20, 30))
       li.join(pt, col("l_partkey") === col("p_partkey") && cond)
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
     },
-    Some("""SELECT count(*) AS n,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    Some(s"""SELECT count(*) AS n,
+        |  ${Money.centsSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
         |       AND l_quantity BETWEEN 1 AND 11)
@@ -208,8 +214,11 @@ object Relational4Queries extends QueryRegistry {
     "q22_idle_balance",
     (spark, d) => {
       val cust = Tables.customer(spark, d)
+      // the average inside floor() runs over exact cents (Money rule 11)
+      // so the floored integer can never flap with summation order
       val thresh = cust.filter(col("c_acctbal") > 0)
-        .agg(floor(avg(col("c_acctbal"))).as("bal_floor"))
+        .agg(floor(Money.centsSum(col("c_acctbal")) / count(lit(1)))
+          .as("bal_floor"))
       cust.crossJoin(broadcast(thresh))
         .filter(col("c_acctbal") > col("bal_floor"))
         .join(Tables.orders(spark, d)
@@ -218,13 +227,14 @@ object Relational4Queries extends QueryRegistry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_cust"),
-          round(sum(col("c_acctbal")), 2).as("total_bal"))
+          Money.centsSum(col("c_acctbal")).as("total_bal"))
         .orderBy("segment")
     },
-    Some("""SELECT c_mktsegment AS segment, count(*) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS total_bal
+    Some(s"""SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |  ${Money.centsSumSql("c_acctbal")} AS total_bal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT floor(avg(c_acctbal))
+        |WHERE c_acctbal > (SELECT floor(${Money.centsSumSql("c_acctbal")}
+        |                               / count(*))
         |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
@@ -256,13 +266,15 @@ object Relational4Queries extends QueryRegistry {
         .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          lit(0.6) * col("l_quantity") * col("p_retailprice")), 2).as("profit"))
+        // exact-cents sum (Money, determinism rule 11): the double-sum
+        // round-to-2dp form diverged by a cent at sf1
+        .agg(Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("l_quantity") * col("p_retailprice")).as("profit"))
         .orderBy("nation", "o_year")
     },
-    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |            - 0.6 * l_quantity * p_retailprice), 2) AS profit
+    Some(s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  ${Money.centsSumSql(
+             "l_extendedprice * (1 - l_discount) - 0.6 * l_quantity * p_retailprice")} AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -22,16 +23,17 @@ object RelationalQueries extends QueryRegistry {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Money.centsSum(col("l_extendedprice")).as("sum_base_price"),
+        Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus,
+    Some(s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ${Money.centsSumSql("l_extendedprice")} AS sum_base_price,
+        |  ${Money.centsSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
@@ -50,17 +52,18 @@ object RelationalQueries extends QueryRegistry {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
         .select(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("o_orderpriority").as("orderpriority"), col("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
         .limit(10)
     },
-    Some("""SELECT l_orderkey,
+    Some(s"""SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority AS orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ${Money.centsSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.functions._
 
 /** Scalar-function breadth (SURVEY.md §2.2 "String fns" / "Date/math fns"
@@ -75,7 +76,12 @@ object ScalarFuncQueries extends QueryRegistry {
         ceil(col("l_quantity")).as("ce"),
         abs(col("l_quantity") - 25).cast("double").as("dist25"),
         pmod(col("l_orderkey"), lit(7)).as("m7"))
-      .orderBy("l_orderkey"),
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (several
+      // linenumber-1 rows share an orderkey), so orderkey alone is not a
+      // total order and the engines may interleave ties differently
+      // (caught by the sf1 headroom gate). Ordering by every emitted
+      // column makes the sequence deterministic regardless.
+      .orderBy("l_orderkey", "sq", "disc_sq", "gt", "lt", "fl", "m7"),
     Some("""SELECT l_orderkey,
         |  round(sqrt(l_extendedprice), 6) AS sq,
         |  round(ln(l_extendedprice + 1), 6) AS logn,
@@ -87,7 +93,8 @@ object ScalarFuncQueries extends QueryRegistry {
         |  CAST(ceil(l_quantity) AS BIGINT) AS ce,
         |  abs(l_quantity - 25) AS dist25,
         |  l_orderkey % 7 AS m7
-        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin))
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey, sq, disc_sq, gt, lt, fl, m7""".stripMargin))
 
   // events.props is a JSON string (TESTDATA.md) — JSON path extraction +
   // conditional logic; the reference's JSON ingestion (appV2.py:51-60)
@@ -157,7 +164,7 @@ object ScalarFuncQueries extends QueryRegistry {
     (spark, d) => {
       val perCust = Tables.orders(spark, d)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("spend"))
+          Money.centsSum(col("o_totalprice")).as("spend"))
       Tables.customer(spark, d)
         .join(perCust, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"),
@@ -166,13 +173,13 @@ object ScalarFuncQueries extends QueryRegistry {
           col("n_orders").isNull.as("never_ordered"))
         .orderBy("c_custkey")
     },
-    Some("""SELECT c_custkey,
+    Some(s"""SELECT c_custkey,
         |  coalesce(n_orders, 0) AS n_orders,
         |  coalesce(spend, 0.0) AS spend,
         |  n_orders IS NULL AS never_ordered
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, count(*) AS n_orders,
-        |    round(sum(o_totalprice), 2) AS spend
+        |    ${Money.centsSumSql("o_totalprice")} AS spend
         |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin))
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.functions._
 
 /** Sink/round-trip queries: materialize to storage, read back, verify
@@ -104,15 +105,15 @@ object SinkQueries extends QueryRegistry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).cast("bigint").as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          Money.centsSum(col("l_extendedprice")).as("sum_price"),
           md5(concat_ws(",", array_sort(collect_list(
             concat_ws(":", col("l_orderkey"), col("l_linenumber"))))))
             .as("content_md5"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag, count(*) AS n_rows,
+    Some(s"""SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  ${Money.centsSumSql("l_extendedprice")} AS sum_price,
         |  md5(string_agg(l_orderkey || ':' || l_linenumber, ','
         |    ORDER BY l_orderkey || ':' || l_linenumber)) AS content_md5
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -138,13 +139,13 @@ object SinkQueries extends QueryRegistry {
         .json(out)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          Money.centsSum(col("o_totalprice")).as("sum_price"),
           md5(concat_ws(",", array_sort(collect_list(
             col("o_orderkey").cast("string"))))).as("content_md5"))
         .orderBy("o_orderstatus")
     },
-    Some("""SELECT o_orderstatus, count(*) AS n_rows,
-        |  round(sum(o_totalprice), 2) AS sum_price,
+    Some(s"""SELECT o_orderstatus, count(*) AS n_rows,
+        |  ${Money.centsSumSql("o_totalprice")} AS sum_price,
         |  md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
         |    ORDER BY CAST(o_orderkey AS VARCHAR))) AS content_md5
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
