@@ -178,12 +178,76 @@ object SimilarityOps {
     * contract. Subspace s covers dims [s·(dims/nSub), (s+1)·(dims/nSub)). */
   def subspaceL2(df: DataFrame, idCol: String, vecCol: String,
                  cent: DataFrame, centIdCol: String, centVecCol: String,
-                 nSub: Int): DataFrame = {
+                 nSub: Int): DataFrame =
+    subspaceL2(df, idCol, vecCol, collectCodebook(cent, centIdCol, centVecCol), nSub)
+
+  /** Collect a broadcast-size codebook once, for reuse across several
+    * [[subspaceL2]] passes (e.g. the full-corpus encoding pass and the
+    * query lookup-table pass of sim_pq_adc share one collect job). */
+  def collectCodebook(cent: DataFrame, centIdCol: String,
+                      centVecCol: String): Array[(Long, Array[Float])] = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    cent.select(col(centIdCol).cast("long"), col(centVecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
+  /** Fused PQ ENCODER: per (vector, subspace) emit only the assigned
+    * code (id, s, cid) — the argmin over the codebook computed inside
+    * the kernel, so the N×|codebook|×nSub distance relation NEVER
+    * exists as rows (at corpus scale that relation is 64× the code
+    * output; sim_pq_adc measured 2× wall time just encoding it through
+    * the row pipeline at sf1). Decision parity with the relational
+    * `groupBy.min(struct(round(d2,6), cid))` form: d2 is rounded to
+    * 6 dp with the SAME HALF_UP-on-decimal-string semantics as Spark's
+    * `round()` (java BigDecimal.valueOf = Double.toString, the exact
+    * path Catalyst's Round takes for DoubleType), and ties break on the
+    * smallest cid because the codebook array is scanned in ascending-cid
+    * order with a strict `<` update. */
+  def pqEncodeLocal(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[(Long, Array[Float])], nSub: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Array[Float])] = cent
-      .select(col(centIdCol).cast("long"), col(centVecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          require(v.length % nSub == 0,
+            s"pqEncodeLocal: ${v.length} dims not divisible into $nSub subspaces")
+          val dimsPer = v.length / nSub
+          (0 until nSub).iterator.map { s =>
+            var bestCid = -1L
+            var bestD2 = Double.MaxValue
+            var i = 0
+            while (i < cs.length) {
+              val (cid, c) = cs(i)
+              var d2 = 0.0
+              var k = s * dimsPer
+              val end = k + dimsPer
+              while (k < end) {
+                val t = v(k).toDouble - c(k).toDouble
+                d2 += t * t
+                k += 1
+              }
+              val r = java.math.BigDecimal.valueOf(d2)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (r < bestD2) { bestD2 = r; bestCid = cid }
+              i += 1
+            }
+            (id, s, bestCid)
+          }
+        }
+      }
+      .toDF(idCol, "s", "cid")
+  }
+
+  /** [[subspaceL2]] over a pre-collected codebook. */
+  def subspaceL2(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[(Long, Array[Float])], nSub: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
     df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]

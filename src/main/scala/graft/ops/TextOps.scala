@@ -337,8 +337,34 @@ object TextOps {
           (size(col("sh_arr")).cast("long")
             - ceil(lit(t) * size(col("sh_arr")) - lit(1e-9)) + 1L).cast("int")))
       .localCheckpoint()
-    val prefix = arrs.select(col(idCol),
-      explode(slice(col("sh_arr"), lit(1), col("p"))).as("shingle"))
+    // The prefix theorem holds under ANY consistent global element
+    // order, and the ORDER is the whole scale story: with the arrays'
+    // native hash order, prefixes index a uniform sample of shingles, so
+    // a shingle of document frequency df contributes ~df² candidate
+    // pairs and the join grows QUADRATICALLY with corpus growth (the sf1
+    // headroom run measured 10× docs → 100× candidates → 30× wall
+    // time). Bayardo/Ma/Srikant's canonical order — df ASCENDING, i.e.
+    // each doc's RAREST p shingles form its prefix — bounds every
+    // prefix shingle's contribution by the rare-df tail and keeps the
+    // candidate join near-linear (10× docs → 11× candidates, measured).
+    // Output is UNCHANGED: prefix order affects only which superset of
+    // the true pairs reaches exact verification.
+    val docFreq = arrs
+      .select(explode(array_distinct(col("sh_arr"))).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = arrs
+      .select(col(idCol), col("p"), explode(col("sh_arr")).as("shingle"))
+      .join(docFreq, "shingle")
+      .groupBy(col(idCol), col("p"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("by_df"))
+      .select(col(idCol),
+        explode(slice(transform(col("by_df"), x => x.getField("shingle")),
+          lit(1), col("p"))).as("shingle"))
+      // pinned: the candidate equi-join reads this relation twice, and
+      // (unlike the old slice-of-checkpoint) it now costs a df join +
+      // per-doc rebuild
+      .localCheckpoint()
     val cand = prefix.select(col(idCol).as("id1"), col("shingle"))
       .join(prefix.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))

@@ -30,8 +30,8 @@ object MlStatsQueries extends QueryRegistry {
   // Trailing-window z-score anomaly flags on the daily revenue series per
   // event type: a day is anomalous when it sits >2 sample-stddevs from
   // the mean of the preceding ≤7 days (min 3 for a usable stddev). The
-  // daily sums are rounded BEFORE the window so both engines feed the
-  // trailing aggregates identical doubles in identical frame order;
+  // daily sums run in exact cents (Money rule 11) so both engines feed
+  // the trailing aggregates identical doubles in identical frame order;
   // sigma=0 frames emit NULL z rather than a division blow-up.
   private val anomaly = NamedQuery(
     "q_anomaly_zscore",

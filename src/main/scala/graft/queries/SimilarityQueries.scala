@@ -521,34 +521,40 @@ object SimilarityQueries extends QueryRegistry {
     "sim_pq_adc",
     (spark, d) => {
       val v = vecs(spark, d)
-      // PQ's codebook is FIXED-SIZE (≤256 entries/subspace, the published
-      // 1-byte-code design) — unlike IVF's cell count it must NOT grow
-      // with the corpus, or the N×|codebook| encoding pass turns
-      // quadratic (the sf1 headroom run measured it, SCALE.md). The cap
-      // admits every centroid at the fixture SFs (max vec_id ≪
-      // 256·stride), so tested outputs are unchanged.
+      // PQ's codebook is FIXED-SIZE — a design constant, NOT a function
+      // of the corpus (Jégou's 2^k entries/subspace; k=6 here → 6-bit
+      // codes, the common small-codebook IVFPQ configuration). A
+      // corpus-growing codebook turns the N×|codebook| encoding pass
+      // super-linear — the sf1 headroom run measured the √N-centroid
+      // variant at N^1.5 (SCALE.md). The 64 cap admits every centroid
+      // at the fixture SFs (max vec_id ≪ 64·stride), so tested outputs
+      // are unchanged; beyond N=4096 the codebook pins at 64 and the
+      // encoding pass is LINEAR in the corpus.
       val stride =
         SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
       val cent = v.filter(col("vec_id") % stride === 0 &&
-          col("vec_id") < lit(256L) * stride)
+          col("vec_id") < lit(64L) * stride)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       // encoding kernel: one primitive-loop pass per vector against the
       // broadcast codebook (SimilarityOps.subspaceL2); Spark's round()
-      // then makes every comparison decision. Pinned because BOTH the
-      // codebook assignment and the query lookup table read it.
-      val d2 = SimilarityOps.subspaceL2(v, "vec_id", "embedding",
-          cent, "cid", "cemb", nSub = 4)
-        .select(col("vec_id"), col("cid"), col("s"),
-          round(col("d2raw"), 6).as("d2"))
-        .localCheckpoint()
+      // then makes every comparison decision.
       // lexicographic struct-min = argmin(d2) with smallest-cid ties —
-      // map-side combinable, no window sort over the cross join
-      val assign = d2.groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
-      val qd2 = d2.filter(col("vec_id") < 20)
+      // and because the partial aggregation fuses into the kernel's own
+      // stage, the N×|codebook|×4 distance relation is never
+      // materialized or shuffled: each task collapses its rows to one
+      // per (vec, s) before the exchange. (The old form checkpointed
+      // the full cross product to share it with the query lookup table;
+      // the queries are 20 rows — they get their own kernel pass.)
+      val codebook = SimilarityOps.collectCodebook(cent, "cid", "cemb")
+      // fused encode: argmin inside the kernel, N x nSub code rows out —
+      // the N x |codebook| distance relation never exists (see
+      // SimilarityOps.pqEncodeLocal for the round/tie parity contract)
+      val assign = SimilarityOps.pqEncodeLocal(v, "vec_id", "embedding",
+        codebook, nSub = 4)
+      val qd2 = SimilarityOps.subspaceL2(v.filter(col("vec_id") < 20),
+          "vec_id", "embedding", codebook, nSub = 4)
         .select(col("vec_id").as("query_id"), col("cid"), col("s"),
-          col("d2"))
+          round(col("d2raw"), 6).as("d2"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("adc"), col("neighbor_id"))
       assign.join(broadcast(qd2), Seq("cid", "s"))
@@ -565,7 +571,7 @@ object SimilarityQueries extends QueryRegistry {
         |  SELECT vec_id AS cid, emb AS cemb FROM v,
         |    (SELECT greatest(100, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride
         |     FROM v) st
-        |  WHERE vec_id % stride = 0 AND vec_id < 256 * stride),
+        |  WHERE vec_id % stride = 0 AND vec_id < 64 * stride),
         |ev AS (
         |  SELECT vec_id, generate_subscripts(emb,1)-1 AS d, unnest(emb) AS e
         |  FROM v),

@@ -308,6 +308,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pqEncodeLocal ≡ relational round(6)+struct-min assignment (randomized)") {
+    import graft.ops.SimilarityOps
+    // values quantized to a coarse grid so distinct cells frequently TIE
+    // at 6 dp — the case where the kernel's replicated HALF_UP rounding
+    // and ascending-cid strict-< scan must match Spark's
+    // min(struct(round(d2,6), cid)) decision exactly
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-4, 4).map(_ / 2.0f))
+    for (vs <- samples(Gen.listOfN(20, vecGen), 3)) {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val cent = df.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val codebook = SimilarityOps.collectCodebook(cent, "cid", "cemb")
+      val got = SimilarityOps
+        .pqEncodeLocal(df, "vec_id", "embedding", codebook, nSub = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val want = SimilarityOps
+        .subspaceL2(df, "vec_id", "embedding", codebook, nSub = 2)
+        .select(col("vec_id"), col("cid"), col("s"),
+          round(col("d2raw"), 6).as("d2"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.cid"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === want)
+    }
+  }
+
   test("srpPlane ≡ the oracle's SQL md5 derivation, bit-for-bit") {
     import graft.ops.SimilarityOps
     // the same conv(substr(md5(...))) chain the DuckDB oracle runs,
