@@ -39,4 +39,27 @@ object Money {
   /** DuckDB dual of [[centsSum]]. */
   def centsSumSql(term: String): String =
     s"CAST(${centsSumRawSql(term)} AS DOUBLE) / 100.0"
+
+  /** Exact-cents mean, rounded at `scale`. `round(avg(money), s)` is the
+    * sharpest instance of the rule-11 hazard: the true mean is RATIONAL
+    * (integer cents / 100n), so for friendly group sizes it lands
+    * EXACTLY on a half-boundary of the rounding grid and the two
+    * engines' ulp-different double sums round to different sides (first
+    * caught at sf1 by q_hourly_seasonality: mean 52.10175 → 52.1017 vs
+    * 52.1018). Exact integer sum, then one identical division chain in
+    * both engines → identical doubles → identical round. Term must be
+    * null-free (the divisor is count(*), not avg's null-aware count). */
+  def centsMean(term: Column, scale: Int): Column =
+    round(centsSum(term) / count(lit(1)), scale)
+
+  /** DuckDB dual of [[centsMean]]. */
+  def centsMeanSql(term: String, scale: Int): String =
+    s"round(${centsSumSql(term)} / count(*), $scale)"
+
+  /** Spark-SQL-text flavor of [[centsMean]] for queries authored as SQL
+    * strings (the q_sql_text_api surface): DECIMAL(38,0) partials as in
+    * [[centsSumRaw]], same division chain as [[centsMean]]. */
+  def centsMeanSparkSql(term: String, scale: Int): String =
+    s"round(cast(sum(cast(round(($term) * 100, 0) as decimal(38,0))) as double)" +
+      s" / 100.0 / count(*), $scale)"
 }

@@ -312,7 +312,7 @@ object EventsQueries extends QueryRegistry {
   // ---- Time-series resampling with linear interpolation: regularize
   // each user's irregular event stream onto an hourly grid — the
   // classic sensor/metrics prep step (resample → interpolate → model).
-  // Known hours carry round(avg(value),6); missing hours interpolate
+  // Known hours carry the exact-cents mean at 6dp; missing hours interpolate
   // linearly between the bracketing knowns via IGNORE NULLS navigation
   // windows (the gap-fill pattern of q_window_ignore_nulls, upgraded
   // from hold-last to linear). The spine never leaves a user's
@@ -328,7 +328,7 @@ object EventsQueries extends QueryRegistry {
       val known = Tables.events(spark, d)
         .filter(col("user_id") < 5)
         .groupBy(col("user_id"), expr("unix_timestamp(ts) div 3600").as("h"))
-        .agg(round(avg(col("value")), 6).as("v"))
+        .agg(Money.centsMean(col("value"), 6).as("v"))
         // read twice (spine bounds + the left join): pin so the events
         // scan + hourly aggregation cannot re-execute per branch
         .localCheckpoint()
@@ -354,11 +354,11 @@ object EventsQueries extends QueryRegistry {
           when(col("v").isNotNull, lit(0)).otherwise(lit(1)).as("interpolated"))
         .orderBy("user_id", "h")
     },
-    Some("""WITH ev AS (
+    Some(s"""WITH ev AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value
         |  FROM events WHERE user_id < 5),
         |known AS (
-        |  SELECT user_id, h, round(avg(value), 6) AS v
+        |  SELECT user_id, h, ${Money.centsMeanSql("value", 6)} AS v
         |  FROM ev GROUP BY user_id, h),
         |bounds AS (
         |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM known GROUP BY user_id),

@@ -854,15 +854,20 @@ object MlStatsQueries extends QueryRegistry {
   // aggregated rollup; the output is bounded at 7×24 rows forever.
   // ISO day parity: Spark weekday() is 0=Monday, DuckDB isodow is
   // 1=Monday — weekday+1 aligns them exactly.
+  // avg runs over the exact-cents sum (Money rule 11): round(avg(double))
+  // is order-dependent and flipped a 4-dp boundary at sf1. Identical
+  // integer sums divide to identical doubles in both engines.
   private val seasonality = NamedQuery(
     "q_hourly_seasonality",
     (spark, d) => Tables.events(spark, d)
       .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
         hour(col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Money.centsMean(col("value"), 4).as("avg_value"))
       .orderBy("dow", "hr"),
-    Some("""SELECT isodow(ts) AS dow, cast(hour(ts) AS INT) AS hr,
-        |  cast(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+    Some(s"""SELECT isodow(ts) AS dow, cast(hour(ts) AS INT) AS hr,
+        |  cast(count(*) AS BIGINT) AS n,
+        |  ${graft.ops.Money.centsMeanSql("value", 4)} AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin))
 
   /** Margin of the shared hashed classifier on raw text (tokenize, then

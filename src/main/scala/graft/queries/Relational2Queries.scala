@@ -135,15 +135,15 @@ object Relational2Queries extends QueryRegistry {
     (spark, d) => {
       graft.Tables.registerAll(spark, d)
       spark.sql(
-        """SELECT p_brand, count(DISTINCT p_type) AS n_types,
-          |  round(avg(p_retailprice), 4) AS avg_price
+        s"""SELECT p_brand, count(DISTINCT p_type) AS n_types,
+          |  ${Money.centsMeanSparkSql("p_retailprice", 4)} AS avg_price
           |FROM part WHERE p_size >= 10
           |GROUP BY p_brand
           |HAVING count(*) > 5
           |ORDER BY p_brand""".stripMargin)
     },
-    Some("""SELECT p_brand, count(DISTINCT p_type) AS n_types,
-        |  round(avg(p_retailprice), 4) AS avg_price
+    Some(s"""SELECT p_brand, count(DISTINCT p_type) AS n_types,
+        |  ${Money.centsMeanSql("p_retailprice", 4)} AS avg_price
         |FROM part WHERE p_size >= 10
         |GROUP BY p_brand
         |HAVING count(*) > 5

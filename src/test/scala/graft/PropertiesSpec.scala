@@ -613,4 +613,40 @@ class PropertiesSpec extends SparkSpec {
         "epoch-nano magnitudes mis-binned")
     }
   }
+
+  test("property: Money.centsMean is partition-invariant and matches the " +
+      "declared double chain (rule 11)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // the contract: exact integer cents sum, then ONE fixed division
+    // chain (/100.0 then /n) and a HALF_UP 4dp round of that double —
+    // reproducible under any partitioning / partial-agg order, and
+    // identical to what the DuckDB dual computes from the same integers
+    def ref(cents: Seq[Long], scale: Int): Double = {
+      val d = cents.sum.toDouble / 100.0 / cents.size
+      new JBD(java.lang.Double.toString(d)).setScale(scale, RoundingMode.HALF_UP)
+        .doubleValue
+    }
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 80)
+      cents <- Gen.listOfN(n, Gen.chooseNum(-999999L, 999999L))
+    } yield cents
+    for ((cents, i) <- samples(caseGen, 20).zipWithIndex) {
+      val vals = cents.map(_ / 100.0)
+      def run(parts: Int): Double = vals.toDF("v").repartition(parts)
+        .agg(graft.ops.Money.centsMean(col("v"), 4)).collect().head.getDouble(0)
+      val (a, b) = (run(1), run(13))
+      assert(a == b, s"case $i: partitioning changed the mean: $a vs $b")
+      assert(a == ref(cents, 4), s"case $i: ${ref(cents, 4)} expected, got $a")
+    }
+    // the q_hourly_seasonality regression shape: 8 two-dp values whose
+    // TRUE mean 41681/800 = 52.10125 sits exactly on the 4dp half-
+    // boundary — round(avg(double)) resolves it by summation-order luck
+    locally {
+      val cents = Seq(5210L, 5210L, 5210L, 5210L, 5210L, 5210L, 5210L, 5211L)
+      assert(cents.sum == 41681L) // mean 41681/800 = 52.10125 exactly
+      val got = cents.map(_ / 100.0).toDF("v").repartition(5)
+        .agg(graft.ops.Money.centsMean(col("v"), 4)).collect().head.getDouble(0)
+      assert(got == ref(cents, 4), s"half-boundary mean: got $got")
+    }
+  }
 }
