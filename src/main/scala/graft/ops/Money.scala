@@ -40,26 +40,33 @@ object Money {
   def centsSumSql(term: String): String =
     s"CAST(${centsSumRawSql(term)} AS DOUBLE) / 100.0"
 
-  /** Exact-cents mean, rounded at `scale`. `round(avg(money), s)` is the
-    * sharpest instance of the rule-11 hazard: the true mean is RATIONAL
-    * (integer cents / 100n), so for friendly group sizes it lands
-    * EXACTLY on a half-boundary of the rounding grid and the two
+  /** Exact-cents mean, emitted RAW (rule 12). `round(avg(money), s)` is
+    * the sharpest instance of the rule-11 hazard: the true mean is
+    * RATIONAL (integer cents / 100n), so for friendly group sizes it
+    * lands EXACTLY on a half-boundary of the rounding grid and the two
     * engines' ulp-different double sums round to different sides (first
     * caught at sf1 by q_hourly_seasonality: mean 52.10175 → 52.1017 vs
-    * 52.1018). Exact integer sum, then one identical division chain in
-    * both engines → identical doubles → identical round. Term must be
-    * null-free (the divisor is count(*), not avg's null-aware count). */
-  def centsMean(term: Column, scale: Int): Column =
-    round(centsSum(term) / count(lit(1)), scale)
+    * 52.1018 between two otherwise-identical runs). The exact integer
+    * sum fixes the sums — but a final round() would RE-introduce the
+    * divergence: a measured ~10% of exact half-boundary rationals round
+    * apart between Spark (shortest-decimal-repr HALF_UP) and DuckDB
+    * (scaled multiply + away-from-zero), e.g. 261/20000 → 0.0130 vs
+    * 0.0131. So per rule 2 the mean is emitted raw: identical integers
+    * through the identical IEEE chain `/100.0/count` are bit-identical
+    * doubles in both engines, no rounding step exists to disagree on.
+    * Term must be null-free (the divisor is count(*), not avg's
+    * null-aware count). */
+  def centsMean(term: Column): Column =
+    centsSum(term) / count(lit(1))
 
   /** DuckDB dual of [[centsMean]]. */
-  def centsMeanSql(term: String, scale: Int): String =
-    s"round(${centsSumSql(term)} / count(*), $scale)"
+  def centsMeanSql(term: String): String =
+    s"${centsSumSql(term)} / count(*)"
 
   /** Spark-SQL-text flavor of [[centsMean]] for queries authored as SQL
     * strings (the q_sql_text_api surface): DECIMAL(38,0) partials as in
     * [[centsSumRaw]], same division chain as [[centsMean]]. */
-  def centsMeanSparkSql(term: String, scale: Int): String =
-    s"round(cast(sum(cast(round(($term) * 100, 0) as decimal(38,0))) as double)" +
-      s" / 100.0 / count(*), $scale)"
+  def centsMeanSparkSql(term: String): String =
+    s"cast(sum(cast(round(($term) * 100, 0) as decimal(38,0))) as double)" +
+      " / 100.0 / count(*)"
 }

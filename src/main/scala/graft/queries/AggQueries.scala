@@ -88,14 +88,14 @@ object AggQueries extends QueryRegistry {
       .groupBy("l_returnflag")
       .agg(round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"),
-        Money.centsMean(col("l_extendedprice"), 4).as("avg_price"),
+        Money.centsMean(col("l_extendedprice")).as("avg_price"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         round(expr("median(l_extendedprice)"), 4).as("med_price"))
       .orderBy("l_returnflag"),
     Some(s"""SELECT l_returnflag,
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price,
-        |  ${Money.centsMeanSql("l_extendedprice", 4)} AS avg_price,
+        |  ${Money.centsMeanSql("l_extendedprice")} AS avg_price,
         |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
         |  round(median(l_extendedprice), 4) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))

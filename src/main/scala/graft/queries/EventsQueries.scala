@@ -328,7 +328,7 @@ object EventsQueries extends QueryRegistry {
       val known = Tables.events(spark, d)
         .filter(col("user_id") < 5)
         .groupBy(col("user_id"), expr("unix_timestamp(ts) div 3600").as("h"))
-        .agg(Money.centsMean(col("value"), 6).as("v"))
+        .agg(Money.centsMean(col("value")).as("v"))
         // read twice (spine bounds + the left join): pin so the events
         // scan + hourly aggregation cannot re-execute per branch
         .localCheckpoint()
@@ -358,7 +358,7 @@ object EventsQueries extends QueryRegistry {
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value
         |  FROM events WHERE user_id < 5),
         |known AS (
-        |  SELECT user_id, h, ${Money.centsMeanSql("value", 6)} AS v
+        |  SELECT user_id, h, ${Money.centsMeanSql("value")} AS v
         |  FROM ev GROUP BY user_id, h),
         |bounds AS (
         |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM known GROUP BY user_id),

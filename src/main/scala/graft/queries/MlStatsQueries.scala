@@ -230,10 +230,12 @@ object MlStatsQueries extends QueryRegistry {
       ranked.groupBy("decile")
         .agg(count(lit(1)).as("n"), sum("pos").as("positives"))
         .crossJoin(broadcast(tot))
+        // raw-emit ratios (rule 12): exact ints through one identical
+        // division chain — a round() would desync boundary rationals
         .select(col("decile"), col("n"), col("positives"),
-          round(col("positives").cast("double") / col("n"), 4).as("pos_rate"),
-          round((col("positives").cast("double") / col("n")) /
-            (col("tp").cast("double") / col("tn")), 4).as("lift"))
+          (col("positives").cast("double") / col("n")).as("pos_rate"),
+          ((col("positives").cast("double") / col("n")) /
+            (col("tp").cast("double") / col("tn"))).as("lift"))
         .orderBy("decile")
     },
     Some("""WITH tok AS (
@@ -252,8 +254,9 @@ object MlStatsQueries extends QueryRegistry {
         |t AS (SELECT sum(pos) AS tp, count(*) AS tn FROM s)
         |SELECT cast(decile AS BIGINT) AS decile, cast(count(*) AS BIGINT) AS n,
         |  cast(sum(pos) AS BIGINT) AS positives,
-        |  round(sum(pos) * 1.0 / count(*), 4) AS pos_rate,
-        |  round((sum(pos) * 1.0 / count(*)) / (max(tp) * 1.0 / max(tn)), 4) AS lift
+        |  cast(sum(pos) AS DOUBLE) / count(*) AS pos_rate,
+        |  (cast(sum(pos) AS DOUBLE) / count(*))
+        |    / (cast(max(tp) AS DOUBLE) / max(tn)) AS lift
         |FROM r, t GROUP BY decile ORDER BY decile""".stripMargin))
 
   // Covariance matrix of the first 8 embedding dimensions — the input
@@ -387,21 +390,23 @@ object MlStatsQueries extends QueryRegistry {
           count(lit(1)).as("n_keys"),
           sum("n").as("total"),
           max("n").as("max_n"),
-          round(avg("n"), 4).as("mean_n"),
+          // raw-emit rational mean/ratio (rule 12): exact integer sums
+          // through one identical division chain in both engines
+          (sum("n").cast("double") / count(lit(1))).as("mean_n"),
           round(expr("percentile(n, 0.50)"), 4).as("p50"),
           round(expr("percentile(n, 0.99)"), 4).as("p99"),
           min(struct(negate(col("n")).as("nn"), col("k"))).getField("k")
             .as("top_key"))
         .select(col("n_keys"), col("total"), col("max_n"),
           col("mean_n"), col("p50"), col("p99"),
-          round(col("max_n") / col("mean_n"), 4).as("skew_ratio"),
+          (col("max_n") / col("mean_n")).as("skew_ratio"),
           ceil(col("max_n") / col("mean_n")).cast("long").as("salt_factor"),
           col("top_key"))
     },
     Some("""WITH c AS (SELECT o_custkey AS k, count(*) AS n
         |           FROM orders GROUP BY 1),
         |s AS (SELECT count(*) AS n_keys, sum(n) AS total, max(n) AS max_n,
-        |        round(avg(n), 4) AS mean_n,
+        |        cast(sum(n) AS DOUBLE) / count(*) AS mean_n,
         |        round(quantile_cont(n, 0.50), 4) AS p50,
         |        round(quantile_cont(n, 0.99), 4) AS p99
         |      FROM c),
@@ -411,7 +416,7 @@ object MlStatsQueries extends QueryRegistry {
         |        WHERE rn = 1)
         |SELECT cast(n_keys AS BIGINT) AS n_keys, cast(total AS BIGINT) AS total,
         |  cast(max_n AS BIGINT) AS max_n, mean_n, p50, p99,
-        |  round(max_n / mean_n, 4) AS skew_ratio,
+        |  max_n / mean_n AS skew_ratio,
         |  cast(ceil(max_n / mean_n) AS BIGINT) AS salt_factor,
         |  (SELECT top_key FROM top) AS top_key
         |FROM s""".stripMargin))
@@ -716,7 +721,8 @@ object MlStatsQueries extends QueryRegistry {
         .agg(count(lit(1)).as("converted"),
           round(expr("percentile(delta_us, 0.50)"), 1).as("p50_us"),
           round(expr("percentile(delta_us, 0.90)"), 1).as("p90_us"),
-          round(avg("delta_us"), 1).as("mean_us"))
+          // raw-emit (rule 12): exact integer µs sum / count, one chain
+          (sum("delta_us").cast("double") / count(lit(1))).as("mean_us"))
     },
     Some("""WITH fc AS (SELECT user_id, min(ts) AS c FROM events
         |            WHERE event_type = 'click' GROUP BY 1),
@@ -728,7 +734,7 @@ object MlStatsQueries extends QueryRegistry {
         |SELECT cast(count(*) AS BIGINT) AS converted,
         |  round(quantile_cont(delta_us, 0.50), 1) AS p50_us,
         |  round(quantile_cont(delta_us, 0.90), 1) AS p90_us,
-        |  round(avg(delta_us), 1) AS mean_us
+        |  cast(sum(delta_us) AS DOUBLE) / count(*) AS mean_us
         |FROM dl""".stripMargin))
 
   // Population Stability Index — the industry-standard model-monitoring
@@ -854,20 +860,21 @@ object MlStatsQueries extends QueryRegistry {
   // aggregated rollup; the output is bounded at 7×24 rows forever.
   // ISO day parity: Spark weekday() is 0=Monday, DuckDB isodow is
   // 1=Monday — weekday+1 aligns them exactly.
-  // avg runs over the exact-cents sum (Money rule 11): round(avg(double))
-  // is order-dependent and flipped a 4-dp boundary at sf1. Identical
-  // integer sums divide to identical doubles in both engines.
+  // avg is the raw exact-cents mean (Money rule 12): round(avg(double))
+  // is order-dependent and flipped a 4-dp boundary at sf1 between two
+  // identical runs — exact integer sums through one identical division
+  // chain are bit-identical doubles in both engines, nothing to round.
   private val seasonality = NamedQuery(
     "q_hourly_seasonality",
     (spark, d) => Tables.events(spark, d)
       .groupBy((expr("weekday(ts)") + 1).cast("long").as("dow"),
         hour(col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"),
-        graft.ops.Money.centsMean(col("value"), 4).as("avg_value"))
+        graft.ops.Money.centsMean(col("value")).as("avg_value"))
       .orderBy("dow", "hr"),
     Some(s"""SELECT isodow(ts) AS dow, cast(hour(ts) AS INT) AS hr,
         |  cast(count(*) AS BIGINT) AS n,
-        |  ${graft.ops.Money.centsMeanSql("value", 4)} AS avg_value
+        |  ${graft.ops.Money.centsMeanSql("value")} AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin))
 
   /** Margin of the shared hashed classifier on raw text (tokenize, then

@@ -136,14 +136,14 @@ object Relational2Queries extends QueryRegistry {
       graft.Tables.registerAll(spark, d)
       spark.sql(
         s"""SELECT p_brand, count(DISTINCT p_type) AS n_types,
-          |  ${Money.centsMeanSparkSql("p_retailprice", 4)} AS avg_price
+          |  ${Money.centsMeanSparkSql("p_retailprice")} AS avg_price
           |FROM part WHERE p_size >= 10
           |GROUP BY p_brand
           |HAVING count(*) > 5
           |ORDER BY p_brand""".stripMargin)
     },
     Some(s"""SELECT p_brand, count(DISTINCT p_type) AS n_types,
-        |  ${Money.centsMeanSql("p_retailprice", 4)} AS avg_price
+        |  ${Money.centsMeanSql("p_retailprice")} AS avg_price
         |FROM part WHERE p_size >= 10
         |GROUP BY p_brand
         |HAVING count(*) > 5

@@ -26,16 +26,16 @@ object RelationalQueries extends QueryRegistry {
         Money.centsSum(col("l_extendedprice")).as("sum_base_price"),
         Money.centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        Money.centsMean(col("l_quantity"), 6).as("avg_qty"),
-        Money.centsMean(col("l_discount"), 6).as("avg_disc"),
+        Money.centsMean(col("l_quantity")).as("avg_qty"),
+        Money.centsMean(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some(s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  ${Money.centsSumSql("l_extendedprice")} AS sum_base_price,
         |  ${Money.centsSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-        |  ${Money.centsMeanSql("l_quantity", 6)} AS avg_qty,
-        |  ${Money.centsMeanSql("l_discount", 6)} AS avg_disc,
+        |  ${Money.centsMeanSql("l_quantity")} AS avg_qty,
+        |  ${Money.centsMeanSql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

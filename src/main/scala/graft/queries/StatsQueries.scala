@@ -78,13 +78,13 @@ object StatsQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n"),
           round(min(col("c_acctbal")), 2).as("lo"),
           round(max(col("c_acctbal")), 2).as("hi"),
-          graft.ops.Money.centsMean(col("c_acctbal"), 4).as("mean_bal"))
+          graft.ops.Money.centsMean(col("c_acctbal")).as("mean_bal"))
         .orderBy("decile")
     },
     Some(s"""SELECT decile, count(*) AS n,
         |  round(min(c_acctbal), 2) AS lo,
         |  round(max(c_acctbal), 2) AS hi,
-        |  ${graft.ops.Money.centsMeanSql("c_acctbal", 4)} AS mean_bal
+        |  ${graft.ops.Money.centsMeanSql("c_acctbal")} AS mean_bal
         |FROM (SELECT c_custkey, c_acctbal,
         |        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
         |      FROM customer) t

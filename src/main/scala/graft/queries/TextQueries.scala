@@ -24,13 +24,14 @@ object TextQueries extends QueryRegistry {
       .select(col("doc_id"),
         size(col("ws")).as("n_tokens"),
         size(array_distinct(col("ws"))).as("n_uniq"),
-        round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
-          .cast("double") / size(col("ws")), 4).as("avg_word_len"),
+        // raw-emit rational mean (rule 12): exact int char sum / count
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double").divide(size(col("ws"))).as("avg_word_len"),
         array_max(transform(col("ws"), w => length(w))).as("max_word_len"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id, count(*) AS n_tokens,
         |  count(DISTINCT word) AS n_uniq,
-        |  round(avg(length(word)), 4) AS avg_word_len,
+        |  CAST(sum(length(word)) AS DOUBLE) / count(*) AS avg_word_len,
         |  max(length(word)) AS max_word_len
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
@@ -74,7 +75,8 @@ object TextQueries extends QueryRegistry {
     (spark, d) => Tables.documents(spark, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 4).as("avg_chars"),
+        // raw-emit rational mean (rule 12): exact int sum / count
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         sum(size(TextOps.words(col("text")))).as("total_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang"),
@@ -82,7 +84,7 @@ object TextQueries extends QueryRegistry {
     // float via the driver's pandas bridge → value-hash mismatch vs
     // Spark's LongType.
     Some("""SELECT lang, count(*) AS n_docs,
-        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
@@ -722,8 +724,10 @@ object TextQueries extends QueryRegistry {
         .agg(count(lit(1)).cast("bigint").as("n_spans"),
           sum(when(col("sdf") > 1, lit(1L)).otherwise(lit(0L)))
             .cast("bigint").as("n_shared"))
+        // raw-emit rational ratio (COVERAGE rule 12): exact ints, one
+        // identical division — round() would desync boundary rationals
         .withColumn("shared_frac",
-          round(col("n_shared") / col("n_spans").cast("double"), 6))
+          col("n_shared") / col("n_spans").cast("double"))
         .orderBy("doc_id")
     },
     Some("""WITH w AS (
@@ -739,8 +743,8 @@ object TextQueries extends QueryRegistry {
         |  CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_shared,
-        |  round(sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END)
-        |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+        |  sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) AS shared_frac
         |FROM sh JOIN sdfs USING (shingle)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
@@ -824,8 +828,9 @@ object TextQueries extends QueryRegistry {
           sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
         .withColumn("n_sequences",
           ceil(col("n_tokens") / 512.0).cast("bigint"))
+        // raw-emit (rule 12): identical int inputs, identical chain
         .withColumn("pack_efficiency",
-          round(col("n_tokens") / (col("n_sequences") * 512.0), 6))
+          col("n_tokens") / (col("n_sequences") * 512.0))
         .orderBy("lang")
     },
     Some(s"""WITH $keepersCteSql,
@@ -854,7 +859,7 @@ object TextQueries extends QueryRegistry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_sequences,
-        |  round(sum(n_tok) / (ceil(sum(n_tok) / 512.0) * 512.0), 6)
+        |  sum(n_tok) / (ceil(sum(n_tok) / 512.0) * 512.0)
         |    AS pack_efficiency
         |FROM kept
         |GROUP BY lang

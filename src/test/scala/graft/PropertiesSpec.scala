@@ -615,17 +615,14 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("property: Money.centsMean is partition-invariant and matches the " +
-      "declared double chain (rule 11)") {
-    import java.math.{BigDecimal => JBD, RoundingMode}
+      "declared double chain exactly (rule 12)") {
     // the contract: exact integer cents sum, then ONE fixed division
-    // chain (/100.0 then /n) and a HALF_UP 4dp round of that double —
-    // reproducible under any partitioning / partial-agg order, and
-    // identical to what the DuckDB dual computes from the same integers
-    def ref(cents: Seq[Long], scale: Int): Double = {
-      val d = cents.sum.toDouble / 100.0 / cents.size
-      new JBD(java.lang.Double.toString(d)).setScale(scale, RoundingMode.HALF_UP)
-        .doubleValue
-    }
+    // chain (/100.0 then /n), emitted RAW — reproducible under any
+    // partitioning / partial-agg order, and bit-identical to what the
+    // DuckDB dual computes from the same integers. No final round():
+    // rounding is exactly where Spark (shortest-repr HALF_UP) and
+    // DuckDB (scaled multiply) disagree on boundary rationals.
+    def ref(cents: Seq[Long]): Double = cents.sum.toDouble / 100.0 / cents.size
     val caseGen = for {
       n <- Gen.chooseNum(1, 80)
       cents <- Gen.listOfN(n, Gen.chooseNum(-999999L, 999999L))
@@ -633,20 +630,22 @@ class PropertiesSpec extends SparkSpec {
     for ((cents, i) <- samples(caseGen, 20).zipWithIndex) {
       val vals = cents.map(_ / 100.0)
       def run(parts: Int): Double = vals.toDF("v").repartition(parts)
-        .agg(graft.ops.Money.centsMean(col("v"), 4)).collect().head.getDouble(0)
+        .agg(graft.ops.Money.centsMean(col("v"))).collect().head.getDouble(0)
       val (a, b) = (run(1), run(13))
       assert(a == b, s"case $i: partitioning changed the mean: $a vs $b")
-      assert(a == ref(cents, 4), s"case $i: ${ref(cents, 4)} expected, got $a")
+      assert(a == ref(cents), s"case $i: ${ref(cents)} expected, got $a")
     }
     // the q_hourly_seasonality regression shape: 8 two-dp values whose
-    // TRUE mean 41681/800 = 52.10125 sits exactly on the 4dp half-
-    // boundary — round(avg(double)) resolves it by summation-order luck
+    // TRUE mean 41681/800 = 52.10125 sits exactly on a 4dp half-
+    // boundary — round(avg(double), 4) resolves it by summation-order
+    // luck, and even an exact-sum round() would still desync the
+    // engines' rounding rules; the raw emit is exact on both
     locally {
       val cents = Seq(5210L, 5210L, 5210L, 5210L, 5210L, 5210L, 5210L, 5211L)
       assert(cents.sum == 41681L) // mean 41681/800 = 52.10125 exactly
       val got = cents.map(_ / 100.0).toDF("v").repartition(5)
-        .agg(graft.ops.Money.centsMean(col("v"), 4)).collect().head.getDouble(0)
-      assert(got == ref(cents, 4), s"half-boundary mean: got $got")
+        .agg(graft.ops.Money.centsMean(col("v"))).collect().head.getDouble(0)
+      assert(got == ref(cents), s"half-boundary mean: got $got")
     }
   }
 }
