@@ -54,11 +54,12 @@ object ImageFixtures {
     val corrupt = new File(d, "corrupt.png")
     if (!corrupt.exists())
       java.nio.file.Files.write(corrupt.toPath, "not an image at all".getBytes)
-    // a STRUCTURALLY VALID WebP container (RIFF/WEBP/VP8 chunk headers,
-    // truncated bitstream): the reference allow-list includes .webp
-    // (appV2.py:17) but JDK ImageIO ships no webp decoder, so the
-    // documented contract (Images.scala) is source-inclusion + decode-
-    // stage error status — NOT a silent drop. This fixture pins that.
+    // a STRUCTURALLY VALID but LOSSY WebP container (RIFF/WEBP/VP8 chunk
+    // headers, truncated bitstream): the reference allow-list includes
+    // .webp (appV2.py:17); the engine's own VP8L reader (graft.images)
+    // covers the LOSSLESS half, while lossy VP8 payloads keep the
+    // documented contract (Images.scala): source-inclusion + decode-stage
+    // error status — NOT a silent drop. This fixture pins the lossy half.
     val webp = new File(d, "photo.webp")
     if (!webp.exists()) {
       val payload = new Array[Byte](10) // fake VP8 bitstream bytes
@@ -69,6 +70,17 @@ object ImageFixtures {
         java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           .putInt(body.length).array() ++ body
       java.nio.file.Files.write(webp.toPath, riff)
+    }
+    // a real LOSSLESS WebP (VP8L, libwebp-encoded — the committed
+    // fixture the WebPSpec goldens also cover): decodes natively through
+    // the engine's pure-JVM ImageIO plugin, so this row rides the OK
+    // path end-to-end through pad/resize/score/tag
+    val art = new File(d, "art.webp")
+    if (!art.exists()) {
+      val in = getClass.getResourceAsStream("/graft/fixtures/art.webp")
+      require(in != null, "missing bundled art.webp fixture")
+      try java.nio.file.Files.write(art.toPath, in.readAllBytes())
+      finally in.close()
     }
     val excluded = new File(d, "note.txt")
     if (!excluded.exists())

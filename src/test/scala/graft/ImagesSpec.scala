@@ -17,25 +17,29 @@ class ImagesSpec extends SparkSpec {
     // note.txt excluded; nested.png (in sub/) excluded; corrupt.png and
     // photo.webp INCLUDED (extension passes — failure surfaces at
     // decode, appV2.py:183)
-    assert(names === Array("alpha.png", "anim.gif", "corrupt.png",
+    assert(names === Array("alpha.png", "anim.gif", "art.webp", "corrupt.png",
       "landscape.png", "photo.jpg", "photo.webp", "portrait.png",
       "square.PNG", "tiny.bmp"))
   }
 
-  test("webp contract: allow-listed at source, routed to the error channel at decode") {
-    // appV2.py:17 includes .webp; JDK ImageIO has no webp decoder, so
-    // the row must survive to the output WITH an error status — never a
-    // silent drop, never a job failure (Images.scala:21-24 contract)
+  test("webp contract: lossless decodes natively, lossy rides the error channel") {
+    // appV2.py:17 includes .webp. The engine's own pure-JVM VP8L reader
+    // (graft.images.WebPImageReader, registered via META-INF/services)
+    // decodes the LOSSLESS half of the format natively: art.webp is a
+    // real libwebp-encoded VP8L file and must come out 'ok'. Lossy VP8
+    // payloads (photo.webp) keep the documented error-status contract —
+    // the row survives to the output, never a silent drop, never a job
+    // failure (Images.scala contract; appV2.py:183 error isolation).
     val scored = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(8), targetSize = 16)
       .collect().map(r => r.getString(0).split('/').last ->
         (Option(r.getSeq[Float](1)), r.getString(2))).toMap
-    val (logits, status) = scored("photo.webp")
-    assert(status.startsWith("error:"), s"webp status was '$status'")
-    assert(logits.isEmpty, "error rows carry null logits")
-    // a webp-capable ImageIO plugin on the classpath would flip this row
-    // to "ok" with zero code changes — the assertion above is the
-    // documented NO-PLUGIN contract
+    val (lossyLogits, lossyStatus) = scored("photo.webp")
+    assert(lossyStatus.startsWith("error:"), s"lossy webp status was '$lossyStatus'")
+    assert(lossyLogits.isEmpty, "error rows carry null logits")
+    val (losslessLogits, losslessStatus) = scored("art.webp")
+    assert(losslessStatus === "ok", s"lossless webp status was '$losslessStatus'")
+    assert(losslessLogits.exists(_.length === 8), "ok rows carry logits")
   }
 
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {
@@ -70,7 +74,7 @@ class ImagesSpec extends SparkSpec {
     val (corruptLogits, corruptStatus) = scored("corrupt.png")
     assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
     val okCount = scored.values.count(_._2 == "ok")
-    assert(okCount === 7)
+    assert(okCount === 8) // 7 classic + art.webp (VP8L, engine-native decode)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -85,14 +89,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 9L && m("n_ok") === 7L && m("n_failed") === 2L)
+    assert(m("n_total") === 10L && m("n_ok") === 8L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 9)
+    assert(rows.length === 10)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
