@@ -268,7 +268,7 @@ object Vp8l {
     br.bit() // alpha hint — informational
     require(br.bits(3) == 0, "unsupported VP8L version")
     val (pixels, _) = decodeImageStream(width, height, isLevel0 = true, br)
-    Decoded(width, height, pixels)
+    Decoded(width, height, pixels, Set.empty)
   }
 
   /** Decode one spatially-coded image (the main ARGB image when
