@@ -36,8 +36,7 @@ object Vp8l {
     decodeStream(payload)
   }
 
-  final case class Decoded(width: Int, height: Int, argb: Array[Int],
-                           features: Set[String]) {
+  final case class Decoded(width: Int, height: Int, argb: Array[Int]) {
     def toImage: BufferedImage = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
       img.setRGB(0, 0, width, height, argb, 0, width)
@@ -54,17 +53,22 @@ object Vp8l {
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
     if (b.length < 20 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
-    var off = 12
+    // walk in Long arithmetic: a crafted 32-bit chunk size near 2^32 would
+    // wrap to a non-positive Int step and loop forever on untrusted bytes
+    var off = 12L
     while (off + 8 <= b.length) {
-      val cc = fourcc(off)
-      val size = le32(off + 4)
+      val iOff = off.toInt
+      val cc = fourcc(iOff)
+      val size = le32(iOff + 4) // unsigned 32-bit, already a Long
       if (cc == "VP8L") {
-        val n = math.min(size, (b.length - off - 8).toLong).toInt
-        return Some(java.util.Arrays.copyOfRange(b, off + 8, off + 8 + n))
+        val n = math.min(size, (b.length - off - 8)).toInt
+        return Some(java.util.Arrays.copyOfRange(b, iOff + 8, iOff + 8 + n))
       }
       // chunks are padded to even sizes; VP8X is a fixed 10-byte header
       // chunk, so simply continuing the walk reaches any embedded VP8L
-      off += 8 + size.toInt + (size.toInt & 1)
+      val next = off + 8 + size + (size & 1)
+      if (next <= off || next > b.length) return None
+      off = next
     }
     None
   }
@@ -110,6 +114,16 @@ object Vp8l {
     }
     private val used = count.sum
     private val single: Int = if (used == 1) lengths.indexWhere(_ > 0) else -1
+    // Kraft completeness: libwebp rejects over-/under-subscribed trees as
+    // bitstream errors; without this a corrupt stream decodes to garbage
+    // with status 'ok' instead of riding the R16 error channel. The empty
+    // and single-symbol tables are the spec's special cases.
+    if (used > 1) {
+      var kraft = 0L
+      var l = 1
+      while (l <= maxLen) { kraft += count(l).toLong << (maxLen - l); l += 1 }
+      require(kraft == (1L << maxLen), "invalid (incomplete/oversubscribed) huffman table in VP8L stream")
+    }
     // firstCode(len) and symbol list sorted by (len, sym)
     private val firstCode = new Array[Int](maxLen + 2)
     private val offset = new Array[Int](maxLen + 2)
@@ -268,7 +282,7 @@ object Vp8l {
     br.bit() // alpha hint — informational
     require(br.bits(3) == 0, "unsupported VP8L version")
     val (pixels, _) = decodeImageStream(width, height, isLevel0 = true, br)
-    Decoded(width, height, pixels, Set.empty)
+    Decoded(width, height, pixels)
   }
 
   /** Decode one spatially-coded image (the main ARGB image when

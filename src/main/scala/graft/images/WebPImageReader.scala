@@ -75,13 +75,17 @@ object WebPImageReaderSpi {
   private[images] def sniff(stream: ImageInputStream): Boolean = {
     stream.mark()
     try {
+      // readFully, not read(): ImageInputStream.read may legally return a
+      // short read before EOF, which would falsely reject a valid file
       val head = new Array[Byte](12)
-      if (stream.read(head) != 12) return false
+      try stream.readFully(head)
+      catch { case _: java.io.EOFException => return false }
       if (!(fourcc(head, 0) == "RIFF" && fourcc(head, 8) == "WEBP")) return false
       var hops = 0
       while (hops < 8) {
         val hdr = new Array[Byte](8)
-        if (stream.read(hdr) != 8) return false
+        try stream.readFully(hdr)
+        catch { case _: java.io.EOFException => return false }
         val cc = fourcc(hdr, 0)
         if (cc == "VP8L") return true
         if (!(cc == "VP8X" || cc == "ICCP" || cc == "EXIF" || cc == "XMP " ||

@@ -96,4 +96,48 @@ class WebPSpec extends AnyFunSuite {
     val cut = java.util.Arrays.copyOf(whole, whole.length - 40)
     intercept[IllegalArgumentException] { Vp8l.decode(cut) }
   }
+
+  test("crafted near-2^32 chunk size terminates the RIFF walk (no hang)") {
+    // RIFF/WEBP header + one chunk whose le32 size is 0xFFFFFFF8: a
+    // truncating Int walk would step 0 or negative and spin forever
+    val b = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(b, 0)
+    "WEBP".getBytes.copyToArray(b, 8)
+    "JUNK".getBytes.copyToArray(b, 12)
+    b(16) = 0xf8.toByte; b(17) = 0xff.toByte; b(18) = 0xff.toByte; b(19) = 0xff.toByte
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val f = done.submit(new java.util.concurrent.Callable[Option[Array[Byte]]] {
+        def call(): Option[Array[Byte]] = Vp8l.vp8lChunk(b)
+      })
+      assert(f.get(5, java.util.concurrent.TimeUnit.SECONDS).isEmpty)
+    } finally done.shutdownNow()
+    // zero-size chunk repeated would also stall without the strict-increase
+    // guard; a zero-size JUNK chunk followed by nothing must return None
+    val z = new Array[Byte](20)
+    "RIFF".getBytes.copyToArray(z, 0)
+    "WEBP".getBytes.copyToArray(z, 8)
+    "JUNK".getBytes.copyToArray(z, 12)
+    assert(Vp8l.vp8lChunk(z).isEmpty)
+  }
+
+  test("oversubscribed huffman table rides the error channel, not garbage pixels") {
+    // Take a valid VP8L stream and corrupt an interior byte of the
+    // entropy-code region; with Kraft validation the decode must throw
+    // (or still decode if the byte lands outside the tables) — it must
+    // never loop or crash with an internal error type. Sweep a window.
+    val whole = resource("gradient_64x48.webp")
+    var threw = 0
+    for (i <- 30 until math.min(90, whole.length)) {
+      val c = whole.clone()
+      c(i) = (c(i) ^ 0x5a).toByte
+      try { Vp8l.decode(c); () }
+      catch {
+        case _: IllegalArgumentException => threw += 1
+        case _: ArrayIndexOutOfBoundsException =>
+          fail(s"corrupt byte $i: AIOOBE escaped instead of IllegalArgumentException")
+      }
+    }
+    assert(threw > 0, "no corruption in the swept window was rejected — validation inert?")
+  }
 }
