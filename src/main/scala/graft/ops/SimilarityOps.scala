@@ -53,17 +53,99 @@ object SimilarityOps {
     "cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id % " +
       "(SELECT greatest(100, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM v) = 0)"
 
-  /** Nearest-centroid assignment via map-side max_by instead of a
-    * row_number window: the point×centroid crossJoin is partitioned by
-    * the points side only, so the partial aggregate collapses to one row
-    * per point BEFORE the exchange — the shuffle carries |points| rows,
-    * not |points|×|centroids|, and nothing is sorted. Tie-break
-    * (max over struct(ccos, −cid)) is identical to the window form's
-    * ORDER BY ccos DESC, cid. Returns (idCol, cid [, embCol if
-    * carryEmbedding]). */
+  /** Nearest-centroid assignment — the IVF-family entry point. The
+    * centroid table is √N-bounded BY CONSTRUCTION (every caller builds
+    * it with [[centroidStride]]), so it is collected once (limit-guarded
+    * like every other driver collect in the engine) and the assignment
+    * runs as ONE mapPartitions kernel over primitive arrays: each task
+    * streams its vectors against the broadcast centroid matrix and
+    * emits exactly one (id, cid [, sim_c] [, emb]) row — no joined row
+    * is ever materialized. The relational max_by form this replaces
+    * ([[assignNearestCellRelational]], retained as the parity reference
+    * and the >maxCollectRows fallback) is a BroadcastNestedLoopJoin
+    * that copies two embedding arrays per (point, centroid) pair before
+    * the partial aggregate sees them — at sf1 that is 2.8M UnsafeRow
+    * copies per assignment, the dominant super-linear term the sf1
+    * campaign left in the IVF family (SCALE.md round 8).
+    *
+    * Decision parity with the relational form (SimilarityKernelSpec):
+    * raw cosine folds left-to-right exactly like
+    * CosineSimilarity.nullSafeEval, rounds to 6 dp with Spark round()'s
+    * HALF_UP-on-decimal-string semantics, NaN orders greatest
+    * (Double.compare — Spark's double ordering), ties break to the
+    * lowest cid (ascending-cid scan, strict-improvement update), and a
+    * length-mismatched centroid can only win when every centroid
+    * mismatches (the relational null-orders-first rule; sim_c is null
+    * on such a row). Returns (idCol, cid [, sim_c if carrySim]
+    * [, embCol if carryEmbedding]). */
   def assignNearestCell(spark: org.apache.spark.sql.SparkSession,
                         points: DataFrame, idCol: String, embCol: String,
-                        cent: DataFrame, carryEmbedding: Boolean = false): DataFrame = {
+                        cent: DataFrame, carryEmbedding: Boolean = false,
+                        carrySim: Boolean = false,
+                        maxCollectRows: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val collected: Array[(Long, Array[Float])] =
+      cent.select(col("cid").cast("long"), col("cemb"))
+        .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
+        .as[(Long, Array[Float])].collect()
+    if (collected.length > maxCollectRows) {
+      require(!carrySim,
+        "assignNearestCell: carrySim unsupported on the relational fallback")
+      return assignNearestCellRelational(spark, points, idCol, embCol, cent,
+        carryEmbedding)
+    }
+    val cents = collected.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = points.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          var bestCid = -1L
+          var bestR = 0.0
+          var found = false      // a real (length-matched) cosine seen
+          var nullCid = -1L      // lowest mismatched cid (null-cos rule)
+          var i = 0
+          while (i < cs.length) {
+            val (cid, c) = cs(i)
+            if (c.length != v.length) {
+              if (nullCid < 0) nullCid = cid
+            } else {
+              var dot = 0.0; var nx = 0.0; var ny = 0.0
+              var k = 0
+              while (k < v.length) {
+                val x = v(k).toDouble; val y = c(k).toDouble
+                dot += x * y; nx += x * x; ny += y * y
+                k += 1
+              }
+              val r = roundN(dot / (math.sqrt(nx) * math.sqrt(ny)), 6)
+              if (!found || java.lang.Double.compare(r, bestR) > 0) {
+                found = true; bestR = r; bestCid = cid
+              }
+            }
+            i += 1
+          }
+          if (found) Some((id, bestCid, Some(bestR), v))
+          else if (nullCid >= 0) Some((id, nullCid, None: Option[Double], v))
+          else None
+        }
+      }
+      .toDF(idCol, "cid", "sim_c", embCol)
+    val cols = Seq(col(idCol), col("cid")) ++
+      (if (carrySim) Seq(col("sim_c")) else Nil) ++
+      (if (carryEmbedding) Seq(col(embCol)) else Nil)
+    assigned.select(cols: _*)
+  }
+
+  /** The declarative form of [[assignNearestCell]] — map-side max_by
+    * over the centroid crossJoin (shuffle carries |points| rows, no
+    * window sort). Retained as the kernel's decision-parity reference
+    * and its oversized-centroid-table fallback. Tie-break
+    * (max over struct(ccos, −cid)) is identical to the oracle window
+    * form's ORDER BY ccos DESC, cid. */
+  def assignNearestCellRelational(spark: org.apache.spark.sql.SparkSession,
+                                  points: DataFrame, idCol: String, embCol: String,
+                                  cent: DataFrame, carryEmbedding: Boolean = false): DataFrame = {
     val ccos = cosineNative6(spark, col(embCol), col("cemb"))
     val payload =
       if (carryEmbedding) struct(col("cid"), col(embCol).as("emb"))
@@ -76,6 +158,41 @@ object SimilarityOps {
       agg.select(col(idCol), col("best.cid").as("cid"), col("best.emb").as(embCol))
     else agg.select(col(idCol), col("best.cid").as("cid"))
   }
+
+  /** Second-level cell split (two-level IVF): cells are capped at
+    * [[cellCap]] members by banding each cell's members in
+    * (sim_c, vec_id) order — row_number partitions by cid, so band
+    * `⌊(pos−1)/cellCap⌋` is a deterministic sub-cell id and every
+    * (cid, band) block holds AT MOST cellCap vectors. Per-block
+    * quadratic work is therefore bounded by the CONSTANT cellCap², and
+    * Σ blocks · cellCap² ≤ N·cellCap — the cell-blocked pair stage is
+    * linear in the corpus instead of N^1.5 (the round-7 residual on
+    * sim_knn_graph / dedup_semantic / dedup_embedding_blocked).
+    * Geometrically the bands are similarity-to-centroid annuli: exact
+    * and near duplicates have (near-)equal sim_c, so they land in the
+    * same band except at a band boundary — the same bounded-recall
+    * trade the cell blocking itself already makes, and the oracle
+    * states the identical banding so the gate stays exact. */
+  val cellCap = 128
+
+  /** Spark-side banding: adds `pos` (1-based rank in the cell by
+    * (sim_c, vec_id)) and `band` (= ⌊(pos−1)/cellCap⌋) to an
+    * assignment that carries sim_c. */
+  def bandCells(assign: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("sim_c").asc, col("vec_id").asc)
+    assign.withColumn("pos", row_number().over(w))
+      .withColumn("band", floor((col("pos") - 1) / lit(cellCap.toDouble)))
+  }
+
+  /** DuckDB dual of [[bandCells]] (expects an `assign(vec_id, …, cid,
+    * sim_c)` CTE upstream; emits every assign column plus pos, band). */
+  val bandSqlCte: String =
+    s"""banded AS (
+       |  SELECT *, CAST(floor((pos - 1) / $cellCap.0) AS BIGINT) AS band FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid
+       |      ORDER BY sim_c, vec_id) AS pos
+       |    FROM assign) t)""".stripMargin
 
   /** All-pairs raw cosine over a SMALL vector set as a broadcast-matrix
     * kernel — the scale-correct form of the brute-force baseline.
@@ -318,9 +435,12 @@ object SimilarityOps {
 
   /** Spark SQL round() semantics for doubles (decimal HALF_UP) — the
     * local kernels must round exactly as the relational pipeline does
-    * or iteration inputs drift between the two paths. */
+    * or iteration inputs drift between the two paths. NaN/Inf pass
+    * through exactly as Catalyst's Round does (BigDecimal.valueOf would
+    * throw on them). */
   @inline private def roundN(x: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Nearest centroid (index, d2) under the relational sim_kmeans

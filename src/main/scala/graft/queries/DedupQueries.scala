@@ -335,10 +335,13 @@ object DedupQueries extends QueryRegistry {
 
   // ---- Embedding near-dup, blocked: the scale path for the quadratic
   // baseline above. Vectors are coarse-quantized to their nearest
-  // centroid (same deterministic IVF cells as sim_ann_ivf); candidate
-  // pairs only form INSIDE a cell, so pair cost drops from n² to
-  // Σ_cell |cell|². Cross-cell near-dups are the recall trade — the
-  // oracle runs the identical blocking, so the gate stays exact.
+  // centroid (same deterministic IVF cells as sim_ann_ivf, one kernel
+  // pass against the broadcast centroid matrix), then cells are capped
+  // at cellCap members by sim_c-banding (the second IVF level);
+  // candidate pairs only form INSIDE a (cell, band) block, so pair cost
+  // is bounded by cellCap·N — linear in the corpus, not Σ_cell |cell|².
+  // Cross-block near-dups are the recall trade — the oracle runs the
+  // identical two-level blocking, so the gate stays exact.
   private val embCosineBlocked = NamedQuery(
     "dedup_embedding_blocked",
     (spark, d) => {
@@ -347,13 +350,14 @@ object DedupQueries extends QueryRegistry {
         SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
       val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      // map-side max_by assignment — shuffle carries |points| rows, no
-      // window sort of the crossJoin (same tie-break as the oracle's
-      // row_number ORDER BY ccos DESC, cid)
-      val assign = SimilarityOps.assignNearestCell(
-        spark, v, "vec_id", "embedding", cent, carryEmbedding = true)
+      val assign = SimilarityOps.bandCells(SimilarityOps.assignNearestCell(
+          spark, v, "vec_id", "embedding", cent,
+          carryEmbedding = true, carrySim = true))
+        .select(col("vec_id"), col("cid"), col("band"), col("embedding"))
+        .localCheckpoint() // the block self-join reads the assignment twice
       assign.as("a").join(assign.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          col("a.cid") === col("b.cid") && col("a.band") === col("b.band") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
           SimilarityOps.cosineNative6(spark,
             col("a.embedding"), col("b.embedding")).as("cosine"))
@@ -363,16 +367,20 @@ object DedupQueries extends QueryRegistry {
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
         |assign AS (
-        |  SELECT vec_id, emb, cid FROM (
-        |    SELECT v.vec_id, v.emb, cent.cid, row_number() OVER (
+        |  SELECT vec_id, emb, cid, sim_c FROM (
+        |    SELECT v.vec_id, v.emb, cent.cid,
+        |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
+        |      row_number() OVER (
         |      PARTITION BY v.vec_id
         |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
         |      AS crn
         |    FROM v CROSS JOIN cent) t
-        |  WHERE crn = 1)
+        |  WHERE crn = 1),
+        |${SimilarityOps.bandSqlCte}
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
-        |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |FROM banded a JOIN banded b
+        |  ON a.cid = b.cid AND a.band = b.band AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
         |ORDER BY id1, id2""".stripMargin))
 
@@ -457,31 +465,32 @@ object DedupQueries extends QueryRegistry {
   // to centroid) and prunes the redundant core. Differs from
   // dedup_embedding_blocked in both output contract (a keep/drop
   // decision per vector, not a pair list) and the keep-rule (centroid
-  // geometry, not min-id). Scale: assignment is the map-side max_by
-  // broadcast posture (shuffle = |points| rows); the prune self-join is
-  // cell-local (Σ|cell|², SemDeDup's own cost model — cluster count is
-  // the knob that bounds it); the ordering window partitions by cell.
-  // The cosine threshold sits IN the join condition, so sub-threshold
-  // pairs never materialize past the join.
+  // geometry, not min-id). Scale: assignment is ONE kernel pass against
+  // the broadcast centroid matrix (assignNearestCell, which also emits
+  // sim_c — the cosine the keep-rule orders by); clusters are capped at
+  // cellCap members by sim_c-banding (the second IVF level), so the
+  // prune self-join is block-local and bounded by the constant cellCap²
+  // per block — linear in the corpus, not Σ|cell|² (SemDeDup's own cost
+  // model makes cluster GRANULARITY the dial; banding is that dial made
+  // deterministic). The prune window partitions by (cid, band). The
+  // cosine threshold sits IN the join condition, so sub-threshold pairs
+  // never materialize past the join.
   private val semantic = NamedQuery(
     "dedup_semantic",
     (spark, d) => {
-      import org.apache.spark.sql.expressions.Window
       val v = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
       val stride =
         SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
       val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       val assign = SimilarityOps.assignNearestCell(
-        spark, v, "vec_id", "embedding", cent, carryEmbedding = true)
-      val withC = assign.join(broadcast(cent), "cid")
-        .select(col("vec_id"), col("cid"), col("embedding"),
-          SimilarityOps.cosineNative6(spark, col("embedding"), col("cemb"))
-            .as("sim_c"))
-      val w = Window.partitionBy("cid").orderBy(col("sim_c").asc, col("vec_id").asc)
-      val ord = withC.withColumn("pos", row_number().over(w))
+        spark, v, "vec_id", "embedding", cent,
+        carryEmbedding = true, carrySim = true)
+      // ord is read three times (both prune sides + the final keep join)
+      val ord = SimilarityOps.bandCells(assign).localCheckpoint()
       val dropped = ord.as("a").join(ord.as("b"),
-          col("a.cid") === col("b.cid") && col("a.pos") < col("b.pos") &&
+          col("a.cid") === col("b.cid") && col("a.band") === col("b.band") &&
+            col("a.pos") < col("b.pos") &&
             SimilarityOps.cosineNative6(spark,
               col("a.embedding"), col("b.embedding")) >= 0.4)
         .select(col("b.vec_id").as("vec_id")).distinct()
@@ -503,15 +512,13 @@ object DedupQueries extends QueryRegistry {
         |          cent.cid) AS crn
         |    FROM v CROSS JOIN cent) t
         |  WHERE crn = 1),
-        |ord AS (SELECT vec_id, emb, cid, sim_c,
-        |          row_number() OVER (PARTITION BY cid ORDER BY sim_c, vec_id) AS pos
-        |        FROM assign),
-        |dropped AS (SELECT DISTINCT b.vec_id FROM ord a JOIN ord b
-        |            ON a.cid = b.cid AND a.pos < b.pos
+        |${SimilarityOps.bandSqlCte},
+        |dropped AS (SELECT DISTINCT b.vec_id FROM banded a JOIN banded b
+        |            ON a.cid = b.cid AND a.band = b.band AND a.pos < b.pos
         |            WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4)
         |SELECT o.vec_id, o.cid, o.sim_c,
         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-        |FROM ord o LEFT JOIN dropped d ON o.vec_id = d.vec_id
+        |FROM banded o LEFT JOIN dropped d ON o.vec_id = d.vec_id
         |ORDER BY o.vec_id""".stripMargin))
 
   val all: Seq[NamedQuery] =

@@ -435,18 +435,21 @@ object SimilarityQueries extends QueryRegistry {
   // ---- kNN-graph construction (the primitive under SemDeDup-style
   // semantic clustering and graph-based ANN indexes): for EVERY vector,
   // its top-k most-cosine-similar neighbors — but never all-pairs. The
-  // declared scale shape is IVF-cell-blocked: every vector assigns to
-  // its nearest deterministic coarse centroid (the sim_ann_ivf
-  // quantizer, map-side max_by over a broadcast centroid table), the
-  // candidate set is same-cell pairs, exact-cosine rerank runs on
-  // candidates alone, and the per-vector top-k window partitions by
-  // vec_id (no global sort). Neighbors in other cells are invisible —
-  // that recall trade-off IS the algorithm (pinned by the oracle, which
-  // states the identical cell-blocked computation; the spec checks the
-  // graph agrees with brute force for same-cell true neighbors). At
-  // 100 TB: one corpus exchange keyed on the cell id, per-cell work
-  // quadratic only in the cell size (bounded by the centroid count
-  // scaling with corpus size — √n centroids keeps cells √n).
+  // declared scale shape is TWO-LEVEL IVF-cell-blocked: every vector
+  // assigns to its nearest deterministic coarse centroid (the
+  // sim_ann_ivf quantizer, one mapPartitions kernel pass against the
+  // broadcast centroid matrix), cells are then capped at
+  // SimilarityOps.cellCap members by similarity-to-centroid banding
+  // (bandCells — the second quantization level), the candidate set is
+  // same-(cell, band) pairs, exact-cosine rerank runs on candidates
+  // alone, and the per-vector top-k window partitions by vec_id (no
+  // global sort). Neighbors in other cells/bands are invisible — that
+  // recall trade-off IS the algorithm (pinned by the oracle, which
+  // states the identical two-level blocking; the spec checks the graph
+  // agrees with brute force for same-block true neighbors). At 100 TB:
+  // one corpus exchange keyed on (cid, band), per-block work bounded by
+  // the CONSTANT cellCap² — the pair stage is linear in the corpus, not
+  // N^1.5 (the round-7 residual this banding removed, SCALE.md).
   private val knnGraph = NamedQuery(
     "sim_knn_graph",
     (spark, d) => {
@@ -455,11 +458,14 @@ object SimilarityQueries extends QueryRegistry {
         SimilarityOps.centroidStride(Tables.rowCount(spark, d, "embeddings"))
       val cent = v.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      val assign = SimilarityOps
-        .assignNearestCell(spark, v, "vec_id", "embedding", cent)
-        .localCheckpoint() // same-cell self-join reads the assignment twice
+      val assign = SimilarityOps.bandCells(SimilarityOps
+          .assignNearestCell(spark, v, "vec_id", "embedding", cent,
+            carrySim = true))
+        .select(col("vec_id"), col("cid"), col("band"))
+        .localCheckpoint() // same-block self-join reads the assignment twice
       val cand = assign.as("a").join(assign.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+          col("a.cid") === col("b.cid") && col("a.band") === col("b.band") &&
+            col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
       val scored = cand
         .join(v.select(col("vec_id"), col("embedding").as("e1")), "vec_id")
@@ -477,16 +483,19 @@ object SimilarityQueries extends QueryRegistry {
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
         |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
+        |  SELECT vec_id, cid, sim_c FROM (
+        |    SELECT v.vec_id, cent.cid,
+        |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
+        |      row_number() OVER (PARTITION BY v.vec_id
         |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
         |      AS crn
         |    FROM v CROSS JOIN cent) t
         |  WHERE crn = 1),
+        |${SimilarityOps.bandSqlCte},
         |cand AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-        |  FROM assign a JOIN assign b
-        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |  FROM banded a JOIN banded b
+        |    ON a.cid = b.cid AND a.band = b.band AND a.vec_id <> b.vec_id),
         |scored AS (
         |  SELECT c.vec_id, c.neighbor_id,
         |    round(list_cosine_similarity(v1.emb, v2.emb), 6) AS cosine

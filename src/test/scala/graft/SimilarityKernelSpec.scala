@@ -66,6 +66,71 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(guarded === local)
   }
 
+  test("assignNearestCell kernel == relational max_by form (fixture corpus)") {
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val stride = SimilarityOps.centroidStride(v.count())
+    val cent = v.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val kernel = SimilarityOps
+      .assignNearestCell(spark, v, "vec_id", "embedding", cent)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val relational = SimilarityOps
+      .assignNearestCellRelational(spark, v, "vec_id", "embedding", cent)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(kernel.nonEmpty)
+    assert(kernel === relational)
+  }
+
+  test("assignNearestCell ties break to the lowest cid; sim_c is round(cos,6)") {
+    import spark.implicits._
+    // centroids 7 and 3 are IDENTICAL vectors → every point ties on
+    // cosine and must assign to cid 3 (lowest), exactly like the
+    // relational max(struct(ccos, -cid))
+    val cent = Seq(
+      (7L, Array(1f, 0f, 0f)), (3L, Array(1f, 0f, 0f)), (9L, Array(0f, 1f, 0f)))
+      .toDF("cid", "cemb")
+    val pts = Seq(
+      (1L, Array(2f, 0.1f, 0f)), (2L, Array(0.1f, 2f, 0f)), (3L, Array(1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps
+      .assignNearestCell(spark, pts, "vec_id", "embedding", cent, carrySim = true)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rel = SimilarityOps
+      .assignNearestCellRelational(spark, pts, "vec_id", "embedding", cent)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(t => (t._1, t._2)) === rel)
+    assert(got.head._2 === 3L, "tie must break to the lowest cid")
+    // sim_c must be the 6-dp rounded cosine the relational side computes
+    val expSim = pts.crossJoin(cent.filter(col("cid") === 3))
+      .filter(col("vec_id") === 1)
+      .select(SimilarityOps.cosineNative6(spark, col("embedding"), col("cemb")))
+      .head().getDouble(0)
+    assert(got.head._3 === expSim)
+  }
+
+  test("bandCells caps every (cid, band) block at cellCap members") {
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val stride = SimilarityOps.centroidStride(v.count())
+    val cent = v.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val banded = SimilarityOps.bandCells(SimilarityOps
+      .assignNearestCell(spark, v, "vec_id", "embedding", cent, carrySim = true))
+    val sizes = banded.groupBy("cid", "band").count().collect()
+    assert(sizes.nonEmpty)
+    assert(sizes.forall(_.getLong(2) <= SimilarityOps.cellCap),
+      "a (cid, band) block exceeded cellCap")
+    // banding must not lose or duplicate vectors
+    assert(banded.count() === v.count())
+    // the fixture's cells (≈100-member average with skew) must actually
+    // exercise a split somewhere across the SFs this spec sees — if not,
+    // the band column is inert and the cap claim untested
+    val nBands = banded.select("cid", "band").distinct().count()
+    val nCells = banded.select("cid").distinct().count()
+    assert(nBands >= nCells)
+  }
+
   test("kmeansLocal (fused mapPartitions rounds) == relational sim_kmeans census") {
     val relational = SparkEntry.queries("sim_kmeans")(spark, sf)
       .collect()
