@@ -71,6 +71,18 @@ object ImageFixtures {
           .putInt(body.length).array() ++ body
       java.nio.file.Files.write(webp.toPath, riff)
     }
+    // a REAL lossy WebP (VP8 chunk, libwebp-encoded at q=75 — not the
+    // synthetic truncated container above): the genuine artifact a
+    // crawler yields. The engine decodes VP8L only, so this row pins
+    // "real lossy input rides the R16 error channel" in the
+    // hash-checked img_tagger_e2e expectation fixture, not just specs.
+    val lossy = new File(d, "lossy.webp")
+    if (!lossy.exists()) {
+      val in = getClass.getResourceAsStream("/graft/fixtures/lossy_gradient.webp")
+      require(in != null, "missing bundled lossy_gradient.webp fixture")
+      try java.nio.file.Files.write(lossy.toPath, in.readAllBytes())
+      finally in.close()
+    }
     // a real LOSSLESS WebP (VP8L, libwebp-encoded — the committed
     // fixture the WebPSpec goldens also cover): decodes natively through
     // the engine's pure-JVM ImageIO plugin, so this row rides the OK

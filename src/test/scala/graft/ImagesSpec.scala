@@ -18,8 +18,8 @@ class ImagesSpec extends SparkSpec {
     // photo.webp INCLUDED (extension passes — failure surfaces at
     // decode, appV2.py:183)
     assert(names === Array("alpha.png", "anim.gif", "art.webp", "corrupt.png",
-      "landscape.png", "photo.jpg", "photo.webp", "portrait.png",
-      "square.PNG", "tiny.bmp"))
+      "landscape.png", "lossy.webp", "photo.jpg", "photo.webp",
+      "portrait.png", "square.PNG", "tiny.bmp"))
   }
 
   test("webp contract: lossless decodes natively, lossy rides the error channel") {
@@ -40,6 +40,13 @@ class ImagesSpec extends SparkSpec {
     val (losslessLogits, losslessStatus) = scored("art.webp")
     assert(losslessStatus === "ok", s"lossless webp status was '$losslessStatus'")
     assert(losslessLogits.exists(_.length === 8), "ok rows carry logits")
+    // lossy.webp is a REAL libwebp q=75 VP8 encoding (not a synthetic
+    // truncated container like photo.webp) — the genuine crawler artifact
+    // must take the same error path
+    val (realLossyLogits, realLossyStatus) = scored("lossy.webp")
+    assert(realLossyStatus.startsWith("error:"),
+      s"real lossy webp status was '$realLossyStatus'")
+    assert(realLossyLogits.isEmpty)
   }
 
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {
@@ -89,14 +96,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 10L && m("n_ok") === 8L && m("n_failed") === 2L)
+    assert(m("n_total") === 11L && m("n_ok") === 8L && m("n_failed") === 3L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 10)
+    assert(rows.length === 11)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
