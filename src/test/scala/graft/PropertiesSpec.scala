@@ -648,4 +648,66 @@ class PropertiesSpec extends SparkSpec {
       assert(got == ref(cents), s"half-boundary mean: got $got")
     }
   }
+
+  test("property: Money.centsMean on CONSTRUCTED exact half-boundary " +
+      "rationals with 2^a·5^b denominators (rule 12's hazard class)") {
+    // the denominators that seek the rounding grid: group size n=2^a·5^b
+    // makes the true mean S/(100n) a terminating decimal, and with
+    // S = m·k (k odd, n = 200m) it lands EXACTLY on an odd multiple of
+    // 5e-5 — the 4dp half-boundary where Spark's shortest-repr HALF_UP
+    // and DuckDB's scaled away-from-zero round apart on ~10% of
+    // rationals (COVERAGE rule 12, probed). Every case below verifiably
+    // HITS the boundary (200·S/n is odd by construction); the raw-emit
+    // contract must hold regardless: exact integer cents through the one
+    // fixed IEEE chain /100.0/n, bit-identical in both engines and under
+    // any partitioning. The plain-Scala chain below IS DuckDB's
+    // evaluation of the mirrored centsMeanSql — same integers, same
+    // IEEE ops.
+    val caseGen = for {
+      m <- Gen.oneOf(1, 2, 4, 5, 8, 10) // n = 200m = 2^(a+3)·5^(b+2)
+      k <- Gen.chooseNum(-400000L, 400000L).map(v => 2 * v + 1) // odd
+      others <- Gen.listOfN(200 * m - 1, Gen.chooseNum(-999L, 999L))
+    } yield {
+      val s = m * k // Σcents: mean = mk/(100·200m) = k/20000, k odd
+      (others :+ (s - others.sum), s)
+    }
+    def ref(s: Long, n: Int): Double = s.toDouble / 100.0 / n
+    for (((cents, s), i) <- samples(caseGen, 15).zipWithIndex) {
+      val n = cents.size
+      assert(cents.sum == s && (200L * s) % n == 0 && ((200L * s / n) % 2L != 0),
+        s"case $i: constructed mean is not an exact 4dp half-boundary")
+      def run(parts: Int): Double = cents.map(_ / 100.0).toDF("v")
+        .repartition(parts)
+        .agg(graft.ops.Money.centsMean(col("v"))).collect().head.getDouble(0)
+      val (a, b) = (run(1), run(17))
+      assert(a == b, s"case $i: partitioning changed the boundary mean")
+      assert(a == ref(s, n), s"case $i: ${ref(s, n)} expected, got $a")
+    }
+  }
+
+  test("property: rule-12 raw-ratio emission (exact ints, one division) " +
+      "is partition-invariant and matches the IEEE reference chain") {
+    // the shared_frac / quality-score shape: two exact integer
+    // aggregates, ONE division, emitted raw. Denominators drawn from
+    // the 2^a·5^b boundary-seeking class — with a final round() these
+    // are exactly the group sizes whose ratios land on grid half-
+    // boundaries; raw emission has no rounding step to disagree on.
+    val caseGen = for {
+      a <- Gen.chooseNum(0, 5)
+      b <- Gen.chooseNum(0, 3)
+      n = (1 << a) * math.pow(5, b).toInt
+      hits <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield hits
+    for ((hits, i) <- samples(caseGen, 25).zipWithIndex) {
+      val want = hits.count(identity).toLong / hits.size.toDouble
+      def run(parts: Int): Double = hits.toDF("hit").repartition(parts)
+        .agg(sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("a"),
+          count(lit(1)).as("n"))
+        .select(col("a") / col("n").cast("double"))
+        .collect().head.getDouble(0)
+      val (x, y) = (run(1), run(13))
+      assert(x == y, s"case $i: partitioning changed the ratio: $x vs $y")
+      assert(x == want, s"case $i: $want expected, got $x")
+    }
+  }
 }
