@@ -54,12 +54,13 @@ object ImageFixtures {
     val corrupt = new File(d, "corrupt.png")
     if (!corrupt.exists())
       java.nio.file.Files.write(corrupt.toPath, "not an image at all".getBytes)
-    // a STRUCTURALLY VALID but LOSSY WebP container (RIFF/WEBP/VP8 chunk
-    // headers, truncated bitstream): the reference allow-list includes
-    // .webp (appV2.py:17); the engine's own VP8L reader (graft.images)
-    // covers the LOSSLESS half, while lossy VP8 payloads keep the
-    // documented contract (Images.scala): source-inclusion + decode-stage
-    // error status — NOT a silent drop. This fixture pins the lossy half.
+    // a STRUCTURALLY VALID WebP container with a TRUNCATED zero VP8
+    // bitstream (RIFF/WEBP/VP8 chunk headers, no real keyframe): the
+    // reference allow-list includes .webp (appV2.py:17); the engine's
+    // own readers (graft.images) decode both real halves of the format,
+    // while corrupt payloads keep the documented contract
+    // (Images.scala): source-inclusion + decode-stage error status —
+    // NOT a silent drop. This fixture pins the corrupt-bytes half.
     val webp = new File(d, "photo.webp")
     if (!webp.exists()) {
       val payload = new Array[Byte](10) // fake VP8 bitstream bytes
@@ -73,9 +74,10 @@ object ImageFixtures {
     }
     // a REAL lossy WebP (VP8 chunk, libwebp-encoded at q=75 — not the
     // synthetic truncated container above): the genuine artifact a
-    // crawler yields. The engine decodes VP8L only, so this row pins
-    // "real lossy input rides the R16 error channel" in the
-    // hash-checked img_tagger_e2e expectation fixture, not just specs.
+    // crawler yields, decoded natively by the engine's pure-JVM VP8
+    // keyframe decoder (graft.images.Vp8, bit-identical to libwebp on
+    // the committed goldens) — this row rides the OK path end-to-end in
+    // the hash-checked img_tagger_e2e expectation fixture.
     val lossy = new File(d, "lossy.webp")
     if (!lossy.exists()) {
       val in = getClass.getResourceAsStream("/graft/fixtures/lossy_gradient.webp")

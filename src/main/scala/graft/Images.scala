@@ -19,9 +19,12 @@ import scala.util.{Failure, Success, Try}
   *     a white canvas (appV2.py:29-36), bicubic resize to 448×448, /255,
   *     HWC→CHW, RGB→BGR channel reverse, (x−0.5)/0.5 normalize
   *     (appV2.py:38-49). ImageIO covers png/jpg/jpeg/bmp/gif natively;
-  *     webp rows flow to the error channel unless an ImageIO plugin is on
-  *     the executor classpath (the reference needs a manual model download
-  *     the same way, README.md:10-12);
+  *     webp decodes through the engine's OWN pure-JVM readers
+  *     (graft.images.Vp8l for lossless, graft.images.Vp8 for lossy
+  *     keyframes — both registered via an ImageIO SPI and validated
+  *     bit-identical to libwebp on committed golden vectors); only
+  *     corrupt bytes, animations, and lossy-with-alpha containers ride
+  *     the error channel;
   *   - scoring: `mapPartitions` with ONE scorer instance per partition —
   *     the Spark dual of the reference's single ONNX session reused across
   *     the whole run (appV2.py:149,171). The ONNX model is not available

@@ -1097,13 +1097,87 @@ object Vp8 {
     }
   }
 
-  /** Dev aid: parse and print frame header + per-MB modes. */
-  def debugHeader(fileBytes: Array[Byte]): Unit = {
-    val d = vp8Chunk(fileBytes).get
-    val tag = (d(0) & 0xff) | ((d(1) & 0xff) << 8) | ((d(2) & 0xff) << 16)
-    println(s"part1Len=${tag >>> 5} total=${d.length}")
-    debugHook = true
-    try decodeFrame(d) finally debugHook = false
+  // ------------------------------------------------- YUV -> RGB output
+
+  /** libwebp-compatible fixed-point BT.601 conversion (dsp/yuv.h): the
+    * 14-bit coefficients with the >>6 clip, matching WebPDecodeRGBA
+    * exactly given identical YUV input. */
+  @inline private def mulHi(v: Int, coeff: Int): Int = (v * coeff) >> 8
+  @inline private def clip8(v: Int): Int = {
+    val mask2 = (256 << 6) - 1
+    if ((v & ~mask2) == 0) v >> 6 else if (v < 0) 0 else 255
   }
-  private[images] var debugHook = false
+  @inline private def yuvToR(y: Int, v: Int): Int =
+    clip8(mulHi(y, 19077) + mulHi(v, 26149) - 14234)
+  @inline private def yuvToG(y: Int, u: Int, v: Int): Int =
+    clip8(mulHi(y, 19077) - mulHi(u, 6419) - mulHi(v, 13320) + 8708)
+  @inline private def yuvToB(y: Int, u: Int): Int =
+    clip8(mulHi(y, 19077) + mulHi(u, 33050) - 17685)
+
+  /** Fancy (bilinear) chroma upsampling + conversion to packed ARGB,
+    * the libwebp default decode path (dsp/upsampling.c): chroma samples
+    * sit on a half-pel-centered grid, each output pixel blends the four
+    * surrounding chroma samples with (9,3,3,1)/16 weights via the
+    * two-diagonal formulation; frame borders mirror the edge samples.
+    * Byte-identical to WebPDecodeRGBA on the fixture goldens. */
+  def toArgb(pl: Planes): Array[Int] = {
+    val w = pl.width
+    val h = pl.height
+    val uvW = pl.uvWidth
+    val out = new Array[Int](w * h)
+
+    // one upsampled line pair; bottomY < 0 renders only the top line
+    def linePair(topY: Int, bottomY: Int, topUv: Int, curUv: Int): Unit = {
+      val lastPair = (w - 1) >> 1
+      var tlU = pl.u(topUv * uvW) & 0xff
+      var tlV = pl.v(topUv * uvW) & 0xff
+      var lU = pl.u(curUv * uvW) & 0xff
+      var lV = pl.v(curUv * uvW) & 0xff
+      @inline def emit(row: Int, x: Int, u: Int, v: Int): Unit = {
+        val y = pl.y(row * w + x) & 0xff
+        out(row * w + x) = 0xff000000 |
+          (yuvToR(y, v) << 16) | (yuvToG(y, u, v) << 8) | yuvToB(y, u)
+      }
+      emit(topY, 0, (3 * tlU + lU + 2) >> 2, (3 * tlV + lV + 2) >> 2)
+      if (bottomY >= 0)
+        emit(bottomY, 0, (3 * lU + tlU + 2) >> 2, (3 * lV + tlV + 2) >> 2)
+      var x = 1
+      while (x <= lastPair) {
+        val tU = pl.u(topUv * uvW + x) & 0xff
+        val tV = pl.v(topUv * uvW + x) & 0xff
+        val cU = pl.u(curUv * uvW + x) & 0xff
+        val cV = pl.v(curUv * uvW + x) & 0xff
+        val avgU = tlU + tU + lU + cU + 8
+        val avgV = tlV + tV + lV + cV + 8
+        val diag12U = (avgU + 2 * (tU + lU)) >> 3
+        val diag12V = (avgV + 2 * (tV + lV)) >> 3
+        val diag03U = (avgU + 2 * (tlU + cU)) >> 3
+        val diag03V = (avgV + 2 * (tlV + cV)) >> 3
+        emit(topY, 2 * x - 1, (diag12U + tlU) >> 1, (diag12V + tlV) >> 1)
+        emit(topY, 2 * x, (diag03U + tU) >> 1, (diag03V + tV) >> 1)
+        if (bottomY >= 0) {
+          emit(bottomY, 2 * x - 1, (diag03U + lU) >> 1, (diag03V + lV) >> 1)
+          emit(bottomY, 2 * x, (diag12U + cU) >> 1, (diag12V + cV) >> 1)
+        }
+        tlU = tU; tlV = tV; lU = cU; lV = cV
+        x += 1
+      }
+      if ((w & 1) == 0) {
+        emit(topY, w - 1, (3 * tlU + lU + 2) >> 2, (3 * tlV + lV + 2) >> 2)
+        if (bottomY >= 0)
+          emit(bottomY, w - 1, (3 * lU + tlU + 2) >> 2,
+            (3 * lV + tlV + 2) >> 2)
+      }
+    }
+
+    linePair(0, -1, 0, 0) // first line mirrors the chroma boundary
+    var cr = 0
+    while (2 * cr + 2 < h) {
+      linePair(2 * cr + 1, 2 * cr + 2, cr, cr + 1)
+      cr += 1
+    }
+    if (h > 1 && (h & 1) == 0)
+      linePair(h - 1, -1, pl.uvHeight - 1, pl.uvHeight - 1)
+    out
+  }
 }

@@ -7,11 +7,12 @@ import javax.imageio.metadata.IIOMetadata
 import javax.imageio.spi.ImageReaderSpi
 import javax.imageio.stream.ImageInputStream
 
-/** ImageIO plumbing for the pure-JVM VP8L decoder: a standard
+/** ImageIO plumbing for the pure-JVM WebP decoders: a standard
   * `ImageReader` + SPI pair registered via META-INF/services, so plain
   * `ImageIO.read(...)` — the exact call Images.preprocess already makes —
-  * decodes lossless .webp with no call-site changes. Lossy VP8 payloads
-  * answer `canDecodeInput = false` and keep riding the error channel
+  * decodes BOTH lossless (VP8L) and lossy (VP8 keyframe) .webp with no
+  * call-site changes. Animated containers and lossy-with-alpha (ALPH
+  * chunk) answer `canDecodeInput = false` and ride the error channel
   * (Images.scala decode contract). */
 final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
 
@@ -31,7 +32,13 @@ final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
       val chunk = new Array[Byte](64 << 10)
       var n = stream.read(chunk)
       while (n > 0) { buf.write(chunk, 0, n); n = stream.read(chunk) }
-      decoded = Vp8l.decode(buf.toByteArray)
+      val bytes = buf.toByteArray
+      decoded =
+        if (Vp8l.isLossless(bytes)) Vp8l.decode(bytes)
+        else {
+          val planes = Vp8.decode(bytes)
+          Vp8l.Decoded(planes.width, planes.height, Vp8.toArgb(planes))
+        }
     }
     decoded
   }
@@ -70,8 +77,8 @@ final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
 
 object WebPImageReaderSpi {
   /** Peek the container: true only for RIFF/WEBP files that hold a VP8L
-    * chunk this decoder can actually handle. Bounded walk — chunk
-    * headers only, no payload reads. */
+    * or still VP8 chunk this decoder can actually handle. Bounded walk —
+    * chunk headers only, no payload reads. */
   private[images] def sniff(stream: ImageInputStream): Boolean = {
     stream.mark()
     try {
@@ -87,10 +94,9 @@ object WebPImageReaderSpi {
         try stream.readFully(hdr)
         catch { case _: java.io.EOFException => return false }
         val cc = fourcc(hdr, 0)
-        if (cc == "VP8L") return true
-        if (!(cc == "VP8X" || cc == "ICCP" || cc == "EXIF" || cc == "XMP " ||
-          cc == "ANIM" || cc == "ALPH" || cc == "VP8 ")) return false
-        if (cc == "VP8 " || cc == "ANIM") return false // lossy / animation: not ours
+        if (cc == "VP8L" || cc == "VP8 ") return true
+        if (!(cc == "VP8X" || cc == "ICCP" || cc == "EXIF" || cc == "XMP "))
+          return false // ANIM / ALPH (lossy+alpha) / unknown: not ours
         val size = (hdr(4) & 0xffL) | ((hdr(5) & 0xffL) << 8) |
           ((hdr(6) & 0xffL) << 16) | ((hdr(7) & 0xffL) << 24)
         var toSkip = size + (size & 1)
@@ -122,7 +128,7 @@ final class WebPImageReaderSpi extends ImageReaderSpi(
   /* supportsStandardImageMetadataFormat */ false, null, null, null, null) {
 
   override def getDescription(locale: Locale): String =
-    "graft pure-JVM WebP lossless (VP8L) reader"
+    "graft pure-JVM WebP reader (lossless VP8L + lossy VP8 keyframe)"
 
   override def canDecodeInput(source: Object): Boolean = source match {
     case s: ImageInputStream => WebPImageReaderSpi.sniff(s)

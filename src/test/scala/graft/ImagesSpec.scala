@@ -22,31 +22,31 @@ class ImagesSpec extends SparkSpec {
       "portrait.png", "square.PNG", "tiny.bmp"))
   }
 
-  test("webp contract: lossless decodes natively, lossy rides the error channel") {
-    // appV2.py:17 includes .webp. The engine's own pure-JVM VP8L reader
+  test("webp contract: lossless AND lossy decode natively, corrupt rides " +
+      "the error channel") {
+    // appV2.py:17 includes .webp. The engine's own pure-JVM readers
     // (graft.images.WebPImageReader, registered via META-INF/services)
-    // decodes the LOSSLESS half of the format natively: art.webp is a
-    // real libwebp-encoded VP8L file and must come out 'ok'. Lossy VP8
-    // payloads (photo.webp) keep the documented error-status contract —
-    // the row survives to the output, never a silent drop, never a job
-    // failure (Images.scala contract; appV2.py:183 error isolation).
+    // decode BOTH halves of the still format natively: art.webp is a
+    // real libwebp VP8L file, lossy.webp a real libwebp q=75 VP8
+    // keyframe — both must come out 'ok'. Corrupt payloads (photo.webp,
+    // a structurally valid container with a truncated zero bitstream)
+    // keep the documented error-status contract — the row survives to
+    // the output, never a silent drop, never a job failure
+    // (Images.scala contract; appV2.py:183 error isolation).
     val scored = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(8), targetSize = 16)
       .collect().map(r => r.getString(0).split('/').last ->
         (Option(r.getSeq[Float](1)), r.getString(2))).toMap
-    val (lossyLogits, lossyStatus) = scored("photo.webp")
-    assert(lossyStatus.startsWith("error:"), s"lossy webp status was '$lossyStatus'")
-    assert(lossyLogits.isEmpty, "error rows carry null logits")
+    val (corruptLogits, corruptStatus) = scored("photo.webp")
+    assert(corruptStatus.startsWith("error:"),
+      s"corrupt webp status was '$corruptStatus'")
+    assert(corruptLogits.isEmpty, "error rows carry null logits")
     val (losslessLogits, losslessStatus) = scored("art.webp")
     assert(losslessStatus === "ok", s"lossless webp status was '$losslessStatus'")
     assert(losslessLogits.exists(_.length === 8), "ok rows carry logits")
-    // lossy.webp is a REAL libwebp q=75 VP8 encoding (not a synthetic
-    // truncated container like photo.webp) — the genuine crawler artifact
-    // must take the same error path
-    val (realLossyLogits, realLossyStatus) = scored("lossy.webp")
-    assert(realLossyStatus.startsWith("error:"),
-      s"real lossy webp status was '$realLossyStatus'")
-    assert(realLossyLogits.isEmpty)
+    val (lossyLogits, lossyStatus) = scored("lossy.webp")
+    assert(lossyStatus === "ok", s"lossy webp status was '$lossyStatus'")
+    assert(lossyLogits.exists(_.length === 8), "lossy ok rows carry logits")
   }
 
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {
@@ -81,7 +81,8 @@ class ImagesSpec extends SparkSpec {
     val (corruptLogits, corruptStatus) = scored("corrupt.png")
     assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
     val okCount = scored.values.count(_._2 == "ok")
-    assert(okCount === 8) // 7 classic + art.webp (VP8L, engine-native decode)
+    // 7 classic + art.webp (VP8L) + lossy.webp (VP8) — both engine-native
+    assert(okCount === 9)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -96,7 +97,7 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 11L && m("n_ok") === 8L && m("n_failed") === 3L)
+    assert(m("n_total") === 11L && m("n_ok") === 9L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {

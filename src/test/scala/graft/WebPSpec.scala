@@ -80,10 +80,25 @@ class WebPSpec extends AnyFunSuite {
     assert((p & 0xff) === (grgba(o + 2) & 0xff))
   }
 
-  test("lossy VP8 is NOT claimed: ImageIO.read returns null (error channel)") {
-    val img = ImageIO.read(new ByteArrayInputStream(resource("lossy_gradient.webp")))
-    assert(img == null, "lossy VP8 must stay on the error channel")
-    assert(!Vp8l.isLossless(resource("lossy_gradient.webp")))
+  test("lossy VP8 decodes through ImageIO, matching libwebp's RGBA") {
+    // lossy_gradient.webp is byte-identical to the vp8 fixture
+    // grad_64x48_q75.webp, whose .golden is libwebp's own decode
+    val bytes = resource("lossy_gradient.webp")
+    assert(!Vp8l.isLossless(bytes))
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "lossy VP8 must decode natively now")
+    val in = getClass.getResourceAsStream("/graft/vp8/grad_64x48_q75.golden")
+    val gold = try in.readAllBytes() finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(gold)
+    val (w, h) = (bb.getInt(), bb.getInt())
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = 8 + (y * w + x) * 4
+      assert(((p >> 16) & 0xff) === (gold(o) & 0xff), s"R($x,$y)")
+      assert(((p >> 8) & 0xff) === (gold(o + 1) & 0xff), s"G($x,$y)")
+      assert((p & 0xff) === (gold(o + 2) & 0xff), s"B($x,$y)")
+    }
   }
 
   test("garbage and truncated containers are rejected, not crashed on") {
