@@ -96,6 +96,21 @@ object ImageFixtures {
       try java.nio.file.Files.write(art.toPath, in.readAllBytes())
       finally in.close()
     }
+    // a lossy-with-alpha WebP (VP8X + ALPH + VP8, libwebp-encoded) and an
+    // ANIMATED WebP (VP8X + ANIM + ANMF wrapping ALPH+VP8): both decode
+    // natively (alpha plane via graft.images.Alpha; animation resolved to
+    // its first frame, the same behavior the reference inherits from
+    // PIL), riding the OK path in the hash-checked e2e fixture
+    for ((res, name) <- Seq("translucent.webp" -> "translucent.webp",
+                            "motion.webp" -> "motion.webp")) {
+      val f = new File(d, name)
+      if (!f.exists()) {
+        val in = getClass.getResourceAsStream(s"/graft/fixtures/$res")
+        require(in != null, s"missing bundled $res fixture")
+        try java.nio.file.Files.write(f.toPath, in.readAllBytes())
+        finally in.close()
+      }
+    }
     val excluded = new File(d, "note.txt")
     if (!excluded.exists())
       java.nio.file.Files.write(excluded.toPath, "excluded by extension".getBytes)

@@ -68,6 +68,10 @@ object Vp8 {
     decodeFrame(chunk)
   }
 
+  /** Decode a bare VP8 chunk payload (no RIFF walk) — the form a chunk
+    * takes inside an ANMF animation frame. */
+  def decodePayload(payload: Array[Byte]): Planes = decodeFrame(payload)
+
   // ------------------------------------------------------ bool decoder
 
   /** §7.3 boolean arithmetic decoder. Reads past the partition end are

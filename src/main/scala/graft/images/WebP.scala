@@ -76,6 +76,24 @@ object Vp8l {
   /** True when the container holds a VP8L chunk (cheap header walk). */
   def isLossless(fileBytes: Array[Byte]): Boolean = vp8lChunk(fileBytes).isDefined
 
+  /** Decode a bare VP8L chunk payload (no RIFF walk) — the form a chunk
+    * takes inside an ANMF animation frame. */
+  def decodePayload(payload: Array[Byte]): Decoded = decodeStream(payload)
+
+  /** Decode an ALPH chunk's headerless VP8L stream (alpha_dec.c
+    * semantics): same bitstream as a level-0 image stream, but the 5-byte
+    * signature/size header is absent — dimensions come from the frame —
+    * and the alpha values ride the GREEN channel of the decoded pixels. */
+  private[images] def decodeAlphaStream(payload: Array[Byte],
+                                        w: Int, h: Int): Array[Byte] = {
+    val br = new BitReader(payload)
+    val (pixels, _) = decodeImageStream(w, h, isLevel0 = true, br)
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < out.length) { out(i) = ((pixels(i) >> 8) & 0xff).toByte; i += 1 }
+    out
+  }
+
   // ---------------------------------------------------------------- bits
 
   /** LSB-first bit reader over the VP8L payload. */

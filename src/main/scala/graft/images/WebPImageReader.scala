@@ -10,10 +10,12 @@ import javax.imageio.stream.ImageInputStream
 /** ImageIO plumbing for the pure-JVM WebP decoders: a standard
   * `ImageReader` + SPI pair registered via META-INF/services, so plain
   * `ImageIO.read(...)` — the exact call Images.preprocess already makes —
-  * decodes BOTH lossless (VP8L) and lossy (VP8 keyframe) .webp with no
-  * call-site changes. Animated containers and lossy-with-alpha (ALPH
-  * chunk) answer `canDecodeInput = false` and ride the error channel
-  * (Images.scala decode contract). */
+  * decodes the full still surface of the format with no call-site
+  * changes: lossless (VP8L), lossy (VP8 keyframe), lossy-with-alpha
+  * (ALPH chunk), VP8X containers with metadata, and animations resolved
+  * to their first frame (what the reference inherits from PIL). Corrupt
+  * bytes and partial-first-frame animations throw from read() and ride
+  * the error channel (Images.scala decode contract). */
 final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
 
   private var decoded: Vp8l.Decoded = _
@@ -33,12 +35,25 @@ final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
       var n = stream.read(chunk)
       while (n > 0) { buf.write(chunk, 0, n); n = stream.read(chunk) }
       val bytes = buf.toByteArray
-      decoded =
-        if (Vp8l.isLossless(bytes)) Vp8l.decode(bytes)
-        else {
-          val planes = Vp8.decode(bytes)
-          Vp8l.Decoded(planes.width, planes.height, Vp8.toArgb(planes))
-        }
+      val frame = WebPContainer.firstFrame(bytes).getOrElse(
+        throw new IllegalArgumentException(
+          "no decodable VP8/VP8L frame in webp container"))
+      decoded = frame.vp8l match {
+        case Some(l) => Vp8l.decodePayload(l) // alpha is in-stream for VP8L
+        case None =>
+          val planes = Vp8.decodePayload(frame.vp8.get)
+          val argb = Vp8.toArgb(planes)
+          frame.alph.foreach { a =>
+            // straight (non-premultiplied) alpha, like WebPDecodeRGBA
+            val plane = Alpha.decode(a, planes.width, planes.height)
+            var i = 0
+            while (i < argb.length) {
+              argb(i) = ((plane(i) & 0xff) << 24) | (argb(i) & 0xffffff)
+              i += 1
+            }
+          }
+          Vp8l.Decoded(planes.width, planes.height, argb)
+      }
     }
     decoded
   }
@@ -76,9 +91,12 @@ final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
 }
 
 object WebPImageReaderSpi {
-  /** Peek the container: true only for RIFF/WEBP files that hold a VP8L
-    * or still VP8 chunk this decoder can actually handle. Bounded walk —
-    * chunk headers only, no payload reads. */
+  /** Peek the container: true for RIFF/WEBP files that hold (or, for
+    * animations, embed in a frame) a VP8/VP8L chunk. Bounded walk —
+    * chunk headers only, no payload reads; an ANMF chunk counts as
+    * decodable without descending into it (a bad first frame then throws
+    * from read(), which the decode contract routes to the error
+    * channel). */
   private[images] def sniff(stream: ImageInputStream): Boolean = {
     stream.mark()
     try {
@@ -94,9 +112,10 @@ object WebPImageReaderSpi {
         try stream.readFully(hdr)
         catch { case _: java.io.EOFException => return false }
         val cc = fourcc(hdr, 0)
-        if (cc == "VP8L" || cc == "VP8 ") return true
-        if (!(cc == "VP8X" || cc == "ICCP" || cc == "EXIF" || cc == "XMP "))
-          return false // ANIM / ALPH (lossy+alpha) / unknown: not ours
+        if (cc == "VP8L" || cc == "VP8 " || cc == "ANMF") return true
+        if (!(cc == "VP8X" || cc == "ICCP" || cc == "EXIF" || cc == "XMP " ||
+              cc == "ALPH" || cc == "ANIM"))
+          return false // unknown chunk before any image data: not ours
         val size = (hdr(4) & 0xffL) | ((hdr(5) & 0xffL) << 8) |
           ((hdr(6) & 0xffL) << 16) | ((hdr(7) & 0xffL) << 24)
         var toSkip = size + (size & 1)
@@ -128,7 +147,7 @@ final class WebPImageReaderSpi extends ImageReaderSpi(
   /* supportsStandardImageMetadataFormat */ false, null, null, null, null) {
 
   override def getDescription(locale: Locale): String =
-    "graft pure-JVM WebP reader (lossless VP8L + lossy VP8 keyframe)"
+    "graft pure-JVM WebP reader (VP8L, VP8, ALPH alpha, first anim frame)"
 
   override def canDecodeInput(source: Object): Boolean = source match {
     case s: ImageInputStream => WebPImageReaderSpi.sniff(s)

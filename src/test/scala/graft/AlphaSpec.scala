@@ -1,0 +1,135 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.images.{Alpha, Vp8, Vp8l, WebPContainer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lossy-with-alpha (ALPH chunk) and animation-first-frame decoding
+  * against libwebp goldens (tools/make_alpha_fixtures.py): the encoded
+  * stills pin the lossless-method alpha stream, the hand-assembled raw
+  * containers pin every unfilter kernel (libwebp itself decoded the same
+  * crafted bytes to produce the golden, so the assembly is C-validated),
+  * and the animations pin the ANMF first-frame walk — the behavior the
+  * reference inherits from PIL (appV2.py:167). */
+class AlphaSpec extends AnyFunSuite {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/alpha/$name")
+    require(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def decodeViaImageIO(bytes: Array[Byte]) =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  private def assertMatchesGolden(name: String): Unit = {
+    val gold = resource(name + ".golden")
+    val bb = java.nio.ByteBuffer.wrap(gold)
+    val (w, h) = (bb.getInt(), bb.getInt())
+    val img = decodeViaImageIO(resource(name + ".webp"))
+    assert(img != null, s"$name: ImageIO returned null")
+    assert(img.getWidth === w && img.getHeight === h)
+    var i = 0
+    while (i < w * h) {
+      val px = img.getRGB(i % w, i / w)
+      val o = 8 + 4 * i
+      assert(((px >> 16) & 0xff) === (gold(o) & 0xff), s"$name R at $i")
+      assert(((px >> 8) & 0xff) === (gold(o + 1) & 0xff), s"$name G at $i")
+      assert((px & 0xff) === (gold(o + 2) & 0xff), s"$name B at $i")
+      assert(((px >> 24) & 0xff) === (gold(o + 3) & 0xff), s"$name A at $i")
+      i += 1
+    }
+  }
+
+  private val stills = Seq(
+    "agrad_64x48_q75", "amask_33x17_q50", "anoise_17x13_q75",
+    "aradial_120x80_q75", // libwebp-encoded: ALPH method=1 (lossless) + raw
+    "araw_none_64x48", "araw_horiz_64x48", "araw_vert_64x48",
+    "araw_grad_64x48", "araw_grad_33x17", // method=0, every filter
+    "meta_exif_64x48") // VP8X still with EXIF metadata around the VP8
+
+  for (name <- stills)
+    test(s"$name: RGBA byte-identical to libwebp WebPDecodeRGBA") {
+      assertMatchesGolden(name)
+    }
+
+  for (name <- Seq("anim_vp8_64x48", "anim_vp8l_40x30", "anim_alpha_64x48"))
+    test(s"$name: first frame equals libwebp's decode of the frame still") {
+      assertMatchesGolden(name)
+    }
+
+  test("container walk: still-with-alpha yields VP8+ALPH, not VP8L") {
+    val f = WebPContainer.firstFrame(resource("agrad_64x48_q75.webp")).get
+    assert(f.vp8.isDefined && f.vp8l.isEmpty && f.alph.isDefined)
+  }
+
+  test("container walk: animation resolves to its first frame's chunks") {
+    val f = WebPContainer.firstFrame(resource("anim_alpha_64x48.webp")).get
+    assert(f.vp8.isDefined && f.alph.isDefined)
+    val l = WebPContainer.firstFrame(resource("anim_vp8l_40x30.webp")).get
+    assert(l.vp8l.isDefined && l.vp8.isEmpty)
+  }
+
+  test("partial first frame (not full-canvas) is rejected, not decoded") {
+    val bytes = resource("anim_vp8_64x48.webp").clone()
+    // ANMF frame header: widthMinusOne is 6 bytes into the payload; find
+    // the chunk and shrink the declared frame width
+    var off = 12
+    var anmfPayload = -1
+    while (anmfPayload < 0) {
+      val cc = new String(bytes, off, 4, "US-ASCII")
+      val size = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
+        ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
+      if (cc == "ANMF") anmfPayload = off + 8
+      else off += 8 + size + (size & 1)
+    }
+    bytes(anmfPayload + 6) = 31 // width-1: 63 -> 31 (half canvas)
+    assert(WebPContainer.firstFrame(bytes).isEmpty)
+    intercept[Exception] {
+      val img = decodeViaImageIO(bytes)
+      if (img == null) throw new IllegalArgumentException("rejected")
+    }
+  }
+
+  test("ALPH pre-processed levels are rejected to the error channel") {
+    val payload = Array.tabulate[Byte](1 + 4)(i => if (i == 0) 0x10 else 1)
+    intercept[IllegalArgumentException] { Alpha.decode(payload, 2, 2) }
+  }
+
+  test("ALPH raw payload shorter than the plane is rejected") {
+    intercept[IllegalArgumentException] {
+      Alpha.decode(Array[Byte](0, 1, 2), 2, 2)
+    }
+  }
+
+  test("alpha plane: lossless-method stream decodes the exact encoder input") {
+    // agrad's alpha is an exact x-gradient; ALPH method=1 is lossless, so
+    // the decoded plane must reproduce it bit-for-bit
+    val bytes = resource("agrad_64x48_q75.webp")
+    val f = WebPContainer.firstFrame(bytes).get
+    val planes = Vp8.decodePayload(f.vp8.get)
+    val a = Alpha.decode(f.alph.get, planes.width, planes.height)
+    var y = 0
+    while (y < 48) {
+      var x = 0
+      while (x < 64) {
+        assert((a(y * 64 + x) & 0xff) === x * 255 / 63, s"alpha at ($x,$y)")
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("Vp8l.decodePayload: bare chunk decodes like the wrapped file") {
+    val file = {
+      val in = getClass.getResourceAsStream("/graft/webp/gradient_64x48.webp")
+      try in.readAllBytes() finally in.close()
+    }
+    val viaFile = Vp8l.decode(file)
+    val viaPayload = Vp8l.decodePayload(Vp8l.vp8lChunk(file).get)
+    assert(viaPayload.width === viaFile.width)
+    assert(viaPayload.argb === viaFile.argb)
+  }
+}

@@ -18,8 +18,8 @@ class ImagesSpec extends SparkSpec {
     // photo.webp INCLUDED (extension passes — failure surfaces at
     // decode, appV2.py:183)
     assert(names === Array("alpha.png", "anim.gif", "art.webp", "corrupt.png",
-      "landscape.png", "lossy.webp", "photo.jpg", "photo.webp",
-      "portrait.png", "square.PNG", "tiny.bmp"))
+      "landscape.png", "lossy.webp", "motion.webp", "photo.jpg", "photo.webp",
+      "portrait.png", "square.PNG", "tiny.bmp", "translucent.webp"))
   }
 
   test("webp contract: lossless AND lossy decode natively, corrupt rides " +
@@ -47,6 +47,9 @@ class ImagesSpec extends SparkSpec {
     val (lossyLogits, lossyStatus) = scored("lossy.webp")
     assert(lossyStatus === "ok", s"lossy webp status was '$lossyStatus'")
     assert(lossyLogits.exists(_.length === 8), "lossy ok rows carry logits")
+    // lossy-with-alpha (VP8X+ALPH+VP8) and animated (first frame) decode too
+    assert(scored("translucent.webp")._2 === "ok")
+    assert(scored("motion.webp")._2 === "ok")
   }
 
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {
@@ -81,8 +84,9 @@ class ImagesSpec extends SparkSpec {
     val (corruptLogits, corruptStatus) = scored("corrupt.png")
     assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
     val okCount = scored.values.count(_._2 == "ok")
-    // 7 classic + art.webp (VP8L) + lossy.webp (VP8) — both engine-native
-    assert(okCount === 9)
+    // 7 classic + art.webp (VP8L) + lossy.webp (VP8) + translucent.webp
+    // (ALPH alpha) + motion.webp (first anim frame) — all engine-native
+    assert(okCount === 11)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -97,14 +101,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 11L && m("n_ok") === 9L && m("n_failed") === 2L)
+    assert(m("n_total") === 13L && m("n_ok") === 11L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 11)
+    assert(rows.length === 13)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))

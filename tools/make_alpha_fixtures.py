@@ -1,0 +1,290 @@
+#!/usr/bin/env python3
+"""Dev tooling: generate WebP ALPH-chunk (lossy-with-alpha) and animation
+test vectors with the system libwebp, plus golden decodes from the same
+library. Committed fixtures validate graft's pure-JVM alpha decoder and
+container/first-frame handling against the reference C implementation.
+
+Outputs under src/test/resources/graft/alpha/:
+  <name>.webp   — a lossy-with-alpha still (libwebp WebPEncodeRGBA: VP8X +
+                  ALPH(method=1 lossless) + VP8), a hand-assembled raw-method
+                  ALPH container (one per filter 0..3 — libwebp itself must
+                  decode it, so the assembly is validated), a VP8X-with-
+                  metadata still, or an ANIM/ANMF animation whose first frame
+                  is full-canvas.
+  <name>.golden — libwebp's WebPDecodeRGBA (4B BE w, 4B BE h, RGBA bytes) of
+                  the still — for animations, of the first frame re-wrapped
+                  as the equivalent standalone still (core libwebp has no
+                  demuxer; the per-pixel decode is still C-validated, the
+                  container walk is pinned by the crafted layout itself).
+
+Raw-method filters follow libwebp src/dsp/filters.c (HorizontalFilter /
+VerticalFilter / GradientFilter); chunk layouts follow the public WebP
+container spec (developers.google.com/speed/webp/docs/riff_container).
+"""
+import ctypes, os, random, struct
+
+lib = ctypes.CDLL("libwebp.so.7")
+lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+lib.WebPEncodeRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+lib.WebPEncodeLosslessRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+lib.WebPDecodeRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+lib.WebPFree.argtypes = [ctypes.c_void_p]
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "graft", "alpha")
+os.makedirs(OUT, exist_ok=True)
+
+
+def encode_lossy(rgba: bytes, w: int, h: int, q: float) -> bytes:
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(rgba, w, h, w * 4, q, ctypes.byref(out))
+    assert n > 0, "lossy encode failed"
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def encode_lossless(rgba: bytes, w: int, h: int) -> bytes:
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeLosslessRGBA(rgba, w, h, w * 4, ctypes.byref(out))
+    assert n > 0, "lossless encode failed"
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def decode_rgba(data: bytes):
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    assert p, "RGBA decode failed"
+    rgba = ctypes.string_at(p, w.value * h.value * 4)
+    lib.WebPFree(p)
+    return w.value, h.value, rgba
+
+
+# ------------------------------------------------------ RIFF assembly
+
+def chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def riff(chunks: bytes) -> bytes:
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def le24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def vp8x(w: int, h: int, alpha=False, anim=False, exif=False) -> bytes:
+    flags = (0x10 if alpha else 0) | (0x02 if anim else 0) | (0x08 if exif else 0)
+    return chunk(b"VP8X", bytes((flags, 0, 0, 0)) + le24(w - 1) + le24(h - 1))
+
+
+def parse_chunks(data: bytes):
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    out, off = [], 12
+    while off + 8 <= len(data):
+        cc = data[off:off + 4]
+        size = struct.unpack("<I", data[off + 4:off + 8])[0]
+        out.append((cc, data[off + 8:off + 8 + size]))
+        off += 8 + size + (size & 1)
+    return out
+
+
+def get_chunk(data: bytes, fourcc: bytes) -> bytes:
+    for cc, payload in parse_chunks(data):
+        if cc == fourcc:
+            return payload
+    raise KeyError(fourcc.decode())
+
+
+# ------------------------------------------------------ alpha filters
+# libwebp src/dsp/filters.c forward filters (what an encoder writes);
+# the Scala decoder must invert them exactly.
+
+def filter_plane(a: bytes, w: int, h: int, f: int) -> bytes:
+    if f == 0:
+        return a
+    out = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if f == 1:  # horizontal
+                pred = (a[i - 1] if x > 0 else (a[i - w] if y > 0 else 0))
+            elif f == 2:  # vertical
+                pred = (a[i - w] if y > 0 else (a[i - 1] if x > 0 else 0))
+            else:  # gradient
+                if y == 0:
+                    pred = a[i - 1] if x > 0 else 0
+                elif x == 0:
+                    pred = a[i - w]
+                else:
+                    g = a[i - 1] + a[i - w] - a[i - w - 1]
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[i] = (a[i] - pred) & 0xFF
+    return bytes(out)
+
+
+# ------------------------------------------------------ content
+
+def px(buf, w, x, y, r, g, b, a=255):
+    i = (y * w + x) * 4
+    buf[i:i + 4] = bytes((r & 255, g & 255, b & 255, a & 255))
+
+
+def photo_rgb(w, h, rng):
+    import math
+    buf = bytearray(w * h * 4)
+    for y in range(h):
+        for x in range(w):
+            r = int(127 + 90 * math.sin(x / 11.0) * math.cos(y / 7.0))
+            g = int(127 + 80 * math.sin((x + y) / 13.0))
+            b = int(127 + 70 * math.cos(x / 5.0 + y / 17.0))
+            n = rng.randrange(-6, 7)
+            px(buf, w, x, y, max(0, min(255, r + n)),
+               max(0, min(255, g + n)), max(0, min(255, b + n)))
+    return buf
+
+
+def with_alpha(buf, w, h, alpha_fn):
+    for y in range(h):
+        for x in range(w):
+            buf[(y * w + x) * 4 + 3] = alpha_fn(x, y) & 0xFF
+    return buf
+
+
+def alpha_plane(rgba: bytes, w: int, h: int) -> bytes:
+    return bytes(rgba[i * 4 + 3] for i in range(w * h))
+
+
+def write(name: str, webp: bytes):
+    w, h, got = decode_rgba(webp)  # libwebp must accept the file
+    open(os.path.join(OUT, name + ".webp"), "wb").write(webp)
+    open(os.path.join(OUT, name + ".golden"), "wb").write(
+        struct.pack(">II", w, h) + got)
+    alph = None
+    try:
+        alph = get_chunk(webp, b"ALPH")[0]
+    except KeyError:
+        pass
+    hdr = ("" if alph is None else
+           f" alph[method={alph & 3} filter={(alph >> 2) & 3}"
+           f" pre={(alph >> 4) & 3}]")
+    print(f"  {name}: {w}x{h} {len(webp)}B{hdr}")
+
+
+def write_anim(name: str, anim_bytes: bytes, first_frame_still: bytes):
+    w, h, got = decode_rgba(first_frame_still)
+    open(os.path.join(OUT, name + ".webp"), "wb").write(anim_bytes)
+    open(os.path.join(OUT, name + ".golden"), "wb").write(
+        struct.pack(">II", w, h) + got)
+    print(f"  {name}: anim {w}x{h} {len(anim_bytes)}B")
+
+
+def anmf(x: int, y: int, w: int, h: int, dur: int, frame_data: bytes) -> bytes:
+    assert x % 2 == 0 and y % 2 == 0
+    hdr = le24(x // 2) + le24(y // 2) + le24(w - 1) + le24(h - 1) + le24(dur)
+    return chunk(b"ANMF", hdr + bytes((0,)) + frame_data)
+
+
+def anim_hdr(loops: int = 0, bg: int = 0xFFFFFFFF) -> bytes:
+    return chunk(b"ANIM", struct.pack("<I", bg) + struct.pack("<H", loops))
+
+
+def main():
+    rng = random.Random(20260814)
+
+    # --- libwebp-encoded lossy+alpha stills (ALPH method=1, encoder filter)
+    w, h = 64, 48
+    grad = with_alpha(photo_rgb(w, h, rng), w, h,
+                      lambda x, y: x * 255 // (w - 1))
+    write("agrad_64x48_q75", encode_lossy(bytes(grad), w, h, 75))
+
+    w, h = 33, 17
+    mask = with_alpha(photo_rgb(w, h, rng), w, h,
+                      lambda x, y: 255 if (x // 8 + y // 4) % 2 else 0)
+    write("amask_33x17_q50", encode_lossy(bytes(mask), w, h, 50))
+
+    w, h = 17, 13
+    anz = with_alpha(photo_rgb(w, h, rng), w, h,
+                     lambda x, y: rng.randrange(256))
+    write("anoise_17x13_q75", encode_lossy(bytes(anz), w, h, 75))
+
+    w, h = 120, 80
+    rad = with_alpha(photo_rgb(w, h, rng), w, h,
+                     lambda x, y: max(0, 255 - ((x - 60) ** 2 +
+                                                (y - 40) ** 2) // 8))
+    write("aradial_120x80_q75", encode_lossy(bytes(rad), w, h, 75))
+
+    # --- hand-assembled raw-method ALPH, one per filter (libwebp-validated)
+    w, h = 64, 48
+    base = encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 75)
+    vp8_payload = get_chunk(base, b"VP8 ")
+    plane = bytes((x * 255 // (w - 1) + y) & 0xFF
+                  for y in range(h) for x in range(w))
+    for f, fname in enumerate(("none", "horiz", "vert", "grad")):
+        alph_payload = bytes((f << 2,)) + filter_plane(plane, w, h, f)
+        webp = riff(vp8x(w, h, alpha=True) + chunk(b"ALPH", alph_payload) +
+                    chunk(b"VP8 ", vp8_payload))
+        write(f"araw_{fname}_64x48", webp)
+
+    # odd-width raw fixture (row-boundary edge cases in the unfilter)
+    w, h = 33, 17
+    base = encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 50)
+    vp8_payload = get_chunk(base, b"VP8 ")
+    plane = bytes(rng.randrange(256) for _ in range(w * h))
+    alph_payload = bytes((3 << 2,)) + filter_plane(plane, w, h, 3)
+    write("araw_grad_33x17", riff(vp8x(w, h, alpha=True) +
+                                  chunk(b"ALPH", alph_payload) +
+                                  chunk(b"VP8 ", vp8_payload)))
+
+    # --- VP8X still with metadata chunks around the image data
+    w, h = 64, 48
+    base = encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 75)
+    vp8_payload = get_chunk(base, b"VP8 ")
+    webp = riff(vp8x(w, h, exif=True) + chunk(b"VP8 ", vp8_payload) +
+                chunk(b"EXIF", b"Exif\x00\x00fake-metadata-payload"))
+    write("meta_exif_64x48", webp)
+
+    # --- animations: first frame full-canvas; golden = frame-1 as a still
+    w, h = 64, 48
+    f1 = encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 75)
+    f2 = encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 50)
+    anim = riff(vp8x(w, h, anim=True) + anim_hdr() +
+                anmf(0, 0, w, h, 40, chunk(b"VP8 ", get_chunk(f1, b"VP8 "))) +
+                anmf(0, 0, w, h, 40, chunk(b"VP8 ", get_chunk(f2, b"VP8 "))))
+    write_anim("anim_vp8_64x48", anim, f1)
+
+    w, h = 40, 30
+    rgba = bytes(with_alpha(photo_rgb(w, h, rng), w, h,
+                            lambda x, y: 128 + x))
+    l1 = encode_lossless(rgba, w, h)
+    still_l1 = riff(chunk(b"VP8L", get_chunk(l1, b"VP8L")))
+    anim = riff(vp8x(w, h, alpha=True, anim=True) + anim_hdr() +
+                anmf(0, 0, w, h, 33,
+                     chunk(b"VP8L", get_chunk(l1, b"VP8L"))))
+    write_anim("anim_vp8l_40x30", anim, still_l1)
+
+    w, h = 64, 48
+    a1 = encode_lossy(bytes(with_alpha(photo_rgb(w, h, rng), w, h,
+                                       lambda x, y: y * 255 // (h - 1))),
+                      w, h, 75)
+    frame = (chunk(b"ALPH", get_chunk(a1, b"ALPH")) +
+             chunk(b"VP8 ", get_chunk(a1, b"VP8 ")))
+    anim = riff(vp8x(w, h, alpha=True, anim=True) + anim_hdr() +
+                anmf(0, 0, w, h, 40, frame))
+    write_anim("anim_alpha_64x48", anim, a1)
+
+
+if __name__ == "__main__":
+    main()
