@@ -122,6 +122,48 @@ class AlphaSpec extends AnyFunSuite {
     }
   }
 
+  test("mutation sweep: corrupted alpha/anim containers never hang the decoder") {
+    // the 100 TB posture: crawled bytes are untrusted; every mutation must
+    // decode, throw, or return null within the budget — a hang or runaway
+    // allocation would stall an executor, not just fail a row (R16)
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      for (name <- Seq("agrad_64x48_q75", "araw_grad_64x48", "anim_alpha_64x48")) {
+        val base = resource(name + ".webp")
+        var off = 12 // keep the RIFF/WEBP magic; mutate everything after
+        while (off < base.length) {
+          val mutated = base.clone()
+          mutated(off) = (mutated(off) ^ 0xa5).toByte
+          val f = exec.submit(new java.util.concurrent.Callable[AnyRef] {
+            def call(): AnyRef =
+              try decodeViaImageIO(mutated) catch { case _: Throwable => null }
+          })
+          try f.get(10, java.util.concurrent.TimeUnit.SECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              fail(s"$name: mutation at byte $off hung the decoder")
+          }
+          off += 7
+        }
+        // truncations at every stride too (short reads mid-chunk)
+        var cut = 13
+        while (cut < base.length) {
+          val t = java.util.Arrays.copyOf(base, cut)
+          val f = exec.submit(new java.util.concurrent.Callable[AnyRef] {
+            def call(): AnyRef =
+              try decodeViaImageIO(t) catch { case _: Throwable => null }
+          })
+          try f.get(10, java.util.concurrent.TimeUnit.SECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              fail(s"$name: truncation at $cut hung the decoder")
+          }
+          cut += 11
+        }
+      }
+    } finally exec.shutdownNow()
+  }
+
   test("Vp8l.decodePayload: bare chunk decodes like the wrapped file") {
     val file = {
       val in = getClass.getResourceAsStream("/graft/webp/gradient_64x48.webp")
