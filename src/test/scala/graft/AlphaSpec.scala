@@ -164,6 +164,40 @@ class AlphaSpec extends AnyFunSuite {
     } finally exec.shutdownNow()
   }
 
+  test("property: unfilter inverts every forward filter on random planes") {
+    // forward filters per libwebp dsp/filters.c (what encoders write);
+    // Alpha.decode(method=0) must reconstruct the original plane exactly
+    def forward(a: Array[Byte], w: Int, h: Int, f: Int): Array[Byte] = {
+      if (f == 0) return a.clone()
+      val out = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        def v(j: Int) = a(j) & 0xff
+        val pred = f match {
+          case 1 => if (x > 0) v(i - 1) else if (y > 0) v(i - w) else 0
+          case 2 => if (y > 0) v(i - w) else if (x > 0) v(i - 1) else 0
+          case _ =>
+            if (y == 0) { if (x > 0) v(i - 1) else 0 }
+            else if (x == 0) v(i - w)
+            else math.max(0, math.min(255, v(i - 1) + v(i - w) - v(i - w - 1)))
+        }
+        out(i) = ((v(i) - pred) & 0xff).toByte
+      }
+      out
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 24) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val plane = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      for (f <- 0 to 3) {
+        val payload = Array[Byte]((f << 2).toByte) ++ forward(plane, w, h, f)
+        val got = Alpha.decode(payload, w, h)
+        assert(got === plane, s"trial $trial ${w}x$h filter $f")
+      }
+    }
+  }
+
   test("Vp8l.decodePayload: bare chunk decodes like the wrapped file") {
     val file = {
       val in = getClass.getResourceAsStream("/graft/webp/gradient_64x48.webp")
