@@ -72,37 +72,16 @@ object ImageFixtures {
           .putInt(body.length).array() ++ body
       java.nio.file.Files.write(webp.toPath, riff)
     }
-    // a REAL lossy WebP (VP8 chunk, libwebp-encoded at q=75 — not the
-    // synthetic truncated container above): the genuine artifact a
-    // crawler yields, decoded natively by the engine's pure-JVM VP8
-    // keyframe decoder (graft.images.Vp8, bit-identical to libwebp on
-    // the committed goldens) — this row rides the OK path end-to-end in
-    // the hash-checked img_tagger_e2e expectation fixture.
-    val lossy = new File(d, "lossy.webp")
-    if (!lossy.exists()) {
-      val in = getClass.getResourceAsStream("/graft/fixtures/lossy_gradient.webp")
-      require(in != null, "missing bundled lossy_gradient.webp fixture")
-      try java.nio.file.Files.write(lossy.toPath, in.readAllBytes())
-      finally in.close()
-    }
-    // a real LOSSLESS WebP (VP8L, libwebp-encoded — the committed
-    // fixture the WebPSpec goldens also cover): decodes natively through
-    // the engine's pure-JVM ImageIO plugin, so this row rides the OK
-    // path end-to-end through pad/resize/score/tag
-    val art = new File(d, "art.webp")
-    if (!art.exists()) {
-      val in = getClass.getResourceAsStream("/graft/fixtures/art.webp")
-      require(in != null, "missing bundled art.webp fixture")
-      try java.nio.file.Files.write(art.toPath, in.readAllBytes())
-      finally in.close()
-    }
-    // a lossy-with-alpha WebP (VP8X + ALPH + VP8, libwebp-encoded) and an
-    // ANIMATED WebP (VP8X + ANIM + ANMF wrapping ALPH+VP8): both decode
-    // natively (alpha plane via graft.images.Alpha; animation resolved to
-    // its first frame, the same behavior the reference inherits from
-    // PIL), riding the OK path in the hash-checked e2e fixture
-    for ((res, name) <- Seq("translucent.webp" -> "translucent.webp",
-                            "motion.webp" -> "motion.webp")) {
+    // real libwebp-encoded artifacts (the genuine shapes a crawler
+    // yields), all decoded natively by the engine's pure-JVM readers
+    // (graft.images, bit-identical to libwebp on the committed goldens)
+    // and riding the OK path in the hash-checked img_tagger_e2e fixture:
+    //   lossy.webp       — lossy VP8 keyframe (bundled lossy_gradient)
+    //   art.webp         — lossless VP8L
+    //   translucent.webp — lossy-with-alpha (VP8X + ALPH + VP8)
+    //   motion.webp      — animated (ANIM/ANMF), resolved to frame 1
+    //                      like the reference's PIL does
+    def copyResource(res: String, name: String): Unit = {
       val f = new File(d, name)
       if (!f.exists()) {
         val in = getClass.getResourceAsStream(s"/graft/fixtures/$res")
@@ -111,6 +90,10 @@ object ImageFixtures {
         finally in.close()
       }
     }
+    copyResource("lossy_gradient.webp", "lossy.webp")
+    copyResource("art.webp", "art.webp")
+    copyResource("translucent.webp", "translucent.webp")
+    copyResource("motion.webp", "motion.webp")
     val excluded = new File(d, "note.txt")
     if (!excluded.exists())
       java.nio.file.Files.write(excluded.toPath, "excluded by extension".getBytes)

@@ -20,11 +20,12 @@ import scala.util.{Failure, Success, Try}
   *     HWC→CHW, RGB→BGR channel reverse, (x−0.5)/0.5 normalize
   *     (appV2.py:38-49). ImageIO covers png/jpg/jpeg/bmp/gif natively;
   *     webp decodes through the engine's OWN pure-JVM readers
-  *     (graft.images.Vp8l for lossless, graft.images.Vp8 for lossy
-  *     keyframes — both registered via an ImageIO SPI and validated
-  *     bit-identical to libwebp on committed golden vectors); only
-  *     corrupt bytes, animations, and lossy-with-alpha containers ride
-  *     the error channel;
+  *     (graft.images: Vp8l lossless, Vp8 lossy keyframes, Alpha for
+  *     ALPH lossy-with-alpha, WebPContainer resolving animations to
+  *     their first full-canvas frame — registered via an ImageIO SPI
+  *     and validated bit-identical to libwebp on committed golden
+  *     vectors); only corrupt bytes, partial-first-frame animations,
+  *     and pre-processed alpha levels ride the error channel;
   *   - scoring: `mapPartitions` with ONE scorer instance per partition —
   *     the Spark dual of the reference's single ONNX session reused across
   *     the whole run (appV2.py:149,171). The ONNX model is not available

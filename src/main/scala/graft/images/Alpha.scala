@@ -24,6 +24,9 @@ object Alpha {
     val method = hdr & 3
     val filter = (hdr >> 2) & 3
     val pre = (hdr >> 4) & 3
+    // libwebp (alpha_dec.c ALPHInit) rejects non-zero reserved bits; match
+    // it so status parity with the reference holds on bit-flipped bytes
+    require((hdr >> 6) == 0, "non-zero ALPH reserved bits")
     require(method <= 1, s"invalid ALPH compression method $method")
     require(pre <= 1, s"invalid ALPH pre-processing $pre")
     require(pre == 0,

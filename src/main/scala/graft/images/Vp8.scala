@@ -35,29 +35,9 @@ object Vp8 {
 
   /** RIFF walk: the VP8 (lossy) chunk payload, looking through a VP8X
     * extended container if present. None for lossless-only files.
-    * Same hardened Long-arithmetic walk as [[Vp8l.vp8lChunk]]. */
-  def vp8Chunk(b: Array[Byte]): Option[Array[Byte]] = {
-    def fourcc(off: Int): String =
-      if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
-    def le32(off: Int): Long =
-      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-    if (b.length < 20 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
-    var off = 12L
-    while (off + 8 <= b.length) {
-      val iOff = off.toInt
-      val cc = fourcc(iOff)
-      val size = le32(iOff + 4)
-      if (cc == "VP8 ") {
-        val n = math.min(size, b.length - off - 8).toInt
-        return Some(java.util.Arrays.copyOfRange(b, iOff + 8, iOff + 8 + n))
-      }
-      val next = off + 8 + size + (size & 1)
-      if (next <= off || next > b.length) return None
-      off = next
-    }
-    None
-  }
+    * Delegates to [[WebPContainer.findChunk]] — the one hardened walk. */
+  def vp8Chunk(b: Array[Byte]): Option[Array[Byte]] =
+    WebPContainer.findChunk(b, "VP8 ")
 
   def isVp8(fileBytes: Array[Byte]): Boolean = vp8Chunk(fileBytes).isDefined
 
@@ -296,7 +276,9 @@ object Vp8 {
       m(1) = Vp8Tables.acQuant(qc)
       m(2) = Vp8Tables.dcQuant(clip127(qc + y2dcD)) * 2
       m(3) = math.max(8, Vp8Tables.acQuant(clip127(qc + y2acD)) * 155 / 100)
-      m(4) = math.min(117, Vp8Tables.dcQuant(clip127(qc + uvdcD)))
+      // chroma DC clamps the quantizer INDEX at 117 (→ table value 132),
+      // not the dequant value (libwebp quant_dec.c: kDcTable[clip(q, 117)])
+      m(4) = Vp8Tables.dcQuant(math.min(117, clip127(qc + uvdcD)))
       m(5) = Vp8Tables.acQuant(clip127(qc + uvacD))
       s += 1
     }

@@ -45,33 +45,11 @@ object Vp8l {
   }
 
   /** RIFF walk: returns the VP8L chunk payload, looking through a VP8X
-    * extended container if present. None for lossy-only files. */
-  def vp8lChunk(b: Array[Byte]): Option[Array[Byte]] = {
-    def fourcc(off: Int): String =
-      if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
-    def le32(off: Int): Long =
-      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-    if (b.length < 20 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
-    // walk in Long arithmetic: a crafted 32-bit chunk size near 2^32 would
-    // wrap to a non-positive Int step and loop forever on untrusted bytes
-    var off = 12L
-    while (off + 8 <= b.length) {
-      val iOff = off.toInt
-      val cc = fourcc(iOff)
-      val size = le32(iOff + 4) // unsigned 32-bit, already a Long
-      if (cc == "VP8L") {
-        val n = math.min(size, (b.length - off - 8)).toInt
-        return Some(java.util.Arrays.copyOfRange(b, iOff + 8, iOff + 8 + n))
-      }
-      // chunks are padded to even sizes; VP8X is a fixed 10-byte header
-      // chunk, so simply continuing the walk reaches any embedded VP8L
-      val next = off + 8 + size + (size & 1)
-      if (next <= off || next > b.length) return None
-      off = next
-    }
-    None
-  }
+    * extended container if present. None for lossy-only files.
+    * Delegates to [[WebPContainer.findChunk]] — ONE hardened walk
+    * (Long-arithmetic sizes, strict-increase) shared by all readers. */
+  def vp8lChunk(b: Array[Byte]): Option[Array[Byte]] =
+    WebPContainer.findChunk(b, "VP8L")
 
   /** True when the container holds a VP8L chunk (cheap header walk). */
   def isLossless(fileBytes: Array[Byte]): Boolean = vp8lChunk(fileBytes).isDefined

@@ -52,6 +52,17 @@ object WebPContainer {
   private def slice(b: Array[Byte], start: Int, len: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(b, start, start + len)
 
+  /** First top-level chunk payload with the given fourcc — the single
+    * hardened walk behind [[Vp8.vp8Chunk]] and [[Vp8l.vp8lChunk]]. */
+  def findChunk(b: Array[Byte], cc: String): Option[Array[Byte]] = {
+    if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
+      return None
+    var found: Array[Byte] = null
+    walk(b, 12, b.length, (c, start, len) =>
+      if (c == cc) { found = slice(b, start, len); false } else true)
+    Option(found)
+  }
+
   /** The container's first decodable frame. For a still this is its
     * VP8/VP8L (+ALPH) chunk set; for an animation, the first ANMF frame —
     * required to cover the full canvas at (0,0), which is what every

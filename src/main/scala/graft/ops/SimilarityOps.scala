@@ -89,16 +89,14 @@ object SimilarityOps {
         .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
         .as[(Long, Array[Float])].collect()
     if (collected.length > maxCollectRows) {
-      require(!carrySim,
-        "assignNearestCell: carrySim unsupported on the relational fallback")
       return assignNearestCellRelational(spark, points, idCol, embCol, cent,
-        carryEmbedding)
+        carryEmbedding, carrySim)
     }
     val cents = collected.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = points.select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
+      .as[(Option[Long], Array[Float])] // Option: a dirty null id must make
+      .mapPartitions { it =>            // an error row, not an encoder crash
         val cs = bc.value
         it.flatMap { case (id, v) =>
           var bestCid = -1L
@@ -108,7 +106,10 @@ object SimilarityOps {
           var i = 0
           while (i < cs.length) {
             val (cid, c) = cs(i)
-            if (c.length != v.length) {
+            if (v == null || c.length != v.length) {
+              // null embedding behaves like an all-mismatch row: the
+              // relational form's struct(ccos, -cid) ordering is null-
+              // first on ccos, so the lowest cid wins with sim_c null
               if (nullCid < 0) nullCid = cid
             } else {
               var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -125,8 +126,12 @@ object SimilarityOps {
             }
             i += 1
           }
-          if (found) Some((id, bestCid, Some(bestR), v))
-          else if (nullCid >= 0) Some((id, nullCid, None: Option[Double], v))
+          // don't serialize the (large) embedding into every output row
+          // unless a caller actually wants it back — column pruning can't
+          // reach inside the lambda
+          val emb = if (carryEmbedding) v else null
+          if (found) Some((id, bestCid, Some(bestR), emb))
+          else if (nullCid >= 0) Some((id, nullCid, None: Option[Double], emb))
           else None
         }
       }
@@ -145,18 +150,22 @@ object SimilarityOps {
     * form's ORDER BY ccos DESC, cid. */
   def assignNearestCellRelational(spark: org.apache.spark.sql.SparkSession,
                                   points: DataFrame, idCol: String, embCol: String,
-                                  cent: DataFrame, carryEmbedding: Boolean = false): DataFrame = {
+                                  cent: DataFrame, carryEmbedding: Boolean = false,
+                                  carrySim: Boolean = false): DataFrame = {
     val ccos = cosineNative6(spark, col(embCol), col("cemb"))
-    val payload =
-      if (carryEmbedding) struct(col("cid"), col(embCol).as("emb"))
-      else struct(col("cid"))
+    // the winning row's ccos IS sim_c, so carrying it costs nothing extra
+    val payload = struct(
+      Seq(col("cid")) ++
+        (if (carrySim) Seq(ccos.as("sim_c")) else Nil) ++
+        (if (carryEmbedding) Seq(col(embCol).as("emb")) else Nil): _*)
     val agg = points.crossJoin(broadcast(cent))
       .select(col(idCol), payload.as("p"), struct(ccos, negate(col("cid"))).as("o"))
       .groupBy(idCol)
       .agg(max_by(col("p"), col("o")).as("best"))
-    if (carryEmbedding)
-      agg.select(col(idCol), col("best.cid").as("cid"), col("best.emb").as(embCol))
-    else agg.select(col(idCol), col("best.cid").as("cid"))
+    val outCols = Seq(col(idCol), col("best.cid").as("cid")) ++
+      (if (carrySim) Seq(col("best.sim_c").as("sim_c")) else Nil) ++
+      (if (carryEmbedding) Seq(col("best.emb").as(embCol)) else Nil)
+    agg.select(outCols: _*)
   }
 
   /** Second-level cell split (two-level IVF): cells are capped at

@@ -98,6 +98,11 @@ class AlphaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Alpha.decode(payload, 2, 2) }
   }
 
+  test("ALPH non-zero reserved bits are rejected (libwebp ALPHInit parity)") {
+    val payload = Array.tabulate[Byte](1 + 4)(i => if (i == 0) 0x40 else 1)
+    intercept[IllegalArgumentException] { Alpha.decode(payload, 2, 2) }
+  }
+
   test("ALPH raw payload shorter than the plane is rejected") {
     intercept[IllegalArgumentException] {
       Alpha.decode(Array[Byte](0, 1, 2), 2, 2)

@@ -81,6 +81,42 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(kernel === relational)
   }
 
+  test("assignNearestCell over-limit centroids route to the relational " +
+      "fallback, carrySim intact") {
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val stride = SimilarityOps.centroidStride(v.count())
+    val cent = v.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val kernel = SimilarityOps
+      .assignNearestCell(spark, v, "vec_id", "embedding", cent, carrySim = true)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // maxCollectRows=3 forces the fallback — every IVF-family caller
+    // passes carrySim=true, so the 100 TB degrade path must carry it too
+    val guarded = SimilarityOps
+      .assignNearestCell(spark, v, "vec_id", "embedding", cent,
+        carrySim = true, maxCollectRows = 3L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(guarded.nonEmpty)
+    assert(guarded === kernel)
+  }
+
+  test("assignNearestCell: a null embedding makes a null-sim row, not a crash") {
+    import spark.implicits._
+    val cent = Seq((7L, Array(1f, 0f)), (3L, Array(0f, 1f))).toDF("cid", "cemb")
+    val pts = Seq((1L, Array(2f, 1f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps
+      .assignNearestCell(spark, pts, "vec_id", "embedding", cent, carrySim = true)
+      .orderBy("vec_id").collect()
+    assert(got.length === 2)
+    // the dirty row behaves like the relational all-mismatch rule:
+    // lowest cid wins, sim_c null
+    assert(got(1).getLong(1) === 3L && got(1).isNullAt(2))
+    assert(!got(0).isNullAt(2))
+  }
+
   test("assignNearestCell ties break to the lowest cid; sim_c is round(cos,6)") {
     import spark.implicits._
     // centroids 7 and 3 are IDENTICAL vectors → every point ties on

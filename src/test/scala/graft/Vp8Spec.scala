@@ -22,7 +22,10 @@ class Vp8Spec extends AnyFunSuite {
     "flat_16x16", "onecolor_1x1", "grad_64x48_q75", "grad_64x48_q10",
     "grad_64x48_q95", "noise_33x17_q50", "edge_17x13_q75",
     "stripes_80x60_q75", "photo_120x80_q75", "photo_120x80_q25",
-    "composite_256x96_q50")
+    "composite_256x96_q50",
+    // q=0: uv_dc quantizer index exceeds 117, the chroma-DC clamp point —
+    // clamping the dequant VALUE instead of the index decodes wrong chroma
+    "photo_48x32_q0")
 
   private def resource(name: String): Array[Byte] = {
     val in = getClass.getResourceAsStream(s"/graft/vp8/$name")

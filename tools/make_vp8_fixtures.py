@@ -182,6 +182,9 @@ def main():
     emit("photo_120x80_q75", photo(120, 80, rng), 120, 80, 75)
     emit("photo_120x80_q25", photo(120, 80, rng), 120, 80, 25)
     emit("composite_256x96_q50", composite(256, 96, rng), 256, 96, 50)
+    # q=0 pushes the uv_dc quantizer index past 117, the spec's chroma-DC
+    # clamp point (the clamp applies to the INDEX, not the dequant value)
+    emit("photo_48x32_q0", photo(48, 32, rng), 48, 32, 0)
 
 
 if __name__ == "__main__":
