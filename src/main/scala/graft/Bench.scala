@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * head out of the capture window (observed in rounds 1-2: `parsed: null`).
   * Therefore the stdout line carries the headline total plus a curated
   * per-query subset; the full per-query timing map is written to
-  * `bench_full.json` in the working directory.
+  * `bench_full.json` (sf0.1, the committed snapshot) or
+  * `bench_<sfdir>.json` / `$SPARK_GRAFT_BENCH_OUT` for other SFs, so an
+  * iteration run can never clobber the committed snapshot.
   */
 object Bench {
   /** Queries whose individual times appear in the stdout JSON line. Chosen to
@@ -101,9 +103,15 @@ object Bench {
     // which let earlier queries' GC debt land in later queries' numbers)
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
+    // the committed snapshot is the sf0.1 run; any other SF writes its own
+    // file so an iteration run at sf0.01 (or the sf1 gate) can never
+    // clobber it (SPARK_GRAFT_BENCH_OUT overrides explicitly)
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sfDir.endsWith("sf0.1")) "bench_full.json"
+      else s"bench_${new java.io.File(sfDir).getName}.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
+        java.nio.file.Paths.get(outName),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val byName = results.toMap

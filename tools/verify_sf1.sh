@@ -33,13 +33,7 @@ python3 tools/verify_local.py "$SF1" "$OUT" | tail -3
 
 if [[ "${2:-}" != "--skip-bench" ]]; then
   echo "[verify_sf1] bench at sf1 -> bench_sf1.json"
-  SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep '"metric"' || true
-  # Bench writes the full per-query map to bench_full.json; keep the sf1
-  # snapshot under its own name so the sf0.1 snapshot is not clobbered
-  if grep -q "$SF1" bench_full.json 2>/dev/null; then
-    mv bench_full.json bench_sf1.json
-    echo "[verify_sf1] wrote bench_sf1.json"
-  fi
+  SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_OUT=bench_sf1.json \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' || true
 fi
 echo "[verify_sf1] OK"
