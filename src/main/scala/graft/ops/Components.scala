@@ -128,7 +128,14 @@ object Components {
     sym.unpersist(false)
     if (labels ne labels0) freeCheckpoint(labels0)
     freeCheckpoint(e0)
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    if (!converged) {
+      // free the final round's checkpoint too before throwing — a long-
+      // lived session that catches the failure must not keep one full
+      // label-relation copy pinned in the block manager
+      if (labels ne labels0) freeCheckpoint(labels)
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    }
     labels
   }
 

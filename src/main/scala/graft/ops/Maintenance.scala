@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * scale): the staged data is fully written and fsync'd before any
   * rename; between the two renames a concurrent reader can observe the
   * path briefly missing; if the second rename fails the original is
-  * rolled back. The pre-compact data is retired to `<dir>.pre-compact`
-  * — never deleted by this function; a leftover retired copy from an
+  * rolled back. The pre-compact data is retired to the HIDDEN sibling
+  * `.<name>.pre-compact` (dot-prefixed so partition discovery over a
+  * partitioned table root never rediscovers it as a bogus partition) —
+  * never deleted by this function; a leftover retired copy from an
   * earlier run must be cleared by the CALLER (refusing to delete it
   * here is what makes the retired copy a real rollback artifact).
   *
@@ -57,9 +59,15 @@ object Maintenance {
     // a row-count guess (row width varies wildly across tables)
     val nOut = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(dir)
-    val staging = dir + ".compacting"
-    val retired = dir + ".pre-compact"
     val p = new org.apache.hadoop.fs.Path(dir)
+    // HIDDEN (dot-prefixed) sibling names: Spark/Hadoop file listing and
+    // partition discovery skip them, so compacting one partition of a
+    // partitioned table never makes the staging/retired copies visible
+    // to readers of the table root as bogus partitions
+    val staging = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.compacting").toString
+    val retired = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.pre-compact").toString
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new org.apache.hadoop.fs.Path(retired)),
       s"$retired already exists — a previous compaction's rollback copy; " +
@@ -74,10 +82,15 @@ object Maintenance {
     require(fs.rename(p, new org.apache.hadoop.fs.Path(retired)),
       s"could not retire $dir")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p)) {
-      // roll the original back so the table path never stays missing
-      fs.rename(new org.apache.hadoop.fs.Path(retired), p)
+      // roll the original back so the table path never stays missing —
+      // and report honestly when even that fails, so an operator knows
+      // whether the data now lives at the table path or the retired one
+      val rolledBack = fs.rename(new org.apache.hadoop.fs.Path(retired), p)
       throw new IllegalStateException(
-        s"could not swap staging into $dir — original rolled back, staging left at $staging")
+        if (rolledBack)
+          s"could not swap staging into $dir — original rolled back, staging left at $staging"
+        else
+          s"could not swap staging into $dir AND rollback failed — table path missing; data is at $retired, staging at $staging")
     }
     val after = parquetFiles(spark, dir)
     CompactionReport(before.size, bytesBefore, after.size, after.map(_.getLen).sum, rows)

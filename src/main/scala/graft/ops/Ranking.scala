@@ -48,19 +48,28 @@ object Ranking {
     // never degenerates into an unpartitioned WindowExec.
     val b2 = hist.select(col("__g").as("__g2"), col("__b").as("__b2"),
       col("__cnt").as("__cnt2"))
+    // NULL buckets (null value) rank FIRST, like row_number's ASC
+    // nulls-first: "strictly smaller" must count a null bucket below
+    // every non-null one, and the row join must match null to null —
+    // a plain EqualTo would silently DROP every null-valued row
+    val smaller = (col("__b2").isNull && col("__b").isNotNull) ||
+      (col("__b2") < col("__b"))
     val offs = hist.as("a")
-      .join(broadcast(b2), col("__g2") === col("__g") && col("__b2") < col("__b"), "left")
+      .join(broadcast(b2), col("__g2") === col("__g") && smaller, "left")
       .groupBy(col("__g"), col("__b"))
       .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__off"))
     val totals = hist.groupBy("__g").agg(sum("__cnt").as(nCol))
 
     val wLocal = Window.partitionBy(col("__g"), col("__b"))
       .orderBy(value.asc +: tieCols.map(c => col(c).asc): _*)
+    val offsR = offs.select(col("__g").as("__go"), col("__b").as("__bo"),
+      col("__off"))
     withB
-      .join(broadcast(offs), Seq("__g", "__b"))
+      .join(broadcast(offsR),
+        col("__g") === col("__go") && col("__b") <=> col("__bo"))
       .join(broadcast(totals), Seq("__g"))
       .withColumn(rankCol, col("__off") + row_number().over(wLocal))
-      .drop("__g", "__b", "__off")
+      .drop("__g", "__b", "__go", "__bo", "__off")
   }
 
   /** SQL `ntile(k)` from a 1-based global rank and the group size n:

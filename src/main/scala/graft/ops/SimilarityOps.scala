@@ -336,6 +336,10 @@ object SimilarityOps {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
     df.select(col(idCol).cast("long"), col(vecCol))
+      // dirty rows (null id / null embedding) contribute no codes — like
+      // the relational explode of a null array — instead of crashing the
+      // encoder job on one corrupt row
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -376,6 +380,9 @@ object SimilarityOps {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
     df.select(col(idCol).cast("long"), col(vecCol))
+      // dirty rows (null id / null embedding) contribute no distances —
+      // like the relational explode of a null array — not a job crash
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -418,6 +425,9 @@ object SimilarityOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol))
+      // null id / null embedding rows project nothing (relational explode
+      // of null yields no rows) rather than NPE-ing the sketch job
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var planes: Array[Array[Double]] = null
@@ -514,8 +524,11 @@ object SimilarityOps {
           if (sums == null) sums = Array.fill(c.length)(new Array[Double](v.length))
           val (j, _) = nearestCentroid(c, v)
           cnt(j) += 1
+          // ragged input: accumulate the shared prefix, like
+          // nearestCentroid's min-length distance — not an AIOOBE
           val s = sums(j); var i = 0
-          while (i < v.length) { s(i) += v(i); i += 1 }
+          val n = math.min(s.length, v.length)
+          while (i < n) { s(i) += v(i); i += 1 }
         }
         if (sums == null) Iterator.empty
         else Iterator.range(0, c.length).filter(cnt(_) > 0)

@@ -164,6 +164,12 @@ object TextOps {
     * Banded keys make the candidate join an equi-join — the LSH scale
     * path (no all-pairs comparison ever happens). */
   def lshBands(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    // bands must tile the signature exactly: a remainder would silently
+    // change recall (ignored hashes), and bands > k would make every
+    // band_key "" — collapsing the LSH equi-join into the all-pairs
+    // cross product the banding exists to prevent
+    require(bands > 0 && k % bands == 0,
+      s"lshBands: bands=$bands must divide signature length k=$k")
     val rowsPerBand = k / bands
     val banded = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
@@ -579,26 +585,38 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sh = shingleSet(text, n)
-          if (sh.isEmpty) None
-          else {
-            val mins = Array.fill(k)(Long.MaxValue)
-            sh.foreach { s =>
-              val base = md5Long60(s) & ((1L << 30) - 1)
-              var j = 0
-              while (j < k) {
-                val (a, b) = fam(j)
-                val h = (a * base + b) % minhashPrime
-                if (h < mins(j)) mins(j) = h
-                j += 1
-              }
-            }
-            Some((id, mins))
-          }
+          minhashVector(text, n, fam).map(mins => (id, mins))
         }
       }
     sigs.select(col("_1").as(idCol) +:
       (0 until k).map(j => col("_2")(j).as(s"h$j")): _*)
+  }
+
+  /** The per-document MinHash fold itself — fam.length affine hashes
+    * over the n-shingle set's masked 60-bit md5 bases; None when the
+    * document is too short to shingle. ONE implementation shared by
+    * [[minhashSignaturesLocal]] (batch) and the streaming ingest
+    * filter's signature key (streaming/Streams.scala), so the two dedup
+    * arms cannot silently drift apart on the hash family, prime, mask,
+    * or shingle width. */
+  def minhashVector(text: String, n: Int,
+                    fam: Array[(Long, Long)]): Option[Array[Long]] = {
+    val sh = shingleSet(text, n)
+    if (sh.isEmpty) None
+    else {
+      val mins = Array.fill(fam.length)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = md5Long60(s) & ((1L << 30) - 1)
+        var j = 0
+        while (j < fam.length) {
+          val (a, b) = fam(j)
+          val h = (a * base + b) % minhashPrime
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      Some(mins)
+    }
   }
 
   /** All-pairs Levenshtein over a SMALL string dimension as a

@@ -21,6 +21,9 @@ final case class ScoredNeighbor(neighbor_id: Long, cosine: Double)
   * it from the top-k). */
 final class TopKByScore(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+  // fail at construction (driver-side), not as an obscure
+  // NoSuchElementException from b.last deep in an executor's reduce
+  require(k > 0, s"TopKByScore needs k > 0, got $k")
 
   private val ord: Ordering[ScoredNeighbor] = new Ordering[ScoredNeighbor] {
     override def compare(a: ScoredNeighbor, b: ScoredNeighbor): Int = {

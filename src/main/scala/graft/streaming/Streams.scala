@@ -37,12 +37,16 @@ object Streams {
       .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling 1-hour counts with a 1-hour watermark (late rows beyond the
-    * watermark are dropped in append mode). */
+    * watermark are dropped in append mode). Money totals use the exact-
+    * cents sum (determinism rule 11) — incremental state accumulation
+    * orders the partial sums differently from the batch dual, exactly
+    * the order-dependence `round(sum(double), 2)` is vulnerable to. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Money.centsSum(col("value")).as("total"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("total"))
 
@@ -468,7 +472,7 @@ object Streams {
     * merge logic. */
   def dedupIngest(docs: DataFrame, ledgerDir: String, outDir: String): StreamingQuery = {
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hashed = batch.withColumn("text_md5", md5(col("text")))
         // within-batch keeper: deterministic min doc_id per hash
@@ -479,11 +483,27 @@ object Streams {
         val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
           (if (fs.exists(ledgerPath) && fs.listStatus(ledgerPath).nonEmpty)
-             keepers.join(spark.read.parquet(ledgerDir), Seq("text_md5"), "left_anti")
+             keepers.join(spark.read.parquet(ledgerDir).select("text_md5"),
+               Seq("text_md5"), "left_anti")
            else keepers)
             .localCheckpoint() // read twice below; also decouples from the batch source
-        fresh.drop("text_md5").write.mode("append").parquet(outDir)
-        fresh.select("text_md5").write.mode("append").parquet(ledgerDir)
+        // foreachBatch is at-least-once: a retry after one of the two
+        // appends succeeded would duplicate docs (or permanently
+        // blacklist texts whose doc rows never landed). Key BOTH writes
+        // by batch_id with dynamic partition overwrite — the
+        // trendingTypes recipe — so a re-run replaces exactly its own
+        // partition. Every retry case converges: ledger-already-written
+        // makes `fresh` empty and the empty dynamic overwrite touches
+        // nothing; docs-already-written is simply overwritten with the
+        // identical content.
+        def idempotent(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        idempotent(fresh.drop("text_md5"), outDir)
+        idempotent(fresh.select("text_md5"), ledgerDir)
       }
       .start()
   }
@@ -527,28 +547,15 @@ object Streams {
   }
 
   /** Row-local MinHash signature key shared by both near-dup filter
-    * arms: 16 md5-seeded hashes over 3-shingles, no shuffle. Docs under
-    * 3 words have no shingles and get a per-row `short:<id>` key so a
-    * FILTER never silently loses rows it cannot fingerprint. */
+    * arms: THE batch kernel ([[graft.ops.TextOps.minhashVector]] — one
+    * implementation, so the streaming keys can never drift from the
+    * batch signatures) over 3-shingles, no shuffle. Docs under 3 words
+    * have no shingles and get a per-row `short:<id>` key so a FILTER
+    * never silently loses rows it cannot fingerprint. */
   private def sigKey(id: Long, text: String,
-                     fam: Array[(Long, Long)], prime: Long): String = {
-    val sh = graft.ops.TextOps.shingleSet(text, 3)
-    if (sh.isEmpty) s"short:$id"
-    else {
-      val mins = Array.fill(16)(Long.MaxValue)
-      sh.foreach { s =>
-        val base = graft.ops.TextOps.md5Long60(s) & ((1L << 30) - 1)
-        var j = 0
-        while (j < 16) {
-          val (a, b) = fam(j)
-          val h = (a * base + b) % prime
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      mins.mkString(",")
-    }
-  }
+                     fam: Array[(Long, Long)]): String =
+    graft.ops.TextOps.minhashVector(text, 3, fam)
+      .map(_.mkString(",")).getOrElse(s"short:$id")
 
   /** Ingestion-time near-dup filter — the streaming arm of the dedup
     * north star: each arriving document's 16-hash MinHash signature
@@ -567,7 +574,6 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     val fam = graft.ops.TextOps.minhashFamily(16).toArray
-    val prime = graft.ops.TextOps.minhashPrime
     // one TOTAL typed map (a stream cannot self-join its signature
     // relation back without event-time bounds): every row gets a key in
     // the same pass, short docs keyed by id. The text RIDES THROUGH —
@@ -577,7 +583,7 @@ object Streams {
     docs.select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) => (id, text, sigKey(id, text, fam, prime)) }
+        it.map { case (id, text) => (id, text, sigKey(id, text, fam)) }
       }
       .toDF("doc_id", "text", "sig_key")
       .dropDuplicates("sig_key")
@@ -598,13 +604,12 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     val fam = graft.ops.TextOps.minhashFamily(16).toArray
-    val prime = graft.ops.TextOps.minhashPrime
     docs.select(col("doc_id").cast("long"), col("text").cast("string"),
         col(eventTimeCol).cast("timestamp").as("ingest_ts"))
       .as[(Long, String, java.sql.Timestamp)]
       .mapPartitions { it =>
         it.map { case (id, text, ts) =>
-          (id, text, ts, sigKey(id, text, fam, prime))
+          (id, text, ts, sigKey(id, text, fam))
         }
       }
       .toDF("doc_id", "text", "ingest_ts", "sig_key")

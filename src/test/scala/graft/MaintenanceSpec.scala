@@ -41,8 +41,10 @@ class MaintenanceSpec extends SparkSpec {
       case _ => ()
     }
 
-    // the swap retired the original directory instead of deleting it
-    val retired = new java.io.File(dir + ".pre-compact")
+    // the swap retired the original directory instead of deleting it —
+    // under a HIDDEN sibling name, invisible to partition discovery
+    val d = new java.io.File(dir)
+    val retired = new java.io.File(d.getParentFile, s".${d.getName}.pre-compact")
     assert(retired.exists, "pre-compact data not retained")
   }
 }

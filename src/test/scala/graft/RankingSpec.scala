@@ -45,6 +45,22 @@ class RankingSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("groupedRank ranks NULL values first, like window row_number — not drop them") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0), "g0"), (2L, None, "g0"), (3L, Some(0.5), "g0"),
+        (4L, None, "g1"), (5L, Some(1.0), "g1"))
+      .toDF("id", "v", "grp")
+    val got = Ranking.groupedRank(df, Seq("grp"), col("v"),
+        floor(col("v")).cast("long"), Seq("id"))
+      .select("id", "rank", "grp_n")
+    val w = Window.partitionBy("grp").orderBy(col("v").asc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select("id", "rank", "grp_n")
+    assert(got.count() === 5, "null-valued rows must survive the rank")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("ntileFromRank equals SQL ntile for sizes around the remainder edge") {
     import spark.implicits._
     for (n <- Seq(1, 2, 3, 9, 10, 11, 29); k <- Seq(3, 10)) {

@@ -29,7 +29,8 @@ class StreamsSpec extends SparkSpec {
         .orderBy("window_start", "event_type").collect()
       val batch = batchEvents
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Money.centsSum(col("value")).as("total"))
         .select(unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type").collect()
@@ -258,13 +259,17 @@ class StreamsSpec extends SparkSpec {
       assert(out === Seq(1L, 3L, 5L))
       val ledgerHashes = spark.read.parquet(ledger).collect().map(_.getString(0))
       assert(ledgerHashes.length === 3 && ledgerHashes.distinct.length === 3)
-      // maintenance integration: the micro-batch sink accumulated one
-      // file per batch — compact it between batches (the SCALE.md
-      // posture) with the stream STOPPED for this sink; content and the
+      // maintenance integration: the sink is batch_id-partitioned (the
+      // idempotent-retry layout), so compaction targets one partition
+      // directory at a time — compactParquet refuses a partitioned root
+      // by contract. Stream STOPPED for this sink; content and the
       // dedup ledger are untouched by the rewrite
       q.stop()
-      val report = graft.ops.Maintenance.compactParquet(spark, outDir, "doc_id")
-      assert(report.filesAfter <= report.filesBefore && report.rows === 3L)
+      val part0 = new java.io.File(outDir).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.head
+      val report = graft.ops.Maintenance.compactParquet(
+        spark, s"$outDir/$part0", "doc_id")
+      assert(report.filesAfter <= report.filesBefore && report.rows >= 1L)
       val recheck = spark.read.parquet(outDir).collect()
         .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
       assert(recheck === Seq(1L, 3L, 5L), "compaction changed sink content")
