@@ -107,7 +107,7 @@ object Bench {
     // file so an iteration run at sf0.01 (or the sf1 gate) can never
     // clobber it (SPARK_GRAFT_BENCH_OUT overrides explicitly)
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (sfDir.endsWith("sf0.1")) "bench_full.json"
+      if (new java.io.File(sfDir).getName == "sf0.1") "bench_full.json"
       else s"bench_${new java.io.File(sfDir).getName}.json")
     try {
       java.nio.file.Files.write(

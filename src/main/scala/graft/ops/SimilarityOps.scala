@@ -153,16 +153,22 @@ object SimilarityOps {
                                   cent: DataFrame, carryEmbedding: Boolean = false,
                                   carrySim: Boolean = false): DataFrame = {
     val ccos = cosineNative6(spark, col(embCol), col("cemb"))
-    // the winning row's ccos IS sim_c, so carrying it costs nothing extra
+    // the winning row's ccos IS sim_c, so carrying it costs nothing extra.
+    // Assignment is per-ROW: the group key is a per-row surrogate, not
+    // idCol — grouping by idCol would collapse all null-id rows (and any
+    // duplicate ids) into ONE output row while the kernel emits one row
+    // per input row, so the two paths would disagree on cardinality on
+    // exactly the dirty input the kernel's Option[Long] id tolerates.
     val payload = struct(
-      Seq(col("cid")) ++
+      Seq(col(idCol).as("pid"), col("cid")) ++
         (if (carrySim) Seq(ccos.as("sim_c")) else Nil) ++
         (if (carryEmbedding) Seq(col(embCol).as("emb")) else Nil): _*)
-    val agg = points.crossJoin(broadcast(cent))
-      .select(col(idCol), payload.as("p"), struct(ccos, negate(col("cid"))).as("o"))
-      .groupBy(idCol)
+    val agg = points.withColumn("__rk", monotonically_increasing_id())
+      .crossJoin(broadcast(cent))
+      .select(col("__rk"), payload.as("p"), struct(ccos, negate(col("cid"))).as("o"))
+      .groupBy(col("__rk"))
       .agg(max_by(col("p"), col("o")).as("best"))
-    val outCols = Seq(col(idCol), col("best.cid").as("cid")) ++
+    val outCols = Seq(col("best.pid").as(idCol), col("best.cid").as("cid")) ++
       (if (carrySim) Seq(col("best.sim_c").as("sim_c")) else Nil) ++
       (if (carryEmbedding) Seq(col("best.emb").as(embCol)) else Nil)
     agg.select(outCols: _*)
@@ -200,8 +206,13 @@ object SimilarityOps {
     s"""banded AS (
        |  SELECT *, CAST(floor((pos - 1) / $cellCap.0) AS BIGINT) AS band FROM (
        |    SELECT *, row_number() OVER (PARTITION BY cid
-       |      ORDER BY sim_c, vec_id) AS pos
+       |      ORDER BY sim_c NULLS FIRST, vec_id) AS pos
        |    FROM assign) t)""".stripMargin
+  // NULLS FIRST pins DuckDB to Spark's asc null ordering: a dirty row
+  // (null/length-mismatched embedding) carries sim_c NULL by the
+  // assignment contract, and DuckDB's ASC default is NULLS LAST — the
+  // two duals would band such a row differently and the blocked-pair
+  // candidate sets would silently diverge.
 
   /** All-pairs raw cosine over a SMALL vector set as a broadcast-matrix
     * kernel — the scale-correct form of the brute-force baseline.

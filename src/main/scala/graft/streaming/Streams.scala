@@ -469,9 +469,38 @@ object Streams {
     * docs to `outDir` and their hashes to `ledgerDir`. Re-ingesting a
     * text ever seen before is a no-op; the corpus is never re-deduped.
     * foreachBatch is the standard home for this kind of transactional
-    * merge logic. */
-  def dedupIngest(docs: DataFrame, ledgerDir: String, outDir: String): StreamingQuery = {
+    * merge logic.
+    *
+    * `checkpointDir` is REQUIRED and must be durable: the batch_id-keyed
+    * idempotent writes below are only safe because a restarted query
+    * resumes from the checkpointed batchId. Without a checkpoint Spark
+    * restarts at batchId 0 and the dynamic overwrite of partition
+    * `batch_id=0` would DELETE the first run's docs and ledger hashes —
+    * duplicates traded for silent data loss. Both sinks carry a
+    * `batch_id` partition column by contract (downstream readers of
+    * `outDir` see it; it doubles as ingest provenance). */
+  def dedupIngest(docs: DataFrame, ledgerDir: String, outDir: String,
+                  checkpointDir: String): StreamingQuery = {
+    // fail fast on a legacy FLAT-layout sink (pre-batch_id appends):
+    // writing batch_id=N subdirs next to root-level parquet files makes
+    // the next read see leaves at two depths and throw "Conflicting
+    // directory structures" mid-stream — wedging the query one batch
+    // AFTER the misconfiguration. Surface it at start() instead.
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    for (dir <- Seq(outDir, ledgerDir)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val dfs = p.getFileSystem(hconf)
+      if (dfs.exists(p)) {
+        val flat = dfs.listStatus(p).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        require(flat.isEmpty,
+          s"$dir holds flat (un-partitioned) parquet from a pre-batch_id " +
+            s"layout — migrate it into a batch_id=<n> subdirectory (or point " +
+            s"the sink at a fresh path) before starting dedupIngest")
+      }
+    }
     docs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hashed = batch.withColumn("text_md5", md5(col("text")))

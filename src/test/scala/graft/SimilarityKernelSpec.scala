@@ -117,6 +117,29 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(!got(0).isNullAt(2))
   }
 
+  test("assignNearestCell kernel and relational fallback agree on dirty input " +
+      "(null ids, duplicate ids): one output row per input row") {
+    import spark.implicits._
+    val cent = Seq((7L, Array(1f, 0f)), (3L, Array(0f, 1f))).toDF("cid", "cemb")
+    // two null-id rows with DIFFERENT embeddings plus a duplicated id —
+    // a groupBy(idCol) fallback would collapse them (1 row per key);
+    // per-row assignment must emit all 4
+    val pts = Seq(
+      (Some(1L), Array(2f, 1f)), (None, Array(1f, 0f)),
+      (None, Array(0f, 1f)), (Some(1L), Array(0f, 3f)))
+      .toDF("vec_id", "embedding")
+    def census(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val kernel = census(SimilarityOps
+      .assignNearestCell(spark, pts, "vec_id", "embedding", cent))
+    val relational = census(SimilarityOps
+      .assignNearestCellRelational(spark, pts, "vec_id", "embedding", cent))
+    assert(kernel.length === 4, "kernel must emit one row per input row")
+    assert(kernel === relational,
+      "fallback path must match the kernel's per-row cardinality on dirty input")
+  }
+
   test("assignNearestCell ties break to the lowest cid; sim_c is round(cos,6)") {
     import spark.implicits._
     // centroids 7 and 3 are IDENTICAL vectors → every point ties on

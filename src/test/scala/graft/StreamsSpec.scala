@@ -245,9 +245,12 @@ class StreamsSpec extends SparkSpec {
     }
     // batch 1: a within-batch duplicate (ids 1,2 same text)
     stage("a.parquet", Seq(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text"))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val q = Streams.dedupIngest(stream, ledger, outDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    def start() = Streams.dedupIngest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+      ledger, outDir, ckpt)
+    val q = start()
     try {
       q.processAllAvailable()
       // batch 2: one repeat of batch 1, one new text, one internal dup
@@ -273,7 +276,40 @@ class StreamsSpec extends SparkSpec {
       val recheck = spark.read.parquet(outDir).collect()
         .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
       assert(recheck === Seq(1L, 3L, 5L), "compaction changed sink content")
+      // RESTART with the same durable checkpoint: batchIds must resume
+      // past the processed batches, so the new batch's dynamic overwrite
+      // lands in a FRESH batch_id partition — a restart that re-began at
+      // batchId 0 would silently overwrite (delete) batch 1's docs and
+      // ledger hashes, which is exactly what this pins against
+      stage("c.parquet", Seq(7L -> "delta text", 8L -> "alpha text"))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val afterRestart = spark.read.parquet(outDir).collect()
+        .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      assert(afterRestart === Seq(1L, 3L, 5L, 7L),
+        "restart must extend the corpus, not overwrite earlier batches")
+      assert(spark.read.parquet(ledger).collect().map(_.getString(0))
+        .distinct.length === 4)
     } finally q.stop()
+  }
+
+  test("dedupIngest refuses a legacy flat-layout sink instead of wedging mid-stream") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_flat_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_flat_out").toString
+    val ledger = java.nio.file.Files.createTempDirectory("graft_flat_led").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_flat_ckpt").toString
+    // a pre-batch_id deployment: root-level parquet files, no partition dirs
+    Seq(1L -> "old text").toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val e = intercept[IllegalArgumentException] {
+      Streams.dedupIngest(stream, ledger, outDir, ckpt)
+    }
+    assert(e.getMessage.contains("pre-batch_id"))
   }
 
   test("streaming per-window top-k == batch rank over closed windows") {
