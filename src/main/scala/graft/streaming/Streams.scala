@@ -545,8 +545,15 @@ object Streams {
     * the appended rows per window inside foreachBatch is exact and
     * final. State is bounded by the watermark (closed windows are
     * evicted); the per-batch rank runs over |closed windows|·|types|
-    * rows, never the stream. */
-  def trendingTypes(events: DataFrame, k: Int, outDir: String): StreamingQuery = {
+    * rows, never the stream.
+    *
+    * `checkpointDir` is REQUIRED and must be durable for the same reason
+    * as [[dedupIngest]]: the batch_id-keyed idempotent write is only
+    * safe while batchIds are monotonic — a checkpoint-less restart
+    * re-begins at batchId 0 and its dynamic overwrite would DELETE the
+    * first run's closed windows. */
+  def trendingTypes(events: DataFrame, k: Int, outDir: String,
+                    checkpointDir: String): StreamingQuery = {
     val counts = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -554,6 +561,7 @@ object Streams {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"))
     counts.writeStream
+      .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val w = org.apache.spark.sql.expressions.Window

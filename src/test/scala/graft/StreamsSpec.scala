@@ -314,7 +314,8 @@ class StreamsSpec extends SparkSpec {
 
   test("streaming per-window top-k == batch rank over closed windows") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_trending").toString
-    val q = Streams.trendingTypes(Streams.readEvents(spark, path), 2, outDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trending_ckpt").toString
+    val q = Streams.trendingTypes(Streams.readEvents(spark, path), 2, outDir, ckpt)
     try {
       q.processAllAvailable()
       val streamed = spark.read.parquet(outDir)
