@@ -113,18 +113,20 @@ case class TopKLargest(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(heap.size)
-    heap.foreach { v =>
-      child.dataType match {
-        case IntegerType => out.writeInt(v.asInstanceOf[Int])
-        case LongType => out.writeLong(v.asInstanceOf[Long])
-        case FloatType => out.writeFloat(v.asInstanceOf[Float])
-        case DoubleType => out.writeDouble(v.asInstanceOf[Double])
-        case StringType =>
-          val b = v.asInstanceOf[UTF8String].getBytes
-          out.writeInt(b.length); out.write(b)
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
+    // type dispatch hoisted OUT of the per-element loop: every partial
+    // buffer crossing the shuffle would otherwise pay k redundant
+    // dataType matches on each side of the serde
+    val write: Any => Unit = child.dataType match {
+      case IntegerType => v => out.writeInt(v.asInstanceOf[Int])
+      case LongType => v => out.writeLong(v.asInstanceOf[Long])
+      case FloatType => v => out.writeFloat(v.asInstanceOf[Float])
+      case DoubleType => v => out.writeDouble(v.asInstanceOf[Double])
+      case StringType => v =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      case other => throw new IllegalStateException(s"unreachable: $other")
     }
+    heap.foreach(write)
     out.flush(); bos.toByteArray
   }
 
@@ -132,19 +134,19 @@ case class TopKLargest(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val heap = createAggregationBuffer()
     val n = in.readInt()
+    val read: () => Any = child.dataType match {
+      case IntegerType => () => in.readInt()
+      case LongType => () => in.readLong()
+      case FloatType => () => in.readFloat()
+      case DoubleType => () => in.readDouble()
+      case StringType => () =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
     var i = 0
     while (i < n) {
-      val v: Any = child.dataType match {
-        case IntegerType => in.readInt()
-        case LongType => in.readLong()
-        case FloatType => in.readFloat()
-        case DoubleType => in.readDouble()
-        case StringType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          UTF8String.fromBytes(b)
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
-      heap.enqueue(v) // ≤k values by construction; no offer() needed
+      heap.enqueue(read()) // ≤k values by construction; no offer() needed
       i += 1
     }
     heap

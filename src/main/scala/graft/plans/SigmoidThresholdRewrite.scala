@@ -59,18 +59,34 @@ object SigmoidThresholdRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // all eight orientation/strictness spellings: strict monotonicity
+      // makes every one of σ(x) ⋈ t ⇔ x ⋈ logit(t) equally exact, and a
+      // user writing `> t` instead of `>= t` should not silently keep
+      // the per-row exp() on the hot path
       case GreaterThanOrEqual(ClippedSigmoid(x), Literal(t: Double, DoubleType))
           if inOpenRange(t) =>
         GreaterThanOrEqual(x, Literal(logit(t), DoubleType))
+      case GreaterThan(ClippedSigmoid(x), Literal(t: Double, DoubleType))
+          if inOpenRange(t) =>
+        GreaterThan(x, Literal(logit(t), DoubleType))
       case LessThan(ClippedSigmoid(x), Literal(t: Double, DoubleType))
           if inOpenRange(t) =>
         LessThan(x, Literal(logit(t), DoubleType))
+      case LessThanOrEqual(ClippedSigmoid(x), Literal(t: Double, DoubleType))
+          if inOpenRange(t) =>
+        LessThanOrEqual(x, Literal(logit(t), DoubleType))
       case GreaterThan(Literal(t: Double, DoubleType), ClippedSigmoid(x))
           if inOpenRange(t) =>
         GreaterThan(Literal(logit(t), DoubleType), x)
+      case GreaterThanOrEqual(Literal(t: Double, DoubleType), ClippedSigmoid(x))
+          if inOpenRange(t) =>
+        GreaterThanOrEqual(Literal(logit(t), DoubleType), x)
       case LessThanOrEqual(Literal(t: Double, DoubleType), ClippedSigmoid(x))
           if inOpenRange(t) =>
         LessThanOrEqual(Literal(logit(t), DoubleType), x)
+      case LessThan(Literal(t: Double, DoubleType), ClippedSigmoid(x))
+          if inOpenRange(t) =>
+        LessThan(Literal(logit(t), DoubleType), x)
     }
 }
 

@@ -45,7 +45,11 @@ class GraftSink extends TableProvider with DataSourceRegister {
     new StructType()
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GraftSinkTable(properties.getOrDefault("name", "default"), schema)
+    // options are case-insensitive by DSv2 contract — a direct map
+    // lookup would silently route .option("NAME", …) to "default"
+    new GraftSinkTable(
+      new CaseInsensitiveStringMap(properties).getOrDefault("name", "default"),
+      schema)
   override def supportsExternalMetadata(): Boolean = true
 }
 

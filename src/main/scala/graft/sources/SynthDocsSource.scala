@@ -49,11 +49,16 @@ class SynthDocsSource extends TableProvider with DataSourceRegister {
     SynthDocsSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 contract: data-source options are case-INSENSITIVE — the raw
+    // properties map is not, so .option("ROWS", …) would silently fall
+    // back to the default through a direct lookup
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthDocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsPerBatch", "250").toLong)
+      opts.getLong("rows", 1000L),
+      opts.getInt("partitions", 4),
+      opts.getLong("rowsPerBatch", 250L))
+  }
 }
 
 object SynthDocsSource {
@@ -118,13 +123,19 @@ final class SynthDocsScanBuilder(rows: Long, partitions: Int,
       case IsNotNull("doc_id") => true // non-nullable: always true
       case _ => false
     }
+    // v+1 saturates at Long.MaxValue: ids live in [0, rows) with
+    // rows <= MaxValue, so `> MaxValue` is the empty range (lo pinned to
+    // MaxValue >= hi) and `<= MaxValue` is a no-op — the unchecked
+    // increment wrapped to MinValue and, because absorbed filters are
+    // never re-checked by Spark, silently inverted both predicates
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     ours.foreach {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, succ(v))
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, succ(v))
       case EqualTo("doc_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+        lo = math.max(lo, v); hi = math.min(hi, succ(v))
       case _ => ()
     }
     accepted = ours
@@ -265,11 +276,22 @@ final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
     // clamp up too: a checkpoint written before a filter change could
     // restore an offset below the pushed lower bound
     val lo = math.max(start.asInstanceOf[SynthOffset].v, rangeLo)
-    val cap = limit match {
+    // honor the ACTUAL limit algebra, not just ReadMaxRows:
+    // ReadAllAvailable is what Trigger.Once hands down and what the
+    // AvailableNow wrapper uses to snapshot its target offset — mapping
+    // it to rowsPerBatch made one-shot triggers silently truncate the
+    // source to a single batch. A composite (AvailableNow composes
+    // limits) takes its most restrictive row cap; members that don't
+    // bound rows (ReadMinRows, ReadAllAvailable) impose no cap.
+    def cap(l: streaming.ReadLimit): Long = l match {
       case m: streaming.ReadMaxRows => m.maxRows()
-      case _ => rowsPerBatch
+      case _: streaming.ReadAllAvailable => rangeHi - lo // uncapped
+      case c: streaming.CompositeReadLimit =>
+        val members = c.getReadLimits
+        if (members.isEmpty) rowsPerBatch else members.map(cap).min
+      case _ => rowsPerBatch // ReadMinRows etc.: default admission
     }
-    SynthOffset(math.min(rangeHi, lo + cap))
+    SynthOffset(math.min(rangeHi, lo + math.max(0L, cap(limit))))
   }
   override def reportLatestOffset(): streaming.Offset = SynthOffset(rangeHi)
 
@@ -304,12 +326,18 @@ final class SynthReaderFactory(required: StructType)
       case "n_tokens" => (id: Long) => SynthDocsSource.nTokens(id)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
-    val emitSeq = emit.toIndexedSeq
     new PartitionReader[InternalRow] {
       private var id = s.start - 1
       override def next(): Boolean = { id += 1; id < s.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(emitSeq.map(f => f(id)))
+      override def get(): InternalRow = {
+        // index loop into a fresh values array: no per-row Seq/map
+        // allocations in the scan's hot loop (the row itself must be
+        // fresh — downstream operators may buffer it)
+        val values = new Array[Any](emit.length)
+        var i = 0
+        while (i < emit.length) { values(i) = emit(i)(id); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
       override def close(): Unit = ()
     }
   }

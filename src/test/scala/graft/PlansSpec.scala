@@ -30,6 +30,29 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("all eight comparison spellings rewrite (strict/non-strict, both orientations)") {
+    // σ is strictly monotone, so every spelling is equally rewriteable —
+    // a user writing `> t` instead of `>= t` must not silently keep the
+    // per-row exp() on the hot path
+    def frame(pred: org.apache.spark.sql.Column) = spark.range(10)
+      .withColumn("logit", (col("id") - 5).cast("double")).filter(pred)
+    val s = Tagging.clippedSigmoid(col("logit"))
+    val t = lit(0.55)
+    val cases: Seq[(org.apache.spark.sql.Column, Seq[Long])] = Seq(
+      (s >= t, Seq(6L, 7L, 8L, 9L)), (s > t, Seq(6L, 7L, 8L, 9L)),
+      (s < t, Seq(0L, 1L, 2L, 3L, 4L, 5L)), (s <= t, Seq(0L, 1L, 2L, 3L, 4L, 5L)),
+      (t > s, Seq(0L, 1L, 2L, 3L, 4L, 5L)), (t >= s, Seq(0L, 1L, 2L, 3L, 4L, 5L)),
+      (t < s, Seq(6L, 7L, 8L, 9L)), (t <= s, Seq(6L, 7L, 8L, 9L)))
+    withRule {
+      for ((pred, want) <- cases) {
+        val df = frame(pred)
+        assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("exp("),
+          s"spelling $pred kept its exp()")
+        assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq === want)
+      }
+    }
+  }
+
   test("full tagging pipeline results unchanged under the rule") {
     val vocab = Tagging.syntheticVocab(spark, 64)
     def run() = Tagging.pipeline(

@@ -187,6 +187,27 @@ class SourcesSpec extends SparkSpec {
       "residual filter must block the limit push")
   }
 
+  test("graft-synth: Long.MaxValue boundary literals push without overflow") {
+    // `<= MaxValue` is always true: the unchecked v+1 wrapped hi to
+    // MinValue and returned 0 rows; `> MaxValue` is always false: the
+    // wrapped lo was a no-op and returned every row. Absorbed filters
+    // are never re-checked by Spark, so both inversions were silent.
+    assert(synth(1000, 4).filter(col("doc_id") <= Long.MaxValue).count() === 1000)
+    assert(synth(1000, 4).filter(col("doc_id") > Long.MaxValue).count() === 0)
+    assert(synth(1000, 4).filter(col("doc_id") === Long.MaxValue).count() === 0)
+  }
+
+  test("graft-synth and graft-sink options are case-insensitive (DSv2 contract)") {
+    val upper = spark.read.format("graft-synth")
+      .option("ROWS", 10).option("Partitions", 2).load()
+    assert(upper.count() === 10, "ROWS must not be silently ignored")
+    sources.GraftSinkRegistry.clear("case_run")
+    synth(50, 2).write.format("graft-sink").option("NAME", "case_run")
+      .mode("append").save()
+    assert(sources.GraftSinkRegistry.committed("case_run").exists(_.rows == 50L),
+      "NAME must route the audit to its run, not to 'default'")
+  }
+
   test("graft-synth: ungrouped count(*) is answered from metadata alone") {
     val df = synth(1000000, 8)
     assert(df.count() === 1000000L)
@@ -222,6 +243,27 @@ class SourcesSpec extends SparkSpec {
     assert(fp(got) === fp(synth(1000, 4)))
     // 1000 rows at 300/trigger = 4 micro-batches
     assert(q.recentProgress.count(_.numInputRows > 0) === 4)
+  }
+
+  test("graft-synth streaming: one-shot triggers drain the WHOLE source, not one batch") {
+    // Trigger.Once hands down ReadAllAvailable and Trigger.AvailableNow
+    // snapshots its target offset the same way — mapping every
+    // non-ReadMaxRows limit to rowsPerBatch silently truncated one-shot
+    // queries to 250 of 1000 rows (a successful-looking 75% data loss)
+    for ((trigger, tag) <- Seq(
+        org.apache.spark.sql.streaming.Trigger.Once() -> "once",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow() -> "availablenow")) {
+      val name = s"synth_oneshot_$tag"
+      val q = spark.readStream.format("graft-synth")
+        .option("rows", 1000).option("partitions", 4).option("rowsPerBatch", 250)
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(trigger)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      assert(spark.table(name).count() === 1000,
+        s"$trigger must drain the full source")
+    }
   }
 
   test("graft-synth streaming: restart from checkpoint resumes, never re-emits") {
