@@ -48,7 +48,13 @@ object Images {
     * matching is case-insensitive in the reference (f.lower()), mirrored
     * with a brace glob of both cases. */
   def source(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
-    val glob = imageExtensions.flatMap(e => Seq(e, e.toUpperCase)).mkString("*.{", ",", "}")
+    // per-character class glob ([jJ][pP][gG]): Hadoop glob matching is
+    // case-sensitive PER ALTERNATIVE, so a {jpg,JPG} brace silently
+    // drops mixed-case files (photo.Jpg — common from cameras) that the
+    // reference's f.lower() check accepts
+    val glob = imageExtensions
+      .map(_.map(c => s"[$c${c.toUpper}]").mkString)
+      .mkString("*.{", ",", "}")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", recursive.toString)
@@ -212,8 +218,15 @@ object Images {
         pkg: String = "ai.onnxruntime")
         extends SessionLike {
       // all resolution happens once per instance (= once per executor
-      // partition chain); score() calls then pay only invoke cost
-      @transient private lazy val bound: (AnyRef, AnyRef, String, String, Class[_]) =
+      // partition chain); score() calls then pay only invoke cost — the
+      // tensor class and the three hot-path Methods are resolved here
+      // too, so run() does NO Class.forName/getMethod per image row
+      private final case class Bound(env: AnyRef, session: AnyRef,
+          inputName: String, outputName: String,
+          createTensor: java.lang.reflect.Method,
+          sessionRun: java.lang.reflect.Method,
+          tensorClose: java.lang.reflect.Method)
+      @transient private lazy val bound: Bound =
         try {
           val envCls = Class.forName(s"$pkg.OrtEnvironment")
           val env = envCls.getMethod("getEnvironment").invoke(null)
@@ -235,7 +248,13 @@ object Images {
             require(it.hasNext, s"model declares no names via $getter")
             it.next()
           }
-          (env, session, firstName("getInputNames"), firstName("getOutputNames"), envCls)
+          val tensorCls = Class.forName(s"$pkg.OnnxTensor")
+          Bound(env, session,
+            firstName("getInputNames"), firstName("getOutputNames"),
+            tensorCls.getMethod("createTensor", envCls,
+              classOf[java.nio.FloatBuffer], classOf[Array[Long]]),
+            session.getClass.getMethod("run", classOf[java.util.Map[_, _]]),
+            tensorCls.getMethod("close"))
         } catch {
           case e: ClassNotFoundException =>
             throw new IllegalStateException(
@@ -250,22 +269,18 @@ object Images {
         }
 
       def run(chw: Array[Float], shape: Array[Long]): Array[Float] = {
-        val (env, session, inputName, outputName, envCls) = bound
-        val tensorCls = Class.forName(s"$pkg.OnnxTensor")
-        val tensor = tensorCls
-          .getMethod("createTensor", envCls, classOf[java.nio.FloatBuffer],
-            classOf[Array[Long]])
-          .invoke(null, env, java.nio.FloatBuffer.wrap(chw), shape)
+        val b = bound
+        val tensor = b.createTensor
+          .invoke(null, b.env, java.nio.FloatBuffer.wrap(chw), shape)
         try {
-          val result = session.getClass
-            .getMethod("run", classOf[java.util.Map[_, _]])
-            .invoke(session, java.util.Collections.singletonMap(inputName, tensor))
+          val result = b.sessionRun
+            .invoke(b.session, java.util.Collections.singletonMap(b.inputName, tensor))
           try {
             val value = result.getClass.getMethod("get", classOf[String])
-              .invoke(result, outputName)
+              .invoke(result, b.outputName)
               .asInstanceOf[java.util.Optional[AnyRef]]
             val onnxValue = value.orElseThrow(() =>
-              new IllegalStateException(s"model produced no output '$outputName'"))
+              new IllegalStateException(s"model produced no output '${b.outputName}'"))
             onnxValue.getClass.getMethod("getValue").invoke(onnxValue) match {
               case rows: Array[Array[Float]] => rows(0) // [1, nTags] → row 0
               case flat: Array[Float]        => flat
@@ -273,7 +288,7 @@ object Images {
                 s"unexpected ONNX output shape: ${other.getClass}")
             }
           } finally result.getClass.getMethod("close").invoke(result)
-        } finally tensorCls.getMethod("close").invoke(tensor)
+        } finally b.tensorClose.invoke(tensor)
       }
     }
   }
@@ -307,7 +322,16 @@ object Images {
   def tagImages(spark: SparkSession, dir: String, vocab: DataFrame, scorer: Scorer,
                 recursive: Boolean = false,
                 genThreshold: Double = 0.55, charThreshold: Double = 0.60): DataFrame = {
+    // persist the logits relation: the plan below references it THREE
+    // times (the ok-filter feeding the tag pipeline — itself read twice
+    // inside Tagging.pipeline — and the final status join), and without
+    // a persist each subtree re-runs the binaryFile scan + decode +
+    // score, tripling the single most expensive stage of the flagship.
+    // The cached relation is (path, 4·nTags B logits, status) — orders
+    // of magnitude smaller than the decode work it saves; it stays
+    // cached for the frame's lifetime (LRU-evictable, spills to disk).
     val scored = scoreImages(source(spark, dir, recursive), scorer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = scored.filter(col("status") === "ok")
       .select(col("path").as("image_id"), col("logits"))
     val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)
@@ -324,8 +348,10 @@ object Images {
     val obs = org.apache.spark.sql.Observation("tagger_run_metrics")
     val observed = tagged.observe(obs,
       count(lit(1)).as("n_total"),
-      sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
-      sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_failed"))
+      // coalesce: sum() over an EMPTY directory is null, and the
+      // end-of-run report would print "success: null" instead of 0
+      coalesce(sum(when(col("status") === "ok", 1L).otherwise(0L)), lit(0L)).as("n_ok"),
+      coalesce(sum(when(col("status") =!= "ok", 1L).otherwise(0L)), lit(0L)).as("n_failed"))
     (observed, obs)
   }
 
@@ -335,28 +361,42 @@ object Images {
     * Path handling mirrors os.path.splitext (appV2.py:178): the extension
     * is split on the file NAME only — a dot in a directory name plus an
     * extensionless file must not truncate the directory. binaryFile's
-    * `path` column is a percent-encoded file: URI; decode it via
-    * java.net.URI so images under paths with spaces land their side-cars
-    * at the real filesystem location. */
-  def writeSidecars(tagged: DataFrame): Unit =
+    * `path` column is a percent-encoded URI; java.net.URI decodes it so
+    * images under paths with spaces land their side-cars at the real
+    * location. Writes go through the Hadoop FileSystem API, so the sink
+    * works against ANY scheme the source can read (file:, hdfs:, s3a:) —
+    * java.nio would treat "hdfs://ns/a.png" as a relative local path and
+    * fail the job AFTER scoring completed. */
+  def writeSidecars(tagged: DataFrame): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      tagged.sparkSession.sparkContext.hadoopConfiguration)
     tagged.select(col("path"), col("tags")).foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
           val raw = r.getString(0)
-          val fsPath =
-            if (raw.startsWith("file:"))
-              java.nio.file.Paths.get(new java.net.URI(raw))
-            else java.nio.file.Paths.get(raw)
+          // binaryFile emits percent-encoded URIs (file:/a%20b) — decode
+          // through java.net.URI; a scheme-LESS raw path may contain
+          // literal spaces URI.parse rejects, so it goes straight to Path
+          val imgPath =
+            if (raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))
+              new org.apache.hadoop.fs.Path(new java.net.URI(raw))
+            else new org.apache.hadoop.fs.Path(raw)
           val txt = Option(r.getString(1)).getOrElse("")
-          val name = fsPath.getFileName.toString
+          val name = imgPath.getName
           val stem = name.lastIndexOf('.') match {
             // os.path.splitext: a leading-dot-only name (".bashrc") has
             // no extension
             case i if i > 0 => name.substring(0, i)
             case _          => name
           }
-          val out = fsPath.resolveSibling(stem + ".txt")
-          java.nio.file.Files.write(out, txt.getBytes("UTF-8"))
+          val fs = imgPath.getFileSystem(conf.value)
+          // the reference writes exactly one .txt per image — suppress
+          // the local checksum twin (.x.txt.crc) LocalFileSystem adds
+          fs.setWriteChecksum(false)
+          val out = new org.apache.hadoop.fs.Path(imgPath.getParent, stem + ".txt")
+          val os = fs.create(out, true)
+          try os.write(txt.getBytes("UTF-8")) finally os.close()
         }
     }
+  }
 }

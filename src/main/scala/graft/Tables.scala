@@ -29,8 +29,20 @@ object Tables {
       // microsecond TIMESTAMP — the naive values ARE UTC instants in
       // the generator, and the session timezone is pinned to UTC at
       // every entry point, so the cast is value-preserving.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      // The legacy conf is session-wide (it changes how EVERY later
+      // parquet read in the session decodes TIMESTAMP(NANOS) columns),
+      // so it is only flipped on when the plain read actually trips over
+      // the NANOS layout — sessions on the modern fixtures never see a
+      // mutated conf. Once needed it must STAY set: the lazy scan
+      // re-consults it at execution time.
+      val path = s"$sfDir/events.parquet"
+      val raw =
+        try spark.read.parquet(path)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path)
+        }
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

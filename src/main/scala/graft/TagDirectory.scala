@@ -31,7 +31,6 @@ object TagDirectory {
     val recursive = args.contains("--recursive")
     val genT = opt("--gen").map(_.toDouble).getOrElse(0.55)
     val charT = opt("--char").map(_.toDouble).getOrElse(0.60)
-    val nTags = opt("--tags").map(_.toInt).getOrElse(32)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,7 +46,16 @@ object TagDirectory {
       case Some(path) => Vocab.fromJson(spark,
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"))
-      case None => Tagging.syntheticVocab(spark, nTags)
+      case None => Tagging.syntheticVocab(spark, opt("--tags").map(_.toInt).getOrElse(32))
+    }
+    // the scorer must cover the vocabulary: with a loaded --vocab the
+    // logit count defaults to maxTagIdx+1 — a fixed 32 would leave every
+    // tag_idx >= 32 silently unreachable through the inner join's
+    // hole-skip (no row, no error, wrong side-cars)
+    val nTags = opt("--tags").map(_.toInt).getOrElse {
+      if (opt("--vocab").isDefined)
+        vocab.agg(max(col("tag_idx"))).head.getLong(0).toInt + 1
+      else 32
     }
 
     val t0 = System.nanoTime()

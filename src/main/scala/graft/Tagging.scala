@@ -248,19 +248,32 @@ object Tagging {
     * comparisons; the tags column is a string), pinned by TaggingSpec and
     * the tagger_pipeline_local oracle query. A vocab entry whose tag_idx
     * exceeds the score vector's length contributes nothing, mirroring the
-    * relational form's inner-join hole skip. */
+    * relational form's inner-join hole skip.
+    *
+    * The id column keeps its own family: a STRING id (the image-path ids
+    * scoreImages emits — the documented 100 TB wiring) rides a
+    * string-keyed encoder; anything else takes the long path. The old
+    * unconditional cast("long") turned every path id into NULL and the
+    * output could no longer be joined back to its images. */
   def pipelineLocal(scores: DataFrame, vocabEntries: Seq[Vocab.Entry],
                     genThreshold: Double = 0.55, charThreshold: Double = 0.60,
                     idCol: String = "image_id", vecCol: String = "logits"): DataFrame = {
     val program = SelectionProgram(vocabEntries, genThreshold, charThreshold)
     val spark = scores.sparkSession
     import spark.implicits._
-    scores
-      .select(col(idCol).cast("long").as("image_id"),
-        col(vecCol).cast("array<double>").as("logits"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it => it.map { case (id, vec) => (id, program.tags(vec)) } }
-      .toDF("image_id", "tags")
+    val vec = col(vecCol).cast("array<double>").as("logits")
+    scores.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        scores.select(col(idCol).as("image_id"), vec)
+          .as[(String, Array[Double])]
+          .mapPartitions { it => it.map { case (id, v) => (id, program.tags(v)) } }
+          .toDF("image_id", "tags")
+      case _ =>
+        scores.select(col(idCol).cast("long").as("image_id"), vec)
+          .as[(Long, Array[Double])]
+          .mapPartitions { it => it.map { case (id, v) => (id, program.tags(v)) } }
+          .toDF("image_id", "tags")
+    }
   }
 
   /** Deterministic synthetic vocabulary over tag_idx 0..n-1, mirrored

@@ -81,33 +81,17 @@ object Vocab {
         s"tag mapping must be a JSON object, got ${other.getClass.getSimpleName}")
     }
     val fields = root.obj.toMap
-    val rawIdxTag: Seq[(Long, String)] =
+    val (orderedIdxTag: Seq[(Long, String)], tagToCategory: Map[String, String]) =
       if (fields.contains("idx_to_tag")) {
         // Schema A (appV2.py:54-56)
-        fields("idx_to_tag") match {
+        val raw = fields("idx_to_tag") match {
           case JObject(kv) => kv.map { case (k, v) => k.toLong -> str(v) }
           case _ => throw new IllegalArgumentException("idx_to_tag must be an object")
         }
-      } else {
-        // Schema B (appV2.py:57-60)
-        root.obj.map { case (k, v) =>
-          v match {
-            case JObject(inner) =>
-              val m = inner.toMap
-              k.toLong -> str(m("tag"))
-            case _ => throw new IllegalArgumentException(s"entry $k must be an object")
-          }
-        }
-      }
-    // python-dict dedup: first position, last value
-    val orderedIdxTag: Seq[(Long, String)] = {
-      val m = scala.collection.mutable.LinkedHashMap.empty[Long, String]
-      rawIdxTag.foreach { case (i, t) => m.update(i, t) }
-      m.toSeq
-    }
-    val tagToCategory: Map[String, String] =
-      if (fields.contains("idx_to_tag")) {
-        fields.get("tag_to_category") match {
+        // python-dict dedup: first position, last value
+        val m = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+        raw.foreach { case (i, t) => m.update(i, t) }
+        val cats = fields.get("tag_to_category") match {
           case Some(JObject(kv)) => kv.map { case (k, v) => k -> str(v) }.toMap
           case Some(_) => throw new IllegalArgumentException("tag_to_category must be an object")
           // the reference raises KeyError here (appV2.py:56) — a schema-A
@@ -116,11 +100,26 @@ object Vocab {
           case None => throw new IllegalArgumentException(
             "schema A mapping requires tag_to_category (reference appV2.py:56 raises KeyError)")
         }
+        (m.toSeq, cats)
       } else {
-        root.obj.collect { case (_, JObject(inner)) =>
-          val m = inner.toMap
-          str(m("tag")) -> str(m("category"))
-        }.toMap
+        // Schema B (appV2.py:57-60). Both derived relations come from the
+        // SAME int-key-deduped dict, exactly like the reference:
+        // idx_to_tag from its items, tag_to_category from its VALUES
+        // (appV2.py:59) — a tag-NAME-keyed dict, so two entries sharing a
+        // tag name both resolve to the LAST one's category by reference
+        // contract (a quirk, but the pinned semantics), and an entry
+        // overwritten during int-key dedup never contributes its category
+        val m = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String)]
+        root.obj.foreach { case (k, v) =>
+          v match {
+            case JObject(inner) =>
+              val e = inner.toMap
+              m.update(k.toLong, (str(e("tag")), str(e("category"))))
+            case _ => throw new IllegalArgumentException(s"entry $k must be an object")
+          }
+        }
+        (m.toSeq.map { case (i, (t, _)) => i -> t },
+          m.values.map { case (t, c) => t -> c }.toMap)
       }
     orderedIdxTag.zipWithIndex.flatMap { case ((idx, tag), pos) =>
       val cat = tagToCategory.getOrElse(tag, "general").toLowerCase

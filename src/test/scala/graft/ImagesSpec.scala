@@ -52,6 +52,20 @@ class ImagesSpec extends SparkSpec {
     assert(scored("motion.webp")._2 === "ok")
   }
 
+  test("R1 source: MIXED-case extensions match, like the reference's f.lower()") {
+    // Hadoop glob alternatives are case-sensitive: a {jpg,JPG} brace
+    // accepts only all-lower/all-upper, silently dropping camera-style
+    // 'photo.Jpg'. The per-character class glob must accept any casing —
+    // and still exclude non-image extensions in any casing.
+    val d2 = Files.createTempDirectory("graft_imgcase")
+    Files.copy(Paths.get(dir, "photo.jpg"), d2.resolve("camera.Jpg"))
+    Files.copy(Paths.get(dir, "portrait.png"), d2.resolve("scan.pNg"))
+    Files.write(d2.resolve("note.TxT"), "not an image".getBytes("UTF-8"))
+    val names = Images.source(spark, d2.toString)
+      .select(col("path")).collect().map(_.getString(0).split('/').last).sorted
+    assert(names === Array("camera.Jpg", "scan.pNg"))
+  }
+
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {
     val names = Images.source(spark, dir, recursive = true)
       .select(col("path")).collect().map(_.getString(0).split('/').last)

@@ -110,6 +110,24 @@ class TaggingSpec extends SparkSpec {
     assert(loc2 === rel2)
   }
 
+  test("pipelineLocal preserves STRING ids (the scoreImages path-id wiring)") {
+    import org.apache.spark.sql.functions.{col => c, transform => tf, sin, lit, sequence, concat}
+    val entries = Vocab.parseJson(vocabJson)
+    // path-shaped string ids, as scoreImages emits — the old
+    // cast("long") nulled every one of them
+    val scores = spark.range(20).select(
+      concat(lit("file:/imgs/pic_"), c("id").cast("string"), lit(".png")).as("image_id"),
+      tf(sequence(lit(0), lit(15)),
+        j => sin(c("id") * 0.37 + j.cast("double") * 1.13) * 40.0).as("logits"))
+    val relational = Tagging.pipeline(scores, vocab)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = Tagging.pipelineLocal(scores, entries)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local.keys.forall(_.startsWith("file:/imgs/pic_")),
+      "string ids must ride through un-nulled")
+    assert(local === relational)
+  }
+
   test("NaN logits: pipelineLocal reproduces Spark's NaN-greatest clip semantics") {
     val entries = Vocab.parseJson(vocabJson)
     val nan = Double.NaN

@@ -64,6 +64,33 @@ class VocabSpec extends AnyFunSuite {
       Vocab.Entry(3, "other", "meta", 1)))
   }
 
+  test("schema B: duplicate tag NAMES resolve to the LAST category (appV2.py:59 parity)") {
+    // the reference builds tag_to_category as a tag-NAME-keyed dict from
+    // the entry values, so two indices sharing a name BOTH get the later
+    // entry's category — a quirk, but the pinned contract
+    val json =
+      """{"0": {"tag": "dup", "category": "rating"},
+        | "1": {"tag": "dup", "category": "meta"},
+        | "2": {"tag": "solo", "category": "general"}}""".stripMargin
+    assert(Vocab.parseJson(json) === Seq(
+      Vocab.Entry(0, "dup", "meta", 0),
+      Vocab.Entry(1, "dup", "meta", 1),
+      Vocab.Entry(2, "solo", "general", 2)))
+  }
+
+  test("schema B: an entry overwritten by int-key dedup never contributes its category") {
+    // mirror of appV2.py:57-59 — tag_to_category comes from the DEDUPED
+    // dict's values: key "01" overwrites key "1", so first_tag's
+    // category from the overwritten entry must not resurface
+    val json =
+      """{"1": {"tag": "dup", "category": "rating"},
+        | "01": {"tag": "winner", "category": "meta"},
+        | "2": {"tag": "dup", "category": "general"}}""".stripMargin
+    assert(Vocab.parseJson(json) === Seq(
+      Vocab.Entry(1, "winner", "meta", 0),
+      Vocab.Entry(2, "dup", "general", 1)))
+  }
+
   test("emission rank covers exactly the 8 recognized categories") {
     assert(Vocab.emissionRank.keySet === Vocab.recognized.toSet)
     assert(Vocab.emissionRank.values.toSeq.sorted === (0 until 8))
