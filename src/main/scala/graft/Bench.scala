@@ -63,6 +63,14 @@ object Bench {
       graft.ops.Components.connectedComponents(
         Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")).count()
     }
+    // a curated headline name that drifts from the registry must fail
+    // loudly HERE: byName.get below would silently drop it from the
+    // stdout line and that family's monitoring signal would just vanish
+    locally {
+      val unknown = headline.filterNot(SparkEntry.queries.keySet.contains)
+      require(unknown.isEmpty,
+        s"headline names missing from the query registry: ${unknown.mkString(", ")}")
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query runs TWICE and reports the MIN: the first run absorbs
@@ -93,7 +101,9 @@ object Bench {
       }
       name -> dt
     }
-    val total = results.map(_._2).sum
+    // failures carry a -1.0 sentinel in the per-query map; summing them
+    // would make the total SMALLER (read: better) the more queries crash
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

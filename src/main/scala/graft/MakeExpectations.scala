@@ -41,12 +41,18 @@ object MakeExpectations {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val tmp = Files.createTempDirectory(s"expect_$name").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        finally listing.close()
       require(part.length == 1, s"$name: expected 1 part file, got ${part.length}")
-      Files.move(Paths.get(part(0)), Paths.get(s"$fixtureDir/$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      println(s"[expectations] wrote $fixtureDir/$name.parquet (${df.count()} rows)")
+      val dest = Paths.get(s"$fixtureDir/$name.parquet")
+      Files.move(Paths.get(part(0)), dest, StandardCopyOption.REPLACE_EXISTING)
+      // row count from the WRITTEN file — `df.count()` here would re-run
+      // the whole pipeline a second time just for the log line
+      val rows = spark.read.parquet(dest.toString).count()
+      println(s"[expectations] wrote $dest ($rows rows)")
     }
     spark.stop()
   }

@@ -40,6 +40,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure BEFORE the overwrite reached $outDir/$name (analysis/
+        // planning error) leaves a previous invocation's parquet in
+        // place — the oracle compare would then "pass" on stale data.
+        // A failed query must have NO output: the compare records a
+        // missing-result FAIL instead.
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

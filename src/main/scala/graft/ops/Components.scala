@@ -157,19 +157,27 @@ object Components {
     * `edges`; ComponentsSpec proves the two agree on randomized graphs.
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // checkpoint the INPUT once (the connectedComponents posture: callers
+    // pass arbitrarily expensive pair pipelines) — `nodes` and the
+    // canonical edge set below both derive from it, and two separate
+    // checkpoint actions straight off `edges` would re-execute the whole
+    // upstream pipeline twice. Nodes come from the PRE-self-loop-filter
+    // relation so isolated self-loop nodes keep their label row.
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
     // canonical undirected form, self-loops dropped (re-added as labels at
     // the end via the node set), duplicates collapsed once up front — the
     // star rewrites below keep the relation deduplicated round to round
-    val nodes = edges
+    val nodes = e0
       .select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
       .localCheckpoint()
-    var e = edges
+    var e = e0
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint()
+    freeCheckpoint(e0)
     var nE = e.count()
     var iter = 0
     var converged = nE == 0L

@@ -80,7 +80,8 @@ object Maintenance {
       .write.mode("overwrite").parquet(staging)
     val rows = obs.get("rows").asInstanceOf[Long]
     require(fs.rename(p, new org.apache.hadoop.fs.Path(retired)),
-      s"could not retire $dir")
+      s"could not retire $dir — table untouched, but a full staged copy " +
+        s"remains at $staging (delete it before retrying)")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p)) {
       // roll the original back so the table path never stays missing —
       // and report honestly when even that fails, so an operator knows

@@ -190,7 +190,7 @@ object Multimodal {
             case e: Exception =>
               Seq(FrameRow(id, -1,
                 if (bytes == null) 0 else bytes.length, 0.0,
-                s"error: ${e.getMessage}"))
+                s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
           }
         }
       }
@@ -223,10 +223,19 @@ object Multimodal {
               case "audio" =>
                 val pcm = decodeAudio(bytes)
                 val rms = math.sqrt(pcm.map(x => x * x).sum / pcm.length)
-                val zc = pcm.sliding(2).count(p => p(0) * p(1) < 0).toDouble / pcm.length
+                // a 1-sample stream yields one PARTIAL sliding window —
+                // p(1) on it would throw a valid row into the error channel
+                val zc = pcm.sliding(2).filter(_.length == 2)
+                  .count(p => p(0) * p(1) < 0).toDouble / pcm.length
                 Array(rms, zc, pcm.map(math.abs).max)
               case "video" =>
-                val frameSize = if (nFrames > 0) bytes.length / nFrames else bytes.length
+                // same degenerate-input rule as sampleFrames: n_frames<=0
+                // is an ERROR row, not a silent "ok" with empty features —
+                // the two ops must not drift on edge handling
+                val frameSize = if (nFrames > 0) bytes.length / nFrames else 0
+                if (frameSize <= 0)
+                  throw new IllegalArgumentException(
+                    s"undecodable: ${bytes.length} bytes for $nFrames frames")
                 (0 until nFrames by frameSampleEvery).map { f =>
                   frameByteMean(bytes, f, frameSize)
                 }.toArray
@@ -236,7 +245,8 @@ object Multimodal {
           } catch {
             case e: Exception =>
               MediaFeatures(id, kind, if (bytes == null) 0 else bytes.length,
-                Array.empty[Double], s"error: ${e.getMessage}")
+                Array.empty[Double],
+                s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
           }
         }
       }

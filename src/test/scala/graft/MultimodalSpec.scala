@@ -112,4 +112,24 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.sampleFrames(truncated, every = -1)
     }
   }
+
+  test("degenerate inputs: features and frame sampling agree, 1-sample audio is valid") {
+    import spark.implicits._
+    val rows = Seq(
+      // n_frames=0 video: BOTH ops must route it to the error channel —
+      // extractFeatures used to emit status ok with empty features while
+      // sampleFrames errored, contradictory accounting for the same row
+      (1L, "video", Array.fill(64)(1.toByte), 0, 0, 0, 0),
+      // 2 content bytes = one 16-bit sample: one PARTIAL sliding window;
+      // zero-crossing must be 0, not an IndexOutOfBounds error row
+      (2L, "audio", Array[Byte](0x10, 0x20), 0, 0, 8000, 0))
+      .toDF("media_id", "kind", "content", "width", "height", "sample_rate", "n_frames")
+    val feats = Multimodal.extractFeatures(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("status")).toMap
+    assert(feats(1L).startsWith("error:"),
+      "n_frames=0 video must be an error row in extractFeatures too")
+    assert(feats(2L) === "ok", "a 1-sample audio row is decodable")
+    val frames = Multimodal.sampleFrames(rows.filter(col("kind") === "video")).collect()
+    assert(frames.length === 1 && frames.head.getAs[String]("status").startsWith("error:"))
+  }
 }
