@@ -54,7 +54,7 @@ object Ranking {
     // a plain EqualTo would silently DROP every null-valued row
     val smaller = (col("__b2").isNull && col("__b").isNotNull) ||
       (col("__b2") < col("__b"))
-    val offs = hist.as("a")
+    val offs = hist
       .join(broadcast(b2), col("__g2") === col("__g") && smaller, "left")
       .groupBy(col("__g"), col("__b"))
       .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__off"))

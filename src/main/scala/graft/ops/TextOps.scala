@@ -168,8 +168,8 @@ object TextOps {
     // change recall (ignored hashes), and bands > k would make every
     // band_key "" — collapsing the LSH equi-join into the all-pairs
     // cross product the banding exists to prevent
-    require(bands > 0 && k % bands == 0,
-      s"lshBands: bands=$bands must divide signature length k=$k")
+    require(k > 0 && bands > 0 && k % bands == 0,
+      s"lshBands: bands=$bands must divide signature length k=$k > 0")
     val rowsPerBand = k / bands
     val banded = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
@@ -582,6 +582,10 @@ object TextOps {
     import spark.implicits._
     val fam = minhashFamily(k).toArray
     val sigs = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // null ids cannot ride the non-nullable Long encoder — dirty rows
+      // drop (the SimilarityOps convention); null text is handled by
+      // minhashVector itself (None, like a too-short doc)
+      .where(col(idCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -601,6 +605,10 @@ object TextOps {
     * or shingle width. */
   def minhashVector(text: String, n: Int,
                     fam: Array[(Long, Long)]): Option[Array[Long]] = {
+    // null text has no fingerprint — None, the same answer as
+    // too-short text. shingleSet would NPE, and one null row must not
+    // kill a whole streaming query or signature job.
+    if (text == null) return None
     val sh = shingleSet(text, n)
     if (sh.isEmpty) None
     else {

@@ -297,21 +297,28 @@ object MlStatsQueries extends QueryRegistry {
   private val weeklyCorr = NamedQuery(
     "q_weekly_corr",
     (spark, d) => {
+      // determinism rule 11: the daily money sums are EXACT integer
+      // cents (order-independent), not round(sum(double), 4). Pearson r
+      // is invariant under the positive scaling dollars→cents, so the
+      // output is the same relation — but every moment below is now a
+      // sum/product of exact integers, and the double arithmetic starts
+      // only at the final r formula from bit-identical inputs in both
+      // engines.
       val daily = Tables.events(spark, d)
         .filter(col("event_type").isin("click", "purchase"))
         .groupBy(to_date(col("ts")).as("day"))
         .agg(
-          round(sum(when(col("event_type") === "click", col("value"))
-            .otherwise(0.0)), 4).as("x"),
-          round(sum(when(col("event_type") === "purchase", col("value"))
-            .otherwise(0.0)), 4).as("y"))
+          graft.ops.Money.centsSumRaw(
+            when(col("event_type") === "click", col("value")).otherwise(0.0)).as("x"),
+          graft.ops.Money.centsSumRaw(
+            when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("y"))
       val wk = daily
         .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd").as("week"))
         .agg(count(lit(1)).cast("double").as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
       wk.select(col("week"), col("n").cast("long").as("n"),
           when((col("n") * col("sxx") - col("sx") * col("sx")) *
             (col("n") * col("syy") - col("sy") * col("sy")) > 0,
@@ -320,16 +327,20 @@ object MlStatsQueries extends QueryRegistry {
                 (col("n") * col("syy") - col("sy") * col("sy"))), 4)).as("r"))
         .orderBy("week")
     },
-    Some("""WITH daily AS (
+    Some(s"""WITH daily AS (
         |  SELECT cast(ts AS DATE) AS day,
-        |    round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS x,
-        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS y
+        |    ${graft.ops.Money.centsSumRawSql(
+               "CASE WHEN event_type = 'click' THEN value ELSE 0 END")} AS x,
+        |    ${graft.ops.Money.centsSumRawSql(
+               "CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS y
         |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
         |wk AS (
         |  SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
         |         cast(count(*) AS DOUBLE) AS n,
-        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |         cast(sum(x) AS DOUBLE) AS sx, cast(sum(y) AS DOUBLE) AS sy,
+        |         cast(sum(x * y) AS DOUBLE) AS sxy,
+        |         cast(sum(x * x) AS DOUBLE) AS sxx,
+        |         cast(sum(y * y) AS DOUBLE) AS syy
         |  FROM daily GROUP BY 1)
         |SELECT week, cast(n AS BIGINT) AS n,
         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN

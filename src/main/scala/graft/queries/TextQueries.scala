@@ -40,35 +40,16 @@ object TextQueries extends QueryRegistry {
   // (1 − stopword density), the standard pretraining-filter trio.
   private val quality = NamedQuery(
     "text_quality_score",
-    (spark, d) => {
-      // token stats computed ROW-LOCALLY (zero shuffle — the exploded
-      // groupBy form moves one row per token); identical integers
-      TextOps.qualityStatsLocal(Tables.documents(spark, d),
-          "doc_id", "text", col("n_chars"), stopwords)
-        // no round(): every term is IEEE-exact arithmetic on integer
-        // aggregates evaluated in the same order as the oracle — the raw
-        // doubles are bit-identical, while round() half-way tie-breaking
-        // DIFFERS between engines and would desync exact .5 cases
-        .select(col("doc_id"),
-          (lit(0.4) * least(col("n_chars") / 500.0, lit(1.0))
-            + lit(0.3) * (col("n_uniq") / col("n_tokens").cast("double"))
-            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")))
-            .as("quality"))
-        .orderBy("doc_id")
-    },
-    Some(s"""SELECT doc_id,
-        |  0.4 * least(n_chars / 500.0, 1.0)
-        |      + 0.3 * (n_uniq / CAST(n_tokens AS DOUBLE))
-        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) AS quality
-        |FROM (
-        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_uniq,
-        |    sum(CASE WHEN word IN (${stopwords.map("'" + _ + "'").mkString(",")})
-        |        THEN 1 ELSE 0 END) AS n_stop,
-        |    first(n_chars) AS n_chars
-        |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
-        |        FROM documents) t
-        |  GROUP BY doc_id) s
-        |ORDER BY doc_id""".stripMargin))
+    // THE shared scorer (see qualityScored below): text_quality_score,
+    // pipeline_curate, and pipeline_train_mix all gate through this one
+    // definition — a weight or stopword edit cannot desync them. Row-
+    // local token stats (zero shuffle), no round(): every term is
+    // IEEE-exact arithmetic on integer aggregates evaluated in the same
+    // order as the oracle, while round() half-way tie-breaking DIFFERS
+    // between engines and would desync exact .5 cases.
+    (spark, d) => qualityScored(Tables.documents(spark, d)).orderBy("doc_id"),
+    Some(s"""WITH $qualityCteSql
+        |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin))
 
   private val langStats = NamedQuery(
     "text_lang_stats",
@@ -338,6 +319,25 @@ object TextQueries extends QueryRegistry {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+
+  /** Per-language mixture keep predicate (deterministic md5-Bernoulli,
+    * dyadic rates so rate·2⁶⁰ is integer-exact in both engines) — ONE
+    * definition shared by q_sample_mixture and pipeline_train_mix, so a
+    * rate edit cannot silently make the capstone verify a different
+    * mixture than the stage query. */
+  private def mixtureKeep: org.apache.spark.sql.Column = {
+    val rate = when(col("lang") === "en", 0.25)
+      .when(col("lang") === "zh", 0.75)
+      .otherwise(0.5)
+    TextOps.md5Long(col("doc_id")) < rate * lit(1152921504606846976.0)
+  }
+
+  /** DuckDB dual of [[mixtureKeep]]; `p` prefixes the doc columns
+    * ("" for bare, "d." under an alias). */
+  private def mixtureKeepSql(p: String): String =
+    s"('0x' || substr(md5(CAST(${p}doc_id AS VARCHAR)), 1, 15))::BIGINT" +
+      s" < (CASE ${p}lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75" +
+      " ELSE 0.5 END) * 1152921504606846976.0"
 
   /** SQL mirrors of the two shared stages (CTE bodies, identical text in
     * both oracles). */
@@ -672,29 +672,22 @@ object TextQueries extends QueryRegistry {
   private val mixtureSample = NamedQuery(
     "q_sample_mixture",
     (spark, d) => {
-      val rate = when(col("lang") === "en", 0.25)
-        .when(col("lang") === "zh", 0.75)
-        .otherwise(0.5)
-      // md5Long is uniform on [0, 2^60); compare against rate·2^60.
-      // 2^60 is exactly representable and rate·2^60 is exact for these
-      // dyadic rates — the predicate is integer-exact in both engines.
-      val keep = TextOps.md5Long(col("doc_id")) < rate * lit(1152921504606846976.0)
+      // md5Long is uniform on [0, 2^60); mixtureKeep (the ONE shared
+      // definition, also composed by pipeline_train_mix) compares
+      // against rate·2^60 — integer-exact in both engines.
       Tables.documents(spark, d)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
-          sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+          sum(when(mixtureKeep, 1L).otherwise(0L)).as("n_kept"))
         .select(col("lang"), col("n_total"), col("n_kept"),
           (col("n_kept") / col("n_total")).as("achieved_rate"))
         .orderBy("lang")
     },
-    Some("""SELECT lang, n_total, n_kept,
+    Some(s"""SELECT lang, n_total, n_kept,
         |  n_kept / CAST(n_total AS DOUBLE) AS achieved_rate
         |FROM (
         |  SELECT lang, count(*) AS n_total,
-        |    CAST(sum(CASE WHEN
-        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |        < (CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75
-        |           ELSE 0.5 END) * 1152921504606846976.0
+        |    CAST(sum(CASE WHEN ${mixtureKeepSql("")}
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |  FROM documents GROUP BY lang) t
         |ORDER BY lang""".stripMargin))
@@ -761,30 +754,39 @@ object TextQueries extends QueryRegistry {
   private val unigramLogprob = NamedQuery(
     "text_unigram_logprob",
     (spark, d) => {
-      val tok = Tables.documents(spark, d)
+      // (doc, word) → multiplicity FIRST (the text_perplexity_buckets
+      // shape, gate-proven at sf1): the map-side partial agg collapses
+      // the token stream before anything is pinned or joined, so the
+      // checkpointed relation and the probe join carry one row per
+      // DISTINCT word per doc — an order of magnitude narrower than the
+      // raw token table this query used to checkpoint. avg(ln p) over
+      // tokens ≡ Σ m·ln p / Σ m over distinct words, stated identically
+      // in the oracle.
+      val docWord = Tables.documents(spark, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        // read twice (vocabulary aggregation + probe side of the join):
-        // pin so the corpus is tokenized once, not per branch
-        .localCheckpoint()
-      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint() // vocab rollup + probe join: tokenize once
+      val cnt = docWord.groupBy("w").agg(sum(col("m")).as("c"))
       val tot = cnt.agg(sum(col("c")).as("t"))
-      tok.join(broadcast(cnt), "w")
+      docWord.join(broadcast(cnt), "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
-          round(avg(log(col("c") / col("t").cast("double"))), 6)
-            .as("avg_logprob"))
+        .agg(sum(col("m")).cast("bigint").as("n_tokens"),
+          round(sum(col("m") * log(col("c") / col("t").cast("double"))) /
+            sum(col("m")), 6).as("avg_logprob"))
         .orderBy("doc_id")
     },
     Some("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
-        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |dw AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY doc_id, w),
+        |cnt AS (SELECT w, sum(m) AS c FROM dw GROUP BY w),
         |tot AS (SELECT sum(c) AS t FROM cnt)
         |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(ln(c / CAST(t AS DOUBLE))), 6) AS avg_logprob
-        |FROM tok JOIN cnt USING (w) CROSS JOIN tot
+        |  CAST(sum(m) AS BIGINT) AS n_tokens,
+        |  round(sum(m * ln(c / CAST(t AS DOUBLE))) / sum(m), 6) AS avg_logprob
+        |FROM dw JOIN cnt USING (w) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
@@ -813,16 +815,12 @@ object TextQueries extends QueryRegistry {
       val contaminated = grams(col("doc_id") % 10 =!= 0)
         .join(broadcast(evalGrams), "shingle")
         .select("doc_id").distinct()
-      val rate = when(col("lang") === "en", 0.25)
-        .when(col("lang") === "zh", 0.75)
-        .otherwise(0.5)
-      val keep = TextOps.md5Long(col("doc_id")) < rate * lit(1152921504606846976.0)
       docs.filter(col("doc_id") % 10 =!= 0)
         .join(keepers, "doc_id")
         .join(quality, "doc_id")
         .filter(col("quality") >= 0.5)
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(keep)
+        .filter(mixtureKeep)
         .groupBy("lang")
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
@@ -852,9 +850,7 @@ object TextQueries extends QueryRegistry {
         |  WHERE d.doc_id % 10 <> 0
         |    AND q.quality >= 0.5
         |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |    AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |      < (CASE d.lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.75
-        |         ELSE 0.5 END) * 1152921504606846976.0)
+        |    AND ${mixtureKeepSql("d.")})
         |SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -1297,6 +1293,11 @@ object TextQueries extends QueryRegistry {
         avg(col("dl")).as("avgdl"))
       val tf = TextOps.termCountsLocal(docs, "doc_id", "text")
         .join(broadcast(qterms), "word")
+        // pinned: the corpus-wide tokenization kernel feeds BOTH the df
+        // aggregation and the scoring join — unpinned it runs twice (the
+        // text_tfidf_top precedent). Post-prune this is only the 4 query
+        // terms' postings, a trivial relation to hold.
+        .localCheckpoint()
       val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfc), "word")
         .join(dl, "doc_id")

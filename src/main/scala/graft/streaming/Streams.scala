@@ -512,27 +512,30 @@ object Streams {
         val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
           (if (fs.exists(ledgerPath) && fs.listStatus(ledgerPath).nonEmpty)
-             keepers.join(spark.read.parquet(ledgerDir).select("text_md5"),
+             // PRIOR batches only: a retry must not anti-join against its
+             // own (possibly PARTIALLY committed) ledger partition — a
+             // half-visible batch_id=N ledger would shrink the replayed
+             // `fresh`, and the overwrite below would then replace the
+             // complete batch_id=N docs partition with the subset whose
+             // hashes had NOT landed: silent data loss. Excluding the
+             // current batchId makes the replay recompute BOTH partitions
+             // from scratch (partition pruning keeps the read cheap).
+             keepers.join(
+               spark.read.parquet(ledgerDir)
+                 .filter(col("batch_id") =!= lit(batchId))
+                 .select("text_md5"),
                Seq("text_md5"), "left_anti")
            else keepers)
             .localCheckpoint() // read twice below; also decouples from the batch source
         // foreachBatch is at-least-once: a retry after one of the two
-        // appends succeeded would duplicate docs (or permanently
+        // writes succeeded would duplicate docs (or permanently
         // blacklist texts whose doc rows never landed). Key BOTH writes
-        // by batch_id with dynamic partition overwrite — the
-        // trendingTypes recipe — so a re-run replaces exactly its own
-        // partition. Every retry case converges: ledger-already-written
-        // makes `fresh` empty and the empty dynamic overwrite touches
-        // nothing; docs-already-written is simply overwritten with the
-        // identical content.
-        def idempotent(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        idempotent(fresh.drop("text_md5"), outDir)
-        idempotent(fresh.select("text_md5"), ledgerDir)
+        // by batch_id with dynamic partition overwrite — each replay
+        // regenerates exactly its own two partitions in full from the
+        // prior-batch ledger state, so every retry interleaving
+        // converges to the same complete partitions.
+        writeBatchPartition(fresh.drop("text_md5"), outDir, batchId)
+        writeBatchPartition(fresh.select("text_md5"), ledgerDir, batchId)
       }
       .start()
   }
@@ -572,16 +575,25 @@ object Streams {
         // the write is keyed by batch_id with dynamic partition
         // overwrite — the retry replaces exactly its own partition,
         // making the sink idempotent (the standard foreachBatch recipe).
-        batch.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= k)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
+        writeBatchPartition(
+          batch.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k),
+          outDir, batchId)
       }
       .start()
   }
+
+  /** THE idempotent micro-batch sink write, shared by every foreachBatch
+    * sink in this file: the rows land under `batch_id=<id>` with dynamic
+    * partition overwrite, so an at-least-once replay replaces exactly
+    * its own partition and nothing else. One implementation — the
+    * committer options and partition-column contract cannot drift
+    * between sinks. */
+  private def writeBatchPartition(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
 
   /** Row-local MinHash signature key shared by both near-dup filter
     * arms: THE batch kernel ([[graft.ops.TextOps.minhashVector]] — one
@@ -618,6 +630,11 @@ object Streams {
     // next stage, and in a stream there is no second chance to join it
     // back.
     docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      // a null doc_id cannot ride the non-nullable Long encoder — one
+      // broken row must degrade to a drop (the SimilarityOps dirty-row
+      // convention), not kill the long-running streaming query. Null
+      // TEXT survives: minhashVector fingerprints it as None → short-key.
+      .where(col("doc_id").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) => (id, text, sigKey(id, text, fam)) }
@@ -643,6 +660,9 @@ object Streams {
     val fam = graft.ops.TextOps.minhashFamily(16).toArray
     docs.select(col("doc_id").cast("long"), col("text").cast("string"),
         col(eventTimeCol).cast("timestamp").as("ingest_ts"))
+      // same dirty-row rule as nearDupFilter: null id (or null event
+      // time, which cannot be watermarked) drops instead of crashing
+      .where(col("doc_id").isNotNull && col("ingest_ts").isNotNull)
       .as[(Long, String, java.sql.Timestamp)]
       .mapPartitions { it =>
         it.map { case (id, text, ts) =>

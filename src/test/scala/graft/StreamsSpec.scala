@@ -529,14 +529,23 @@ class StreamsSpec extends SparkSpec {
       // (must drop against the signature state) plus a 2-word doc (no
       // shingles — must pass on its id key, never silently vanish)
       val dupText = base.orderBy("doc_id").limit(1).collect().head.getString(1)
-      Seq((-5L, dupText), (-6L, "one two")).toDF("doc_id", "text")
+      // plus dirty rows: a NULL text must pass on its short:<id> key
+      // (minhashVector fingerprints null as None) and a NULL doc_id must
+      // drop — neither may kill the long-running query
+      Seq(Some(-5L) -> Some(dupText), Some(-6L) -> Some("one two"),
+          Some(-7L) -> (None: Option[String]), (None: Option[Long]) -> Some("x y z w"))
+        .map { case (id, t) => (id, t) }
+        .toDF("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
       val ids = spark.table("stream_neardup")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(!ids.contains(-5L), "signature collision must be dropped")
       assert(ids.contains(-6L), "short doc must pass through")
-      assert(spark.table("stream_neardup").count() === expected + 1)
+      assert(ids.contains(-7L), "null-text doc must pass on its id key")
+      // batch-2 survivors: the short doc AND the null-text doc; the dup
+      // and the null-id row are dropped
+      assert(spark.table("stream_neardup").count() === expected + 2)
     } finally q.stop()
   }
 
