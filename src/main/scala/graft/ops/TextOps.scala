@@ -322,8 +322,13 @@ object TextOps {
     * the full arrays are broadcast and verification is a narrow map over
     * the candidate pairs; above it, verification is two shuffle joins of
     * the candidate pairs against the array relation — both paths share
-    * the same merge kernel. ⌈t·sz⌉ is computed with a 1e-9 slack so an
-    * upward double error (0.8·50 → 40.000…01) can only LENGTHEN the
+    * the same merge kernel. The prefix length is computed from
+    * t − 1e-6, not t: callers accept pairs by `round(jaccard, 6) ≥ t`,
+    * which admits raw jaccard down to t − 5e-7 — the prefix bound must
+    * cover that whole band or rounding could resurrect a pair the
+    * candidate stage never generated (the allPairsCosineLocal
+    * θ − 1e-5 prefilter convention). The additional 1e-9 slack makes an
+    * upward double error (0.8·50 → 40.000…01) only LENGTHEN the
     * prefix, never create a false negative. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minJaccard: Double = 0.8,
@@ -341,7 +346,7 @@ object TextOps {
       .withColumn("p",
         greatest(lit(1),
           (size(col("sh_arr")).cast("long")
-            - ceil(lit(t) * size(col("sh_arr")) - lit(1e-9)) + 1L).cast("int")))
+            - ceil(lit(t - 1e-6) * size(col("sh_arr")) - lit(1e-9)) + 1L).cast("int")))
       .localCheckpoint()
     // The prefix theorem holds under ANY consistent global element
     // order, and the ORDER is the whole scale story: with the arrays'

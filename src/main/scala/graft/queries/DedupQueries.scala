@@ -185,8 +185,12 @@ object DedupQueries extends QueryRegistry {
   private def minhashPairsSqlCtes: String = {
     val minCols = (0 until minhashK)
       .map(j => s"min(${minhashSqlHash(j)}) AS h$j").mkString(",\n    ")
+    // rows-per-band DERIVED from the two constants, mirroring
+    // lshBands' k % bands == 0 contract — a hard-coded 4 would silently
+    // desync the oracle's candidate set if either constant changed
+    val rpb = minhashK / minhashBands
     val bandSelects = (0 until minhashBands).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(", ")
+      val cols = (b * rpb until b * rpb + rpb).map(j => s"h$j").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""$shingleCtes,
@@ -242,7 +246,14 @@ object DedupQueries extends QueryRegistry {
           col("jaccard"))
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).cast("bigint").as("n_pairs"),
-          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+          // rule 12: jaccard values are 6dp-grid rationals, so a 2-pair
+          // cell's mean can land EXACTLY on a 6dp half-boundary and
+          // round(avg, 6) would tie-break differently per engine. Sum
+          // the exact micro-jaccard integers, emit the mean RAW —
+          // identical integers through one fixed division chain are
+          // bit-identical doubles in both engines.
+          (sum(round(col("jaccard") * 1000000, 0).cast("decimal(38,0)"))
+            .cast("double") / lit(1000000.0) / count(lit(1))).as("avg_jaccard"))
         .orderBy("src_a", "src_b")
     },
     Some(s"""WITH $minhashPairsSqlCtes,
@@ -253,7 +264,8 @@ object DedupQueries extends QueryRegistry {
          |  JOIN documents d1 ON id1 = d1.doc_id
          |  JOIN documents d2 ON id2 = d2.doc_id)
          |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  round(avg(jaccard), 6) AS avg_jaccard
+         |  CAST(sum(CAST(round(jaccard * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / count(*) AS avg_jaccard
          |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin))
 
   // ---- SimHash: 60-bit signatures from word-occurrence votes.

@@ -179,12 +179,15 @@ object EventsQueries extends QueryRegistry {
           "left")
         .groupBy(col("signup_id"))
         .agg(count(col("p_ts")).as("n_purchases_1h"),
-          round(coalesce(sum(col("value")), lit(0.0)), 2).as("spend_1h"))
+          // rule 11: exact-cents money sum (order-independent), not
+          // round(sum(double), 2) — the last events.value money-sum
+          // site still on the banned pattern after the rule-11 sweep
+          coalesce(graft.ops.Money.centsSum(col("value")), lit(0.0)).as("spend_1h"))
         .orderBy("signup_id")
     },
-    Some("""SELECT s.event_id AS signup_id,
+    Some(s"""SELECT s.event_id AS signup_id,
         |  count(p.ts) AS n_purchases_1h,
-        |  round(coalesce(sum(p.value), 0.0), 2) AS spend_1h
+        |  coalesce(${graft.ops.Money.centsSumSql("p.value")}, 0.0) AS spend_1h
         |FROM (SELECT * FROM events WHERE event_type = 'signup') s
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON s.user_id = p.user_id
@@ -425,8 +428,12 @@ object EventsQueries extends QueryRegistry {
         .unionByName(stage("2_click", c))
         .unionByName(stage("3_purchase", p))
         .crossJoin(broadcast(top))
+        // RAW emit (rule 12): both counts are exact integers, so the
+        // quotient is bit-identical in both engines — while round(…, 6)
+        // would tie-break a half-boundary rational like 321/640
+        // differently per engine
         .withColumn("rate_vs_top",
-          round(col("n_users") / col("top_n").cast("double"), 6))
+          col("n_users") / col("top_n").cast("double"))
         .drop("top_n")
         .orderBy("stage")
     },
@@ -450,9 +457,9 @@ object EventsQueries extends QueryRegistry {
         |    AND tus <= t_click + 259200::BIGINT * 1000000
         |  GROUP BY e.user_id)
         |SELECT stage, n_users,
-        |  round(n_users / CAST(first_value(n_users) OVER (
+        |  n_users / CAST(first_value(n_users) OVER (
         |    ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE), 6) AS rate_vs_top
+        |    AS DOUBLE) AS rate_vs_top
         |FROM (
         |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |  UNION ALL SELECT '2_click', count(*) FROM c

@@ -280,14 +280,23 @@ object SimilarityQueries extends QueryRegistry {
       val maxabs = array_max(transform(emb, x => abs(x)))
       val q = transform(col("emb"), x =>
         floor(x * (lit(127.0) / col("maxabs")) + lit(0.5)).cast("long"))
+      // an ALL-ZERO vector has no scale (127/0 → Infinity, then
+      // floor(0·Inf) = floor(NaN) — which Spark silently casts to 0
+      // while DuckDB ERRORS casting NaN to BIGINT): the row survives
+      // with NULL scale/stats, symmetric in both engines, instead of
+      // crashing the oracle or emitting garbage codes
       Tables.embeddings(spark, d)
         .select(col("vec_id"), emb.as("emb"), maxabs.as("maxabs"))
-        .select(col("vec_id"), (lit(127.0) / col("maxabs")).as("scale"), q.as("q"))
+        .select(col("vec_id"),
+          when(col("maxabs") > 0, lit(127.0) / col("maxabs")).as("scale"),
+          when(col("maxabs") > 0, q).as("q"))
         .select(col("vec_id"), col("scale"),
-          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          when(col("q").isNotNull,
+            aggregate(col("q"), lit(0L), (a, x) => a + x)).as("qsum"),
           array_max(col("q")).as("qmax"),
           array_min(col("q")).as("qmin"),
-          size(filter(col("q"), x => x === 0L)).as("n_zero"))
+          when(col("q").isNotNull,
+            size(filter(col("q"), x => x === 0L))).as("n_zero"))
         .orderBy("vec_id")
     },
     Some("""SELECT vec_id, scale,
@@ -295,8 +304,10 @@ object SimilarityQueries extends QueryRegistry {
         |  list_max(q) AS qmax, list_min(q) AS qmin,
         |  CAST(len(list_filter(q, x -> x = 0)) AS INT) AS n_zero
         |FROM (
-        |  SELECT vec_id, 127.0 / maxabs AS scale,
-        |    list_transform(emb, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)) AS q
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs END AS scale,
+        |    CASE WHEN maxabs > 0 THEN list_transform(emb,
+        |      x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)) END AS q
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
         |        FROM embeddings) t) s
