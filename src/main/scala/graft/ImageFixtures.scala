@@ -13,6 +13,17 @@ import javax.imageio.ImageIO
   * filter, appV2.py:135). */
 object ImageFixtures {
 
+  /** Generation tag for SHARED fixture dirs (bump when any generator or
+    * bundled resource changes): concurrent JVMs (Verify, Bench, the test
+    * suite can overlap) and machines with an old tmpdir must never read
+    * a previous generation's files as current — the idempotent
+    * write-if-absent below would otherwise leave them in place forever. */
+  val generation = "g2"
+
+  /** The shared cross-JVM fixture dir (generation-keyed). */
+  def sharedDir: String =
+    sys.props("java.io.tmpdir") + s"/graft_img_fixtures_$generation"
+
   /** Deterministic RGB pixel function. */
   private def pix(x: Int, y: Int, seed: Int): Int = {
     val r = (x * 7 + seed * 13) % 256
@@ -36,14 +47,33 @@ object ImageFixtures {
     img
   }
 
-  /** Write the fixture corpus under `dir` (idempotent). Returns the dir. */
+  /** Write the fixture corpus under `dir` (idempotent, concurrency-safe:
+    * every file lands via temp-name + atomic rename, so a reader in
+    * another JVM can never observe a torn half-written image — the
+    * plain write-if-absent race produced truncated PNGs when Verify and
+    * the test suite overlapped on a cold tmpdir). Returns the dir. */
   def ensure(dir: String): String = {
     val d = new File(dir)
     d.mkdirs()
-    def write(img: BufferedImage, fmt: String, name: String): Unit = {
+    def writeAtomic(name: String)(gen: File => Unit): Unit = {
       val f = new File(d, name)
-      if (!f.exists()) ImageIO.write(img, fmt, f)
+      if (!f.exists()) {
+        // temp twin in the TARGET's directory (same filesystem, so the
+        // rename is atomic; name may carry a subdir like sub/nested.png)
+        val tmp = File.createTempFile(s".${f.getName}.", ".tmp", f.getParentFile)
+        try {
+          gen(tmp)
+          try java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // another JVM won the race — its identical copy is in place
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+        } finally { tmp.delete(); () }
+      }
     }
+    def write(img: BufferedImage, fmt: String, name: String): Unit =
+      writeAtomic(name)(tmp => { ImageIO.write(img, fmt, tmp); () })
     write(rgbImage(64, 48, 1), "png", "landscape.png")
     write(rgbImage(32, 64, 2), "png", "portrait.png")
     write(rgbImage(40, 40, 3), "png", "square.PNG") // upper-case ext (appV2.py:135)
@@ -51,9 +81,8 @@ object ImageFixtures {
     write(rgbImage(24, 24, 5), "bmp", "tiny.bmp")
     write(rgbImage(24, 24, 6), "gif", "anim.gif")
     write(rgbImage(24, 24, 7), "jpg", "photo.jpg")
-    val corrupt = new File(d, "corrupt.png")
-    if (!corrupt.exists())
-      java.nio.file.Files.write(corrupt.toPath, "not an image at all".getBytes)
+    writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(
+      tmp.toPath, "not an image at all".getBytes))
     // a STRUCTURALLY VALID WebP container with a TRUNCATED zero VP8
     // bitstream (RIFF/WEBP/VP8 chunk headers, no real keyframe): the
     // reference allow-list includes .webp (appV2.py:17); the engine's
@@ -61,8 +90,7 @@ object ImageFixtures {
     // while corrupt payloads keep the documented contract
     // (Images.scala): source-inclusion + decode-stage error status —
     // NOT a silent drop. This fixture pins the corrupt-bytes half.
-    val webp = new File(d, "photo.webp")
-    if (!webp.exists()) {
+    writeAtomic("photo.webp") { tmp =>
       val payload = new Array[Byte](10) // fake VP8 bitstream bytes
       val body = "WEBP".getBytes("US-ASCII") ++ "VP8 ".getBytes("US-ASCII") ++
         java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -70,7 +98,8 @@ object ImageFixtures {
       val riff = "RIFF".getBytes("US-ASCII") ++
         java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           .putInt(body.length).array() ++ body
-      java.nio.file.Files.write(webp.toPath, riff)
+      java.nio.file.Files.write(tmp.toPath, riff)
+      ()
     }
     // real libwebp-encoded artifacts (the genuine shapes a crawler
     // yields), all decoded natively by the engine's pure-JVM readers
@@ -81,26 +110,24 @@ object ImageFixtures {
     //   translucent.webp — lossy-with-alpha (VP8X + ALPH + VP8)
     //   motion.webp      — animated (ANIM/ANMF), resolved to frame 1
     //                      like the reference's PIL does
-    def copyResource(res: String, name: String): Unit = {
-      val f = new File(d, name)
-      if (!f.exists()) {
+    def copyResource(res: String, name: String): Unit =
+      writeAtomic(name) { tmp =>
         val in = getClass.getResourceAsStream(s"/graft/fixtures/$res")
         require(in != null, s"missing bundled $res fixture")
-        try java.nio.file.Files.write(f.toPath, in.readAllBytes())
+        try java.nio.file.Files.write(tmp.toPath, in.readAllBytes())
         finally in.close()
+        ()
       }
-    }
     copyResource("lossy_gradient.webp", "lossy.webp")
     copyResource("art.webp", "art.webp")
     copyResource("translucent.webp", "translucent.webp")
     copyResource("motion.webp", "motion.webp")
-    val excluded = new File(d, "note.txt")
-    if (!excluded.exists())
-      java.nio.file.Files.write(excluded.toPath, "excluded by extension".getBytes)
+    writeAtomic("note.txt")(tmp => java.nio.file.Files.write(
+      tmp.toPath, "excluded by extension".getBytes))
     val sub = new File(d, "sub")
     sub.mkdirs()
-    val nested = new File(sub, "nested.png")
-    if (!nested.exists()) ImageIO.write(rgbImage(20, 20, 8), "png", nested)
+    writeAtomic("sub/nested.png")(tmp =>
+      { ImageIO.write(rgbImage(20, 20, 8), "png", tmp); () })
     d.getAbsolutePath
   }
 

@@ -63,6 +63,16 @@ object Money {
   def centsMeanSql(term: String): String =
     s"${centsSumSql(term)} / count(*)"
 
+  /** Row-local floor-cents quantization — a VALUE used as an exact
+    * integer term/key (not the rule-11 sum): floor of a double is
+    * bit-exact in both engines on every input (rule 2), unlike round()'s
+    * half-way tie-breaking. ONE definition so the quantization
+    * convention cannot drift between the queries that share it. */
+  def floorCents(x: Column): Column = floor(x * 100).cast("long")
+
+  /** DuckDB dual of [[floorCents]]. */
+  def floorCentsSql(x: String): String = s"CAST(floor(($x) * 100) AS BIGINT)"
+
   /** Spark-SQL-text flavor of [[centsMean]] for queries authored as SQL
     * strings (the q_sql_text_api surface): DECIMAL(38,0) partials as in
     * [[centsSumRaw]], same division chain as [[centsMean]]. */

@@ -52,8 +52,7 @@ object Multimodal {
     * n_frames). */
   def fixtureMedia(spark: SparkSession, n: Int = 30): DataFrame = {
     import spark.implicits._
-    val imgDir = graft.ImageFixtures.ensure(
-      sys.props("java.io.tmpdir") + "/graft_img_fixtures")
+    val imgDir = graft.ImageFixtures.ensure(graft.ImageFixtures.sharedDir)
     val imgBytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(imgDir, "landscape.png"))
     val rows = (0 until n).map { i =>

@@ -21,7 +21,7 @@ object AdvancedQueries extends QueryRegistry {
 
   /** floor-to-cents: exact integer money, immune to double-sum order and
     * to the Spark-vs-DuckDB round() tie-break divergence. */
-  private def cents(c: Column): Column = floor(c * 100).cast("long")
+  private def cents(c: Column): Column = graft.ops.Money.floorCents(c)
 
   /** 2-D skyline (maximize both columns), grid-prefiltered so no window
     * ever runs unpartitioned: phase 1 hashes each point into one of 32

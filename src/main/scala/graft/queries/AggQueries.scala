@@ -109,6 +109,10 @@ object AggQueries extends QueryRegistry {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
         .agg(Money.centsSum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
+        // pinned: FOUR consumers below (both sides of the prevKey
+        // self-join, the prev_revenue lookup, the output) — unpinned,
+        // each re-runs the full orders scan + rollup
+        .localCheckpoint()
       // WINDOW-FREE lag: the month rollup is domain-bounded (~80 rows),
       // so the "previous existing month" is two broadcast self-joins on
       // that tiny relation (argmax of earlier months, then its revenue)
@@ -147,8 +151,14 @@ object AggQueries extends QueryRegistry {
   private val spine = NamedQuery(
     "q_calendar_spine",
     (spark, d) => {
-      val perMonth = Tables.orders(spark, d)
+      // one orders scan feeds all three derivations (spine bounds, the
+      // customer set, the per-month rollup): pin the filtered slice —
+      // the tiny per-customer aggregate — instead of scanning orders 3×
+      val slice = Tables.orders(spark, d)
         .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .localCheckpoint()
+      val perMonth = slice
         .groupBy(col("o_custkey"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("ym"))
         .agg(Money.centsSum(col("o_totalprice")).as("revenue"))
@@ -159,8 +169,7 @@ object AggQueries extends QueryRegistry {
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 MONTH"))).as("m"))
         .select(date_format(col("m"), "yyyy-MM").as("ym"))
-      val custs = Tables.orders(spark, d).filter(col("o_custkey") < 20)
-        .select(col("o_custkey")).distinct()
+      val custs = slice.select(col("o_custkey")).distinct()
       custs.crossJoin(broadcast(months))
         .join(perMonth, Seq("o_custkey", "ym"), "left")
         .select(col("o_custkey"), col("ym"),
@@ -290,7 +299,7 @@ object AggQueries extends QueryRegistry {
       def aggOf(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("o_custkey").as("cust"))
         .agg(count(lit(1)).as("n"),
-          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          sum(Money.floorCents(col("o_totalprice"))).as("sum_cents"),
           max(col("o_orderdate")).as("last_dt"))
       val orders = Tables.orders(spark, d)
       val base = aggOf(orders.filter(col("o_orderdate") < lit(split).cast("timestamp_ntz")))

@@ -256,7 +256,7 @@ object ScalarFuncQueries extends QueryRegistry {
       .filter(col("p_partkey") % 50 === 0)
       .select(col("p_partkey").as("id"), col("p_name").as("name"),
         length(col("p_name")).as("len"),
-        floor(col("p_retailprice") * 100).cast("long").as("cents"))
+        Money.floorCents(col("p_retailprice")).as("cents"))
 
   /** Blocked near-pair builder shared by q_er_gram_blocked and
     * q_er_resolve: trigram count-filter candidates + Levenshtein verify,
@@ -327,7 +327,11 @@ object ScalarFuncQueries extends QueryRegistry {
         .groupBy("cluster")
         .agg(count(lit(1)).cast("bigint").as("n_members"),
           min_by(col("name"), col("id")).as("canonical_name"),
-          round(sum(col("cents")).cast("double") / count(lit(1)) / 100.0, 4)
+          // RAW emit (rule 12): the mean of integer cents is a rational
+          // that can land exactly on a 4dp half-boundary as clusters
+          // grow; identical integers through the identical division
+          // chain are bit-identical doubles, round() would diverge
+          (sum(col("cents")).cast("double") / count(lit(1)) / 100.0)
             .as("avg_price"))
         .orderBy("cluster")
     },
@@ -351,7 +355,7 @@ object ScalarFuncQueries extends QueryRegistry {
         |  FROM rel LEFT JOIN comp ON rel.id = comp.node)
         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
         |  arg_min(name, id) AS canonical_name,
-        |  round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4) AS avg_price
+        |  CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS avg_price
         |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin))
 
   val all: Seq[NamedQuery] =

@@ -262,7 +262,12 @@ object StatsQueries extends QueryRegistry {
         countDistinct(col("source")).as("c"))
       cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
         .crossJoin(broadcast(tot))
-        .withColumn("e", (col("rm") * col("cm")).cast("double") / col("n"))
+        // margins cast to double BEFORE the multiply: rm·cm in LONG
+        // silently wraps past 2^63 at corpus scale (DuckDB's BIGINT
+        // multiply would error instead — divergent). Each margin is an
+        // exact double (< 2^53), so the IEEE product is the same value
+        // the exact-integer product would round to.
+        .withColumn("e", col("rm").cast("double") * col("cm") / col("n"))
         .withColumn("contrib",
           (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
         .groupBy("n", "r", "c")
@@ -284,9 +289,9 @@ object StatsQueries extends QueryRegistry {
         |tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS r,
         |               count(DISTINCT source) AS c FROM documents),
         |co AS (SELECT cells.lang, cells.source, n, r, c,
-        |         (o - CAST(rm * cm AS DOUBLE) / n)
-        |           * (o - CAST(rm * cm AS DOUBLE) / n)
-        |           / (CAST(rm * cm AS DOUBLE) / n) AS contrib
+        |         (o - (CAST(rm AS DOUBLE) * cm) / n)
+        |           * (o - (CAST(rm AS DOUBLE) * cm) / n)
+        |           / ((CAST(rm AS DOUBLE) * cm) / n) AS contrib
         |       FROM cells JOIN rm USING (lang) JOIN cm USING (source)
         |       CROSS JOIN tot),
         |s AS (SELECT n, r, c,
@@ -321,12 +326,19 @@ object StatsQueries extends QueryRegistry {
         .join(broadcast(below), col("v2") < col("v"), "left")
         .groupBy(col("v"), col("p"), col("q"))
         .agg(coalesce(sum(col("q2")), lit(0L)).as("q_below"))
+      // rule 10 headroom: num2 ≈ 2·n⁺·n⁻ overflows LONG once each class
+      // passes ~2.1e9 rows (and the per-row p·q_below product even
+      // earlier) — Spark would wrap silently while DuckDB's HUGEINT
+      // promotion stays exact. DECIMAL(38,0) per-term and in the
+      // partials keeps the integer arithmetic exact at any scale; the
+      // divisor runs in double (each factor < 2^53 exact).
       joined
         .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
-          sum(col("p") * col("q_below") * 2 + col("p") * col("q")).as("num2"))
+          sum(col("p").cast("decimal(38,0)") * col("q_below") * 2
+            + col("p").cast("decimal(38,0)") * col("q")).as("num2"))
         .select(col("n_pos"), col("n_neg"),
-          (col("num2").cast("double") / (col("n_pos") * col("n_neg") * 2))
-            .as("auc"))
+          (col("num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg") * 2)).as("auc"))
     },
     Some("""WITH hist AS (SELECT n_chars AS v,
         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
@@ -338,8 +350,9 @@ object StatsQueries extends QueryRegistry {
         |      GROUP BY 1, 2, 3)
         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
         |  CAST(sum(q) AS BIGINT) AS n_neg,
-        |  CAST(sum(p * q_below * 2 + p * q) AS DOUBLE)
-        |    / (sum(p) * sum(q) * 2) AS auc
+        |  CAST(sum(CAST(p AS HUGEINT) * q_below * 2
+        |           + CAST(p AS HUGEINT) * q) AS DOUBLE)
+        |    / (CAST(sum(p) AS DOUBLE) * sum(q) * 2) AS auc
         |FROM j""".stripMargin))
 
   // ---- Smoothed target-mean encoding (feature engineering for ML
@@ -360,7 +373,7 @@ object StatsQueries extends QueryRegistry {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
       val cells = Tables.orders(spark, d)
         .select(col("o_custkey"),
-          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          graft.ops.Money.floorCents(col("o_totalprice")).as("cents"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n_orders"), sum("cents").as("cs"))
@@ -374,8 +387,12 @@ object StatsQueries extends QueryRegistry {
         .select(col("c_mktsegment").as("segment"),
           col("c_nationkey").cast("bigint").as("nation"),
           col("n_orders").cast("bigint").as("n_orders"),
-          round(col("cs").cast("double") / col("n_orders") / 100.0, 4)
-            .as("raw_avg"),
+          // RAW emit (rule 12): the mean of integer cents is a rational
+          // that lands exactly on 4dp half-boundaries for friendly cell
+          // sizes (every odd cents sum at n=40), and the engines' round()
+          // tie-breaks diverge there; identical integers through the
+          // identical division chain are bit-identical doubles
+          (col("cs").cast("double") / col("n_orders") / 100.0).as("raw_avg"),
           round((col("cs") + lit(10.0) * col("gs") / col("gn")) /
             (col("n_orders") + 10) / 100.0, 4).as("encoded"))
         .orderBy("segment", "nation")
@@ -387,7 +404,7 @@ object StatsQueries extends QueryRegistry {
         |g AS (SELECT CAST(sum(cents) AS DOUBLE) AS gs, count(*) AS gn FROM j)
         |SELECT segment, CAST(nation AS BIGINT) AS nation,
         |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4) AS raw_avg,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS raw_avg,
         |  round((sum(cents) + 10.0 * g.gs / g.gn) / (count(*) + 10) / 100.0, 4)
         |    AS encoded
         |FROM j CROSS JOIN g

@@ -26,12 +26,19 @@ object TaggerQueries extends QueryRegistry {
       |       1/(1 + exp(-greatest(least(CAST(unnest(embedding) AS DOUBLE) * 4, 30), -30))) AS prob
       |FROM embeddings""".stripMargin
 
-  private def pipelineSql(genT: Double, charT: Double): String =
-    s"""WITH vocab AS (${Tagging.syntheticVocabSql(64)}),
+  /** ONE oracle statement of the whole selection contract (argmax,
+    * thresholds, blacklist, emission order, empty-tags join) —
+    * parameterized over the vocabulary clause and an optional extra
+    * join filter so tagger_vocab_json shares it verbatim instead of
+    * hand-copying 35 lines that could silently drift. */
+  private def pipelineSql(genT: Double, charT: Double,
+      vocabClause: String = s"vocab AS (${Tagging.syntheticVocabSql(64)})",
+      joinedFilter: String = ""): String =
+    s"""WITH $vocabClause,
        |probs AS ($probsSql),
        |joined AS (
        |  SELECT p.image_id, p.tag_idx, p.prob, v.tag_name, v.category
-       |  FROM probs p JOIN vocab v USING (tag_idx)),
+       |  FROM probs p JOIN vocab v USING (tag_idx)$joinedFilter),
        |argmax AS (
        |  SELECT image_id, category, tag_idx, tag_name
        |  FROM (SELECT *, row_number() OVER (
@@ -100,43 +107,12 @@ object TaggerQueries extends QueryRegistry {
           transform(slice(col("embedding"), 1, 24),
             x => x.cast("double") * lit(4.0)).as("logits")),
         graft.Vocab.fromJson(spark, vocabJson)).orderBy("image_id"),
-      Some(s"""WITH vocab(tag_idx, tag_name, category) AS (VALUES
-         |  $valuesSql),
-         |probs AS (
-         |  SELECT vec_id AS image_id,
-         |         generate_subscripts(embedding, 1) - 1 AS tag_idx,
-         |         1/(1 + exp(-greatest(least(CAST(unnest(embedding) AS DOUBLE) * 4, 30), -30))) AS prob
-         |  FROM embeddings),
-         |joined AS (
-         |  SELECT p.image_id, p.tag_idx, p.prob, v.tag_name, v.category
-         |  FROM probs p JOIN vocab v USING (tag_idx) WHERE p.tag_idx < 24),
-         |argmax AS (
-         |  SELECT image_id, category, tag_idx, tag_name
-         |  FROM (SELECT *, row_number() OVER (
-         |          PARTITION BY image_id, category ORDER BY prob DESC, tag_idx) AS rn
-         |        FROM joined WHERE category IN ('rating','quality')) r
-         |  WHERE rn = 1),
-         |thresh AS (
-         |  SELECT image_id, category, tag_idx, tag_name FROM joined
-         |  WHERE (category IN ('general','meta','model') AND prob >= 0.55)
-         |     OR (category IN ('character','copyright','artist') AND prob >= 0.60)),
-         |sel AS (
-         |  SELECT image_id,
-         |         CASE category WHEN 'rating' THEN 0 WHEN 'quality' THEN 1
-         |              WHEN 'general' THEN 2 WHEN 'meta' THEN 3 WHEN 'model' THEN 4
-         |              WHEN 'character' THEN 5 WHEN 'copyright' THEN 6 ELSE 7 END AS cat_rank,
-         |         tag_idx, replace(tag_name, '_', ' ') AS display
-         |  FROM (SELECT * FROM argmax UNION ALL SELECT * FROM thresh) u
-         |  WHERE NOT (category = 'meta' AND (
-         |        lower(replace(tag_name,'_',' ')) LIKE '%id%'
-         |     OR lower(replace(tag_name,'_',' ')) LIKE '%commentary%'
-         |     OR lower(replace(tag_name,'_',' ')) LIKE '%request%'
-         |     OR lower(replace(tag_name,'_',' ')) LIKE '%mismatch%')))
-         |SELECT e.vec_id AS image_id, coalesce(t.tags, '') AS tags
-         |FROM embeddings e LEFT JOIN (
-         |  SELECT image_id, string_agg(display, ', ' ORDER BY cat_rank, tag_idx) AS tags
-         |  FROM sel GROUP BY image_id) t ON e.vec_id = t.image_id
-         |ORDER BY image_id""".stripMargin))
+      Some(pipelineSql(0.55, 0.60,
+        vocabClause =
+          s"vocab(tag_idx, tag_name, category) AS (VALUES\n  $valuesSql)",
+        // the Spark side slices the first 24 logits; the probe must not
+        // score indices the sliced score vector never carried
+        joinedFilter = " WHERE p.tag_idx < 24")))
   }
 
   /** Throughput headline, HASH-CHECKED: the full tagging program over
