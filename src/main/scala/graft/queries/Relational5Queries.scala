@@ -31,12 +31,13 @@ object Relational5Queries extends QueryRegistry {
 
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
-  /** Exact money arithmetic: per-row discounted price in integer cents.
-    * floor() of the identical IEEE product is bit-identical in both
-    * engines, and integer sums are order-insensitive — so thresholds
-    * (Q11) and equality against a max (Q15) can never flap. */
+  /** Exact money arithmetic: per-row discounted price in integer cents
+    * through THE shared quantizer (ops.Money.floorCents — one audited
+    * definition). floor() of the identical IEEE product is bit-identical
+    * in both engines, and integer sums are order-insensitive — so
+    * thresholds (Q11) and equality against a max (Q15) can never flap. */
   private def revCents: Column =
-    floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+    graft.ops.Money.floorCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
 
   // ---- Q2 min-cost regional supplier: for each qualifying part, the
   // EUROPE supplier(s) quoting the minimum unit cost. The textbook form

@@ -47,7 +47,13 @@ object SinkQueries extends QueryRegistry {
       Tables.documents(spark, d)
         .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(out)
-      spark.read.parquet(out)
+      // explicit schema on the read-back (the CSV/JSON round-trips'
+      // convention): partition-column INFERENCE would re-derive lang's
+      // type from directory names — a numeric-looking value would come
+      // back as int and fail the dtype-class compare, and ''/NULL both
+      // collapse into the Hive default partition
+      spark.read.schema("doc_id LONG, n_chars LONG, lang STRING")
+        .parquet(out)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
@@ -74,15 +80,23 @@ object SinkQueries extends QueryRegistry {
         .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text_md5 STRING")
         .option("header", "true")
         .csv(out)
+        // O(1)-state content digest: XOR of per-row 60-bit hashes is
+        // commutative/associative, so the per-group aggregation buffer
+        // stays constant-size at any corpus scale — the collect_list +
+        // sort digest this replaces buffered EVERY row key of a group
+        // (billions at the 100 TB posture this file designs for).
+        // count(*) rides alongside, so a row duplicated an even number
+        // of times (XOR's blind spot) still fails the compare.
+        .withColumn("h", graft.ops.TextOps.md5Long(col("text_md5")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          md5(concat_ws(",", array_sort(collect_list(col("text_md5"))))).as("content_md5"))
+          expr("bit_xor(h)").as("content_digest"))
         .orderBy("source")
     },
     Some("""SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+        |  bit_xor(('0x' || substr(md5(md5(text)), 1, 15))::BIGINT) AS content_digest
         |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
   // ---- ORC round-trip: the other columnar format Spark speaks
@@ -102,20 +116,23 @@ object SinkQueries extends QueryRegistry {
           col("l_quantity"), col("l_extendedprice"))
         .write.mode("overwrite").orc(out)
       spark.read.orc(out)
+        // O(1)-state digest (see the CSV round-trip note): XOR of the
+        // per-row key hashes + count(*) replaces the unbounded
+        // collect_list buffer
+        .withColumn("h", graft.ops.TextOps.md5Long(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).cast("bigint").as("sum_qty"),
           Money.centsSum(col("l_extendedprice")).as("sum_price"),
-          md5(concat_ws(",", array_sort(collect_list(
-            concat_ws(":", col("l_orderkey"), col("l_linenumber"))))))
-            .as("content_md5"))
+          expr("bit_xor(h)").as("content_digest"))
         .orderBy("l_returnflag")
     },
     Some(s"""SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  ${Money.centsSumSql("l_extendedprice")} AS sum_price,
-        |  md5(string_agg(l_orderkey || ':' || l_linenumber, ','
-        |    ORDER BY l_orderkey || ':' || l_linenumber)) AS content_md5
+        |  bit_xor(('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT)
+        |    AS content_digest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   // JSON-lines round-trip: the interchange format every pipeline ends up
@@ -137,17 +154,18 @@ object SinkQueries extends QueryRegistry {
         .schema("o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_orderstatus STRING, o_totalprice DOUBLE")
         .json(out)
+        // O(1)-state digest (see the CSV round-trip note)
+        .withColumn("h", graft.ops.TextOps.md5Long(col("o_orderkey").cast("string")))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           Money.centsSum(col("o_totalprice")).as("sum_price"),
-          md5(concat_ws(",", array_sort(collect_list(
-            col("o_orderkey").cast("string"))))).as("content_md5"))
+          expr("bit_xor(h)").as("content_digest"))
         .orderBy("o_orderstatus")
     },
     Some(s"""SELECT o_orderstatus, count(*) AS n_rows,
         |  ${Money.centsSumSql("o_totalprice")} AS sum_price,
-        |  md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
-        |    ORDER BY CAST(o_orderkey AS VARCHAR))) AS content_md5
+        |  bit_xor(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)
+        |    AS content_digest
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   val all: Seq[NamedQuery] =
