@@ -372,31 +372,44 @@ object Images {
       tagged.sparkSession.sparkContext.hadoopConfiguration)
     tagged.select(col("path"), col("tags")).foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.foreach { r =>
-          val raw = r.getString(0)
-          // binaryFile emits percent-encoded URIs (file:/a%20b) — decode
-          // through java.net.URI; a scheme-LESS raw path may contain
-          // literal spaces URI.parse rejects, so it goes straight to Path
-          val imgPath =
-            if (raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))
-              new org.apache.hadoop.fs.Path(new java.net.URI(raw))
-            else new org.apache.hadoop.fs.Path(raw)
-          val txt = Option(r.getString(1)).getOrElse("")
-          val name = imgPath.getName
-          val stem = name.lastIndexOf('.') match {
-            // os.path.splitext: a leading-dot-only name (".bashrc") has
-            // no extension
-            case i if i > 0 => name.substring(0, i)
-            case _          => name
+        // PRIVATE FileSystem instances per partition (newInstance skips
+        // the JVM-wide cache): the reference writes exactly one .txt per
+        // image, so checksum twins (.x.txt.crc) are suppressed — but
+        // setWriteChecksum on the CACHED instance would silently disable
+        // checksums for every other user of that filesystem in the JVM.
+        // One instance per (scheme, authority), closed when done.
+        val fss = scala.collection.mutable.HashMap
+          .empty[String, org.apache.hadoop.fs.FileSystem]
+        try {
+          rows.foreach { r =>
+            val raw = r.getString(0)
+            // binaryFile emits percent-encoded URIs (file:/a%20b) — decode
+            // through java.net.URI; a scheme-LESS raw path may contain
+            // literal spaces URI.parse rejects, so it goes straight to Path
+            val imgPath =
+              if (raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))
+                new org.apache.hadoop.fs.Path(new java.net.URI(raw))
+              else new org.apache.hadoop.fs.Path(raw)
+            val txt = Option(r.getString(1)).getOrElse("")
+            val name = imgPath.getName
+            val stem = name.lastIndexOf('.') match {
+              // os.path.splitext: a leading-dot-only name (".bashrc") has
+              // no extension
+              case i if i > 0 => name.substring(0, i)
+              case _          => name
+            }
+            val uri = imgPath.toUri
+            val fs = fss.getOrElseUpdate(
+              s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}", {
+                val f = org.apache.hadoop.fs.FileSystem.newInstance(uri, conf.value)
+                f.setWriteChecksum(false)
+                f
+              })
+            val out = new org.apache.hadoop.fs.Path(imgPath.getParent, stem + ".txt")
+            val os = fs.create(out, true)
+            try os.write(txt.getBytes("UTF-8")) finally os.close()
           }
-          val fs = imgPath.getFileSystem(conf.value)
-          // the reference writes exactly one .txt per image — suppress
-          // the local checksum twin (.x.txt.crc) LocalFileSystem adds
-          fs.setWriteChecksum(false)
-          val out = new org.apache.hadoop.fs.Path(imgPath.getParent, stem + ".txt")
-          val os = fs.create(out, true)
-          try os.write(txt.getBytes("UTF-8")) finally os.close()
-        }
+        } finally fss.values.foreach(f => try f.close() catch { case _: Exception => () })
     }
   }
 }

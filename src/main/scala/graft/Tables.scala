@@ -39,7 +39,11 @@ object Tables {
       val raw =
         try spark.read.parquet(path)
         catch {
-          case scala.util.control.NonFatal(_) =>
+          // ONLY the NANOS-schema failure earns the legacy-conf retry: a
+          // missing file / permission / corrupt-footer error must not
+          // flip the session-global conf on its way to failing again
+          case e: Throwable if Option(e.getMessage).exists(m =>
+              m.contains("TIMESTAMP(NANOS") || m.contains("Illegal Parquet type")) =>
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.read.parquet(path)
         }

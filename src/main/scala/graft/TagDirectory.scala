@@ -53,9 +53,15 @@ object TagDirectory {
     // tag_idx >= 32 silently unreachable through the inner join's
     // hole-skip (no row, no error, wrong side-cars)
     val nTags = opt("--tags").map(_.toInt).getOrElse {
-      if (opt("--vocab").isDefined)
-        vocab.agg(max(col("tag_idx"))).head.getLong(0).toInt + 1
-      else 32
+      if (opt("--vocab").isDefined) {
+        val mx = vocab.agg(max(col("tag_idx"))).head
+        // a mapping whose entries were ALL dropped (unrecognized
+        // categories) or an empty object has no max — tell the user,
+        // don't NPE on the null aggregate
+        require(!mx.isNullAt(0),
+          s"--vocab ${opt("--vocab").get} parsed to zero recognized entries")
+        mx.getLong(0).toInt + 1
+      } else 32
     }
 
     val t0 = System.nanoTime()

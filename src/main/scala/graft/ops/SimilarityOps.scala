@@ -84,12 +84,16 @@ object SimilarityOps {
                         carrySim: Boolean = false,
                         maxCollectRows: Long = 1000000L): DataFrame = {
     import spark.implicits._
+    // a null-cid centroid is unaddressable (nothing can be assigned to
+    // it) and would NPE the typed collect — drop it in BOTH paths so the
+    // kernel and the relational fallback see the same dimension
+    val cent2 = cent.where(col("cid").isNotNull)
     val collected: Array[(Long, Array[Float])] =
-      cent.select(col("cid").cast("long"), col("cemb"))
+      cent2.select(col("cid").cast("long"), col("cemb"))
         .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
         .as[(Long, Array[Float])].collect()
     if (collected.length > maxCollectRows) {
-      return assignNearestCellRelational(spark, points, idCol, embCol, cent,
+      return assignNearestCellRelational(spark, points, idCol, embCol, cent2,
         carryEmbedding, carrySim)
     }
     val cents = collected.sortBy(_._1)
@@ -102,15 +106,21 @@ object SimilarityOps {
           var bestCid = -1L
           var bestR = 0.0
           var found = false      // a real (length-matched) cosine seen
-          var nullCid = -1L      // lowest mismatched cid (null-cos rule)
+          var nullSeen = false   // any mismatched centroid seen
+          var nullCid = 0L       // lowest mismatched cid (null-cos rule);
+                                 // a boolean flag, NOT a -1 sentinel — a
+                                 // sentinel would conflate "none seen"
+                                 // with real negative centroid ids
           var i = 0
           while (i < cs.length) {
             val (cid, c) = cs(i)
-            if (v == null || c.length != v.length) {
-              // null embedding behaves like an all-mismatch row: the
-              // relational form's struct(ccos, -cid) ordering is null-
-              // first on ccos, so the lowest cid wins with sim_c null
-              if (nullCid < 0) nullCid = cid
+            if (v == null || c == null || c.length != v.length) {
+              // a null or length-mismatched embedding (POINT or
+              // CENTROID side) behaves like the relational null-cosine:
+              // struct(ccos, -cid) orders null-first, so the lowest
+              // mismatched cid wins with sim_c null. cs is cid-sorted
+              // ascending, so the first mismatch IS the lowest.
+              if (!nullSeen) { nullSeen = true; nullCid = cid }
             } else {
               var dot = 0.0; var nx = 0.0; var ny = 0.0
               var k = 0
@@ -131,7 +141,7 @@ object SimilarityOps {
           // reach inside the lambda
           val emb = if (carryEmbedding) v else null
           if (found) Some((id, bestCid, Some(bestR), emb))
-          else if (nullCid >= 0) Some((id, nullCid, None: Option[Double], emb))
+          else if (nullSeen) Some((id, nullCid, None: Option[Double], emb))
           else None
         }
       }

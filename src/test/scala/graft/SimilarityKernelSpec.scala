@@ -117,6 +117,35 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(!got(0).isNullAt(2))
   }
 
+  test("assignNearestCell survives a NULL centroid embedding and negative cids, " +
+      "kernel == relational") {
+    import spark.implicits._
+    // a null centroid embedding must behave like an all-mismatch
+    // centroid (not NPE the kernel), and NEGATIVE cids must not be
+    // confused with the old -1 'none seen' sentinel: the all-mismatch
+    // point below must emit with the LOWEST cid (-9), not vanish
+    val cent = Seq(
+      (-9L, Array(1f, 0f)), (-3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(0f, 1f)))
+      .toDF("cid", "cemb")
+    val pts = Seq(
+      (1L, Array(2f, 1f)),          // matches the non-null centroids
+      (2L, Array(1f, 2f, 3f)))      // length-mismatches EVERYTHING
+      .toDF("vec_id", "embedding")
+    def census(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+    val kernel = census(SimilarityOps
+      .assignNearestCell(spark, pts, "vec_id", "embedding", cent, carrySim = true))
+    val relational = census(SimilarityOps
+      .assignNearestCellRelational(spark, pts, "vec_id", "embedding", cent,
+        carrySim = true))
+    assert(kernel.length === 2, "the all-mismatch row must not vanish")
+    assert(kernel(1) === ((2L, -9L, true)),
+      "all-mismatch assigns the LOWEST cid with null sim")
+    assert(kernel === relational)
+  }
+
   test("assignNearestCell kernel and relational fallback agree on dirty input " +
       "(null ids, duplicate ids): one output row per input row") {
     import spark.implicits._

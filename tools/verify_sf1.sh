@@ -14,7 +14,17 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SF1=${1:-/tmp/graft_sf1}
+# flag-anywhere arg parsing: `verify_sf1.sh --skip-bench` must keep the
+# default dir, not create a fixture directory literally named
+# './--skip-bench' and run the bench anyway
+SF1=/tmp/graft_sf1
+SKIP_BENCH=0
+for a in "$@"; do
+  case "$a" in
+    --skip-bench) SKIP_BENCH=1 ;;
+    *) SF1="$a" ;;
+  esac
+done
 OUT=/tmp/graft_verify_sf1
 
 if [ ! -f "$SF1/embeddings.parquet" ]; then
@@ -31,7 +41,7 @@ sbt -batch "runMain graft.Verify $SF1 $OUT"
 echo "[verify_sf1] DuckDB oracle compare"
 python3 tools/verify_local.py "$SF1" "$OUT" | tail -3
 
-if [[ "${2:-}" != "--skip-bench" ]]; then
+if [[ "$SKIP_BENCH" != "1" ]]; then
   echo "[verify_sf1] bench at sf1 -> bench_sf1.json"
   SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_OUT=bench_sf1.json \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' || true
