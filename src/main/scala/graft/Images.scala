@@ -317,8 +317,25 @@ object Images {
       .toDF("path", "logits", "status")
   }
 
+  // one persisted scored relation per session (see tagImages): replaced
+  // — and the predecessor unpersisted — on every call; released
+  // explicitly via releaseScored when the caller's terminal action is
+  // done. Bounded by construction: |entries| ≤ |live sessions|.
+  private val lastScored =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** Release the cached scored relation owned by [[tagImages]] for this
+    * session. Call after the terminal action on the returned frame. */
+  def releaseScored(spark: SparkSession): Unit =
+    Option(lastScored.remove(spark)).foreach(_.unpersist(false))
+
   /** Full flagship chain EP2 (appV2.py:167-179): source → score → tag.
-    * Failed rows keep their error status with a null tag string. */
+    * Failed rows keep their error status with a null tag string.
+    *
+    * Cache lifecycle: the returned frame depends on ONE persisted
+    * relation owned by this object — released automatically when the
+    * next tagImages call on the same session replaces it, or explicitly
+    * via [[releaseScored]]. */
   def tagImages(spark: SparkSession, dir: String, vocab: DataFrame, scorer: Scorer,
                 recursive: Boolean = false,
                 genThreshold: Double = 0.55, charThreshold: Double = 0.60): DataFrame = {
@@ -329,9 +346,18 @@ object Images {
     // score, tripling the single most expensive stage of the flagship.
     // The cached relation is (path, 4·nTags B logits, status) — orders
     // of magnitude smaller than the decode work it saves; it stays
-    // cached for the frame's lifetime (LRU-evictable, spills to disk).
+    // cached until the NEXT tagImages call on the same session (the
+    // handle below) or an explicit releaseScored — so a long-lived
+    // session holds at most ONE scored relation, never an unbounded
+    // LRU-pressure accumulation across repeated invocations.
+    // release BEFORE persisting the replacement: CacheManager dedupes by
+    // canonicalized plan, so a repeat call over the same directory would
+    // otherwise no-op its persist and then unpersist the shared entry —
+    // leaving the new frame uncached
+    releaseScored(spark)
     val scored = scoreImages(source(spark, dir, recursive), scorer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastScored.put(spark, scored)
     val ok = scored.filter(col("status") === "ok")
       .select(col("path").as("image_id"), col("logits"))
     val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)

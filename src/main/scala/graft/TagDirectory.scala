@@ -69,6 +69,7 @@ object TagDirectory {
       Images.FixtureScorer(nTags), recursive, genT, charT)
     val (observed, metrics) = Images.withRunMetrics(tagged)
     Images.writeSidecars(observed.filter(col("status") === "ok"))
+    Images.releaseScored(spark) // terminal action done — drop the cache
     val sec = (System.nanoTime() - t0) / 1e9
     val m = metrics.get
     val n = m("n_total").asInstanceOf[Long]

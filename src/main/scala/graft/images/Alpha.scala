@@ -9,9 +9,16 @@ package graft.images
   * 0 = raw, 1 = headerless VP8L stream whose GREEN channel carries alpha),
   * filter (bits 2-3: none/horizontal/vertical/gradient, libwebp
   * dsp/filters.c), pre-processing (bits 4-5) — followed by the data.
-  * Pre-processing 1 ("reduced levels", emitted only for alpha_quality<100)
-  * needs libwebp's level-dequant smoothing pass; it is rejected to the R16
-  * error channel rather than decoded approximately. */
+  *
+  * Pre-processing 1 ("reduced levels", emitted whenever the encoder ran
+  * with alpha_quality<100) decodes IDENTICALLY to 0 here — and that IS
+  * reference parity, not an approximation: libwebp's decoder treats the
+  * flag as informational and only runs its level-smoothing pass
+  * (WebPDequantizeLevels, utils/quant_levels_dec_utils.c) when the
+  * caller opts in via WebPDecoderOptions.alpha_dithering_strength > 0,
+  * which the simple WebPDecodeRGBA API — the path PIL and appV2.py:167
+  * ride — never sets. The opt-in smoothing is still available as
+  * [[dequantizeLevels]] for callers who want libwebp's dithered output. */
 object Alpha {
 
   /** Decode to a w×h alpha plane (row-major, unsigned bytes). Throws
@@ -28,9 +35,9 @@ object Alpha {
     // it so status parity with the reference holds on bit-flipped bytes
     require((hdr >> 6) == 0, "non-zero ALPH reserved bits")
     require(method <= 1, s"invalid ALPH compression method $method")
+    // pre-processing 2/3 are reserved (ALPHInit rejects them); 0 and 1
+    // both decode as-is — see the class doc for why that matches libwebp
     require(pre <= 1, s"invalid ALPH pre-processing $pre")
-    require(pre == 0,
-      "ALPH pre-processed levels (alpha_quality<100) not supported")
     val raw =
       if (method == 0) {
         require(payload.length - 1 >= w * h, "ALPH raw payload too short")

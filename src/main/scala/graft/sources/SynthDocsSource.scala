@@ -287,8 +287,21 @@ final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
       case m: streaming.ReadMaxRows => m.maxRows()
       case _: streaming.ReadAllAvailable => rangeHi - lo // uncapped
       case c: streaming.CompositeReadLimit =>
-        val members = c.getReadLimits
-        if (members.isEmpty) rowsPerBatch else members.map(cap).min
+        // only row-BOUNDING members participate in the min: inside a
+        // composite, ReadMinRows / ReadAllAvailable must map to "no
+        // cap" (Long.MaxValue), not to the default rowsPerBatch — else
+        // {ReadMinRows, ReadAllAvailable} (a real AvailableNow shape)
+        // would truncate the batch to rowsPerBatch, contradicting the
+        // algebra above. Default admission applies only when NO member
+        // bounds rows.
+        val bounds = c.getReadLimits.map {
+          case m: streaming.ReadMaxRows => m.maxRows()
+          case _: streaming.ReadAllAvailable => rangeHi - lo
+          case inner: streaming.CompositeReadLimit => cap(inner)
+          case _ => Long.MaxValue // ReadMinRows etc.: not a cap
+        }
+        val bounded = bounds.filter(_ != Long.MaxValue)
+        if (bounded.isEmpty) rowsPerBatch else bounded.min
       case _ => rowsPerBatch // ReadMinRows etc.: default admission
     }
     SynthOffset(math.min(rangeHi, lo + math.max(0L, cap(limit))))

@@ -510,8 +510,18 @@ object Streams {
           Seq("text_md5", "doc_id"))
         val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
         val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // "ledger has prior data" must mean ACTUAL batch_id= partition
+        // directories, not "any file": an EMPTY first micro-batch (a
+        // stream started before data arrives) writes a _SUCCESS-only
+        // root, and a bare listStatus.nonEmpty guard would then send the
+        // next batch into spark.read.parquet on a partition-less
+        // directory — an AnalysisException the checkpointed replay
+        // reproduces forever, wedging the query.
+        val ledgerHasData =
+          fs.exists(ledgerPath) && fs.listStatus(ledgerPath).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id="))
         val fresh =
-          (if (fs.exists(ledgerPath) && fs.listStatus(ledgerPath).nonEmpty)
+          (if (ledgerHasData)
              // PRIOR batches only: a retry must not anti-join against its
              // own (possibly PARTIALLY committed) ledger partition — a
              // half-visible batch_id=N ledger would shrink the replayed

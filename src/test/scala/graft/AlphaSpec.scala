@@ -48,12 +48,26 @@ class AlphaSpec extends AnyFunSuite {
     "aradial_120x80_q75", // libwebp-encoded: ALPH method=1 (lossless) + raw
     "araw_none_64x48", "araw_horiz_64x48", "araw_vert_64x48",
     "araw_grad_64x48", "araw_grad_33x17", // method=0, every filter
-    "meta_exif_64x48") // VP8X still with EXIF metadata around the VP8
+    "meta_exif_64x48", // VP8X still with EXIF metadata around the VP8
+    // pre-processing==1 (alpha_quality<100): decodes as-is — libwebp
+    // only smooths under an explicit alpha_dithering_strength option,
+    // which the reference's PIL path never sets
+    "apre1_raw_grad_64x48", "apre1_vp8l_64x48")
 
   for (name <- stills)
     test(s"$name: RGBA byte-identical to libwebp WebPDecodeRGBA") {
       assertMatchesGolden(name)
     }
+
+  test("pre==1 decodes byte-identically to the same payload with pre==0") {
+    // apre1_vp8l_64x48 is agrad_64x48_q75's exact ALPH+VP8 payload with
+    // only the pre-processing bits flipped to 1 — reference parity says
+    // the planes must match (libwebp produced equal goldens for both)
+    val a0 = decodeViaImageIO(resource("agrad_64x48_q75.webp"))
+    val a1 = decodeViaImageIO(resource("apre1_vp8l_64x48.webp"))
+    for (y <- 0 until 48; x <- 0 until 64)
+      assert(a0.getRGB(x, y) === a1.getRGB(x, y), s"pixel ($x,$y)")
+  }
 
   for (name <- Seq("anim_vp8_64x48", "anim_vp8l_40x30", "anim_alpha_64x48"))
     test(s"$name: first frame equals libwebp's decode of the frame still") {
@@ -93,9 +107,15 @@ class AlphaSpec extends AnyFunSuite {
     }
   }
 
-  test("ALPH pre-processed levels are rejected to the error channel") {
-    val payload = Array.tabulate[Byte](1 + 4)(i => if (i == 0) 0x10 else 1)
-    intercept[IllegalArgumentException] { Alpha.decode(payload, 2, 2) }
+  test("ALPH pre-processing 1 decodes as-is; 2 and 3 are rejected (ALPHInit parity)") {
+    // pre==1 is informational to a default-options decoder (see Alpha's
+    // class doc); pre 2/3 are reserved values libwebp rejects
+    val raw = Array.tabulate[Byte](1 + 4)(i => if (i == 0) 0x10 else 1)
+    assert(Alpha.decode(raw, 2, 2).toSeq === Seq[Byte](1, 1, 1, 1))
+    for (pre <- 2 to 3) {
+      val bad = raw.clone(); bad(0) = (pre << 4).toByte
+      intercept[IllegalArgumentException] { Alpha.decode(bad, 2, 2) }
+    }
   }
 
   test("ALPH non-zero reserved bits are rejected (libwebp ALPHInit parity)") {

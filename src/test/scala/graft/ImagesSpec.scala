@@ -135,6 +135,25 @@ class ImagesSpec extends SparkSpec {
       byName("landscape.png")._2.get)
   }
 
+  test("tagImages cache lifecycle: one relation per session, released by releaseScored") {
+    Images.releaseScored(spark) // settle: drop any relation a prior test's call owns
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val t1 = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
+      Images.FixtureScorer(32))
+    t1.count()
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1)
+    // a second invocation in the same session must REPLACE the cached
+    // scored relation, not accumulate a new one alongside it
+    val t2 = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
+      Images.FixtureScorer(32))
+    t2.count()
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1,
+      "repeat tagImages must replace, not accumulate, its cache")
+    Images.releaseScored(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "releaseScored must drop the owned relation")
+  }
+
   test("R15 sidecar path handling: percent-encoded URI, dotted dir + extensionless name") {
     // os.path.splitext semantics: the extension splits on the file NAME
     // only, and binaryFile's percent-encoded file: URI must be decoded

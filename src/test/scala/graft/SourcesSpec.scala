@@ -266,6 +266,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("graft-synth admission: ReadMinRows members never cap a composite") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new graft.sources.SynthDocsStream(
+      1000L, 4, 250L, graft.sources.SynthDocsSource.schema)
+    val start = s.initialOffset()
+    def end(limit: ReadLimit): Long =
+      s.latestOffset(start, limit).asInstanceOf[graft.sources.SynthOffset].v
+    // a real AvailableNow shape: {minRows, allAvailable} — the
+    // non-row-bounding ReadMinRows must map to "no cap" inside the
+    // composite, not demote the batch to rowsPerBatch
+    assert(end(ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(1L, 0L), ReadLimit.allAvailable()))) === 1000L)
+    // a bounding member still caps, and the most restrictive one wins
+    assert(end(ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(1L, 0L), ReadLimit.maxRows(100L)))) === 100L)
+    assert(end(ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(300L), ReadLimit.maxRows(100L)))) === 100L)
+    // NO member bounds rows: default admission applies
+    assert(end(ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(1L, 0L)))) === 250L)
+  }
+
   test("graft-synth streaming: restart from checkpoint resumes, never re-emits") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString

@@ -293,6 +293,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngest survives an empty first micro-batch (stream up before data)") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_eb_src")
+    val ledger = java.nio.file.Files.createTempDirectory("graft_eb_ledger").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_eb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eb_ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_eb_stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+    }
+    // batch 0 carries ZERO rows: its dynamic-overwrite writes create a
+    // _SUCCESS-only ledger root. The prior-ledger guard must read that as
+    // "no prior data" — an any-file guard sent batch 1 into
+    // spark.read.parquet on a partition-less directory, an
+    // AnalysisException the checkpointed replay reproduces forever.
+    stage("empty.parquet", Seq.empty)
+    val q = Streams.dedupIngest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+      ledger, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      stage("a.parquet", Seq(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text"))
+      q.processAllAvailable() // wedged here before the fix
+      val out = spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(out === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("dedupIngest refuses a legacy flat-layout sink instead of wedging mid-stream") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_flat_src").toString

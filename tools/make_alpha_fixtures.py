@@ -285,6 +285,27 @@ def main():
                 anmf(0, 0, w, h, 40, frame))
     write_anim("anim_alpha_64x48", anim, a1)
 
+    # --- pre-processing==1 ("reduced levels", alpha_quality<100) stills.
+    # libwebp's decoder treats the flag as informational: under default
+    # options (no alpha_dithering_strength — the WebPDecodeRGBA path PIL
+    # rides) the plane decodes IDENTICALLY to pre==0. These goldens pin
+    # that parity for both ALPH methods.
+    w, h = 64, 48
+    base = encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 75)
+    vp8_payload = get_chunk(base, b"VP8 ")
+    plane = bytes((x * y) % 251 for y in range(h) for x in range(w))
+    alph_payload = bytes((0x10 | (3 << 2),)) + filter_plane(plane, w, h, 3)
+    write("apre1_raw_grad_64x48", riff(vp8x(w, h, alpha=True) +
+                                       chunk(b"ALPH", alph_payload) +
+                                       chunk(b"VP8 ", vp8_payload)))
+
+    src = open(os.path.join(OUT, "agrad_64x48_q75.webp"), "rb").read()
+    alph = bytearray(get_chunk(src, b"ALPH"))
+    alph[0] |= 0x10  # method=1 (lossless) payload, pre forced to 1
+    write("apre1_vp8l_64x48", riff(vp8x(64, 48, alpha=True) +
+                                   chunk(b"ALPH", bytes(alph)) +
+                                   chunk(b"VP8 ", get_chunk(src, b"VP8 "))))
+
 
 if __name__ == "__main__":
     main()
