@@ -71,36 +71,48 @@ object Bench {
       require(unknown.isEmpty,
         s"headline names missing from the query registry: ${unknown.mkString(", ")}")
     }
+    // SPARK_GRAFT_ONLY=a,b,c: iterate on a subset without paying the full
+    // registry (dev loop). Subset runs NEVER write the committed snapshot
+    // names — see outName below.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // each query runs TWICE and reports the MIN: the first run absorbs
-      // that query's codegen/JIT compilation and any shared-VM or GC
-      // hiccup concentrated in it; the min of two runs is the number
-      // that reflects the PLAN rather than the machine's bad moment
-      // (round-5 lesson: one query measured 32.5s vs 6.0s on identical
-      // code across two runs of the same bench).
-      def once(): Double = {
+    val wallT0 = System.nanoTime()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      // each query runs THREE times and reports the MEDIAN: the first
+      // run absorbs that query's codegen/JIT compilation (usually the
+      // max), and the median is robust to a one-off shared-VM or GC
+      // hiccup in EITHER direction — a min can flatter a genuinely
+      // slower plan off one lucky run, while a single 32.5s-vs-6.0s
+      // spike (round-5 lesson) can't drag the median the way it drags a
+      // mean. Rounds ≤8 reported min-of-2; cross-round deltas normalize
+      // uniform shifts via tools/bench_delta.py --normalize.
+      //
+      // UNTIMED inter-rep hygiene (the System.gc() between runs):
+      // queries that localCheckpoint internally leave their blocks in
+      // the block manager until the driver GCs the RDD references and
+      // ContextCleaner unpersists them. Left to accumulate, ~80 queries
+      // of dead blocks turn into old-gen pressure that surfaces as
+      // multi-second GC pauses *inside* some later query's timing.
+      val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var bad = false
+      var i = 0
+      while (i < 3 && !bad) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name; return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // UNTIMED inter-query hygiene: queries that localCheckpoint
-      // internally leave their blocks in the block manager until the
-      // driver GCs the RDD references and ContextCleaner unpersists them.
-      // Left to accumulate, ~80 queries of dead blocks turn into old-gen
-      // pressure that surfaces as multi-second GC pauses *inside* some
-      // later query's timing. One explicit GC per run keeps each
-      // measurement independent of its predecessors.
-      val a = once()
-      System.gc()
-      val dt = if (a < 0) a else {
-        val b = once()
+        try {
+          fn(spark, sfDir).count()
+          reps += (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => bad = true; failed += name }
         System.gc()
-        if (b < 0) b else math.min(a, b)
+        i += 1
       }
-      name -> dt
+      name -> (if (bad) -1.0 else reps.sorted.apply(1))
     }
+    // total bench wall (includes all 3 reps + inter-rep GC) — reported
+    // separately so "value" stays the sum of per-query medians
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
     // failures carry a -1.0 sentinel in the per-query map; summing them
     // would make the total SMALLER (read: better) the more queries crash
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -112,12 +124,14 @@ object Bench {
     // deliberately outside the timers (not comparable to round<=3 totals,
     // which let earlier queries' GC debt land in later queries' numbers)
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
     // the committed snapshot is the sf0.1 run; any other SF writes its own
     // file so an iteration run at sf0.01 (or the sf1 gate) can never
     // clobber it (SPARK_GRAFT_BENCH_OUT overrides explicitly)
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (new java.io.File(sfDir).getName == "sf0.1") "bench_full.json"
+      if (only.isDefined) "bench_only.json" // a subset map must never
+      // overwrite a committed full snapshot (round-8 clobber lesson)
+      else if (new java.io.File(sfDir).getName == "sf0.1") "bench_full.json"
       else s"bench_${new java.io.File(sfDir).getName}.json")
     try {
       java.nio.file.Files.write(
@@ -127,7 +141,7 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${fmt(v)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,6 +129,8 @@ object GraftFunctions {
 
   val cosineBuilder: Seq[Expression] => Expression =
     binary("graft_cosine", CosineSimilarity.apply)
+  val dotBuilder: Seq[Expression] => Expression =
+    binary("graft_dot", DotProduct.apply)
   val jaccardBuilder: Seq[Expression] => Expression =
     binary("graft_jaccard", JaccardSimilarity.apply)
 
@@ -165,6 +167,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", dotBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard", jaccardBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -34,6 +34,28 @@ object SimilarityOps {
     round(call_function("graft_cosine", a, b), 6)
   }
 
+  /** Fused native dot product (graft.functions.DotProduct) — the
+    * norm-hoisted kernel for O(|q|·|train|) scored joins. */
+  def dotNative(spark: org.apache.spark.sql.SparkSession,
+                a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_dot", a, b)
+  }
+
+  /** Norm-hoisted cosine for quadratic scored joins: the caller computes
+    * [[norm]] ONCE per row on each side (|q|+|train| sqrt's) and this
+    * divides the fused dot by their product — BIT-IDENTICAL to
+    * [[cosineNative6]] (same per-element double promotion, same
+    * left-to-right sums, `dot / (sqrt(nx)·sqrt(ny))` with the sqrt's
+    * merely evaluated earlier; FunctionsSpec pins the equality) at a
+    * third of the per-pair flops. The norm projections live BELOW the
+    * join, so Catalyst cannot re-inline them into the per-pair project
+    * (CollapseProject never crosses a Join). */
+  def cosineHoisted6(spark: org.apache.spark.sql.SparkSession,
+                     a: Column, b: Column,
+                     normA: Column, normB: Column): Column =
+    round(dotNative(spark, a, b) / (normA * normB), 6)
+
   /** Coarse-quantizer stride shared by the IVF / PQ / cell-blocked
     * dedup family: centroids are the vectors with `vec_id % stride == 0`.
     * stride = greatest(100, floor(sqrt(N))) — fixed ~100-vector cells in

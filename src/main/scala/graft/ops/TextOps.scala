@@ -43,20 +43,38 @@ object TextOps {
     * (idCol, n_windows, sel: array<bigint>); docs shorter than k+w−1
     * tokens (no full window) are dropped.
     *
-    * Both passes are row-local transforms; the hash array is pinned
-    * (localCheckpoint) between them because the window lambda references
-    * it per element and Catalyst's CollapseProject would otherwise
-    * re-inline the md5 fold n_windows× per row (the same trap
-    * `shingles` documents). */
+    * Hashing is the polynomial scheme proven cross-engine in
+    * text_token_regex, NOT per-k-gram md5: each token folds once to
+    * h ← (31h + code) mod (2³¹−1) over its characters (O(chars) total),
+    * and each k-gram combines its k token hashes with multiply-add mod
+    * the same prime (O(k) integer ops — no string concat, no md5, no
+    * hex→decimal conv per k-gram). That swap took the sf1 wall of
+    * text_winnowing from 6.6 s to the linear row-local cost the query's
+    * scale posture claims. All three passes are row-local transforms;
+    * the token-hash array is pinned (localCheckpoint) between them
+    * because the k-gram lambda references it k× per element and
+    * Catalyst's CollapseProject would otherwise re-inline the char fold
+    * per reference (the same trap `shingles` documents). */
   def winnowSelect(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 5): DataFrame = {
-    val hs = docs
+    require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1 (got k=$k w=$w)")
+    val p = 2147483647L // 2^31 − 1; token hash < p keeps th*B+th' < 2^52
+    val b = 1000003L    // k-gram combiner base
+    // per-token char fold, once per token
+    val th = docs
       .select(col(idCol), words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= k + w - 1)
       .select(col(idCol), expr(
-        s"""transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, $k))),
-           |                 1, 15), 16, 10) as bigint))""".stripMargin).as("hs"))
+        s"""transform(ws, t -> aggregate(
+           |  transform(regexp_extract_all(t, '.', 0), c -> cast(ascii(c) as bigint)),
+           |  cast(0 as bigint), (h, c) -> (h * 31 + c) % $p))""".stripMargin)
+        .as("th"))
+      .localCheckpoint()
+    // k-gram hash: multiply-add over k consecutive token hashes
+    val gram = (1 until k).foldLeft(s"element_at(th, i)")((acc, j) =>
+      s"(($acc) * $b + element_at(th, i + $j)) % $p")
+    val hs = th.select(col(idCol), expr(
+      s"transform(sequence(1, size(th) - ${k - 1}), i -> $gram)").as("hs"))
       .localCheckpoint()
     hs.select(col(idCol),
       (size(col("hs")) - (w - 1)).cast("long").as("n_windows"),

@@ -319,24 +319,31 @@ object SimilarityQueries extends QueryRegistry {
   // corpus. Vote argmax ties break on the smaller label; neighbor rank
   // ties on the smaller neighbor_id — fully deterministic, so the oracle
   // reproduces it exactly. Scale shape: the query side broadcasts (the
-  // held-out fraction is tiny) and the neighbor cut runs through the
-  // engine's TopKPerGroup bounded-heap operator — each partition
-  // surrenders at most k rows per query to the exchange, so the shuffle
-  // carries ≤ k·|queries|·partitions rows, never the |q|·|train| scored
-  // matrix a row_number window would sort and move wholesale.
-  // TopKPerGroup's ordering contract (NaN-greatest, id tie-break) is
-  // pinned equivalent to the window form by TopKSpec.
+  // held-out fraction is tiny), each side's norm is computed ONCE per
+  // row BELOW the join (the hoisted-cosine kernel — a third of the
+  // per-pair flops of the self-normalizing form, bit-identical results),
+  // and the neighbor cut runs through the engine's TopKPerGroup
+  // bounded-heap operator — each partition surrenders at most k rows per
+  // query to the exchange, so the shuffle carries ≤ k·|queries|·
+  // partitions rows, never the |q|·|train| scored matrix a row_number
+  // window would sort and move wholesale. TopKPerGroup's ordering
+  // contract (NaN-greatest, id tie-break) is pinned equivalent to the
+  // window form by TopKSpec.
   private val knnClassify = NamedQuery(
     "sim_knn_classify",
     (spark, d) => {
       val v = Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding"), col("label"))
       val q = v.filter(col("vec_id") % 100 === 1)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          SimilarityOps.norm(col("embedding")).as("qnorm"))
       val train = v.filter(col("vec_id") % 100 =!= 1)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          SimilarityOps.norm(col("embedding")).as("tnorm"))
       val scored = broadcast(q).crossJoin(train)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-          SimilarityOps.cosineNative6(spark, col("qemb"), col("embedding")).as("cosine"))
+          SimilarityOps.cosineHoisted6(spark, col("qemb"), col("embedding"),
+            col("qnorm"), col("tnorm")).as("cosine"))
       val neigh = graft.plans.TopK.perGroup(scored, Seq("query_id"),
         Seq(desc("cosine"), col("neighbor_id")), topK)
       val wV = Window.partitionBy(col("query_id"))

@@ -184,12 +184,11 @@ object TextQueries extends QueryRegistry {
   // share a selected hash, at ~2/(w+1) the storage of full shingling.
   // The output pins each doc's selected-set cardinality and a digest of
   // the set (min/max/mod-sum) — the downstream join key material.
-  // Scale shape: both transforms are row-local; the hash array is pinned
-  // (localCheckpoint) between the k-gram and window passes because the
-  // window lambda references it once per window and Catalyst would
-  // otherwise re-inline the md5 fold n_windows× per row (the
-  // TextOps.shingles CollapseProject trap). No shuffle anywhere except
-  // the final ORDER BY.
+  // Scale shape: every pass is row-local (per-token polynomial char
+  // fold, O(k)-integer-op k-gram combine — see TextOps.winnowSelect for
+  // why md5-per-k-gram was retired); the intermediate arrays are pinned
+  // (localCheckpoint) against the TextOps.shingles CollapseProject trap.
+  // No shuffle anywhere except the final ORDER BY.
   private val winnowing = NamedQuery(
     "text_winnowing",
     (spark, d) => {
@@ -206,16 +205,27 @@ object TextQueries extends QueryRegistry {
     Some("""WITH ws AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |  WHERE len(string_split(text, ' ')) >= 8),
-        |hs AS (
-        |  SELECT doc_id, list_transform(range(1, len(ws) - 2),
-        |    i -> ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT)
-        |    AS hs
+        |th AS (
+        |  SELECT doc_id, list_transform(ws, t -> list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(t, '.'),
+        |                     c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647)) AS th
         |  FROM ws),
+        |hs AS (
+        |  SELECT doc_id, list_transform(range(1, len(th) - 2),
+        |    i -> (((((th[i]) * 1000003 + th[i+1]) % 2147483647)
+        |            * 1000003 + th[i+2]) % 2147483647)
+        |          * 1000003 + th[i+3]) AS hs0
+        |  FROM th),
+        |hsm AS (
+        |  SELECT doc_id, list_transform(hs0, h -> h % 2147483647) AS hs
+        |  FROM hs),
         |sel AS (
         |  SELECT doc_id, len(hs) - 4 AS n_windows,
         |    list_distinct(list_transform(range(1, len(hs) - 3),
         |      i -> list_min(hs[i:i+4]))) AS sel
-        |  FROM hs)
+        |  FROM hsm)
         |SELECT doc_id, cast(n_windows AS BIGINT) AS n_windows,
         |  cast(len(sel) AS BIGINT) AS n_selected,
         |  list_min(sel) AS sel_min, list_max(sel) AS sel_max,

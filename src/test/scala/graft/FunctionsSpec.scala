@@ -23,6 +23,36 @@ class FunctionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("norm-hoisted cosine (graft_dot / norms) is bit-identical to graft_cosine") {
+    // the knn-classify hot path: norms computed once per row below the
+    // join must reproduce the self-normalizing kernel EXACTLY — same
+    // double promotion, same left-to-right sums, sqrt's merely hoisted
+    val a = v.filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"), SimilarityOps.norm(col("embedding")).as("nrm"))
+    val pairs = a.as("a").join(a.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+        SimilarityOps.cosineNative6(spark, col("a.embedding"), col("b.embedding")).as("nat"),
+        SimilarityOps.cosineHoisted6(spark, col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("hoist"))
+      .filter(col("nat") =!= col("hoist"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("graft_dot edge parity: unequal lengths and NULL elements yield NULL") {
+    GraftFunctions.register(spark)
+    val edge = spark.sql(
+      """SELECT
+        |  graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |            CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)) AS uneq,
+        |  graft_dot(CAST(array(1.0, NULL) AS ARRAY<FLOAT>),
+        |            CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS nullelem,
+        |  graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |            CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS ok""".stripMargin)
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) === 11.0)
+  }
+
   test("registered for SQL: usable from spark.sql text") {
     GraftFunctions.register(spark)
     v.limit(5).createOrReplaceTempView("fs_vecs")
