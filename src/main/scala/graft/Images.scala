@@ -226,11 +226,25 @@ object Images {
           createTensor: java.lang.reflect.Method,
           sessionRun: java.lang.reflect.Method,
           tensorClose: java.lang.reflect.Method)
+      // resolve through the CONTEXT classloader first: on Spark executors
+      // user jars (--jars / spark.jars — the way a real onnxruntime
+      // lands) live in a child classloader that the context CL sees but
+      // this class's own defining loader does NOT; caller-loader
+      // Class.forName would miss them. Falls back to the defining loader
+      // (plain JVM callers with the jar on the app classpath).
+      private def loadClass(name: String): Class[_] = {
+        val ctx = Thread.currentThread().getContextClassLoader
+        if (ctx == null) Class.forName(name)
+        else
+          try Class.forName(name, true, ctx)
+          catch { case _: ClassNotFoundException => Class.forName(name) }
+      }
+
       @transient private lazy val bound: Bound =
         try {
-          val envCls = Class.forName(s"$pkg.OrtEnvironment")
+          val envCls = loadClass(s"$pkg.OrtEnvironment")
           val env = envCls.getMethod("getEnvironment").invoke(null)
-          val optCls = Class.forName(s"$pkg.OrtSession$$SessionOptions")
+          val optCls = loadClass(s"$pkg.OrtSession$$SessionOptions")
           val opts = optCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
           if (preferGpu) {
             // provider preference with fallback: a missing/broken CUDA
@@ -248,7 +262,7 @@ object Images {
             require(it.hasNext, s"model declares no names via $getter")
             it.next()
           }
-          val tensorCls = Class.forName(s"$pkg.OnnxTensor")
+          val tensorCls = loadClass(s"$pkg.OnnxTensor")
           Bound(env, session,
             firstName("getInputNames"), firstName("getOutputNames"),
             tensorCls.getMethod("createTensor", envCls,

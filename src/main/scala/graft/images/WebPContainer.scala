@@ -99,6 +99,64 @@ object WebPContainer {
     else Option(animFrame)
   }
 
+  /** EVERY decodable frame, in stream order: a still yields its single
+    * VP8/VP8L(+ALPH) chunk set; an animation yields each full-canvas ANMF
+    * frame. Frames that are not full-canvas at the origin are SKIPPED
+    * (they are deltas over canvas state a stateless per-frame decoder
+    * doesn't keep) — callers sampling frames for per-frame work (the
+    * mm_frame_sample fan-out) get exactly the frames that decode
+    * standalone. Same hardened walk as [[firstFrame]]. */
+  def frames(b: Array[Byte]): Seq[Frame] = {
+    if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
+      return Seq.empty
+    var vp8: Array[Byte] = null
+    var vp8l: Array[Byte] = null
+    var alph: Array[Byte] = null
+    var canvasW = -1
+    var canvasH = -1
+    val anim = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    walk(b, 12, b.length, (cc, start, len) => cc match {
+      case "VP8 " if vp8 == null && vp8l == null =>
+        vp8 = slice(b, start, len); false
+      case "VP8L" if vp8 == null && vp8l == null =>
+        vp8l = slice(b, start, len); false
+      case "ALPH" if alph == null =>
+        alph = slice(b, start, len); true
+      case "VP8X" if len >= 10 =>
+        canvasW = le24(b, start + 4) + 1
+        canvasH = le24(b, start + 7) + 1
+        true
+      case "ANMF" =>
+        anmfFrame(b, start, len, canvasW, canvasH).foreach(anim += _)
+        true
+      case _ => true
+    })
+    if (vp8 != null || vp8l != null)
+      Seq(Frame(Option(vp8), Option(vp8l), Option(alph)))
+    else anim.toSeq
+  }
+
+  /** One frame's chunk set → ARGB pixels, the shared decode behind the
+    * ImageIO reader and per-frame consumers: VP8L carries alpha
+    * in-stream; a lossy frame composes its VP8 planes with an optional
+    * straight (non-premultiplied) ALPH plane, like WebPDecodeRGBA. */
+  def decodeFrame(frame: Frame): Vp8l.Decoded = frame.vp8l match {
+    case Some(l) => Vp8l.decodePayload(l)
+    case None =>
+      val planes = Vp8.decodePayload(frame.vp8.getOrElse(
+        throw new IllegalArgumentException("frame has no VP8/VP8L payload")))
+      val argb = Vp8.toArgb(planes)
+      frame.alph.foreach { a =>
+        val plane = Alpha.decode(a, planes.width, planes.height)
+        var i = 0
+        while (i < argb.length) {
+          argb(i) = ((plane(i) & 0xff) << 24) | (argb(i) & 0xffffff)
+          i += 1
+        }
+      }
+      Vp8l.Decoded(planes.width, planes.height, argb)
+  }
+
   /** Parse one ANMF payload: 16-byte frame header (x/2, y/2, w-1, h-1,
     * duration — 24-bit LE each — then a flags byte), then the frame's own
     * ALPH?/VP8|VP8L chunk sequence. None unless the frame is full-canvas

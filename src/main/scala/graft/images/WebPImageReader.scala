@@ -38,22 +38,7 @@ final class WebPImageReader(spi: ImageReaderSpi) extends ImageReader(spi) {
       val frame = WebPContainer.firstFrame(bytes).getOrElse(
         throw new IllegalArgumentException(
           "no decodable VP8/VP8L frame in webp container"))
-      decoded = frame.vp8l match {
-        case Some(l) => Vp8l.decodePayload(l) // alpha is in-stream for VP8L
-        case None =>
-          val planes = Vp8.decodePayload(frame.vp8.get)
-          val argb = Vp8.toArgb(planes)
-          frame.alph.foreach { a =>
-            // straight (non-premultiplied) alpha, like WebPDecodeRGBA
-            val plane = Alpha.decode(a, planes.width, planes.height)
-            var i = 0
-            while (i < argb.length) {
-              argb(i) = ((plane(i) & 0xff) << 24) | (argb(i) & 0xffffff)
-              i += 1
-            }
-          }
-          Vp8l.Decoded(planes.width, planes.height, argb)
-      }
+      decoded = WebPContainer.decodeFrame(frame)
     }
     decoded
   }

@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   * output schema).
   *
   * Decode reality in this container (no codec libraries): IMAGE decode is
-  * REAL (JDK ImageIO, shared with graft.Images). AUDIO and VIDEO decode
-  * are DETERMINISTIC FAKES — audio "decode" parses the synthetic s16le
-  * PCM layout the fixture generator writes; video "decode" treats content
-  * as fixed-size frame blocks and samples every k-th frame. A real
-  * codec drops into `decodeAudio`/`decodeVideoFrame` without touching the
-  * Spark plumbing (schema, partitioning, batch shape), which is real and
-  * under test. */
+  * REAL (JDK ImageIO, shared with graft.Images), and ANIM decode is REAL
+  * (the engine's own ANMF walk + per-frame VP8/VP8L decoders,
+  * graft.images.WebPContainer.frames — libwebp-golden-validated frame by
+  * frame in AlphaSpec). AUDIO and VIDEO decode are DETERMINISTIC FAKES —
+  * audio "decode" parses the synthetic s16le PCM layout the fixture
+  * generator writes; video "decode" treats content as fixed-size frame
+  * blocks and samples every k-th frame. A real codec drops into
+  * `decodeAudio`/`decodeVideoFrame` without touching the Spark plumbing
+  * (schema, partitioning, batch shape), which is real and under test. */
 object Multimodal {
 
-  val kinds = Seq("image", "audio", "video")
+  val kinds = Seq("image", "audio", "video", "anim")
 
   // ---------- fixture corpus (deterministic) ----------
 
@@ -47,6 +49,15 @@ object Multimodal {
     out
   }
 
+  /** The bundled 6-frame full-canvas animated WebP (every frame decodes
+    * standalone through the engine's own readers; per-frame libwebp
+    * goldens in test resources pin the decode). */
+  private lazy val clipBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/clip.webp")
+    require(in != null, "missing bundled clip.webp fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Deterministic mixed-media table:
     * media(media_id, kind, content BINARY, width, height, sample_rate,
     * n_frames). */
@@ -57,10 +68,11 @@ object Multimodal {
       java.nio.file.Paths.get(imgDir, "landscape.png"))
     val rows = (0 until n).map { i =>
       val id = i.toLong
-      (i % 3) match {
+      (i % 4) match {
         case 0 => (id, "image", imgBytes, 64, 48, 0, 0)
         case 1 => (id, "audio", sineAudioBytes(id, 4000, 8000), 0, 0, 8000, 0)
-        case _ => (id, "video", frameVideoBytes(id, 12, 256), 16, 16, 0, 12)
+        case 2 => (id, "video", frameVideoBytes(id, 12, 256), 16, 16, 0, 12)
+        case _ => (id, "anim", clipBytes, 64, 48, 0, 6)
       }
     }
     rows.toDF("media_id", "kind", "content", "width", "height",
@@ -94,6 +106,33 @@ object Multimodal {
     val fr = decodeVideoFrame(bytes, frame, frameSize)
     if (fr.isEmpty) throw new IllegalArgumentException(s"empty frame $frame")
     fr.map(b => (b & 0xff).toDouble).sum / fr.length
+  }
+
+  /** REAL per-frame decode for animated WebP: the standalone-decodable
+    * frames of the container (graft.images.WebPContainer.frames), every
+    * k-th one run through the engine's VP8/VP8L(+ALPH) decoders — only
+    * the SAMPLED frames decode, the skipped ones cost a chunk-header
+    * walk. Returns (frame_idx, pixelByteMean over all four ARGB
+    * channels, n_pixel_bytes) per sampled frame — the same scalar digest
+    * shape the fake video codec feeds, shared by extractFeatures and
+    * sampleFrames so edge handling cannot drift between them. */
+  private def sampledAnimFrames(bytes: Array[Byte],
+                                every: Int): IndexedSeq[(Int, Double, Int)] = {
+    val frames = graft.images.WebPContainer.frames(bytes)
+    if (frames.isEmpty)
+      throw new IllegalArgumentException("no standalone-decodable frames")
+    (0 until frames.length by every).map { f =>
+      val d = graft.images.WebPContainer.decodeFrame(frames(f))
+      var s = 0.0
+      var i = 0
+      while (i < d.argb.length) {
+        val p = d.argb(i)
+        s += ((p >>> 24) & 0xff) + ((p >> 16) & 0xff) +
+          ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+      (f, s / (4.0 * d.argb.length), 4 * d.argb.length)
+    }
   }
 
   // ---------- the feature-extraction stage ----------
@@ -171,7 +210,19 @@ object Multimodal {
       .as[(Long, String, Array[Byte], Int)]
       .mapPartitions { iter =>
         iter.flatMap { case (id, kind, bytes, nFrames) =>
-          if (kind != "video")
+          if (kind == "anim") try {
+            // REAL decode: every k-th standalone ANMF frame through the
+            // engine's own VP8/VP8L readers
+            sampledAnimFrames(bytes, every).map { case (f, mean, nb) =>
+              FrameRow(id, f, nb, math.rint(mean * 1e6) / 1e6, "ok")
+            }
+          } catch {
+            case e: Exception =>
+              Seq(FrameRow(id, -1,
+                if (bytes == null) 0 else bytes.length, 0.0,
+                s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
+          }
+          else if (kind != "video")
             Seq(FrameRow(id, -1, 0, 0.0, s"error: not a video (kind=$kind)"))
           else try {
             val frameSize = if (nFrames > 0) bytes.length / nFrames else 0
@@ -238,6 +289,11 @@ object Multimodal {
                 (0 until nFrames by frameSampleEvery).map { f =>
                   frameByteMean(bytes, f, frameSize)
                 }.toArray
+              case "anim" =>
+                // real per-frame decode, same sampled-mean digest as
+                // sampleFrames
+                sampledAnimFrames(bytes, frameSampleEvery)
+                  .map(_._2).toArray
               case other => throw new IllegalArgumentException(s"unknown kind $other")
             }
             MediaFeatures(id, kind, bytes.length, feats.map(d => math.rint(d * 1e6) / 1e6), "ok")

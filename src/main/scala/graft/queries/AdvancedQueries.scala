@@ -683,6 +683,8 @@ object AdvancedQueries extends QueryRegistry {
       // single-partition WindowExec exists even here
       val cuts = Tables.orders(spark, d)
         .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .filter(col("o_totalprice").isNotNull) // pushable twin: null
+        // prices never join (their bins are null) — see fact below
         .select(priceCents.as("c")).distinct()
       val bounds = cuts.as("a")
         .join(broadcast(cuts.as("b")), col("b.c") > col("a.c"))
@@ -696,6 +698,10 @@ object AdvancedQueries extends QueryRegistry {
           explode(sequence(floor(col("lo") / W).cast("long"),
             floor((col("hi") - 1) / W).cast("long"))))
       val fact = Tables.orders(spark, d)
+        // pushable twin of the equi-join's inferred floor(pc/W) IS NOT
+        // NULL (a null price has a null bin and never matches): without
+        // it the scan pushes nothing (PlanSweepSpec check 4)
+        .filter(col("o_totalprice").isNotNull)
         .select(col("o_orderkey"), priceCents.as("pc"))
         .withColumn("bin", floor(col("pc") / W).cast("long"))
       // broadcast: the exploded tier dim stays tiny here; with a large

@@ -632,6 +632,10 @@ object EventsQueries extends QueryRegistry {
     "q_window_distinct_rolling",
     (spark, d) => {
       val du = Tables.events(spark, d)
+        // pushable twin of the join's inferred to_date(ts) IS NOT NULL
+        // (a null ts never matches the range condition): without it the
+        // scan pushes nothing (PlanSweepSpec check 4)
+        .filter(col("ts").isNotNull)
         .select(to_date(col("ts")).as("day"), col("user_id"))
         .distinct()
       val spine = du.select(col("day").as("anchor")).distinct()

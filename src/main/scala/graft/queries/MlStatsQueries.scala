@@ -128,6 +128,11 @@ object MlStatsQueries extends QueryRegistry {
     "text_bpe_pairs",
     (spark, d) => {
       val toks = Tables.documents(spark, d)
+        // pushable twin of the size() filter below (a null text never
+        // survives it): gives the scan an IsNotNull to skip row groups
+        // with — the derived size(filter(split(...))) predicate alone is
+        // opaque to the source (PlanSweepSpec check 4)
+        .filter(col("text").isNotNull)
         .select(graft.ops.TextOps.lowerWords(col("text")).as("ts"))
         .filter(size(col("ts")) >= 2)
       toks
@@ -457,6 +462,10 @@ object MlStatsQueries extends QueryRegistry {
   private def covRelation(spark: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val v8 = Tables.embeddings(spark, d)
+      // pushable twin of the explode-inferred size()/null guard (a null
+      // embedding never reaches the posexplode): without it the scan
+      // pushes nothing (PlanSweepSpec check 4)
+      .filter(col("embedding").isNotNull)
       .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
     val mu = v8.select(posexplode(col("v")).as(Seq("i0", "x")))
       .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))

@@ -217,6 +217,10 @@ object ScalarFuncQueries extends QueryRegistry {
   private val regexExtractAll = NamedQuery(
     "q_regexp_extract_all",
     (spark, d) => Tables.documents(spark, d)
+      // pushable twin of the n_hits > 0 cut (size(regexp(null)) is null,
+      // so a null text never survives it): lets the scan skip all-null
+      // row groups instead of pushing nothing (PlanSweepSpec check 4)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         regexp_extract_all(col("text"),
           lit("\\b(data|query|spark|join)\\b"), lit(0)).as("hits"))

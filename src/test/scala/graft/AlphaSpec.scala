@@ -69,7 +69,47 @@ class AlphaSpec extends AnyFunSuite {
       assert(a0.getRGB(x, y) === a1.getRGB(x, y), s"pixel ($x,$y)")
   }
 
-  for (name <- Seq("anim_vp8_64x48", "anim_vp8l_40x30", "anim_alpha_64x48"))
+  test("clip_64x48: every ANMF frame decodes byte-identically to its libwebp golden") {
+    val frames = WebPContainer.frames(resource("clip_64x48.webp"))
+    assert(frames.length === 6)
+    for (i <- frames.indices) {
+      val gold = resource(s"clip_64x48_f$i.golden")
+      val bb = java.nio.ByteBuffer.wrap(gold)
+      val (w, h) = (bb.getInt(), bb.getInt())
+      val d = WebPContainer.decodeFrame(frames(i))
+      assert(d.width === w && d.height === h, s"frame $i dims")
+      var p = 0
+      while (p < w * h) {
+        val argb = d.argb(p)
+        val o = 8 + 4 * p
+        assert(((argb >> 16) & 0xff) === (gold(o) & 0xff), s"f$i R at $p")
+        assert(((argb >> 8) & 0xff) === (gold(o + 1) & 0xff), s"f$i G at $p")
+        assert((argb & 0xff) === (gold(o + 2) & 0xff), s"f$i B at $p")
+        assert(((argb >>> 24) & 0xff) === (gold(o + 3) & 0xff), s"f$i A at $p")
+        p += 1
+      }
+    }
+  }
+
+  test("frames() on stills yields exactly the one frame firstFrame sees") {
+    def sameBytes(a: Option[Array[Byte]], b: Option[Array[Byte]]): Boolean =
+      (a, b) match {
+        case (Some(x), Some(y)) => java.util.Arrays.equals(x, y)
+        case (None, None)       => true
+        case _                  => false
+      }
+    for (name <- Seq("agrad_64x48_q75", "araw_grad_33x17", "meta_exif_64x48")) {
+      val b = resource(name + ".webp")
+      val fs = WebPContainer.frames(b)
+      assert(fs.length === 1, name)
+      val ff = WebPContainer.firstFrame(b).get
+      assert(sameBytes(ff.vp8, fs.head.vp8) && sameBytes(ff.vp8l, fs.head.vp8l) &&
+        sameBytes(ff.alph, fs.head.alph), name)
+    }
+  }
+
+  for (name <- Seq("anim_vp8_64x48", "anim_vp8l_40x30", "anim_alpha_64x48",
+      "clip_64x48"))
     test(s"$name: first frame equals libwebp's decode of the frame still") {
       assertMatchesGolden(name)
     }

@@ -16,7 +16,7 @@ class MultimodalSpec extends SparkSpec {
     assert(media.schema("content").dataType.typeName === "binary")
     val byKind = media.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byKind === Map("image" -> 10, "audio" -> 10, "video" -> 10))
+    assert(byKind === Map("image" -> 8, "audio" -> 8, "video" -> 7, "anim" -> 7))
   }
 
   test("feature extraction: per-kind feature shapes, all ok") {
@@ -27,10 +27,15 @@ class MultimodalSpec extends SparkSpec {
     assert(dims("image") === 3)  // per-channel means
     assert(dims("audio") === 3)  // rms, zcr, peak
     assert(dims("video") === 3)  // 12 frames sampled every 4
+    assert(dims("anim") === 2)   // 6 real ANMF frames sampled every 4
     // image means must reflect real decode (not all-zero, in [-1,1])
     val img = f.filter(col("kind") === "image").select("features").head()
       .getSeq[Double](0)
     assert(img.forall(v => v >= -1 && v <= 1) && img.exists(_ != 0.0))
+    // anim means are real pixel-byte means: in (0, 255), frames distinct
+    val anim = f.filter(col("kind") === "anim").select("features").head()
+      .getSeq[Double](0)
+    assert(anim.forall(v => v > 0 && v < 255) && anim.distinct.length === 2)
   }
 
   test("partitioning invariance: same features at 1 and 7 partitions") {
@@ -43,12 +48,14 @@ class MultimodalSpec extends SparkSpec {
   test("thumbnails: real ImageIO downscale, aspect preserved, error isolated") {
     import org.apache.spark.sql.functions._
     val all = Multimodal.thumbnails(media, maxSide = 16).collect()
-    // every input row appears: images decode, non-images hit the error channel
+    // every input row appears: images decode, non-images (audio, video,
+    // anim — the thumbnail op is stills-only by contract) hit the error
+    // channel
     assert(all.length === 30)
     val nonImage = all.filter(_.getAs[String]("status").startsWith("error: not an image"))
-    assert(nonImage.length === 20)
+    assert(nonImage.length === 22)
     val thumbs = all.filter(_.getAs[String]("status") === "ok")
-    assert(thumbs.length === 10)
+    assert(thumbs.length === 8)
     thumbs.foreach { r =>
       val (w, h) = (r.getAs[Int]("thumb_w"), r.getAs[Int]("thumb_h"))
       assert(math.max(w, h) === 16)
@@ -75,26 +82,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[String]("status").startsWith("error:"))
   }
 
-  test("frame sampling: every 4th frame as its own row, non-videos in the error channel") {
+  test("frame sampling: every 4th frame as its own row, non-fanout kinds in the error channel") {
     val media = Multimodal.fixtureMedia(spark, 30)
     val out = Multimodal.sampleFrames(media, every = 4).collect()
-    // every input row is accounted for: videos fan out, others emit one
-    // error row each
+    // every input row is accounted for: videos and anims fan out, others
+    // emit one error row each
     val videos = media.filter(org.apache.spark.sql.functions.col("kind") === "video").count()
+    val anims = media.filter(org.apache.spark.sql.functions.col("kind") === "anim").count()
     val ok = out.filter(_.getAs[String]("status") == "ok")
     val err = out.filter(_.getAs[String]("status").startsWith("error:"))
-    assert(err.length.toLong === media.count() - videos)
-    // fixture videos have 12 frames → frames 0, 4, 8 sampled
-    assert(ok.map(_.getAs[Long]("media_id")).distinct.length.toLong === videos)
-    assert(ok.groupBy(_.getAs[Long]("media_id")).values.forall(
+    assert(err.length.toLong === media.count() - videos - anims)
+    assert(ok.map(_.getAs[Long]("media_id")).distinct.length.toLong === videos + anims)
+    // fixture videos (media_id % 4 == 2) have 12 fake frames → 0, 4, 8;
+    // anims (media_id % 4 == 3) have 6 REAL ANMF frames → 0, 4
+    val (videoRows, animRows) = ok.partition(_.getAs[Long]("media_id") % 4 == 2)
+    assert(videoRows.groupBy(_.getAs[Long]("media_id")).values.forall(
       _.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 4, 8))))
-    // per-frame means match a driver replay of the deterministic codec
-    ok.foreach { r =>
+    assert(animRows.groupBy(_.getAs[Long]("media_id")).values.forall(
+      _.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 4))))
+    // video per-frame means match a driver replay of the deterministic codec
+    videoRows.foreach { r =>
       val (id, f) = (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"))
       var s = 0.0
       (f * 256 until (f + 1) * 256).foreach(i => s += ((i * 31 + id * 17) % 251).toDouble)
       assert(r.getAs[Double]("mean_byte") === math.rint(s / 256 * 1e6) / 1e6,
         s"media $id frame $f")
+    }
+    // anim per-frame means are anchored to LIBWEBP's per-frame goldens
+    // (tools/make_alpha_fixtures.py): mean over the golden's RGBA bytes —
+    // an independent C-decoded replay, not our own decoder twice
+    def goldenMean(res: String): Double = {
+      val in = getClass.getResourceAsStream(s"/graft/alpha/$res")
+      require(in != null, s"missing $res")
+      val g = try in.readAllBytes() finally in.close()
+      val px = g.drop(8)
+      math.rint(px.map(b => (b & 0xff).toDouble).sum / px.length * 1e6) / 1e6
+    }
+    val wantByFrame = Map(0 -> goldenMean("clip_64x48_f0.golden"),
+                          4 -> goldenMean("clip_64x48_f4.golden"))
+    animRows.foreach { r =>
+      assert(r.getAs[Double]("mean_byte") ===
+        wantByFrame(r.getAs[Int]("frame_idx")),
+        s"media ${r.getAs[Long]("media_id")} frame ${r.getAs[Int]("frame_idx")}")
+      assert(r.getAs[Int]("n_bytes") === 64 * 48 * 4)
     }
   }
 

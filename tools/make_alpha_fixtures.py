@@ -306,6 +306,28 @@ def main():
                                    chunk(b"ALPH", bytes(alph)) +
                                    chunk(b"VP8 ", get_chunk(src, b"VP8 "))))
 
+    # --- multi-frame animation for the mm_frame_sample fan-out: 6
+    # full-canvas lossy frames. Each frame's standalone still gets its own
+    # libwebp golden (clip_64x48_f<i>.golden), so graft's per-ANMF-frame
+    # decode is C-validated frame by frame; the assembled animation also
+    # lands in main resources as the Multimodal fixture corpus's clip.webp.
+    w, h = 64, 48
+    frames = [encode_lossy(bytes(photo_rgb(w, h, rng)), w, h, 75)
+              for _ in range(6)]
+    anim = riff(vp8x(w, h, anim=True) + anim_hdr() +
+                b"".join(anmf(0, 0, w, h, 30 + 10 * i,
+                              chunk(b"VP8 ", get_chunk(f, b"VP8 ")))
+                         for i, f in enumerate(frames)))
+    write_anim("clip_64x48", anim, frames[0])
+    for i, f in enumerate(frames):
+        wv, hv, got = decode_rgba(f)
+        open(os.path.join(OUT, f"clip_64x48_f{i}.golden"), "wb").write(
+            struct.pack(">II", wv, hv) + got)
+    main_res = os.path.join(os.path.dirname(__file__), "..",
+                            "src", "main", "resources", "graft", "fixtures")
+    open(os.path.join(main_res, "clip.webp"), "wb").write(anim)
+    print(f"  clip.webp -> main resources ({len(anim)}B, 6 frames)")
+
 
 if __name__ == "__main__":
     main()
