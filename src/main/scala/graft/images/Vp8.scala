@@ -185,6 +185,12 @@ object Vp8 {
     val height = ((d(8) & 0xff) | ((d(9) & 0xff) << 8)) & 0x3fff
     if (width == 0 || height == 0)
       throw new IllegalArgumentException("zero VP8 dimensions")
+    // decompression-bomb guard, REFERENCE PARITY: PIL errors above
+    // 2 × MAX_IMAGE_PIXELS = 178,956,970 px — hostile header bytes must
+    // not buy a multi-hundred-MB plane allocation on an executor (R16)
+    if (width.toLong * height > 178956970L)
+      throw new IllegalArgumentException(
+        s"decompression bomb: ${width}x$height exceeds the 178.9 Mpx limit")
     if (10L + part1Len > d.length)
       throw new IllegalArgumentException("first partition overruns chunk")
 

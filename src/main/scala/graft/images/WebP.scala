@@ -275,6 +275,13 @@ object Vp8l {
     require(br.bits(8) == 0x2f, "bad VP8L signature byte")
     val width = br.bits(14) + 1
     val height = br.bits(14) + 1
+    // decompression-bomb guard, REFERENCE PARITY: PIL (the pipeline
+    // appV2.py:167 rides) raises DecompressionBombError above
+    // 2 × MAX_IMAGE_PIXELS = 178,956,970 px — a few hostile header bytes
+    // must not buy a multi-hundred-MB allocation on an executor (R16:
+    // error channel, never OOM). 14-bit dims allow up to 16384² ≈ 268 Mpx.
+    require(width.toLong * height <= 178956970L,
+      s"decompression bomb: ${width}x$height exceeds the 178.9 Mpx limit")
     br.bit() // alpha hint — informational
     require(br.bits(3) == 0, "unsupported VP8L version")
     val (pixels, _) = decodeImageStream(width, height, isLevel0 = true, br)
