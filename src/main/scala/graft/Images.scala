@@ -334,14 +334,27 @@ object Images {
   // one persisted scored relation per session (see tagImages): replaced
   // — and the predecessor unpersisted — on every call; released
   // explicitly via releaseScored when the caller's terminal action is
-  // done. Bounded by construction: |entries| ≤ |live sessions|.
+  // done. Every mutation purges entries whose session has STOPPED (their
+  // cache died with the context), so the map is bounded by |live
+  // sessions that ever called tagImages| even in a JVM that cycles
+  // through many short-lived sessions. All mutations hold the map's
+  // monitor: two concurrent tagImages calls on one session must not
+  // interleave release/persist/put and strand (or steal) a cache entry.
   private val lastScored =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  private def purgeStoppedLocked(): Unit = {
+    val it = lastScored.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+  }
+
   /** Release the cached scored relation owned by [[tagImages]] for this
     * session. Call after the terminal action on the returned frame. */
-  def releaseScored(spark: SparkSession): Unit =
-    Option(lastScored.remove(spark)).foreach(_.unpersist(false))
+  def releaseScored(spark: SparkSession): Unit = lastScored.synchronized {
+    purgeStoppedLocked()
+    Option(lastScored.remove(spark))
+      .foreach(df => if (!spark.sparkContext.isStopped) df.unpersist(false))
+  }
 
   /** Full flagship chain EP2 (appV2.py:167-179): source → score → tag.
     * Failed rows keep their error status with a null tag string.
@@ -367,11 +380,15 @@ object Images {
     // release BEFORE persisting the replacement: CacheManager dedupes by
     // canonicalized plan, so a repeat call over the same directory would
     // otherwise no-op its persist and then unpersist the shared entry —
-    // leaving the new frame uncached
-    releaseScored(spark)
-    val scored = scoreImages(source(spark, dir, recursive), scorer)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastScored.put(spark, scored)
+    // leaving the new frame uncached. One monitor around the whole
+    // release→persist→put so concurrent callers can't strand an entry.
+    val scored = lastScored.synchronized {
+      releaseScored(spark)
+      val s = scoreImages(source(spark, dir, recursive), scorer)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastScored.put(spark, s)
+      s
+    }
     val ok = scored.filter(col("status") === "ok")
       .select(col("path").as("image_id"), col("logits"))
     val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)

@@ -100,12 +100,18 @@ object WebPContainer {
   }
 
   /** EVERY decodable frame, in stream order: a still yields its single
-    * VP8/VP8L(+ALPH) chunk set; an animation yields each full-canvas ANMF
-    * frame. Frames that are not full-canvas at the origin are SKIPPED
-    * (they are deltas over canvas state a stateless per-frame decoder
-    * doesn't keep) — callers sampling frames for per-frame work (the
-    * mm_frame_sample fan-out) get exactly the frames that decode
-    * standalone. Same hardened walk as [[firstFrame]]. */
+    * VP8/VP8L(+ALPH) chunk set; an animation yields each STANDALONE
+    * ANMF frame. Standalone means (a) full-canvas at the origin (a
+    * partial frame is a delta over canvas state a stateless per-frame
+    * decoder doesn't keep), and (b) for frames after the first, either
+    * the do-not-blend flag is set or the frame carries no alpha — an
+    * alpha-BLENDING frame composites over the prior canvas (container
+    * spec, ANMF "Blending method"), so decoding it alone would produce
+    * silently wrong pixels, not just different ones. Skipped frames are
+    * dropped, never decoded wrong — callers sampling frames for
+    * per-frame work (the mm_frame_sample fan-out) get exactly the
+    * frames whose standalone decode equals the reference's composited
+    * view of them. Same hardened walk as [[firstFrame]]. */
   def frames(b: Array[Byte]): Seq[Frame] = {
     if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
       return Seq.empty
@@ -114,6 +120,7 @@ object WebPContainer {
     var alph: Array[Byte] = null
     var canvasW = -1
     var canvasH = -1
+    var anmfIdx = 0
     val anim = scala.collection.mutable.ArrayBuffer.empty[Frame]
     walk(b, 12, b.length, (cc, start, len) => cc match {
       case "VP8 " if vp8 == null && vp8l == null =>
@@ -127,7 +134,8 @@ object WebPContainer {
         canvasH = le24(b, start + 7) + 1
         true
       case "ANMF" =>
-        anmfFrame(b, start, len, canvasW, canvasH).foreach(anim += _)
+        anmfFrame(b, start, len, canvasW, canvasH, anmfIdx).foreach(anim += _)
+        anmfIdx += 1
         true
       case _ => true
     })
@@ -157,18 +165,31 @@ object WebPContainer {
       Vp8l.Decoded(planes.width, planes.height, argb)
   }
 
+  /** Does this frame's pixel data carry alpha? A separate ALPH chunk, or
+    * a VP8L stream whose header sets the alpha hint (bit 36 of the
+    * payload: 8-bit signature + 14+14-bit dims, LSB-first). VP8 alone is
+    * always opaque. */
+  private def frameHasAlpha(f: Frame): Boolean =
+    f.alph.isDefined ||
+      f.vp8l.exists(l => l.length > 4 && ((l(4) >> 4) & 1) == 1)
+
   /** Parse one ANMF payload: 16-byte frame header (x/2, y/2, w-1, h-1,
-    * duration — 24-bit LE each — then a flags byte), then the frame's own
-    * ALPH?/VP8|VP8L chunk sequence. None unless the frame is full-canvas
-    * at the origin. */
+    * duration — 24-bit LE each — then a flags byte: bit0 disposal, bit1
+    * blending method where 1 = do NOT blend), then the frame's own
+    * ALPH?/VP8|VP8L chunk sequence. None unless the frame decodes
+    * STANDALONE: full-canvas at the origin, and (for frames after the
+    * first) either do-not-blend or alpha-free — an alpha-blending later
+    * frame composites over prior canvas state. */
   private def anmfFrame(b: Array[Byte], start: Int, len: Int,
-                        canvasW: Int, canvasH: Int): Option[Frame] = {
+                        canvasW: Int, canvasH: Int,
+                        frameIndex: Int = 0): Option[Frame] = {
     if (len < 16) return None
     val x = le24(b, start) * 2
     val y = le24(b, start + 3) * 2
     val w = le24(b, start + 6) + 1
     val h = le24(b, start + 9) + 1
     if (x != 0 || y != 0 || w != canvasW || h != canvasH) return None
+    val noBlend = (b(start + 15) & 2) != 0
     var vp8: Array[Byte] = null
     var vp8l: Array[Byte] = null
     var alph: Array[Byte] = null
@@ -178,7 +199,9 @@ object WebPContainer {
       case "ALPH" if alph == null                => alph = slice(b, s, l); true
       case _                                     => true
     })
-    if (vp8 != null || vp8l != null) Some(Frame(Option(vp8), Option(vp8l), Option(alph)))
-    else None
+    if (vp8 == null && vp8l == null) return None
+    val frame = Frame(Option(vp8), Option(vp8l), Option(alph))
+    if (frameIndex > 0 && !noBlend && frameHasAlpha(frame)) None
+    else Some(frame)
   }
 }

@@ -283,28 +283,26 @@ final class SynthDocsStream(rows: Long, partitions: Int, rowsPerBatch: Long,
     // source to a single batch. A composite (AvailableNow composes
     // limits) takes its most restrictive row cap; members that don't
     // bound rows (ReadMinRows, ReadAllAvailable) impose no cap.
-    def cap(l: streaming.ReadLimit): Long = l match {
+    // bound() answers only "does this limit BOUND rows, and to what?" —
+    // Long.MaxValue means "imposes no cap" (ReadMinRows, or a composite
+    // of nothing but such members, at ANY nesting depth). The default
+    // admission (rowsPerBatch) is applied once at the TOP, never inside
+    // the recursion: a nested all-non-bounding composite must bubble up
+    // as no-cap, not smuggle the default in as if it were a real bound
+    // ({composite[minRows], allAvailable} stays uncapped).
+    def bound(l: streaming.ReadLimit): Long = l match {
       case m: streaming.ReadMaxRows => m.maxRows()
-      case _: streaming.ReadAllAvailable => rangeHi - lo // uncapped
+      case _: streaming.ReadAllAvailable => rangeHi - lo // explicit: all of it
       case c: streaming.CompositeReadLimit =>
-        // only row-BOUNDING members participate in the min: inside a
-        // composite, ReadMinRows / ReadAllAvailable must map to "no
-        // cap" (Long.MaxValue), not to the default rowsPerBatch — else
-        // {ReadMinRows, ReadAllAvailable} (a real AvailableNow shape)
-        // would truncate the batch to rowsPerBatch, contradicting the
-        // algebra above. Default admission applies only when NO member
-        // bounds rows.
-        val bounds = c.getReadLimits.map {
-          case m: streaming.ReadMaxRows => m.maxRows()
-          case _: streaming.ReadAllAvailable => rangeHi - lo
-          case inner: streaming.CompositeReadLimit => cap(inner)
-          case _ => Long.MaxValue // ReadMinRows etc.: not a cap
-        }
-        val bounded = bounds.filter(_ != Long.MaxValue)
-        if (bounded.isEmpty) rowsPerBatch else bounded.min
-      case _ => rowsPerBatch // ReadMinRows etc.: default admission
+        val bs = c.getReadLimits.map(bound).filter(_ != Long.MaxValue)
+        if (bs.isEmpty) Long.MaxValue else bs.min
+      case _ => Long.MaxValue // ReadMinRows etc.: not a cap
     }
-    SynthOffset(math.min(rangeHi, lo + math.max(0L, cap(limit))))
+    val cap = bound(limit) match {
+      case Long.MaxValue => rowsPerBatch // nothing bounds rows: default admission
+      case b => b
+    }
+    SynthOffset(math.min(rangeHi, lo + math.max(0L, cap)))
   }
   override def reportLatestOffset(): streaming.Offset = SynthOffset(rangeHi)
 

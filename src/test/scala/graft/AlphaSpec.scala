@@ -91,6 +91,37 @@ class AlphaSpec extends AnyFunSuite {
     }
   }
 
+  test("blend-flag semantics: a later alpha frame is standalone only with do-not-blend") {
+    def decodeToGolden(f: WebPContainer.Frame, goldenName: String): Unit = {
+      val gold = resource(goldenName)
+      val bb = java.nio.ByteBuffer.wrap(gold)
+      val (w, h) = (bb.getInt(), bb.getInt())
+      val d = WebPContainer.decodeFrame(f)
+      assert(d.width === w && d.height === h)
+      var p = 0
+      while (p < w * h) {
+        val argb = d.argb(p)
+        val o = 8 + 4 * p
+        assert(((argb >> 16) & 0xff) === (gold(o) & 0xff), s"$goldenName R at $p")
+        assert(((argb >> 8) & 0xff) === (gold(o + 1) & 0xff), s"$goldenName G at $p")
+        assert((argb & 0xff) === (gold(o + 2) & 0xff), s"$goldenName B at $p")
+        assert(((argb >>> 24) & 0xff) === (gold(o + 3) & 0xff), s"$goldenName A at $p")
+        p += 1
+      }
+    }
+    // do-not-blend second frame: BOTH frames standalone, each C-golden
+    val nb = WebPContainer.frames(resource("anim_alpha2_noblend_64x48.webp"))
+    assert(nb.length === 2)
+    decodeToGolden(nb(0), "anim_alpha2_noblend_64x48_f0.golden")
+    decodeToGolden(nb(1), "anim_alpha2_noblend_64x48_f1.golden")
+    // alpha-BLENDING second frame: composites over the prior canvas, so
+    // a standalone decode would be silently WRONG pixels — frames() must
+    // drop it, never emit it
+    val bl = WebPContainer.frames(resource("anim_alpha2_blend_64x48.webp"))
+    assert(bl.length === 1, "an alpha-blending later frame is not standalone")
+    decodeToGolden(bl.head, "anim_alpha2_noblend_64x48_f0.golden")
+  }
+
   test("frames() on stills yields exactly the one frame firstFrame sees") {
     def sameBytes(a: Option[Array[Byte]], b: Option[Array[Byte]]): Boolean =
       (a, b) match {

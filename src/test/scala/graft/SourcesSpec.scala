@@ -286,6 +286,15 @@ class SourcesSpec extends SparkSpec {
     // NO member bounds rows: default admission applies
     assert(end(ReadLimit.compositeLimit(Array(
       ReadLimit.minRows(1L, 0L)))) === 250L)
+    // NESTED all-non-bounding composite must bubble up as no-cap, not
+    // smuggle the default admission in as a fake bound next to an
+    // explicit allAvailable
+    assert(end(ReadLimit.compositeLimit(Array(
+      ReadLimit.compositeLimit(Array(ReadLimit.minRows(1L, 0L))),
+      ReadLimit.allAvailable()))) === 1000L)
+    // ...but alone it still gets default admission at the top
+    assert(end(ReadLimit.compositeLimit(Array(
+      ReadLimit.compositeLimit(Array(ReadLimit.minRows(1L, 0L)))))) === 250L)
   }
 
   test("graft-synth streaming: restart from checkpoint resumes, never re-emits") {

@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
-
 import graft.images.{Vp8, Vp8l, WebPContainer}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -23,19 +21,35 @@ class Vp8FuzzSpec extends AnyFunSuite {
   }
 
   /** Run one decode under the watchdog; returns the failure description
-    * or None if the mutation behaved (decoded bounded or threw IAE). */
-  private def probe(exec: java.util.concurrent.ExecutorService,
-                    label: String)(body: => Unit): Option[String] = {
-    val f = exec.submit(new Callable[Option[String]] {
-      def call(): Option[String] =
+    * or None if the mutation behaved (decoded bounded or threw IAE).
+    * One fresh DAEMON thread per probe, joined with a timeout: a real
+    * infinite loop in the decoder (the exact bug this fuzz hunts) cannot
+    * be interrupted, so a shared executor would be poisoned by the first
+    * hang and every later probe would falsely time out behind it — here
+    * the stuck thread is abandoned (daemon: dies with the JVM) and the
+    * sweep keeps going, reporting exactly the offending position. */
+  private def probe(label: String)(body: => Unit): Option[String] = {
+    @volatile var result: Option[String] = Some(s"$label HUNG")
+    val t = new Thread(() => {
+      result =
         try { body; None }
         catch {
           case _: IllegalArgumentException => None // error channel: fine
           case e: Throwable => Some(s"$label leaked ${e.getClass.getName}")
         }
     })
-    try f.get(15, TimeUnit.SECONDS)
-    catch { case _: TimeoutException => f.cancel(true); Some(s"$label HUNG") }
+    t.setDaemon(true)
+    t.start()
+    t.join(15000)
+    result
+  }
+
+  /** The boundedness contract: every plane sized exactly to the DECLARED
+    * header dims (what Vp8Spec pins against golden decodes too). */
+  private def assertBounded(d: Vp8.Planes): Unit = {
+    assert(d.y.length == d.width * d.height, "y plane inconsistent with dims")
+    assert(d.u.length == d.uvWidth * d.uvHeight &&
+      d.v.length == d.uvWidth * d.uvHeight, "uv planes inconsistent with dims")
   }
 
   private def vp8ChunkOffset(whole: Array[Byte]): Int = {
@@ -45,8 +59,7 @@ class Vp8FuzzSpec extends AnyFunSuite {
   }
 
   test("byte-flip sweep over whole lossy fixtures: decode, reject, or bounded garbage — never hang/leak") {
-    val exec = Executors.newSingleThreadExecutor()
-    try {
+    locally {
       val failures = scala.collection.mutable.ArrayBuffer[String]()
       for (name <- Seq("flat_16x16", "grad_64x48_q75", "photo_120x80_q75")) {
         val whole = resource("vp8", name + ".webp")
@@ -54,22 +67,18 @@ class Vp8FuzzSpec extends AnyFunSuite {
         while (pos < whole.length) {
           val bad = whole.clone()
           bad(pos) = (bad(pos) ^ 0xa5).toByte
-          probe(exec, s"$name flip@$pos") {
-            val d = Vp8.decode(bad)
-            // bounded garbage: the planes must match the DECLARED dims
-            assert(d.y.length == ((d.width + 15) & ~15) * ((d.height + 15) & ~15) ||
-              d.y.length == d.width * d.height || d.y.length > 0)
+          probe(s"$name flip@$pos") {
+            assertBounded(Vp8.decode(bad))
           }.foreach(failures += _)
           pos += 3
         }
       }
       assert(failures.isEmpty, failures.take(10).mkString("\n"))
-    } finally exec.shutdownNow()
+    }
   }
 
   test("partition truncations: every cut point of the two-partition layout behaves") {
-    val exec = Executors.newSingleThreadExecutor()
-    try {
+    locally {
       val whole = resource("vp8", "photo_120x80_q75.webp")
       val chunkOff = vp8ChunkOffset(whole)
       val tag = (whole(chunkOff) & 0xff) | ((whole(chunkOff + 1) & 0xff) << 8) |
@@ -82,17 +91,16 @@ class Vp8FuzzSpec extends AnyFunSuite {
         (chunkOff until whole.length by 16)
       for (cut <- cuts.distinct.sorted if cut >= 0 && cut < whole.length) {
         val t = java.util.Arrays.copyOf(whole, cut)
-        probe(exec, s"truncate@$cut") {
-          val d = Vp8.decode(t); assert(d.y.length > 0)
+        probe(s"truncate@$cut") {
+          assertBounded(Vp8.decode(t))
         }.foreach(failures += _)
       }
       assert(failures.isEmpty, failures.take(10).mkString("\n"))
-    } finally exec.shutdownNow()
+    }
   }
 
   test("header dims inconsistent with the payload: bounded or rejected, incl. the bomb guard") {
-    val exec = Executors.newSingleThreadExecutor()
-    try {
+    locally {
       val whole = resource("vp8", "grad_64x48_q75.webp")
       val o = vp8ChunkOffset(whole)
       val failures = scala.collection.mutable.ArrayBuffer[String]()
@@ -102,9 +110,10 @@ class Vp8FuzzSpec extends AnyFunSuite {
         val bad = whole.clone()
         bad(o + 6) = (w & 0xff).toByte; bad(o + 7) = ((w >> 8) & 0x3f).toByte
         bad(o + 8) = (h & 0xff).toByte; bad(o + 9) = ((h >> 8) & 0x3f).toByte
-        probe(exec, s"dims ${w}x$h") {
+        probe(s"dims ${w}x$h") {
           val d = Vp8.decode(bad)
           assert(d.width == w && d.height == h, "dims come from the header")
+          assertBounded(d)
         }.foreach(failures += _)
       }
       assert(failures.isEmpty, failures.mkString("\n"))
@@ -115,7 +124,7 @@ class Vp8FuzzSpec extends AnyFunSuite {
       bomb(o + 8) = 0xff.toByte; bomb(o + 9) = 0x3f.toByte
       val e = intercept[IllegalArgumentException] { Vp8.decode(bomb) }
       assert(e.getMessage.contains("decompression bomb"))
-    } finally exec.shutdownNow()
+    }
   }
 
   test("VP8L dims bomb: hostile lossless header rejected before allocation") {
@@ -135,8 +144,7 @@ class Vp8FuzzSpec extends AnyFunSuite {
   }
 
   test("first-partition length field fuzz: part1Len never escapes the chunk") {
-    val exec = Executors.newSingleThreadExecutor()
-    try {
+    locally {
       val whole = resource("vp8", "flat_16x16.webp")
       val o = vp8ChunkOffset(whole)
       val failures = scala.collection.mutable.ArrayBuffer[String]()
@@ -149,26 +157,25 @@ class Vp8FuzzSpec extends AnyFunSuite {
         bad(o) = (b0 & 0xfe).toByte
         bad(o + 1) = b1.toByte
         bad(o + 2) = b2.toByte
-        probe(exec, s"tag $b0/$b1/$b2") {
-          val d = Vp8.decode(bad); assert(d.y.length > 0)
+        probe(s"tag $b0/$b1/$b2") {
+          assertBounded(Vp8.decode(bad))
         }.foreach(failures += _)
       }
       assert(failures.isEmpty, failures.mkString("\n"))
-    } finally exec.shutdownNow()
+    }
   }
 
   test("anim containers with fuzzed ANMF frames degrade per-frame, not per-file") {
     // frames() must skip/reject hostile frames without abandoning the
     // walk or hanging — the multimodal fan-out feeds it crawled bytes
-    val exec = Executors.newSingleThreadExecutor()
-    try {
+    locally {
       val whole = resource("alpha", "clip_64x48.webp")
       val failures = scala.collection.mutable.ArrayBuffer[String]()
       var pos = 12
       while (pos < whole.length) {
         val bad = whole.clone()
         bad(pos) = (bad(pos) ^ 0xa5).toByte
-        probe(exec, s"clip flip@$pos") {
+        probe(s"clip flip@$pos") {
           WebPContainer.frames(bad).foreach { f =>
             val d = WebPContainer.decodeFrame(f)
             assert(d.argb.length == d.width * d.height)
@@ -177,6 +184,6 @@ class Vp8FuzzSpec extends AnyFunSuite {
         pos += 5
       }
       assert(failures.isEmpty, failures.take(10).mkString("\n"))
-    } finally exec.shutdownNow()
+    }
   }
 }

@@ -191,10 +191,12 @@ def write_anim(name: str, anim_bytes: bytes, first_frame_still: bytes):
     print(f"  {name}: anim {w}x{h} {len(anim_bytes)}B")
 
 
-def anmf(x: int, y: int, w: int, h: int, dur: int, frame_data: bytes) -> bytes:
+def anmf(x: int, y: int, w: int, h: int, dur: int, frame_data: bytes,
+         flags: int = 0) -> bytes:
+    # flags bit0 = disposal, bit1 = blending method (1 = do NOT blend)
     assert x % 2 == 0 and y % 2 == 0
     hdr = le24(x // 2) + le24(y // 2) + le24(w - 1) + le24(h - 1) + le24(dur)
-    return chunk(b"ANMF", hdr + bytes((0,)) + frame_data)
+    return chunk(b"ANMF", hdr + bytes((flags,)) + frame_data)
 
 
 def anim_hdr(loops: int = 0, bg: int = 0xFFFFFFFF) -> bytes:
@@ -327,6 +329,33 @@ def main():
                             "src", "main", "resources", "graft", "fixtures")
     open(os.path.join(main_res, "clip.webp"), "wb").write(anim)
     print(f"  clip.webp -> main resources ({len(anim)}B, 6 frames)")
+
+    # --- ANMF blend-flag semantics: a non-first ALPHA frame decodes
+    # standalone only when it declares do-not-blend (flags bit1). The
+    # noblend twin gets per-frame goldens (each frame as a C-decoded
+    # still); the blend twin exists so frames() must DROP its second
+    # frame rather than decode it wrong.
+    w, h = 64, 48
+    af = [encode_lossy(bytes(with_alpha(photo_rgb(w, h, rng), w, h,
+                             lambda x, y, i=i: (x * (i + 3) + y) % 256)),
+                       w, h, 75)
+          for i in range(2)]
+
+    def frame_chunks(f):
+        return (chunk(b"ALPH", get_chunk(f, b"ALPH")) +
+                chunk(b"VP8 ", get_chunk(f, b"VP8 ")))
+    noblend = riff(vp8x(w, h, alpha=True, anim=True) + anim_hdr() +
+                   anmf(0, 0, w, h, 40, frame_chunks(af[0])) +
+                   anmf(0, 0, w, h, 40, frame_chunks(af[1]), flags=2))
+    write_anim("anim_alpha2_noblend_64x48", noblend, af[0])
+    for i, f in enumerate(af):
+        wv, hv, got = decode_rgba(f)
+        open(os.path.join(OUT, f"anim_alpha2_noblend_64x48_f{i}.golden"),
+             "wb").write(struct.pack(">II", wv, hv) + got)
+    blended = riff(vp8x(w, h, alpha=True, anim=True) + anim_hdr() +
+                   anmf(0, 0, w, h, 40, frame_chunks(af[0])) +
+                   anmf(0, 0, w, h, 40, frame_chunks(af[1]), flags=0))
+    write_anim("anim_alpha2_blend_64x48", blended, af[0])
 
 
 if __name__ == "__main__":

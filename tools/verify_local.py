@@ -2,18 +2,29 @@
 """Local replica of the driver's correctness gate (dev tooling only — the
 engine itself is Scala/Spark; this uses the driver-side python stack).
 
-Usage:  python3 tools/verify_local.py [sfDir] [outDir]
+Usage:  python3 tools/verify_local.py [sfDir] [outDir] [--ledger FILE]
 
 Runs DuckDB on each oracle_sql.json entry with the fixture parquet files
 registered under their bare table names, reads the Spark output parquet
 written by `graft.Verify`, sorts columns by name, and compares values
 row-by-row (exact for non-floats; floats reported with max abs diff so
-boundary risk is visible)."""
+boundary risk is visible). --ledger additionally writes a per-query JSON
+verdict map (the committed sf1 artifact trail, VERDICT r8 §next-2)."""
 import json, sys, glob, math
 import duckdb
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+args = sys.argv[1:]
+ledger_path = None
+if "--ledger" in args:
+    i = args.index("--ledger")
+    if i + 1 >= len(args) or args[i + 1].startswith("--"):
+        sys.exit("usage: verify_local.py [sfDir] [outDir] [--ledger FILE] "
+                 "(--ledger needs a file path)")
+    ledger_path = args[i + 1]
+    args = args[:i] + args[i + 2:]
+sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/tmp/graft_verify"
+ledger = {}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -31,11 +42,13 @@ for name, sql in sorted(oracle.items()):
         wdf = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
+        ledger[name] = f"FAIL: oracle error: {e}"
         fail += 1
         continue
     files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output")
+        ledger[name] = "FAIL: no spark output"
         fail += 1
         continue
     got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
@@ -56,10 +69,12 @@ for name, sql in sorted(oracle.items()):
             break
     if tfail:
         print(f"FAIL {name}: dtype class mismatch col {tfail[0]}: oracle={tfail[1]} spark={tfail[2]}")
+        ledger[name] = f"FAIL: dtype mismatch col {tfail[0]}"
         fail += 1
         continue
     if sorted(wcols) != sorted(gcols):
         print(f"FAIL {name}: columns differ: oracle={sorted(wcols)} spark={sorted(gcols)}")
+        ledger[name] = "FAIL: columns differ"
         fail += 1
         continue
     worder = [wcols.index(c) for c in sorted(wcols)]
@@ -68,6 +83,7 @@ for name, sql in sorted(oracle.items()):
     got2 = [[r[i] for i in gorder] for r in got]
     if len(want2) != len(got2):
         print(f"FAIL {name}: row counts differ: oracle={len(want2)} spark={len(got2)}")
+        ledger[name] = f"FAIL: row counts differ oracle={len(want2)} spark={len(got2)}"
         fail += 1
         continue
     bad = None
@@ -88,8 +104,15 @@ for name, sql in sorted(oracle.items()):
         if bad: break
     if bad:
         print(f"FAIL {name}: first diff at row {bad[0]} col {bad[1]}: oracle={bad[2]!r} spark={bad[3]!r} (maxfdiff={maxfdiff})")
+        ledger[name] = f"FAIL: first diff at row {bad[0]} col {bad[1]}"
         fail += 1
     else:
         print(f"PASS {name}: {len(want2)} rows")
+        ledger[name] = f"pass ({len(want2)} rows)"
 print(f"\n{len(oracle) - fail}/{len(oracle)} queries pass")
+if ledger_path:
+    json.dump({"sf": sf, "n_total": len(oracle), "n_pass": len(oracle) - fail,
+               "queries": dict(sorted(ledger.items()))},
+              open(ledger_path, "w"), indent=1)
+    print(f"ledger -> {ledger_path}")
 sys.exit(1 if fail else 0)
