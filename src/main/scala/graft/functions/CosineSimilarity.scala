@@ -127,8 +127,24 @@ object GraftFunctions {
       mk(exprs(0), exprs(1))
   }
 
+  private def unary(name: String,
+                    mk: Expression => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      if (exprs.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> "1",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      mk(exprs(0))
+  }
+
   val cosineBuilder: Seq[Expression] => Expression =
     binary("graft_cosine", CosineSimilarity.apply)
+  val md5Long60Builder: Seq[Expression] => Expression =
+    unary("graft_md5_60", Md5Long60.apply)
   val dotBuilder: Seq[Expression] => Expression =
     binary("graft_dot", DotProduct.apply)
   val jaccardBuilder: Seq[Expression] => Expression =
@@ -169,6 +185,8 @@ object GraftFunctions {
       "graft_cosine", cosineBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_60", md5Long60Builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard", jaccardBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

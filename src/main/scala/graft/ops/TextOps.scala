@@ -29,10 +29,15 @@ object TextOps {
     filter(split(lower(text), "\\s+"), x => x =!= "")
 
   /** 60-bit integer from a string via md5 — the engine-portable hash.
-    * Spark: conv(hex,16,10) → decimal string → long.
+    * Routed through the native [[graft.functions.Md5Long60]] expression
+    * (digest → long directly, thread-local MessageDigest) — bit-identical
+    * to the composed conv(substring(md5(x),1,15),16,10) form it replaced
+    * (FunctionsSpec pins it) at a fraction of the per-value cost.
     * DuckDB dual: ('0x' || substr(md5(x),1,15))::BIGINT. */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftSqlShims.columnOf(
+      graft.functions.Md5Long60(
+        org.apache.spark.sql.GraftSqlShims.exprOf(c.cast("string"))))
 
   /** Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 — MOSS):
     * hash every k-gram, slide a w-window over the hash sequence, keep
@@ -211,16 +216,13 @@ object TextOps {
   // forms is pinned by PropertiesSpec.
   // ------------------------------------------------------------------
 
-  /** Driver/executor-side md5 60-bit hash — bit-identical to md5Long. */
-  @inline private[graft] def md5Long60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex digits = high 60 bits of the first 8 bytes
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h >>> 4 // drop the 16th hex digit (low nibble of byte 7)
-  }
+  /** Driver/executor-side md5 60-bit hash — bit-identical to md5Long.
+    * Shares the native expression's thread-local digest: the old
+    * per-call MessageDigest.getInstance was a provider lookup + alloc
+    * on EVERY shingle of every document. */
+  @inline private[graft] def md5Long60(s: String): Long =
+    graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /** Row-local 60-bit SimHash: one pass over the words of each document.
     * Matches `simhash` exactly (PropertiesSpec). */

@@ -16,4 +16,15 @@ object GraftSqlShims {
     * produces the real catalyst tree). */
   def expr(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Session-less bridges for PURE Column helpers (e.g. TextOps.md5Long)
+    * that wrap a custom Expression around an arbitrary caller Column:
+    * `exprOf` wraps the Column's node lazily (ColumnNodeExpression) and
+    * the analyzer's converter resolves it when the enclosing query
+    * plans — fine for expression trees, NOT for code that needs the
+    * converted catalyst tree immediately (use [[expr]] there). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

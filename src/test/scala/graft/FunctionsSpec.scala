@@ -53,6 +53,31 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) === 11.0)
   }
 
+  test("graft_md5_60 is bit-identical to the composed conv(md5) form on real text") {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val diff = docs.select(
+        graft.ops.TextOps.md5Long(col("w")).as("nat"),
+        conv(substring(md5(col("w").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("composed"))
+      .filter(col("nat") =!= col("composed"))
+      .count()
+    assert(diff === 0)
+    // edge cases: empty string, unicode, null (null in -> null out)
+    GraftFunctions.register(spark)
+    val edge = spark.sql(
+      "SELECT graft_md5_60('') AS a, graft_md5_60('héllo wörld') AS b, " +
+        "graft_md5_60(CAST(NULL AS STRING)) AS c, " +
+        "conv(substring(md5(''), 1, 15), 16, 10) AS a2, " +
+        "conv(substring(md5('héllo wörld'), 1, 15), 16, 10) AS b2").collect().head
+    assert(edge.getLong(0) === edge.getString(3).toLong)
+    assert(edge.getLong(1) === edge.getString(4).toLong)
+    assert(edge.isNullAt(2))
+    // JVM kernel twin agrees too
+    assert(graft.ops.TextOps.md5Long60("héllo wörld") === edge.getLong(1))
+  }
+
   test("registered for SQL: usable from spark.sql text") {
     GraftFunctions.register(spark)
     v.limit(5).createOrReplaceTempView("fs_vecs")
