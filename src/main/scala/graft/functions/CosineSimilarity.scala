@@ -180,16 +180,22 @@ object GraftFunctions {
       TopKLargest(child, k)
     })
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", cosineBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", dotBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_60", md5Long60Builder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaccard", jaccardBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk", topkBuilder, "scala_udf")
-  }
+  /** SINGLE source of truth for the engine's SQL function surface —
+    * both registration paths (per-session [[register]] and the
+    * spark.sql.extensions GraftExtensions) iterate this list, so a new
+    * native function can never be reachable from one path and
+    * UNRESOLVED_ROUTINE from the other (the drift the r9 review caught
+    * when graft_dot/graft_md5_60 were missing from the extension). */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", classOf[CosineSimilarity], cosineBuilder),
+    ("graft_dot", classOf[DotProduct], dotBuilder),
+    ("graft_md5_60", classOf[Md5Long60], md5Long60Builder),
+    ("graft_jaccard", classOf[JaccardSimilarity], jaccardBuilder),
+    ("graft_topk", classOf[TopKLargest], topkBuilder))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

@@ -36,6 +36,13 @@ object Intervals {
     // mis-bins boundary-adjacent endpoints
     val binned = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
+      // a zero-length (or inverted) half-open interval is EMPTY: it
+      // overlaps nothing mathematically, but the pairwise predicate
+      // below (s1 < e2 ∧ s2 < e1) would still admit [x,x) against any
+      // interval covering x — a false-positive pair — and its ebin <
+      // sbin makes sequence() emit a bogus DESCENDING bin list. Filter,
+      // don't require: at scale one dirty row must not fail the job.
+      .where(col("s") < col("e"))
       .withColumn("sbin",
         expr(s"(s - pmod(s, ${binWidth}L)) div ${binWidth}L"))
       .withColumn("ebin",

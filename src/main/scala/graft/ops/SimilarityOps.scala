@@ -280,12 +280,18 @@ object SimilarityOps {
                           maxCollectRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // dirty-row guard (the file-wide kernel convention): a null id fails
+    // the (Long, _) encoder at collect and a null vector NPEs in the
+    // pair loop, while the distributed fallback below silently DROPS the
+    // same rows (graft_cosine → null → prefilter) — behavior must not
+    // flip from drop to crash on input size
+    val clean = df.where(col(idCol).isNotNull && col(vecCol).isNotNull)
     val collected: Array[(Long, Array[Float])] =
-      df.select(col(idCol).cast("long"), col(vecCol))
+      clean.select(col(idCol).cast("long"), col(vecCol))
         .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
         .as[(Long, Array[Float])].collect()
     if (collected.length > maxCollectRows) {
-      val v = df.select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
+      val v = clean.select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
       return v.as("a").join(v.as("b"), col("a.pid") < col("b.pid"))
         .select(col("a.pid").as("id1"), col("b.pid").as("id2"),
           call_function("graft_cosine", col("a.pvec"), col("b.pvec")).as("raw_cos"))
@@ -578,10 +584,15 @@ object SimilarityOps {
           .map(j => (c(j)._1, cnt(j), sums(j)))
       }.collect()
       bc.destroy()
-      // merge the ≤ k×partitions partials driver-side (tiny)
+      // merge the ≤ k×partitions partials driver-side (tiny). dim is the
+      // MIN over partials, not ps.head's length: each partition sizes its
+      // sum arrays by its own first vector, so on ragged input head's
+      // width is partition-order-dependent — indexing by it would AIOOBE
+      // (or silently truncate) depending on which partial happens to
+      // arrive first. min matches the shared-prefix accumulation above.
       cent = partials.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, ps) =>
         val n = ps.map(_._2).sum
-        val dim = ps.head._3.length
+        val dim = ps.iterator.map(_._3.length).min
         val mean = Array.tabulate(dim) { i =>
           roundN(ps.map(_._3(i)).sum / n, 6)
         }

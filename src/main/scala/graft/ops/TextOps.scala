@@ -230,6 +230,10 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // dirty-row guard (file convention): null text would NPE in
+      // text.split and a null id fails the non-nullable Long encoder —
+      // the declarative twins emit no rows for the same input
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -281,6 +285,10 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // dirty-row guard (file convention): null text would NPE in
+      // text.split and a null id fails the non-nullable Long encoder —
+      // the declarative twins emit no rows for the same input
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -302,6 +310,10 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // dirty-row guard (file convention): null text would NPE in
+      // text.split and a null id fails the non-nullable Long encoder —
+      // the declarative twins emit no rows for the same input
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -452,6 +464,10 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      // dirty-row guard (file convention): null text would NPE in
+      // text.split and a null id fails the non-nullable Long encoder —
+      // the declarative twins emit no rows for the same input
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -671,12 +687,17 @@ object TextOps {
                                maxCollectRows: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // dirty-row guard (file convention): a null string NPEs the DP loop
+    // and a null id fails the Long encoder, while the distributed
+    // fallback silently drops the same rows (levenshtein(null,·) → null
+    // → filter) — behavior must not flip from drop to crash on size
+    val clean = df.where(col(idCol).isNotNull && col(strCol).isNotNull)
     val collected: Array[(Long, String)] =
-      df.select(col(idCol).cast("long"), col(strCol).cast("string"))
+      clean.select(col(idCol).cast("long"), col(strCol).cast("string"))
         .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
         .as[(Long, String)].collect()
     if (collected.length > maxCollectRows) {
-      val s = df.select(col(idCol).cast("long").as("pid"),
+      val s = clean.select(col(idCol).cast("long").as("pid"),
         col(strCol).cast("string").as("pstr"))
       return s.as("a").join(s.as("b"), col("a.pid") < col("b.pid"))
         .select(col("a.pid").as("id1"), col("b.pid").as("id2"),
@@ -690,7 +711,13 @@ object TextOps {
       .as[Long]
       .mapPartitions { it =>
         val data = bc.value
-        def lev(a: String, b: String): Int = {
+        // CODE POINTS, not UTF-16 code units: Spark's levenshtein()
+        // (UTF8String) and DuckDB both count code points, so a charAt
+        // DP would score a surrogate-pair substitution as 2 and make
+        // the broadcast path disagree with its own distributed fallback
+        // on non-BMP input. Decoded once per partition, not per pair.
+        val cps: Array[Array[Int]] = data.map(_._2.codePoints().toArray)
+        def lev(a: Array[Int], b: Array[Int]): Int = {
           val m = a.length; val n = b.length
           var prev = Array.tabulate(n + 1)(identity)
           var cur = new Array[Int](n + 1)
@@ -699,7 +726,7 @@ object TextOps {
             cur(0) = i
             var j = 1
             while (j <= n) {
-              val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+              val cost = if (a(i - 1) == b(j - 1)) 0 else 1
               cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
               j += 1
             }
@@ -710,11 +737,11 @@ object TextOps {
         }
         it.flatMap { i0 =>
           val i = i0.toInt
-          val (id1, a) = data(i)
+          val id1 = data(i)._1
+          val a = cps(i)
           (i + 1 until data.length).iterator.flatMap { j =>
-            val (id2, b) = data(j)
-            val d = lev(a, b)
-            if (d <= maxDist) Some((id1, id2, d)) else None
+            val d = lev(a, cps(j))
+            if (d <= maxDist) Some((id1, data(j)._1, d)) else None
           }
         }
       }

@@ -101,20 +101,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SigmoidThresholdRewrite)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
-      graft.functions.GraftFunctions.cosineBuilder))
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.JaccardSimilarity].getName, "graft_jaccard"),
-      graft.functions.GraftFunctions.jaccardBuilder))
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.TopKLargest].getName, "graft_topk"),
-      graft.functions.GraftFunctions.topkBuilder))
+    // the FULL function surface, from the shared list — a function added
+    // to GraftFunctions.all is reachable from both registration paths
+    graft.functions.GraftFunctions.all.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          cls.getName, name),
+        builder))
+    }
   }
 }

@@ -139,8 +139,15 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(k, group, order, child) =>
-      TopKPerGroupExec(k, group, order, partial = false,
-        TopKPerGroupExec(k, group, order, partial = true, planLater(child))) :: Nil
+      // float-key normalization (-0.0 → 0.0, canonical NaN): the
+      // optimizer's NormalizeFloatingNumbers rule covers Aggregate/
+      // Window/Join but cannot see inside a custom node — without this,
+      // the byte-keyed heap map AND the ClusteredDistribution hash
+      // exchange would treat 0.0 and -0.0 as different groups, breaking
+      // the claimed equivalence with the window form (TopKSpec pins it)
+      val ng = group.map(org.apache.spark.sql.GraftSqlShims.normalizeFloats)
+      TopKPerGroupExec(k, ng, order, partial = false,
+        TopKPerGroupExec(k, ng, order, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

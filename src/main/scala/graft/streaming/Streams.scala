@@ -209,7 +209,16 @@ object Streams {
           val (ready, hold) = st.buf.partition(_._1 < wmUs)
           if (ready.nonEmpty) {
             val (e, n) = fold(st.ewma, st.n, ready)
-            st = EwmaState(e, n, math.max(st.frontier, wmUs), st.dropped, hold)
+            // the frontier is the MAX COMMITTED EVENT TIME (+1 so an
+            // exact tie — which the (ts, value) batch sort could place
+            // BEFORE a committed row — still refuses), NOT the watermark:
+            // advancing to the watermark would also refuse rows between
+            // the two that could still fold in order-correctly after the
+            // committed prefix, diverging from the batch dual on input
+            // the contract promises to accept
+            val maxCommitted = ready.iterator.map(_._1).max
+            st = EwmaState(e, n, math.max(st.frontier, maxCommitted + 1),
+              st.dropped, hold)
           }
           state.update(st)
           val (e, n) = fold(st.ewma, st.n, st.buf)
@@ -503,7 +512,14 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hashed = batch.withColumn("text_md5", md5(col("text")))
+        // NULL text gets a per-doc surrogate key: md5(null) is null, and
+        // null keys match nothing in the keeper self-join or the ledger
+        // anti-join — such docs would VANISH from the corpus with no
+        // error channel. SQL semantics (null ≠ null) say null texts
+        // dedup against nothing, so each survives under its own key.
+        val hashed = batch.withColumn("text_md5",
+          coalesce(md5(col("text")),
+            concat(lit("null:"), col("doc_id").cast("string"))))
         // within-batch keeper: deterministic min doc_id per hash
         val keepers = hashed.join(
           hashed.groupBy("text_md5").agg(min(col("doc_id")).as("doc_id")),

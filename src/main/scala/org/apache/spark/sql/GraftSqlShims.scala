@@ -27,4 +27,13 @@ object GraftSqlShims {
     classic.ExpressionUtils.column(e)
   def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Spark's own float normalization (-0.0 → 0.0, canonical NaN),
+    * applied by the optimizer to Aggregate/Window/Join keys but NOT to
+    * custom logical nodes — custom grouping operators (TopKPerGroup)
+    * must normalize their own keys or 0.0/-0.0 split into two groups. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    // normalize() no-ops internally on types that need no normalization
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -578,7 +578,10 @@ class PropertiesSpec extends SparkSpec {
       n <- Gen.chooseNum(2, 60)
       keys <- Gen.listOfN(n, Gen.chooseNum(0L, 3L))
       starts <- Gen.listOfN(n, Gen.chooseNum(-40L, 40L))
-      lens <- Gen.listOfN(n, Gen.chooseNum(1L, 25L))
+      // lens from 0: a zero-length [x,x) is EMPTY and must pair with
+      // NOTHING (the raw s1<e2 ∧ s2<e1 predicate alone would wrongly
+      // admit it against any interval covering x)
+      lens <- Gen.listOfN(n, Gen.chooseNum(0L, 25L))
       w <- Gen.chooseNum(1L, 12L)
     } yield (keys, starts, lens, w)
     for (((keys, starts, lens, w), i) <- samples(caseGen, 10).zipWithIndex) {
@@ -588,7 +591,9 @@ class PropertiesSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val want = (for {
         a <- rows; b <- rows
-        if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+        if a._1 == b._1 && a._2 < b._2 &&
+          a._3 < a._4 && b._3 < b._4 && // both non-empty
+          a._3 < b._4 && b._3 < a._4
       } yield (a._1, a._2, b._2)).toSet
       assert(rawRows.toSet === want, s"case $i: w=$w rows=$rows")
       // each pair appears EXACTLY once — the Set comparison above would

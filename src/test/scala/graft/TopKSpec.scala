@@ -130,6 +130,25 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("float group keys: 0.0 and -0.0 (and NaN bit patterns) are ONE group, like the window form") {
+    import spark.implicits._
+    // four rows whose double group key is ±0.0 — the window form
+    // normalizes and keeps k per single group; a byte-keyed grouping
+    // without NormalizeFloatingNumbers would keep 2k rows in 2 groups
+    val df = Seq(
+      (1L, 0.0, 10.0), (2L, -0.0, 20.0), (3L, 0.0, 30.0), (4L, -0.0, 40.0),
+      (5L, 1.5, 50.0))
+      .toDF("id", "gkey", "score")
+    val got = TopK.perGroup(df, Seq("gkey"), Seq(desc("score"), col("id")), 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gkey").orderBy(desc("score"), col("id"))
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(want === Set(3L, 4L, 5L), "window form sanity: ±0.0 is one group")
+    assert(got === want, "custom operator must group ±0.0 together")
+  }
+
   test("via SparkSessionExtensions: strategy is injected by GraftExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
