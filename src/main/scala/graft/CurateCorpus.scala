@@ -73,6 +73,15 @@ object CurateCorpus {
       col(textCol).cast("string").as("text"))
       .localCheckpoint()
     val nIn = docs.count()
+    // a non-numeric id column (string/UUID corpus) casts to ALL NULLs,
+    // and every downstream join on doc_id would then match nothing — an
+    // empty output misattributed to the quality filter. Fail with the
+    // actual cause instead of silent total data loss.
+    val nullIds = docs.filter(col("doc_id").isNull).count()
+    require(nullIds == 0,
+      s"$nullIds of $nIn rows have a NULL/non-numeric '$idCol' after the " +
+        s"long cast — curation joins on this id; map non-numeric ids to " +
+        s"a numeric surrogate (e.g. xxhash64) before calling curate")
 
     // 1. quality filter (same formula as text_quality_score; n_chars
     // derived from the text so any corpus works; stats row-local)

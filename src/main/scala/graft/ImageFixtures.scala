@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g2"
+  val generation = "g3"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -124,6 +124,12 @@ object ImageFixtures {
     copyResource("motion.webp", "motion.webp")
     writeAtomic("note.txt")(tmp => java.nio.file.Files.write(
       tmp.toPath, "excluded by extension".getBytes))
+    // underscore/dot-prefixed names: the reference's os.walk tags these
+    // (appV2.py:132-137 has no hidden-file notion), while Spark's file
+    // index would silently drop them — they pin Images.source's explicit
+    // walk (R1 parity)
+    write(rgbImage(24, 24, 9), "png", "_shadow.png")
+    write(rgbImage(24, 24, 10), "png", ".dotfile.png")
     val sub = new File(d, "sub")
     sub.mkdirs()
     writeAtomic("sub/nested.png")(tmp =>

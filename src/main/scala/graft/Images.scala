@@ -1,6 +1,5 @@
 package graft
 
-import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
@@ -12,11 +11,13 @@ import scala.util.{Failure, Success, Try}
 /** The image-scoring stage — the reference's per-image chain R1, R5-R8,
   * R15-R16 (appV2.py:132-137, 20-49, 146-174, 178-185) on Spark:
   *
-  *   - source: `binaryFile` with the reference's extension filter
-  *     (appV2.py:17) and recursive toggle (appV2.py:129,137);
+  *   - source: an explicit Hadoop-FS walk (os.walk parity — see
+  *     [[source]]) with the reference's extension filter (appV2.py:17)
+  *     and recursive toggle (appV2.py:129,137);
   *   - decode/preprocess: real pixel work via JDK ImageIO — RGBA/alpha
   *     composited over white (appV2.py:20-27), centered pad-to-square on
-  *     a white canvas (appV2.py:29-36), bicubic resize to 448×448, /255,
+  *     a white canvas (appV2.py:29-36), PIL-algorithm antialiased
+  *     bicubic resize to 448×448 (graft.images.PilResample), /255,
   *     HWC→CHW, RGB→BGR channel reverse, (x−0.5)/0.5 normalize
   *     (appV2.py:38-49). ImageIO covers png/jpg/jpeg/bmp/gif natively;
   *     webp decodes through the engine's OWN pure-JVM readers
@@ -24,8 +25,8 @@ import scala.util.{Failure, Success, Try}
   *     ALPH lossy-with-alpha, WebPContainer resolving animations to
   *     their first full-canvas frame — registered via an ImageIO SPI
   *     and validated bit-identical to libwebp on committed golden
-  *     vectors); only corrupt bytes, partial-first-frame animations,
-  *     and pre-processed alpha levels ride the error channel;
+  *     vectors); only corrupt bytes and partial-first-frame animations
+  *     ride the error channel;
   *   - scoring: `mapPartitions` with ONE scorer instance per partition —
   *     the Spark dual of the reference's single ONNX session reused across
   *     the whole run (appV2.py:149,171). The ONNX model is not available
@@ -35,31 +36,78 @@ import scala.util.{Failure, Success, Try}
   *   - error isolation: per-row Try → status column; one bad file never
   *     fails the job (appV2.py:165-185).
   *
-  * Scale: decode+score is embarrassingly parallel narrow work; binaryFile
-  * splits the listing across executors; the only shuffle in the full
-  * pipeline is the tag aggregation in Tagging.concatTags. */
+  * Scale: decode+score is embarrassingly parallel narrow work; the byte
+  * reads are distributed (the listing is driver-side, like the
+  * reference's os.walk and binaryFile's own InMemoryFileIndex); the only
+  * shuffle in the full pipeline is the tag aggregation in
+  * Tagging.concatTags. */
 object Images {
 
   /** appV2.py:17 — lower-cased extension allow-list. */
   val imageExtensions: Seq[String] = Seq("jpg", "jpeg", "png", "webp", "bmp", "gif")
 
-  /** R1 directory-scan source (appV2.py:132-137): pathGlobFilter is the
-    * pushdown-at-source dual of the reference's scan-time extension check;
-    * matching is case-insensitive in the reference (f.lower()), mirrored
-    * with a brace glob of both cases. */
+  /** R1 directory-scan source (appV2.py:132-137): an explicit Hadoop-FS
+    * walk mirroring os.walk, NOT a binaryFile read — Spark's file index
+    * unconditionally drops names starting with `_` or `.`
+    * (shouldFilterOutPathName, even when such files are named
+    * explicitly), silently losing images the reference tags (`_cover.jpg`,
+    * `.photo.png`, anything under `_thumbs/`). The listing runs on the
+    * driver — exactly like the reference's os.walk AND like binaryFile's
+    * own InMemoryFileIndex — holding one path string per image; the
+    * byte reads are distributed (one partition batch per task through
+    * the Hadoop FS client, so the source works against any scheme).
+    *
+    * Extension matching mirrors os.path.splitext(f.lower()): the
+    * extension splits on the file NAME only and a leading-dot-only name
+    * (".webp") has NO extension. */
   def source(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
-    // per-character class glob ([jJ][pP][gG]): Hadoop glob matching is
-    // case-sensitive PER ALTERNATIVE, so a {jpg,JPG} brace silently
-    // drops mixed-case files (photo.Jpg — common from cameras) that the
-    // reference's f.lower() check accepts
-    val glob = imageExtensions
-      .map(_.map(c => s"[$c${c.toUpper}]").mkString)
-      .mkString("*.{", ",", "}")
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", recursive.toString)
-      .load(dir)
-      .select(col("path"), col("content"))
+    import spark.implicits._
+    val exts = imageExtensions.map("." + _).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    def extOk(name: String): Boolean = {
+      val i = name.lastIndexOf('.')
+      i > 0 && exts.contains(name.substring(i).toLowerCase(java.util.Locale.ROOT))
+    }
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (recursive) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (extOk(st.getPath.getName)) paths += st.getPath.toUri.toString
+      }
+    } else {
+      fs.listStatus(root).foreach { st =>
+        if (st.isFile && extOk(st.getPath.getName))
+          paths += st.getPath.toUri.toString
+      }
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val parallelism = math.max(1,
+      math.min(paths.length, spark.sparkContext.defaultParallelism * 2))
+    spark.createDataset(
+      spark.sparkContext.parallelize(paths.toSeq.sorted, parallelism)
+        .mapPartitions { it =>
+          // one FS client per (scheme, authority) per task; bytes read
+          // executor-side — the driver never touches image content
+          val fss = scala.collection.mutable.HashMap
+            .empty[String, org.apache.hadoop.fs.FileSystem]
+          it.map { uri =>
+            val p = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+            val f = fss.getOrElseUpdate(
+              s"${Option(p.toUri.getScheme).getOrElse("")}://" +
+                s"${Option(p.toUri.getAuthority).getOrElse("")}",
+              p.getFileSystem(conf.value))
+            val len = f.getFileStatus(p).getLen
+            require(len <= Int.MaxValue, s"$uri exceeds 2 GiB")
+            val buf = new Array[Byte](len.toInt)
+            val in = f.open(p)
+            try in.readFully(0, buf) finally in.close()
+            (uri, buf)
+          }
+        })
+      .toDF("path", "content")
   }
 
   /** R5 (appV2.py:20-27): force RGB, compositing any alpha over white. */
@@ -95,30 +143,28 @@ object Images {
     val decoded = ImageIO.read(new ByteArrayInputStream(bytes))
     if (decoded == null) throw new IllegalArgumentException("undecodable image bytes")
     val squared = padSquare(ensureRgbOnWhite(decoded))
-    val resized = new BufferedImage(targetSize, targetSize, BufferedImage.TYPE_INT_RGB)
-    val g = resized.createGraphics()
-    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-      RenderingHints.VALUE_INTERPOLATION_BICUBIC)
-    g.drawImage(squared, 0, 0, targetSize, targetSize, null)
-    g.dispose()
+    // PIL-parity resize (appV2.py:41 image.resize(target, BICUBIC)):
+    // graft.images.PilResample — antialiased scaled-support bicubic,
+    // PIL's own fixed-point arithmetic. Java2D's BICUBIC hint samples a
+    // fixed 4x4 neighborhood regardless of ratio and ALIASES on real
+    // photo downscales — a systematic tensor divergence, not noise.
+    val s = squared.getWidth
+    val srcPix = squared.getRGB(0, 0, s, s, null, 0, s)
+    val resizedPix = graft.images.PilResample.resizeRgb(
+      srcPix, s, s, targetSize, targetSize)
     val n = targetSize * targetSize
     val out = new Array[Float](3 * n)
-    var y = 0
-    while (y < targetSize) {
-      var x = 0
-      while (x < targetSize) {
-        val rgb = resized.getRGB(x, y)
-        val r = ((rgb >> 16) & 0xff) / 255.0f
-        val gg = ((rgb >> 8) & 0xff) / 255.0f
-        val b = (rgb & 0xff) / 255.0f
-        val idx = y * targetSize + x
-        // channel order BGR (appV2.py:44), normalize (x-0.5)/0.5
-        out(idx) = b * 2f - 1f
-        out(n + idx) = gg * 2f - 1f
-        out(2 * n + idx) = r * 2f - 1f
-        x += 1
-      }
-      y += 1
+    var idx = 0
+    while (idx < n) {
+      val rgb = resizedPix(idx)
+      val r = ((rgb >> 16) & 0xff) / 255.0f
+      val gg = ((rgb >> 8) & 0xff) / 255.0f
+      val b = (rgb & 0xff) / 255.0f
+      // channel order BGR (appV2.py:44), normalize (x-0.5)/0.5
+      out(idx) = b * 2f - 1f
+      out(n + idx) = gg * 2f - 1f
+      out(2 * n + idx) = r * 2f - 1f
+      idx += 1
     }
     out
   }
@@ -225,7 +271,10 @@ object Images {
           inputName: String, outputName: String,
           createTensor: java.lang.reflect.Method,
           sessionRun: java.lang.reflect.Method,
-          tensorClose: java.lang.reflect.Method)
+          tensorClose: java.lang.reflect.Method,
+          resultGet: java.lang.reflect.Method,
+          resultClose: java.lang.reflect.Method,
+          onnxValueGet: java.lang.reflect.Method)
       // resolve through the CONTEXT classloader first: on Spark executors
       // user jars (--jars / spark.jars — the way a real onnxruntime
       // lands) live in a child classloader that the context CL sees but
@@ -263,12 +312,19 @@ object Images {
             it.next()
           }
           val tensorCls = loadClass(s"$pkg.OnnxTensor")
+          // Result/OnnxValue methods resolve HERE too — run() must pay
+          // only invoke cost per image row, no getMethod lookups
+          val resultCls = loadClass(s"$pkg.OrtSession$$Result")
+          val valueCls = loadClass(s"$pkg.OnnxValue")
           Bound(env, session,
             firstName("getInputNames"), firstName("getOutputNames"),
             tensorCls.getMethod("createTensor", envCls,
               classOf[java.nio.FloatBuffer], classOf[Array[Long]]),
             session.getClass.getMethod("run", classOf[java.util.Map[_, _]]),
-            tensorCls.getMethod("close"))
+            tensorCls.getMethod("close"),
+            resultCls.getMethod("get", classOf[String]),
+            resultCls.getMethod("close"),
+            valueCls.getMethod("getValue"))
         } catch {
           case e: ClassNotFoundException =>
             throw new IllegalStateException(
@@ -290,18 +346,17 @@ object Images {
           val result = b.sessionRun
             .invoke(b.session, java.util.Collections.singletonMap(b.inputName, tensor))
           try {
-            val value = result.getClass.getMethod("get", classOf[String])
-              .invoke(result, b.outputName)
+            val value = b.resultGet.invoke(result, b.outputName)
               .asInstanceOf[java.util.Optional[AnyRef]]
             val onnxValue = value.orElseThrow(() =>
               new IllegalStateException(s"model produced no output '${b.outputName}'"))
-            onnxValue.getClass.getMethod("getValue").invoke(onnxValue) match {
+            b.onnxValueGet.invoke(onnxValue) match {
               case rows: Array[Array[Float]] => rows(0) // [1, nTags] → row 0
               case flat: Array[Float]        => flat
               case other => throw new IllegalStateException(
                 s"unexpected ONNX output shape: ${other.getClass}")
             }
-          } finally result.getClass.getMethod("close").invoke(result)
+          } finally b.resultClose.invoke(result)
         } finally b.tensorClose.invoke(tensor)
       }
     }
@@ -438,7 +493,12 @@ object Images {
         val fss = scala.collection.mutable.HashMap
           .empty[String, org.apache.hadoop.fs.FileSystem]
         try {
-          rows.foreach { r =>
+          // a NULL tags value is a FAILED row (tagImages keeps error rows
+          // with null tags): the reference writes no .txt for a failure
+          // (appV2.py:178 opens the file only after get_tags succeeded) —
+          // writing "" would also CLOBBER a good sidecar from a previous
+          // successful run
+          rows.filter(r => !r.isNullAt(1)).foreach { r =>
             val raw = r.getString(0)
             // binaryFile emits percent-encoded URIs (file:/a%20b) — decode
             // through java.net.URI; a scheme-LESS raw path may contain

@@ -49,7 +49,13 @@ object Tables {
         }
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // FLOOR division, not `div` (truncate-toward-zero): a pre-1970
+          // nano timestamp that is not a whole microsecond would
+          // otherwise land one microsecond late (the Intervals.scala
+          // binning pattern — pmod is non-negative, so subtracting it
+          // floors for negatives too)
+          raw.withColumn("ts",
+            timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case org.apache.spark.sql.types.TimestampType => raw

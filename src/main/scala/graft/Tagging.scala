@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   *   - ordered group-concat, order = (category emission rank, JSON
   *     insertion position) (appV2.py:62-68,77,86-89,93)
   *
+  * PRECISION (deliberate divergence, r9 review): probabilities compute
+  * in f64; the reference's numpy chain stays in f32 (appV2.py:174 —
+  * outputs are float32 and numpy preserves the dtype). Consequences are
+  * (a) sub-ulp differences at threshold boundaries (a prob within one
+  * f32 ulp of θ can flip sides) and (b) argmax ordering among
+  * NEAR-SATURATED logits: f32 σ(x) rounds to exactly 1.0 for x ≳ 16.6,
+  * so the reference ties all such tags and emits the first by insertion
+  * order, while this engine keeps the true σ ordering. Quantizing to
+  * f32 here would also quantize ties into the oracle contract (adjacent
+  * fixture logits near p≈0.98 collide in f32), forcing every tagger
+  * oracle onto struct-ordered argmax — traded away for keeping the
+  * strictly-more-precise math. The NaN and empty-name contracts ARE
+  * mirrored exactly (see clippedSigmoid / selectTags).
+  *
   * Everything here is Catalyst built-ins (whole-stage codegen'd, no UDFs):
   * scale comes from one shuffle on image_id for the argmax aggregation and
   * one for the final concat; the vocab join is an explicit broadcast (the
@@ -27,9 +41,21 @@ object Tagging {
   /** Clipped sigmoid 1/(1+e^-clip(x,-30,30)) (appV2.py:174). The clip is
     * semantic, not cosmetic: logits beyond ±30 saturate to the SAME prob,
     * so argmax tie-breaking (first in category-index insertion order,
-    * numpy argmax contract) can engage where raw logits would differ. */
-  def clippedSigmoid(x: Column): Column =
-    lit(1.0) / (lit(1.0) + exp(-greatest(least(x.cast("double"), lit(30.0)), lit(-30.0))))
+    * numpy argmax contract) can engage where raw logits would differ.
+    *
+    * NaN PROPAGATES (reference parity): np.clip(NaN) is NaN and the
+    * reference's σ(NaN) = NaN then fails every `>= θ` comparison (numpy
+    * comparisons with NaN are False) while WINNING np.argmax (NaN
+    * poisons numpy's running maximum). Spark's least/greatest would
+    * instead clip NaN to 30 (NaN sorts greatest), silently scoring a
+    * broken logit as near-certain — the explicit isnan branch keeps the
+    * reference's semantics; selectTags excludes NaN from thresholds. */
+  def clippedSigmoid(x: Column): Column = {
+    val xd = x.cast("double")
+    val s = lit(1.0) /
+      (lit(1.0) + exp(-greatest(least(xd, lit(30.0)), lit(-30.0))))
+    when(isnan(xd), xd).otherwise(s)
+  }
 
   /** Vector → long format: (id, tag_idx LONG, logit DOUBLE). posexplode is
     * the Spark dual of numpy fancy-indexing over the score vector
@@ -77,12 +103,15 @@ object Tagging {
         col("best.tag_idx").as("tag_idx"), col("best.tag_name").as("tag_name"))
 
     // Category-dependent threshold filter (appV2.py:86-97); >= not >.
+    // !isnan: numpy's `NaN >= θ` is False (tag NOT emitted), but Spark
+    // orders NaN greatest so its `>=` would be TRUE — without the guard
+    // a NaN prob would emit through every threshold lane.
     val thresholded = joined
-      .filter(
-        (col("category").isin(Vocab.genThresholdCategories: _*) &&
+      .filter(!isnan(col("prob")) &&
+        ((col("category").isin(Vocab.genThresholdCategories: _*) &&
           col("prob") >= lit(genThreshold)) ||
         (col("category").isin(Vocab.charThresholdCategories: _*) &&
-          col("prob") >= lit(charThreshold)))
+          col("prob") >= lit(charThreshold))))
       .select("image_id", "category", "emit_pos", "tag_idx", "tag_name")
 
     val display = regexp_replace(col("tag_name"), "_", " ")
@@ -94,6 +123,12 @@ object Tagging {
       .reduce(_ || _)
 
     argmax.unionByName(thresholded)
+      // the reference's `names[global_idx]` TRUTHINESS guard
+      // (appV2.py:82,96): an empty-string tag name is selected but never
+      // EMITTED — for argmax lanes the empty-named winner still blocks
+      // the runner-up (no fallback), which is why this filter sits AFTER
+      // the argmax, not in the vocab
+      .filter(col("tag_name").isNotNull && col("tag_name") =!= "")
       .filter(!(col("category") === "meta" && blacklisted))
       .select(col("image_id"), catRank(col("category")).as("cat_rank"),
         col("emit_pos"), col("tag_idx"), display.as("display"))
@@ -136,21 +171,19 @@ object Tagging {
       argmaxLanes: Array[(Array[Int], Array[String])],
       thresholdLanes: Array[(Array[Int], Array[String], Double)]) extends Serializable {
 
-    // identical double math to Spark's least/greatest/exp builtins
-    // (java.lang.Math.exp in codegen) → bit-identical probs and therefore
-    // identical comparisons vs the relational pipeline. NaN parity:
-    // Spark SQL orders doubles with NaN GREATEST (total order), so
-    // least(NaN, 30) = 30 — a NaN logit is clipped to 30 and scored
-    // σ(30), never propagated. java.lang.Double.compare reproduces that
-    // ordering exactly (Scala's primitive < / > would leave NaN
-    // unclipped and then drop it from argmax/threshold).
-    @inline private def sigmoid(x: Double): Double = {
-      val clipped =
-        if (java.lang.Double.compare(x, 30.0) > 0) 30.0
-        else if (java.lang.Double.compare(x, -30.0) < 0) -30.0
-        else x
-      1.0 / (1.0 + java.lang.Math.exp(-clipped))
-    }
+    // identical double math to Spark's exp builtin (java.lang.Math.exp
+    // in codegen) → bit-identical probs and therefore identical
+    // comparisons vs the relational pipeline. NaN PROPAGATES, mirroring
+    // clippedSigmoid's isnan branch and the reference (np.clip(NaN) is
+    // NaN): a NaN prob wins argmax (numpy's poisoned running maximum ≡
+    // Double.compare treating NaN greatest) but is excluded from every
+    // threshold lane (numpy `NaN >= θ` is False).
+    @inline private def sigmoid(x: Double): Double =
+      if (x.isNaN) x
+      else {
+        val clipped = if (x > 30.0) 30.0 else if (x < -30.0) -30.0 else x
+        1.0 / (1.0 + java.lang.Math.exp(-clipped))
+      }
 
     /** The reference's get_tags over one score vector (appV2.py:74-101). */
     def tags(vec: Array[Double]): String = {
@@ -171,7 +204,10 @@ object Tagging {
           }
           i += 1
         }
-        if (best >= 0) {
+        // displays(best) == null marks an EMPTY-NAMED winner (the
+        // reference's names[global_idx] truthiness, appV2.py:82): it won
+        // the argmax — no runner-up — but emits nothing
+        if (best >= 0 && displays(best) != null) {
           if (sb.length > 0) sb.append(", ")
           sb.append(displays(best))
         }
@@ -183,9 +219,13 @@ object Tagging {
         var i = 0
         while (i < idxs.length) {
           val idx = idxs(i)
-          if (idx < vec.length && java.lang.Double.compare(sigmoid(vec(idx)), theta) >= 0) {
-            if (sb.length > 0) sb.append(", ")
-            sb.append(displays(i))
+          if (idx < vec.length) {
+            val p = sigmoid(vec(idx))
+            // primitive >= is already numpy's semantics: NaN >= θ false
+            if (!p.isNaN && p >= theta) {
+              if (sb.length > 0) sb.append(", ")
+              sb.append(displays(i))
+            }
           }
           i += 1
         }
@@ -200,22 +240,35 @@ object Tagging {
               genThreshold: Double, charThreshold: Double): SelectionProgram = {
       val byCat = vocabEntries.groupBy(_.category)
         .map { case (c, es) => c -> es.sortBy(_.emitPos) }
-      def lane(cat: String): (Array[Int], Array[String]) = {
+      def lane(cat: String, argmaxLane: Boolean): (Array[Int], Array[String]) = {
         val es = byCat.getOrElse(cat, Seq.empty)
         // plan-time blacklist: a meta tag whose display contains a
-        // blacklisted substring can never be emitted (appV2.py:98)
+        // blacklisted substring can never be emitted (appV2.py:98).
+        // Empty-NAMED entries (the names[global_idx] truthiness guard,
+        // appV2.py:82,96) also never emit — but an argmax lane must KEEP
+        // them in the index array (they can still WIN and block the
+        // runner-up), marked with a null display; threshold lanes drop
+        // them outright (selection there is per-entry).
         val kept =
           if (cat == "meta")
             es.filterNot(e => Vocab.metaBlacklist.exists(
               e.tagName.replace('_', ' ').toLowerCase.contains(_)))
           else es
-        (kept.map(_.tagIdx.toInt).toArray,
-         kept.map(_.tagName.replace('_', ' ')).toArray)
+        val emittable = kept.filter(e => e.tagName != null && e.tagName.nonEmpty)
+        if (argmaxLane)
+          (kept.map(_.tagIdx.toInt).toArray,
+           kept.map(e => if (e.tagName == null || e.tagName.isEmpty) null
+                         else e.tagName.replace('_', ' ')).toArray)
+        else
+          (emittable.map(_.tagIdx.toInt).toArray,
+           emittable.map(_.tagName.replace('_', ' ')).toArray)
       }
       SelectionProgram(
-        Vocab.argmaxCategories.map(lane).toArray,
-        (Vocab.genThresholdCategories.map(c => { val (i, d) = lane(c); (i, d, genThreshold) }) ++
-         Vocab.charThresholdCategories.map(c => { val (i, d) = lane(c); (i, d, charThreshold) }))
+        Vocab.argmaxCategories.map(lane(_, argmaxLane = true)).toArray,
+        (Vocab.genThresholdCategories.map(c => {
+           val (i, d) = lane(c, argmaxLane = false); (i, d, genThreshold) }) ++
+         Vocab.charThresholdCategories.map(c => {
+           val (i, d) = lane(c, argmaxLane = false); (i, d, charThreshold) }))
           .toArray)
     }
   }

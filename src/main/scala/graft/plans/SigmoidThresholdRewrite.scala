@@ -34,8 +34,14 @@ object SigmoidThresholdRewrite extends Rule[LogicalPlan] {
   private val ClipHi = 30.0
   private val ClipLo = -30.0
 
-  /** Extract x from the engine's clipped-sigmoid expression tree. */
-  private object ClippedSigmoid {
+  /** Extract x from the engine's clipped-sigmoid expression tree —
+    * either the bare Divide form or the NaN-propagating
+    * `when(isnan(x), x).otherwise(σ)` wrapper Tagging.clippedSigmoid
+    * emits (reference parity, appV2.py:174). The rewrite stays exact
+    * for the wrapper under Spark's NaN-greatest ordering: a NaN prob
+    * compares exactly like the NaN logit does on the rewritten side
+    * (greatest in both spaces), so every orientation is preserved. */
+  private object BareSigmoid {
     def unapply(e: Expression): Option[Expression] = e match {
       case Divide(
             Literal(one1, DoubleType),
@@ -45,6 +51,16 @@ object SigmoidThresholdRewrite extends Rule[LogicalPlan] {
                   Literal(lo, DoubleType))), _)), _),
             _)
           if one1 == 1.0 && one2 == 1.0 && hi == ClipHi && lo == ClipLo =>
+        Some(x)
+      case _ => None
+    }
+  }
+
+  private object ClippedSigmoid {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case BareSigmoid(x) => Some(x)
+      case CaseWhen(Seq((IsNaN(x1), x2)), Some(BareSigmoid(x)))
+          if x1.semanticEquals(x) && x2.semanticEquals(x) =>
         Some(x)
       case _ => None
     }

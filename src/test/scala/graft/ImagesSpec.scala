@@ -16,10 +16,13 @@ class ImagesSpec extends SparkSpec {
     val names = files.map(_.split('/').last).sorted
     // note.txt excluded; nested.png (in sub/) excluded; corrupt.png and
     // photo.webp INCLUDED (extension passes — failure surfaces at
-    // decode, appV2.py:183)
-    assert(names === Array("alpha.png", "anim.gif", "art.webp", "corrupt.png",
-      "landscape.png", "lossy.webp", "motion.webp", "photo.jpg", "photo.webp",
-      "portrait.png", "square.PNG", "tiny.bmp", "translucent.webp"))
+    // decode, appV2.py:183); _shadow.png and .dotfile.png INCLUDED —
+    // the reference's os.walk has no hidden-file notion, and Spark's
+    // own file index (which drops them) is deliberately bypassed
+    assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
+      "anim.gif", "art.webp", "corrupt.png", "landscape.png", "lossy.webp",
+      "motion.webp", "photo.jpg", "photo.webp", "portrait.png", "square.PNG",
+      "tiny.bmp", "translucent.webp"))
   }
 
   test("webp contract: lossless AND lossy decode natively, corrupt rides " +
@@ -98,9 +101,10 @@ class ImagesSpec extends SparkSpec {
     val (corruptLogits, corruptStatus) = scored("corrupt.png")
     assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
     val okCount = scored.values.count(_._2 == "ok")
-    // 7 classic + art.webp (VP8L) + lossy.webp (VP8) + translucent.webp
-    // (ALPH alpha) + motion.webp (first anim frame) — all engine-native
-    assert(okCount === 11)
+    // 7 classic + _shadow.png + .dotfile.png (hidden-name parity) +
+    // art.webp (VP8L) + lossy.webp (VP8) + translucent.webp (ALPH alpha)
+    // + motion.webp (first anim frame) — all engine-native
+    assert(okCount === 13)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -115,14 +119,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 13L && m("n_ok") === 11L && m("n_failed") === 2L)
+    assert(m("n_total") === 15L && m("n_ok") === 13L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 13)
+    assert(rows.length === 15)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
@@ -133,6 +137,25 @@ class ImagesSpec extends SparkSpec {
     assert(Files.exists(sidecar))
     assert(new String(Files.readAllBytes(sidecar), "UTF-8") ===
       byName("landscape.png")._2.get)
+  }
+
+  test("R15 sidecar sink: failed rows (null tags) write NO .txt, like the reference") {
+    // appV2.py:178 opens the .txt only after get_tags succeeded — a
+    // failure leaves no file, and must not clobber a good sidecar from
+    // a previous run with an empty one
+    import spark.implicits._
+    val d3 = Files.createTempDirectory("graft_sidecar_fail")
+    Files.write(d3.resolve("old.png"), Array[Byte](1))
+    Files.write(d3.resolve("old.txt"), "previous good tags".getBytes("UTF-8"))
+    val rows = Seq(
+      (d3.resolve("old.png").toUri.toString, null.asInstanceOf[String]),
+      (d3.resolve("new.png").toUri.toString, "tag a"))
+      .toDF("path", "tags")
+    Images.writeSidecars(rows)
+    assert(new String(Files.readAllBytes(d3.resolve("old.txt")), "UTF-8") ===
+      "previous good tags", "failed row must not clobber an existing sidecar")
+    assert(new String(Files.readAllBytes(d3.resolve("new.txt")), "UTF-8") ===
+      "tag a")
   }
 
   test("tagImages cache lifecycle: one relation per session, released by releaseScored") {

@@ -128,13 +128,13 @@ class TaggingSpec extends SparkSpec {
     assert(local === relational)
   }
 
-  test("NaN logits: pipelineLocal reproduces Spark's NaN-greatest clip semantics") {
+  test("NaN logits propagate like numpy: win argmax, fail every threshold") {
     val entries = Vocab.parseJson(vocabJson)
     val nan = Double.NaN
-    // NaN in an argmax lane (rating idx 0) and a threshold lane (general
-    // idx 4): Spark's least/greatest order NaN greatest, so the relational
-    // clip maps NaN → 30 → σ(30) ≈ 1, which wins the argmax and passes
-    // every threshold; the local kernel must agree exactly.
+    // reference semantics (appV2.py:174: np.clip(NaN) = NaN): a NaN prob
+    // WINS np.argmax (NaN poisons numpy's running maximum — the first
+    // NaN's index is returned), so the NaN rating tag IS emitted; but
+    // numpy's `NaN >= θ` is False, so the NaN general tag is NOT.
     val rows = Seq(
       1L -> (Seq(nan, 20.0, -5.0, -6.0, nan) ++ Seq.fill(11)(-40.0)),
       2L -> img1.updated(2, nan))
@@ -144,8 +144,32 @@ class TaggingSpec extends SparkSpec {
     val loc = Tagging.pipelineLocal(df, entries)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(loc === rel)
-    // and the semantics themselves: the NaN-logit tags ARE selected
-    assert(rel(1L).startsWith("safe") && rel(1L).contains("long hair"))
+    assert(rel(1L).startsWith("safe"), "NaN rating wins the argmax and emits")
+    assert(!rel(1L).contains("long hair"), "NaN fails the general threshold")
+    // NaN in the quality argmax lane: wins over the finite runner-up
+    assert(rel(2L).contains("masterpiece"))
+  }
+
+  test("empty tag names: selected but never emitted (names[] truthiness, appV2.py:82,96)") {
+    // one empty-named rating tag (empty names share one tag_to_category
+    // slot — the reference's name-keyed dict — so only ONE lane may
+    // carry an empty name per mapping)
+    val vj = """{"0": {"tag": "", "category": "rating"},
+      | "1": {"tag": "questionable", "category": "rating"},
+      | "4": {"tag": "real_tag", "category": "general"}}""".stripMargin
+    val entries = Vocab.parseJson(vj)
+    val v = Vocab.fromJson(spark, vj)
+    // idx 0 (empty name) WINS the rating argmax: the reference emits
+    // NOTHING for rating — no runner-up fallback — and the general tag
+    // emits normally
+    val df = Seq(1L -> Seq(5.0, 2.0, -40.0, -40.0, 5.0)).toDF("image_id", "logits")
+    val rel = Tagging.pipeline(df, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val loc = Tagging.pipelineLocal(df, entries)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rel(1L) === "real tag",
+      "empty-named argmax winner blocks the runner-up and emits nothing")
+    assert(loc === rel)
   }
 
   test("pipelineLocal golden + vocab holes + zero-shuffle plan") {
