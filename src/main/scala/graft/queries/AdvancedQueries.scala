@@ -36,8 +36,19 @@ object AdvancedQueries extends QueryRegistry {
     * broadcast survivor set — exact because any global dominator of a
     * survivor is itself dominated only by survivors (transitivity).
     * Exercised on random point sets (incl. exact duplicates, which are
-    * mutually non-dominating) by PropertiesSpec. */
-  private[graft] def skyline2d(pts: DataFrame, xCol: String, yCol: String): DataFrame = {
+    * mutually non-dominating) by PropertiesSpec.
+    *
+    * GUARDED broadcast (r9 review): the per-cell prefilter prunes
+    * nothing on anti-correlated data (within a cell sorted by x desc, y
+    * rises monotonically, so the running-max test passes every point) —
+    * and the 2-D skyline's OUTPUT is inherently O(n) in that worst case,
+    * so no algorithm makes the broadcast bounded. The survivor count is
+    * therefore checked first (one cheap count on the pinned survivors)
+    * and an over-limit input FAILS FAST with the actual cause instead of
+    * OOMing the driver mid-broadcast; a frontier that size means the
+    * skyline is the wrong tool for the data, not a missing fallback. */
+  private[graft] def skyline2d(pts: DataFrame, xCol: String, yCol: String,
+                               maxSurvivors: Long = 2000000L): DataFrame = {
     val w = Window.partitionBy("skyline_cell").orderBy(desc(xCol), desc(yCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val surv = pts
@@ -45,6 +56,12 @@ object AdvancedQueries extends QueryRegistry {
       .withColumn("pm", max(yCol).over(w))
       .filter(col("pm").isNull || col(yCol) >= col("pm"))
       .drop("pm")
+      .localCheckpoint() // counted below, then read twice by the anti-join
+    val nSurv = surv.count()
+    require(nSurv <= maxSurvivors,
+      s"skyline prefilter left $nSurv survivors (> $maxSurvivors): the " +
+        s"candidate frontier would not broadcast — the data is too " +
+        s"anti-correlated for a 2-D skyline of this size")
     val cand = surv.select(col(xCol).as("d_x"), col(yCol).as("d_y"))
     surv.join(broadcast(cand),
       col("d_x") >= col(xCol) && col("d_y") >= col(yCol) &&
@@ -677,12 +694,19 @@ object AdvancedQueries extends QueryRegistry {
     (spark, d) => {
       val W = 5000000L // $50k bins over a ~$1k..$500k price domain
       val priceCents = cents(col("o_totalprice"))
-      // the cut set is tiny (|orders|/997 rows) — a driver-sized dim;
-      // consecutive cuts pair WINDOW-FREE via broadcast self-joins on
-      // that dim (hi = min cut above lo; tier = #cuts ≤ lo), so no
-      // single-partition WindowExec exists even here
+      // the cut set is BOUNDED BY CONSTRUCTION, not by a fixed modulus:
+      // a fixed 1/997 sample is a corpus FRACTION (the r9 review's
+      // fraction fallacy — at 1e11 orders that is 1e8 "tiny" rows whose
+      // broadcast self-join evaluates 1e16 pairs). The stride scales
+      // with the table (the SimilarityOps.centroidStride pattern), so
+      // |cuts| ≲ 1000 at ANY size and the window-free consecutive-cut
+      // pairing below (hi = min cut above lo; tier = #cuts ≤ lo —
+      // broadcast self-joins, no single-partition WindowExec) stays a
+      // genuinely driver-sized O(|cuts|²) ≤ 1e6.
+      val nOrders = Tables.orders(spark, d).count()
+      val stride = math.max(997L, nOrders / 1000L + 1L)
       val cuts = Tables.orders(spark, d)
-        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .filter(pmod(col("o_orderkey"), lit(stride)) === 0)
         .filter(col("o_totalprice").isNotNull) // pushable twin: null
         // prices never join (their bins are null) — see fact below
         .select(priceCents.as("c")).distinct()
@@ -712,9 +736,11 @@ object AdvancedQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("sum_cents"))
         .orderBy("tier")
     },
-    Some("""WITH cuts AS (
+    Some("""WITH stride AS (
+        |  SELECT greatest(997, count(*) // 1000 + 1) AS s FROM orders),
+        |cuts AS (
         |  SELECT DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
-        |  FROM orders WHERE o_orderkey % 997 = 0),
+        |  FROM orders WHERE o_orderkey % (SELECT s FROM stride) = 0),
         |tiers AS (SELECT row_number() OVER (ORDER BY c) AS tier, c AS lo,
         |  lead(c, 1) OVER (ORDER BY c) AS hi FROM cuts),
         |t AS (SELECT tier, lo, hi FROM tiers WHERE hi IS NOT NULL),

@@ -156,7 +156,23 @@ object DedupQueries extends QueryRegistry {
     * (one narrow map — no corpus shingle explode, no per-doc window
     * sort); checkpointed because the 4-way band union self-joins the
     * relation 8×. Only CANDIDATE docs are ever shingled for the exact
-    * verify (at scale: |candidates| ≪ corpus). */
+    * verify (at scale: |candidates| ≪ corpus — for DISTINCT documents;
+    * see below).
+    *
+    * Duplicate GROUPS (r9 review): k exact/near copies of one template
+    * agree on every band, so the band join emits C(k,2) candidates —
+    * but that is the OUTPUT, not waste: an exact pair LISTING at
+    * jaccard ≥ 0.8 genuinely contains those C(k,2) rows, so no
+    * algorithm that returns this relation avoids them (unlike the
+    * embedding family's cellCap, which bounds a top-k SEARCH where
+    * dropping candidates only trades recall). The declared 100 TB
+    * posture is therefore COMPOSITION: run exact dedup first
+    * (dedup_exact_keepers — one groupBy, collapses every k-copy
+    * template group to 1 row — exactly what pipeline_curate and
+    * pipeline_train_mix do upstream), after which surviving bucket
+    * groups are genuine near-dup sets whose pair lists are the answer;
+    * downstream consumers that only need CLUSTERS should consume
+    * dedup_clusters' components, never the raw pair list. */
   private def minhashVerifiedPairs(spark: org.apache.spark.sql.SparkSession,
                                    d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, d)

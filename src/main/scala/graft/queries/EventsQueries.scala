@@ -123,19 +123,30 @@ object EventsQueries extends QueryRegistry {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
   // Moving aggregate over a row frame + lag: per-user 4-event moving avg.
+  // Exact-cents form (Money rule 11): round(avg(double)) over a frame is
+  // the banned order-dependent pattern — windowed sums associate
+  // differently per engine (Spark sequential fold vs DuckDB segment
+  // tree), so the frame sum is Σ integer cents and the mean is emitted
+  // RAW (rule 12). lag() is a single VALUE, not a sum — its round is safe.
   private val moving = NamedQuery(
     "q_moving_avg",
     (spark, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(-3, 0)
       Tables.events(spark, d)
         .select(col("event_id"), col("user_id"),
-          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("mov_avg"),
+          (graft.ops.Money.centsSumRaw(col("value")).over(wf).cast("double") /
+            lit(100.0) / count(lit(1)).over(wf)).as("mov_avg"),
           round(lag(col("value"), 1).over(w), 2).as("prev_value"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id,
-        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg,
         |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin))
 
@@ -180,8 +191,10 @@ object EventsQueries extends QueryRegistry {
         .groupBy(col("signup_id"))
         .agg(count(col("p_ts")).as("n_purchases_1h"),
           // rule 11: exact-cents money sum (order-independent), not
-          // round(sum(double), 2) — the last events.value money-sum
-          // site still on the banned pattern after the rule-11 sweep
+          // round(sum(double), 2) — the r9 review found the WINDOWED
+          // twins of this hazard too (q_moving_avg, q_window_range_frame:
+          // Spark folds frames sequentially, DuckDB segment-trees them),
+          // now also on the cents form
           coalesce(graft.ops.Money.centsSum(col("value")), lit(0.0)).as("spend_1h"))
         .orderBy("signup_id")
     },
@@ -198,7 +211,12 @@ object EventsQueries extends QueryRegistry {
   // Value-based RANGE frame: per-user rolling 30-minute sum keyed on
   // EVENT TIME, not row position (peers at the same epoch contribute
   // identically in both engines, so ties never desync the frame —
-  // unlike ROWS frames under non-unique ordering).
+  // unlike ROWS frames under non-unique ordering). Exact-cents form
+  // (Money rule 11): round(sum(double),2) over a frame was the last
+  // banned money pattern left after the rule-11 sweep — Spark folds a
+  // frame sequentially, DuckDB aggregates it through a segment tree, so
+  // a frame whose true sum sits within an ulp of a half-cent boundary
+  // rounds apart. Σ integer cents instead, dollars emitted RAW (rule 2).
   private val rangeFrame = NamedQuery(
     "q_window_range_frame",
     (spark, d) => {
@@ -207,14 +225,17 @@ object EventsQueries extends QueryRegistry {
         .rangeBetween(-1800L, 0L)
       Tables.events(spark, d)
         .select(col("event_id"), col("user_id"), epochS.as("epoch_s"), col("value"))
-        .withColumn("rolling_30m", round(sum(col("value")).over(w), 2))
+        .withColumn("rolling_30m",
+          graft.ops.Money.centsSumRaw(col("value")).over(w).cast("double") /
+            lit(100.0))
         .select(col("event_id"), col("user_id"), col("epoch_s"), col("rolling_30m"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, epoch_s,
-        |  round(sum(value) OVER (
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY epoch_s
-        |    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2) AS rolling_30m
+        |    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / 100.0 AS rolling_30m
         |FROM (SELECT event_id, user_id,
         |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
         |      FROM events) t

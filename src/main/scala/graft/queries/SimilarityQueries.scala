@@ -202,8 +202,13 @@ object SimilarityQueries extends QueryRegistry {
   private val annRecall = NamedQuery(
     "sim_ann_recall",
     (spark, d) => {
+      // pin: `exact` feeds BOTH the semi-join and the per-query k count —
+      // without the checkpoint the O(n·queries) brute-force scoring
+      // subtree plans twice, and exchange reuse is not reliable under
+      // AQE (the Components.scala lesson: observed 2x cost per round)
       val exact = brute.fn(spark, d).filter(col("query_id") < 20)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
       val approx = ivf.fn(spark, d).select("query_id", "neighbor_id")
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("hits"))

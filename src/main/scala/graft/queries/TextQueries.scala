@@ -591,10 +591,15 @@ object TextQueries extends QueryRegistry {
   // 8-gram with a held-out eval set (doc_id % 10 = 0) — the n-gram
   // overlap check run before training on scraped data (GPT-3 appendix C
   // / PaLM-style decontamination). Grams are md5-hashed to 60-bit keys
-  // so the equi-join carries 8-byte ints, and the eval side is tiny by
-  // construction — at 100 TB it broadcasts; the corpus side never
-  // self-joins (explode → semi-join-shaped aggregation, inverted-index
-  // cost Σ_gram df, not n²).
+  // so the equi-join carries 8-byte ints. The eval split here is a
+  // MODULUS of the corpus (doc_id % 10), so its gram set grows linearly
+  // with the corpus — a fixed FRACTION is not a fixed SIZE, and a
+  // forced broadcast() of it would OOM at 100 TB (the r9 review's
+  // fraction-fallacy finding; text_contamination_bloom exists precisely
+  // because a real held-out gram set can outgrow a broadcast). No hint:
+  // Catalyst auto-broadcasts while the eval side fits and falls back to
+  // a shuffled hash/sort-merge equi-join when it doesn't; the corpus
+  // side never self-joins (inverted-index cost Σ_gram df, not n²).
   private val contamination = NamedQuery(
     "text_contamination",
     (spark, d) => {
@@ -610,7 +615,7 @@ object TextQueries extends QueryRegistry {
       val evalGrams = grams(col("doc_id") % 10 === 0)
         .select(col("g")).distinct()
       grams(col("doc_id") % 10 =!= 0)
-        .join(broadcast(evalGrams), "g")
+        .join(evalGrams, "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy("doc_id")
@@ -630,8 +635,13 @@ object TextQueries extends QueryRegistry {
   // query IS the scale shape: documents are routed to 16 shards by
   // doc_id, each shard lays its documents out on its own token tape in
   // doc_id order and cuts every 512 tokens (each doc's pack is
-  // floor(shard_start_offset / 512), namespaced as shard·10⁶ + local
-  // pack). The step after chunking in sequence prep: small docs share
+  // floor(shard_start_offset / 512), namespaced as shard·2⁴⁰ + local
+  // pack — 2⁴⁰ local packs ≈ 5.6·10¹⁴ tokens per shard before the
+  // namespace could collide, comfortably above the ~1.5·10¹² tokens a
+  // shard carries at 100 TB; the previous 10⁶ multiplier collided at
+  // 512M tokens/shard, with both engines computing the identical wrong
+  // id — the r9 review's gate-blind finding). The step after chunking
+  // in sequence prep: small docs share
   // a training sequence instead of wasting pad tokens. Packing has no
   // cross-shard semantics — training sequences are independent — so
   // the cumulative window runs partitionBy(shard): embarrassingly
@@ -649,7 +659,10 @@ object TextQueries extends QueryRegistry {
         .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("pack_id",
-          col("shard") * 1000000L + floor((col("cum") - col("n_tokens")) / seqLen))
+          // integer div, not floor(double /): a tape offset beyond 2^53
+          // tokens would round through a double
+          col("shard") * (1L << 40) +
+            expr(s"(cum - n_tokens) div ${seqLen}L"))
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"),
@@ -662,10 +675,10 @@ object TextQueries extends QueryRegistry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM (
         |  SELECT doc_id, n_tokens,
-        |    (doc_id % 16) * 1000000 +
-        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |    CAST((doc_id % 16) * 1099511627776 +
+        |      (sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens) // 512 AS BIGINT) AS pack_id
         |  FROM (SELECT doc_id,
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents) t) s
@@ -757,10 +770,13 @@ object TextQueries extends QueryRegistry {
   // log-probability of its tokens under the CORPUS unigram
   // distribution. Anomalously high scores = degenerate repetitive text,
   // anomalously low = token-salad / wrong-language text; production
-  // pipelines threshold both tails. The vocabulary is a broadcast
-  // dimension (vocab ≪ corpus at any scale) and the total-count scalar
-  // a 1-row broadcast, so the only shuffle over token volume is the
-  // per-doc rollup. ln() goes through round(6) per COVERAGE rule 2.
+  // pipelines threshold both tails. The vocabulary is LEFT UNHINTED:
+  // whitespace-split web text's distinct-token set grows with the
+  // corpus (Heaps' law plus unbounded junk tokens — the premise
+  // text_heavy_hitters' sketch pre-gate exists for), so Catalyst
+  // auto-broadcasts while it fits and shuffles the probe join when it
+  // doesn't; the total-count scalar stays a 1-row broadcast. ln() goes
+  // through round(6) per COVERAGE rule 2.
   private val unigramLogprob = NamedQuery(
     "text_unigram_logprob",
     (spark, d) => {
@@ -779,7 +795,7 @@ object TextQueries extends QueryRegistry {
         .localCheckpoint() // vocab rollup + probe join: tokenize once
       val cnt = docWord.groupBy("w").agg(sum(col("m")).as("c"))
       val tot = cnt.agg(sum(col("c")).as("t"))
-      docWord.join(broadcast(cnt), "w")
+      docWord.join(cnt, "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(sum(col("m")).cast("bigint").as("n_tokens"),
@@ -810,8 +826,13 @@ object TextQueries extends QueryRegistry {
   // pipeline_curate, text_contamination, q_sample_mixture,
   // text_pack_sequences); this pins their COMPOSITION — join order,
   // filter interaction, and the final mixture accounting. All document
-  // volume flows through row-local kernels and semi/anti joins against
-  // broadcast-size sides; the only wide shuffle is the dedup groupBy.
+  // volume flows through row-local kernels and semi/anti equi-joins;
+  // the eval-gram side is corpus-proportional (a doc_id % 10 modulus,
+  // not a bounded set), so it carries NO broadcast hint — Catalyst
+  // auto-broadcasts while small and degrades to a shuffled join at
+  // scale (swap in the text_contamination_bloom pre-gate when even the
+  // shuffle is too wide). The wide shuffles are that join and the dedup
+  // groupBy.
   private val trainMix = NamedQuery(
     "pipeline_train_mix",
     (spark, d) => {
@@ -823,7 +844,7 @@ object TextQueries extends QueryRegistry {
       val evalGrams = grams(col("doc_id") % 10 === 0)
         .select(col("shingle")).distinct()
       val contaminated = grams(col("doc_id") % 10 =!= 0)
-        .join(broadcast(evalGrams), "shingle")
+        .join(evalGrams, "shingle")
         .select("doc_id").distinct()
       docs.filter(col("doc_id") % 10 =!= 0)
         .join(keepers, "doc_id")
@@ -1117,7 +1138,11 @@ object TextQueries extends QueryRegistry {
         .localCheckpoint() // vocab rollup + probe join: tokenize once
       val cnt = docWord.groupBy("w").agg(sum(col("m")).as("c"))
       val tot = cnt.agg(sum(col("c")).as("t"))
-      val lp = docWord.join(broadcast(cnt), "w")
+      // vocabulary probe join UNHINTED (same reasoning as
+      // text_unigram_logprob: the distinct-token set grows with the
+      // corpus — Heaps' law — so the hint would force an OOM broadcast
+      // at scale; Catalyst auto-broadcasts while it fits)
+      val lp = docWord.join(cnt, "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(round(
