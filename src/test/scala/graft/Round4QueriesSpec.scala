@@ -121,10 +121,11 @@ class Round4QueriesSpec extends SparkSpec {
       .agg(sum(col("n")), count(lit(1))).collect()(0)
     assert(totalTokens == src.getLong(0), "every token lands in exactly one pack")
     assert(totalDocs == src.getLong(1), "every doc lands in exactly one pack")
-    // packing is per-shard (pack_id = shard·10⁶ + local pack): within a
+    // packing is per-shard (pack_id = shard·2⁴⁰ + local pack — the 10⁶
+    // namespace collided at 512M tokens/shard, r9 review): within a
     // shard, consecutive packs' doc ranges must not interleave, and a
     // pack's docs must all carry its shard residue (doc_id % 16)
-    rows.groupBy(_.getLong(0) / 1000000L).foreach { case (shard, packs) =>
+    rows.groupBy(_.getLong(0) >> 40).foreach { case (shard, packs) =>
       packs.foreach { p =>
         assert(p.getLong(3) % 16 == shard && p.getLong(4) % 16 == shard,
           s"pack ${p.getLong(0)} holds docs outside shard $shard")
