@@ -36,11 +36,12 @@ import scala.util.{Failure, Success, Try}
   *   - error isolation: per-row Try → status column; one bad file never
   *     fails the job (appV2.py:165-185).
   *
-  * Scale: decode+score is embarrassingly parallel narrow work; the byte
-  * reads are distributed (the listing is driver-side, like the
-  * reference's os.walk and binaryFile's own InMemoryFileIndex); the only
-  * shuffle in the full pipeline is the tag aggregation in
-  * Tagging.concatTags. */
+  * Scale: decode+score is embarrassingly parallel narrow work; both the
+  * recursive listing AND the byte reads are distributed (the driver
+  * issues exactly one shallow listStatus on the root — executors walk
+  * the first-level subdirectories in parallel, so no O(corpus)
+  * driver-side stage remains); the only shuffle in the full pipeline is
+  * the tag aggregation in Tagging.concatTags. */
 object Images {
 
   /** appV2.py:17 — lower-cased extension allow-list. */
@@ -51,15 +52,28 @@ object Images {
     * unconditionally drops names starting with `_` or `.`
     * (shouldFilterOutPathName, even when such files are named
     * explicitly), silently losing images the reference tags (`_cover.jpg`,
-    * `.photo.png`, anything under `_thumbs/`). The listing runs on the
-    * driver — exactly like the reference's os.walk AND like binaryFile's
-    * own InMemoryFileIndex — holding one path string per image; the
-    * byte reads are distributed (one partition batch per task through
-    * the Hadoop FS client, so the source works against any scheme).
+    * `.photo.png`, anything under `_thumbs/`). The driver lists ONLY the
+    * root's immediate children (one listStatus round-trip); the
+    * recursive descent into subdirectories is DISTRIBUTED — each
+    * executor task walks its slice of first-level directories with its
+    * own FS client — so a 10⁸-file corpus never serializes through a
+    * single driver-side RemoteIterator, and the full path list is never
+    * materialized on the driver (it lives as an RDD straight into the
+    * read stage). The byte reads are likewise distributed (one FS
+    * client per (scheme, authority) per task, so the source works
+    * against any scheme), and each read rides a per-row error channel:
+    * a file deleted between listing and read, or one over the 2 GiB
+    * array bound, yields a `read_error` row (null content) that
+    * [[scoreImages]] passes through to the status column — the
+    * reference's per-image try/except (appV2.py:165-185) never fails
+    * the run on one bad file, so neither does the source.
     *
     * Extension matching mirrors os.path.splitext(f.lower()): the
     * extension splits on the file NAME only and a leading-dot-only name
-    * (".webp") has NO extension. */
+    * (".webp") has NO extension.
+    *
+    * Output: (path STRING, content BINARY nullable, read_error STRING
+    * nullable — null for healthy rows). */
   def source(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
     import spark.implicits._
     val exts = imageExtensions.map("." + _).toSet
@@ -70,44 +84,82 @@ object Images {
       val i = name.lastIndexOf('.')
       i > 0 && exts.contains(name.substring(i).toLowerCase(java.util.Locale.ROOT))
     }
-    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (recursive) {
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (extOk(st.getPath.getName)) paths += st.getPath.toUri.toString
-      }
-    } else {
-      fs.listStatus(root).foreach { st =>
-        if (st.isFile && extOk(st.getPath.getName))
-          paths += st.getPath.toUri.toString
-      }
-    }
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
-    val parallelism = math.max(1,
-      math.min(paths.length, spark.sparkContext.defaultParallelism * 2))
+    // driver work is ONE shallow listing: root files + first-level dirs
+    val rootChildren = fs.listStatus(root)
+    val rootFiles = rootChildren.iterator
+      .filter(st => st.isFile && extOk(st.getPath.getName))
+      .map(_.getPath.toUri.toString).toSeq
+    val sc = spark.sparkContext
+    val listed: org.apache.spark.rdd.RDD[String] =
+      if (!recursive) sc.parallelize(rootFiles,
+        math.max(1, math.min(rootFiles.length, sc.defaultParallelism * 2)))
+      else {
+        // os.walk parity holds: listStatus and the per-task recursive
+        // listFiles below have NO hidden-name filter, so `_thumbs/`,
+        // `_cover.jpg`, `.photo.png` all survive — only Spark's own
+        // InMemoryFileIndex (bypassed here) drops them
+        val subDirs = rootChildren.iterator.filter(_.isDirectory)
+          .map(_.getPath.toUri.toString).toSeq
+        val rootRdd = sc.parallelize(rootFiles,
+          math.max(1, math.min(math.max(rootFiles.length, 1),
+            sc.defaultParallelism)))
+        if (subDirs.isEmpty) rootRdd
+        else {
+          val extsB = exts // capture the plain Set, not the method
+          val walked = sc
+            .parallelize(subDirs,
+              math.max(1, math.min(subDirs.length, sc.defaultParallelism)))
+            .flatMap { d =>
+              val p = new org.apache.hadoop.fs.Path(new java.net.URI(d))
+              val f = p.getFileSystem(conf.value)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              val it = f.listFiles(p, true)
+              while (it.hasNext) {
+                val st = it.next()
+                val name = st.getPath.getName
+                val i = name.lastIndexOf('.')
+                if (i > 0 && extsB.contains(
+                    name.substring(i).toLowerCase(java.util.Locale.ROOT)))
+                  out += st.getPath.toUri.toString
+              }
+              out
+            }
+          rootRdd.union(walked)
+        }
+      }
+    // global sort keeps the partition layout deterministic across runs
+    // (the sample pass touches only path strings, never image bytes)
+    val readParallelism = math.max(1, sc.defaultParallelism * 2)
     spark.createDataset(
-      spark.sparkContext.parallelize(paths.toSeq.sorted, parallelism)
+      listed.sortBy(identity, ascending = true, numPartitions = readParallelism)
         .mapPartitions { it =>
           // one FS client per (scheme, authority) per task; bytes read
           // executor-side — the driver never touches image content
           val fss = scala.collection.mutable.HashMap
             .empty[String, org.apache.hadoop.fs.FileSystem]
           it.map { uri =>
-            val p = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
-            val f = fss.getOrElseUpdate(
-              s"${Option(p.toUri.getScheme).getOrElse("")}://" +
-                s"${Option(p.toUri.getAuthority).getOrElse("")}",
-              p.getFileSystem(conf.value))
-            val len = f.getFileStatus(p).getLen
-            require(len <= Int.MaxValue, s"$uri exceeds 2 GiB")
-            val buf = new Array[Byte](len.toInt)
-            val in = f.open(p)
-            try in.readFully(0, buf) finally in.close()
-            (uri, buf)
+            Try {
+              val p = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+              val f = fss.getOrElseUpdate(
+                s"${Option(p.toUri.getScheme).getOrElse("")}://" +
+                  s"${Option(p.toUri.getAuthority).getOrElse("")}",
+                p.getFileSystem(conf.value))
+              val len = f.getFileStatus(p).getLen
+              require(len <= Int.MaxValue, s"$uri exceeds 2 GiB")
+              val buf = new Array[Byte](len.toInt)
+              val in = f.open(p)
+              try in.readFully(0, buf) finally in.close()
+              buf
+            } match {
+              case Success(b) => (uri, b, null: String)
+              case Failure(e) =>
+                (uri, null: Array[Byte], "error: read failed: " +
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            }
           }
         })
-      .toDF("path", "content")
+      .toDF("path", "content", "read_error")
   }
 
   /** R5 (appV2.py:20-27): force RGB, compositing any alpha over white. */
@@ -139,8 +191,43 @@ object Images {
   /** R7 (appV2.py:38-49): bicubic resize → /255 → CHW → RGB→BGR →
     * (x−0.5)/0.5. Returns the flat CHW float tensor (batch dim implicit —
     * Spark's row-per-image IS the batch axis). */
+  /** PIL-parity decompression-bomb guard for the ImageIO formats
+    * (png/jpg/bmp/gif): reads ONLY the header via the format's
+    * ImageReader and rejects above 2 × PIL.Image.MAX_IMAGE_PIXELS =
+    * 178,956,970 px — the same limit the engine's own VP8/VP8L decoders
+    * enforce (images/Vp8.scala, images/WebP.scala), so a hostile header
+    * in ANY supported format rides the error channel instead of buying
+    * a multi-hundred-MB executor allocation. */
+  private def readGuarded(bytes: Array[Byte]): BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("undecodable image bytes")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+        if (w * h > 178956970L)
+          throw new IllegalArgumentException(
+            s"decompression bomb: ${w}x$h exceeds the 178.9 Mpx limit")
+        reader.read(0)
+      } catch {
+        // ImageIO.read's own contract: decoder RuntimeExceptions surface
+        // as IIOException(e.toString()) — keep the status messages (and
+        // the committed expectation digests) byte-identical to it. The
+        // bomb rejection above passes through un-wrapped by rethrow.
+        case bomb: IllegalArgumentException
+            if Option(bomb.getMessage).exists(_.startsWith("decompression bomb")) =>
+          throw bomb
+        case e: RuntimeException =>
+          throw new javax.imageio.IIOException(e.toString, e)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   def preprocess(bytes: Array[Byte], targetSize: Int = 448): Array[Float] = {
-    val decoded = ImageIO.read(new ByteArrayInputStream(bytes))
+    val decoded = readGuarded(bytes)
     if (decoded == null) throw new IllegalArgumentException("undecodable image bytes")
     val squared = padSquare(ensureRgbOnWhite(decoded))
     // PIL-parity resize (appV2.py:41 image.resize(target, BICUBIC)):
@@ -368,19 +455,31 @@ object Images {
   def scoreImages(images: DataFrame, scorer: Scorer, targetSize: Int = 448): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    images.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    // sources without the read-error channel (hand-built frames in
+    // tests, older connectors) still score — the column is optional
+    val withErr =
+      if (images.columns.contains("read_error")) images
+      else images.withColumn("read_error", lit(null).cast("string"))
+    withErr.select(col("path"), col("content"), col("read_error"))
+      .as[(String, Array[Byte], String)]
       .mapPartitions { iter =>
         // one scorer per partition — mirror of the one-session-per-run
         // amortization in the reference (appV2.py:149)
         val s = scorer
-        iter.map { case (path, bytes) =>
-          Try(s.score(preprocess(bytes, targetSize))) match {
-            case Success(logits) => (path, logits, "ok")
-            case Failure(e) =>
-              (path, null.asInstanceOf[Array[Float]],
-                s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
-          }
+        iter.map {
+          // a failed READ rides the same per-row channel as a failed
+          // decode (appV2.py:165-185): status row, null logits, job lives
+          case (path, _, readErr) if readErr != null =>
+            (path, null.asInstanceOf[Array[Float]], readErr)
+          case (path, null, _) =>
+            (path, null.asInstanceOf[Array[Float]], "error: null content")
+          case (path, bytes, _) =>
+            Try(s.score(preprocess(bytes, targetSize))) match {
+              case Success(logits) => (path, logits, "ok")
+              case Failure(e) =>
+                (path, null.asInstanceOf[Array[Float]],
+                  s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+            }
         }
       }
       .toDF("path", "logits", "status")

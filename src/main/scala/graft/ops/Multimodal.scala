@@ -189,6 +189,11 @@ object Multimodal {
       .toDF()
   }
 
+  /** One sampled frame (or one error row). Error-row contract, uniform
+    * across every kind (anim, video, not-a-video): frame_idx = -1,
+    * n_bytes = 0, mean_byte = 0.0 — n_bytes always describes the
+    * DECODED frame, never the input container, so error rows (which
+    * decoded nothing) report 0 regardless of input length. */
   final case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Int,
       mean_byte: Double, status: String)
 
@@ -218,8 +223,7 @@ object Multimodal {
             }
           } catch {
             case e: Exception =>
-              Seq(FrameRow(id, -1,
-                if (bytes == null) 0 else bytes.length, 0.0,
+              Seq(FrameRow(id, -1, 0, 0.0,
                 s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
           }
           else if (kind != "video")
@@ -238,8 +242,7 @@ object Multimodal {
             }
           } catch {
             case e: Exception =>
-              Seq(FrameRow(id, -1,
-                if (bytes == null) 0 else bytes.length, 0.0,
+              Seq(FrameRow(id, -1, 0, 0.0,
                 s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
           }
         }

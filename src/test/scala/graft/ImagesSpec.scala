@@ -75,6 +75,60 @@ class ImagesSpec extends SparkSpec {
     assert(names.contains("nested.png"))
   }
 
+  test("R1 source: recursive distributed walk finds the same set as the " +
+      "flat walk, hidden names included") {
+    // the descent into subdirectories runs on executors; the result set
+    // must be exactly what a driver-side os.walk would see — including
+    // `_`/`.`-prefixed names at every level
+    val names = Images.source(spark, dir, recursive = true)
+      .select(col("path")).collect().map(_.getString(0).split('/').last).sorted
+    val nonRec = Images.source(spark, dir, recursive = false)
+      .select(col("path")).collect().map(_.getString(0).split('/').last).sorted
+    assert(names.toSet.intersect(nonRec.toSet) === nonRec.toSet,
+      "recursive must be a superset of the root's own files")
+    assert(names.contains("_shadow.png") && names.contains(".dotfile.png"),
+      "hidden-name parity must survive the distributed walk")
+    assert(names.contains("nested.png"))
+  }
+
+  test("R16 source read error channel: a file deleted between listing " +
+      "and read becomes a status row, never a job failure") {
+    val d = Files.createTempDirectory("graft_imgdel")
+    Files.copy(Paths.get(dir, "photo.jpg"), d.resolve("a.jpg"))
+    Files.copy(Paths.get(dir, "portrait.png"), d.resolve("b.png"))
+    val src = Images.source(spark, d.toString) // listing is eager
+    Files.delete(d.resolve("a.jpg"))
+    val scored = Images.scoreImages(src, Images.FixtureScorer(4), targetSize = 16)
+      .collect().map(r => r.getString(0).split('/').last ->
+        (Option(r.getSeq[Float](1)), r.getString(2))).toMap
+    assert(scored("a.jpg")._2.startsWith("error: read failed"),
+      s"deleted file status was '${scored("a.jpg")._2}'")
+    assert(scored("a.jpg")._1.isEmpty, "read-error rows carry null logits")
+    assert(scored("b.png")._2 === "ok", "healthy sibling still decodes")
+  }
+
+  test("R16 bomb guard covers ImageIO formats: a hostile PNG header " +
+      "errors out BEFORE buying the pixel allocation") {
+    // structurally valid PNG signature + IHDR declaring 100k x 100k
+    // (1e10 px >> the 178.9 Mpx PIL-parity limit); correct CRC so the
+    // header parses — the guard must fire on dimensions alone
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(100000).putInt(100000)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ chunk("IHDR", ihdr)
+    val e = intercept[IllegalArgumentException](Images.preprocess(png, 16))
+    assert(e.getMessage.contains("decompression bomb"))
+  }
+
   test("R5-R7 preprocess: shape, range, BGR order, white-pad corners") {
     val bytes = Files.readAllBytes(Paths.get(dir, "portrait.png"))
     val t = Images.preprocess(bytes, targetSize = 64)
