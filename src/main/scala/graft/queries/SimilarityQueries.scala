@@ -318,13 +318,21 @@ object SimilarityQueries extends QueryRegistry {
         |        FROM embeddings) t) s
         |ORDER BY vec_id""".stripMargin))
 
-  // ---- k-NN majority-vote classification: label held-out vectors
-  // (vec_id % 100 = 1) from their 5 nearest labeled neighbors — the
+  // ---- k-NN majority-vote classification: label a FIXED held-out
+  // query set (vec_id % 100 = 1 below the 2000-id cap — ≤20 queries at
+  // every sf) from its 5 nearest labeled neighbors — the
   // label-propagation / weak-supervision pattern over an embedding
-  // corpus. Vote argmax ties break on the smaller label; neighbor rank
-  // ties on the smaller neighbor_id — fully deterministic, so the oracle
-  // reproduces it exactly. Scale shape: the query side broadcasts (the
-  // held-out fraction is tiny), each side's norm is computed ONCE per
+  // corpus. The cap is the scale contract: a recall/labeling evaluation
+  // needs a REPRESENTATIVE query set, not a corpus-proportional one, so
+  // |q| is a constant and total work is |q|·N — linear in the corpus,
+  // where the uncapped % 100 filter made it N²/100 (10 000× compute at
+  // 100× data, a scale-killer by construction; round-9 verdict). At the
+  // sf0.01 gate every vec_id is < 2000, so the capped query is
+  // result-identical to the historical one. Vote argmax ties break on
+  // the smaller label; neighbor rank ties on the smaller neighbor_id —
+  // fully deterministic, so the oracle reproduces it exactly. Scale
+  // shape: the query side broadcasts (now a bounded set by
+  // construction, not a fraction), each side's norm is computed ONCE per
   // row BELOW the join (the hoisted-cosine kernel — a third of the
   // per-pair flops of the self-normalizing form, bit-identical results),
   // and the neighbor cut runs through the engine's TopKPerGroup
@@ -339,10 +347,14 @@ object SimilarityQueries extends QueryRegistry {
     (spark, d) => {
       val v = Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding"), col("label"))
-      val q = v.filter(col("vec_id") % 100 === 1)
+      // fixed query set: % 100 picks the held-out residue class, the
+      // id cap pins |q| ≤ 20 at every corpus size (see header comment);
+      // train is the exact complement so no row is silently dropped
+      val isQuery = col("vec_id") % 100 === 1 && col("vec_id") < 2000
+      val q = v.filter(isQuery)
         .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
           SimilarityOps.norm(col("embedding")).as("qnorm"))
-      val train = v.filter(col("vec_id") % 100 =!= 1)
+      val train = v.filter(!isQuery)
         .select(col("vec_id"), col("embedding"), col("label"),
           SimilarityOps.norm(col("embedding")).as("tnorm"))
       val scored = broadcast(q).crossJoin(train)
@@ -371,7 +383,8 @@ object SimilarityQueries extends QueryRegistry {
         |    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label,
         |      round(list_cosine_similarity(q.emb, t.emb), 6) AS cosine
         |    FROM v q CROSS JOIN v t
-        |    WHERE q.vec_id % 100 = 1 AND t.vec_id % 100 <> 1) s),
+        |    WHERE q.vec_id % 100 = 1 AND q.vec_id < 2000
+        |      AND NOT (t.vec_id % 100 = 1 AND t.vec_id < 2000)) s),
         |votes AS (
         |  SELECT query_id, label, count(*) AS n_votes,
         |    round(max(cosine), 6) AS best_cosine
