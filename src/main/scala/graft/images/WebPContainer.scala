@@ -144,6 +144,150 @@ object WebPContainer {
     else anim.toSeq
   }
 
+  /** One ANMF frame with its placement/compositing metadata (container
+    * spec ANMF header): rect at (x, y) sized w×h on the canvas; `blend`
+    * = alpha-composite over prior canvas state (flags bit1 CLEAR);
+    * `disposeBg` = zero-fill the rect after display (flags bit0 SET). */
+  final case class AnimFrame(x: Int, y: Int, w: Int, h: Int,
+                             blend: Boolean, disposeBg: Boolean, frame: Frame)
+
+  /** EVERY frame of the container as a viewer sees it — for an
+    * animation, the per-frame COMPOSITED canvas. Semantics follow
+    * libwebp's WebPAnimDecoder (demux/anim_decode.c — the decoder PIL
+    * rides for animated webp): an RGBA canvas, initially transparent
+    * black, carried across frames; each ANMF frame is drawn into its
+    * rect by its blend method, and after display a dispose-to-background
+    * frame's rect is zero-filled to TRANSPARENT black (libwebp ignores
+    * the ANIM chunk's background color, as do browsers). Blending uses
+    * the non-premultiplied integer arithmetic of BlendPixelNonPremult:
+    * scale = dst_a·(255−src_a)/255 and blend_a = src_a + scale with C
+    * integer division, each channel (src·src_a + dst·scale)/blend_a; a
+    * fully-transparent source pixel keeps the canvas pixel and a
+    * fully-opaque one overwrites it (both exactly what the formula
+    * yields). No libwebpdemux ships in this environment, so the
+    * arithmetic is pinned by an independent reimplementation in the
+    * fixture generator (tools/make_alpha_fixtures.py) cross-checked
+    * byte-for-byte by AnimCompositeSpec, with the per-frame pixel
+    * decode itself C-validated via libwebp still goldens.
+    *
+    * A still yields its single decoded frame. Non-webp bytes yield
+    * Seq.empty; a malformed ANMF header, a frame rect escaping the
+    * canvas, or a bad payload throws (the R16 error channel) — unlike
+    * [[frames]], which yields only frames whose STANDALONE decode
+    * already equals the composited view and silently drops the rest,
+    * every frame decodes here. */
+  def compositedFrames(b: Array[Byte]): Seq[Vp8l.Decoded] = {
+    if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
+      return Seq.empty
+    var vp8: Array[Byte] = null
+    var vp8l: Array[Byte] = null
+    var alph: Array[Byte] = null
+    var canvasW = -1
+    var canvasH = -1
+    val anim = scala.collection.mutable.ArrayBuffer.empty[AnimFrame]
+    walk(b, 12, b.length, (cc, start, len) => cc match {
+      case "VP8 " if vp8 == null && vp8l == null =>
+        vp8 = slice(b, start, len); false
+      case "VP8L" if vp8 == null && vp8l == null =>
+        vp8l = slice(b, start, len); false
+      case "ALPH" if alph == null =>
+        alph = slice(b, start, len); true
+      case "VP8X" if len >= 10 =>
+        canvasW = le24(b, start + 4) + 1
+        canvasH = le24(b, start + 7) + 1
+        true
+      case "ANMF" =>
+        anim += anmfMeta(b, start, len)
+        true
+      case _ => true
+    })
+    if (vp8 != null || vp8l != null)
+      return Seq(decodeFrame(Frame(Option(vp8), Option(vp8l), Option(alph))))
+    if (anim.isEmpty) return Seq.empty
+    require(canvasW > 0 && canvasH > 0, "animation without a VP8X canvas")
+    // same PIL-parity decompression-bomb bound as the frame decoders:
+    // a hostile VP8X header must not buy the canvas allocation
+    require(canvasW.toLong * canvasH <= 178956970L,
+      s"decompression bomb: ${canvasW}x$canvasH exceeds the 178.9 Mpx limit")
+    val canvas = new Array[Int](canvasW * canvasH) // transparent black
+    var disposeRect: AnimFrame = null
+    anim.iterator.map { af =>
+      if (disposeRect != null) {
+        var row = 0
+        while (row < disposeRect.h) {
+          java.util.Arrays.fill(canvas,
+            (disposeRect.y + row) * canvasW + disposeRect.x,
+            (disposeRect.y + row) * canvasW + disposeRect.x + disposeRect.w, 0)
+          row += 1
+        }
+      }
+      val d = decodeFrame(af.frame)
+      require(d.width == af.w && d.height == af.h,
+        s"ANMF declares ${af.w}x${af.h} but payload decodes ${d.width}x${d.height}")
+      require(af.x >= 0 && af.y >= 0 &&
+        af.x.toLong + af.w <= canvasW && af.y.toLong + af.h <= canvasH,
+        s"ANMF rect ${af.w}x${af.h}@(${af.x},${af.y}) escapes the " +
+          s"${canvasW}x$canvasH canvas")
+      var row = 0
+      while (row < af.h) {
+        var cOff = (af.y + row) * canvasW + af.x
+        var fOff = row * af.w
+        val end = cOff + af.w
+        while (cOff < end) {
+          val s = d.argb(fOff)
+          canvas(cOff) = if (af.blend) blendPixel(s, canvas(cOff)) else s
+          cOff += 1
+          fOff += 1
+        }
+        row += 1
+      }
+      disposeRect = if (af.disposeBg) af else null
+      Vp8l.Decoded(canvasW, canvasH, canvas.clone())
+    }.toVector
+  }
+
+  /** libwebp anim_decode.c BlendPixelNonPremult: straight-alpha OVER in
+    * 8-bit integer arithmetic (see [[compositedFrames]]). */
+  private def blendPixel(src: Int, dst: Int): Int = {
+    val srcA = src >>> 24
+    if (srcA == 0) return dst
+    if (srcA == 0xff) return src
+    val dstA = dst >>> 24
+    val scale = dstA * (255 - srcA) / 255
+    val blendA = srcA + scale
+    val r = (((src >> 16) & 0xff) * srcA + ((dst >> 16) & 0xff) * scale) / blendA
+    val g = (((src >> 8) & 0xff) * srcA + ((dst >> 8) & 0xff) * scale) / blendA
+    val bl = ((src & 0xff) * srcA + (dst & 0xff) * scale) / blendA
+    (blendA << 24) | (r << 16) | (g << 8) | bl
+  }
+
+  /** Parse one ANMF payload to its full metadata — used by the
+    * compositing path, which (unlike [[anmfFrame]]) accepts partial,
+    * blending and disposing frames; malformed headers throw instead of
+    * being silently dropped, since a missing frame would corrupt every
+    * later composite. */
+  private def anmfMeta(b: Array[Byte], start: Int, len: Int): AnimFrame = {
+    require(len >= 16, s"ANMF payload of $len bytes has no frame header")
+    val x = le24(b, start) * 2
+    val y = le24(b, start + 3) * 2
+    val w = le24(b, start + 6) + 1
+    val h = le24(b, start + 9) + 1
+    val flags = b(start + 15)
+    var vp8: Array[Byte] = null
+    var vp8l: Array[Byte] = null
+    var alph: Array[Byte] = null
+    walk(b, start + 16, start + len, (cc, s, l) => cc match {
+      case "VP8 " if vp8 == null && vp8l == null => vp8 = slice(b, s, l); false
+      case "VP8L" if vp8 == null && vp8l == null => vp8l = slice(b, s, l); false
+      case "ALPH" if alph == null                => alph = slice(b, s, l); true
+      case _                                     => true
+    })
+    require(vp8 != null || vp8l != null, "ANMF frame has no VP8/VP8L payload")
+    AnimFrame(x, y, w, h,
+      blend = (flags & 2) == 0, disposeBg = (flags & 1) != 0,
+      Frame(Option(vp8), Option(vp8l), Option(alph)))
+  }
+
   /** One frame's chunk set → ARGB pixels, the shared decode behind the
     * ImageIO reader and per-frame consumers: VP8L carries alpha
     * in-stream; a lossy frame composes its VP8 planes with an optional

@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Decode reality in this container (no codec libraries): IMAGE decode is
   * REAL (JDK ImageIO, shared with graft.Images), and ANIM decode is REAL
-  * (the engine's own ANMF walk + per-frame VP8/VP8L decoders,
-  * graft.images.WebPContainer.frames — libwebp-golden-validated frame by
-  * frame in AlphaSpec). AUDIO and VIDEO decode are DETERMINISTIC FAKES —
+  * (the engine's own ANMF canvas compositor + per-frame VP8/VP8L/ALPH
+  * decoders, graft.images.WebPContainer.compositedFrames — blend/dispose
+  * semantics golden-validated frame by frame in AnimCompositeSpec). AUDIO and VIDEO decode are DETERMINISTIC FAKES —
   * audio "decode" parses the synthetic s16le PCM layout the fixture
   * generator writes; video "decode" treats content as fixed-size frame
   * blocks and samples every k-th frame. A real codec drops into
@@ -49,12 +49,14 @@ object Multimodal {
     out
   }
 
-  /** The bundled 6-frame full-canvas animated WebP (every frame decodes
-    * standalone through the engine's own readers; per-frame libwebp
-    * goldens in test resources pin the decode). */
+  /** The bundled 8-frame animated WebP (clip2): partial rects, alpha
+    * blending, no-blend overwrite, a dispose-to-background frame, and
+    * lossless/lossy/lossy+ALPH payloads — decoded through the engine's
+    * ANMF canvas compositor (WebPContainer.compositedFrames), with
+    * per-frame composited goldens pinned by AnimCompositeSpec. */
   private lazy val clipBytes: Array[Byte] = {
-    val in = getClass.getResourceAsStream("/graft/fixtures/clip.webp")
-    require(in != null, "missing bundled clip.webp fixture")
+    val in = getClass.getResourceAsStream("/graft/fixtures/clip2.webp")
+    require(in != null, "missing bundled clip2.webp fixture")
     try in.readAllBytes() finally in.close()
   }
 
@@ -72,7 +74,7 @@ object Multimodal {
         case 0 => (id, "image", imgBytes, 64, 48, 0, 0)
         case 1 => (id, "audio", sineAudioBytes(id, 4000, 8000), 0, 0, 8000, 0)
         case 2 => (id, "video", frameVideoBytes(id, 12, 256), 16, 16, 0, 12)
-        case _ => (id, "anim", clipBytes, 64, 48, 0, 6)
+        case _ => (id, "anim", clipBytes, 64, 48, 0, 8)
       }
     }
     rows.toDF("media_id", "kind", "content", "width", "height",
@@ -108,21 +110,23 @@ object Multimodal {
     fr.map(b => (b & 0xff).toDouble).sum / fr.length
   }
 
-  /** REAL per-frame decode for animated WebP: the standalone-decodable
-    * frames of the container (graft.images.WebPContainer.frames), every
-    * k-th one run through the engine's VP8/VP8L(+ALPH) decoders — only
-    * the SAMPLED frames decode, the skipped ones cost a chunk-header
-    * walk. Returns (frame_idx, pixelByteMean over all four ARGB
-    * channels, n_pixel_bytes) per sampled frame — the same scalar digest
-    * shape the fake video codec feeds, shared by extractFeatures and
-    * sampleFrames so edge handling cannot drift between them. */
+  /** REAL per-frame decode for animated WebP: EVERY ANMF frame of the
+    * container as the viewer sees it, via the engine's canvas
+    * compositor (graft.images.WebPContainer.compositedFrames — blend +
+    * dispose semantics, so partial/blending frames decode correctly
+    * instead of being dropped; every frame up to the last sampled one
+    * must decode, since compositing is stateful). Returns (frame_idx,
+    * pixelByteMean over all four ARGB channels, n_pixel_bytes) per
+    * k-th frame — the same scalar digest shape the fake video codec
+    * feeds, shared by extractFeatures and sampleFrames so edge handling
+    * cannot drift between them. */
   private def sampledAnimFrames(bytes: Array[Byte],
                                 every: Int): IndexedSeq[(Int, Double, Int)] = {
-    val frames = graft.images.WebPContainer.frames(bytes)
+    val frames = graft.images.WebPContainer.compositedFrames(bytes)
     if (frames.isEmpty)
-      throw new IllegalArgumentException("no standalone-decodable frames")
+      throw new IllegalArgumentException("no decodable frames")
     (0 until frames.length by every).map { f =>
-      val d = graft.images.WebPContainer.decodeFrame(frames(f))
+      val d = frames(f)
       var s = 0.0
       var i = 0
       while (i < d.argb.length) {

@@ -94,7 +94,8 @@ class MultimodalSpec extends SparkSpec {
     assert(err.length.toLong === media.count() - videos - anims)
     assert(ok.map(_.getAs[Long]("media_id")).distinct.length.toLong === videos + anims)
     // fixture videos (media_id % 4 == 2) have 12 fake frames → 0, 4, 8;
-    // anims (media_id % 4 == 3) have 6 REAL ANMF frames → 0, 4
+    // anims (media_id % 4 == 3) are clip2's 8 COMPOSITED ANMF frames
+    // (blend/dispose/partial all decode) → 0, 4
     val (videoRows, animRows) = ok.partition(_.getAs[Long]("media_id") % 4 == 2)
     assert(videoRows.groupBy(_.getAs[Long]("media_id")).values.forall(
       _.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 4, 8))))
@@ -108,9 +109,10 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_byte") === math.rint(s / 256 * 1e6) / 1e6,
         s"media $id frame $f")
     }
-    // anim per-frame means are anchored to LIBWEBP's per-frame goldens
-    // (tools/make_alpha_fixtures.py): mean over the golden's RGBA bytes —
-    // an independent C-decoded replay, not our own decoder twice
+    // anim per-frame means are anchored to the clip2 COMPOSITED goldens
+    // (tools/make_alpha_fixtures.py): mean over the golden canvas's RGBA
+    // bytes — frame pixels C-decoded by libwebp, canvas arithmetic the
+    // generator's independent reimplementation, not our decoder twice
     def goldenMean(res: String): Double = {
       val in = getClass.getResourceAsStream(s"/graft/alpha/$res")
       require(in != null, s"missing $res")
@@ -118,8 +120,8 @@ class MultimodalSpec extends SparkSpec {
       val px = g.drop(8)
       math.rint(px.map(b => (b & 0xff).toDouble).sum / px.length * 1e6) / 1e6
     }
-    val wantByFrame = Map(0 -> goldenMean("clip_64x48_f0.golden"),
-                          4 -> goldenMean("clip_64x48_f4.golden"))
+    val wantByFrame = Map(0 -> goldenMean("clip2_64x48_f0.composited"),
+                          4 -> goldenMean("clip2_64x48_f4.composited"))
     animRows.foreach { r =>
       assert(r.getAs[Double]("mean_byte") ===
         wantByFrame(r.getAs[Int]("frame_idx")),

@@ -357,6 +357,117 @@ def main():
                    anmf(0, 0, w, h, 40, frame_chunks(af[1]), flags=0))
     write_anim("anim_alpha2_blend_64x48", blended, af[0])
 
+    # --- clip2: the COMPOSITED-animation fixture (round 10) — partial
+    # rects, blend and no-blend frames, a dispose-to-background frame,
+    # lossless/lossy/lossy+ALPH payloads, 8 frames on a 64x48 canvas.
+    # Goldens are per-frame COMPOSITED canvases. Per-frame pixel decode
+    # is libwebp (C-validated as stills); the canvas arithmetic is a
+    # reimplementation of libwebp demux/anim_decode.c
+    # (BlendPixelNonPremult, dispose-to-transparent-black) — no
+    # libwebpdemux ships in this container, so the integer blend math is
+    # pinned by THIS independent implementation cross-checked against
+    # the Scala one (AnimCompositeSpec), not by WebPAnimDecoder itself.
+    # Appended at the END of main() so every earlier fixture's RNG
+    # stream is untouched.
+    make_clip2(rng)
+
+
+def make_clip2(rng):
+    w, h = 64, 48
+
+    def lossless_frame(fw, fh, alpha_fn):
+        rgba = bytes(with_alpha(photo_rgb(fw, fh, rng), fw, fh, alpha_fn))
+        enc = encode_lossless(rgba, fw, fh)
+        payload = get_chunk(enc, b"VP8L")
+        still = riff(chunk(b"VP8L", payload))
+        return chunk(b"VP8L", payload), still
+
+    def lossy_frame(fw, fh, q):
+        rgba = bytes(photo_rgb(fw, fh, rng))
+        enc = encode_lossy(rgba, fw, fh, q)
+        payload = get_chunk(enc, b"VP8 ")
+        still = riff(chunk(b"VP8 ", payload))
+        return chunk(b"VP8 ", payload), still
+
+    def lossy_alpha_frame(fw, fh, q, alpha_fn):
+        rgba = bytes(with_alpha(photo_rgb(fw, fh, rng), fw, fh, alpha_fn))
+        enc = encode_lossy(rgba, fw, fh, q)
+        fr = (chunk(b"ALPH", get_chunk(enc, b"ALPH")) +
+              chunk(b"VP8 ", get_chunk(enc, b"VP8 ")))
+        still = riff(vp8x(fw, fh, alpha=True) +
+                     chunk(b"ALPH", get_chunk(enc, b"ALPH")) +
+                     chunk(b"VP8 ", get_chunk(enc, b"VP8 ")))
+        return fr, still
+
+    # (x, y, fw, fh, flags, chunks, standalone_still); flags bit0 =
+    # dispose-to-background, bit1 = do-NOT-blend
+    specs = []
+    fr, st = lossless_frame(w, h, lambda x, y: 255)
+    specs.append((0, 0, w, h, 0, fr, st))                  # f0 full opaque
+    fr, st = lossless_frame(32, 24, lambda x, y: (x * 8 + y * 3) % 256)
+    specs.append((16, 8, 32, 24, 0, fr, st))               # f1 blend, mixed alpha
+    fr, st = lossless_frame(40, 16, lambda x, y: 128)
+    specs.append((0, 24, 40, 16, 2, fr, st))               # f2 NO-blend, semi
+    fr, st = lossless_frame(24, 20, lambda x, y: (255 - x * 5) % 256)
+    specs.append((32, 0, 24, 20, 1, fr, st))               # f3 blend + DISPOSE
+    fr, st = lossless_frame(16, 16, lambda x, y: (x * y) % 256)
+    specs.append((8, 4, 16, 16, 0, fr, st))                # f4 sees f3 disposed
+    fr, st = lossy_frame(w, h, 75)
+    specs.append((0, 0, w, h, 2, fr, st))                  # f5 lossy resync
+    fr, st = lossy_alpha_frame(32, 24, 75, lambda x, y: y * 255 // 23)
+    specs.append((12, 12, 32, 24, 0, fr, st))              # f6 lossy+ALPH blend
+    fr, st = lossless_frame(16, 16, lambda x, y: (x * 16 + y) % 256)
+    specs.append((40, 24, 16, 16, 0, fr, st))              # f7 blend
+
+    anim = riff(vp8x(w, h, alpha=True, anim=True) + anim_hdr() +
+                b"".join(anmf(x, y, fw, fh, 40, fr, flags=flags)
+                         for (x, y, fw, fh, flags, fr, _still) in specs))
+
+    # composite exactly like libwebp demux/anim_decode.c
+    canvas = bytearray(w * h * 4)  # RGBA, transparent black
+    dispose = None
+    composited = []
+    for (x, y, fw, fh, flags, _fr, still) in specs:
+        dw_, dh_, rgba = decode_rgba(still)
+        assert (dw_, dh_) == (fw, fh), f"frame decode {dw_}x{dh_} != {fw}x{fh}"
+        if dispose is not None:
+            dx, dy, ddw, ddh = dispose
+            for r in range(ddh):
+                off = ((dy + r) * w + dx) * 4
+                canvas[off:off + ddw * 4] = bytes(ddw * 4)
+        blend = (flags & 2) == 0
+        for r in range(fh):
+            coff = ((y + r) * w + x) * 4
+            foff = r * fw * 4
+            for c in range(fw):
+                so = foff + c * 4
+                sr, sg, sb, sa = rgba[so:so + 4]
+                do = coff + c * 4
+                if (not blend) or sa == 255:
+                    canvas[do:do + 4] = bytes((sr, sg, sb, sa))
+                elif sa == 0:
+                    pass
+                else:
+                    dr, dg, db, da = canvas[do:do + 4]
+                    scale = da * (255 - sa) // 255
+                    ba = sa + scale
+                    canvas[do:do + 4] = bytes((
+                        (sr * sa + dr * scale) // ba,
+                        (sg * sa + dg * scale) // ba,
+                        (sb * sa + db * scale) // ba, ba))
+        dispose = (x, y, fw, fh) if (flags & 1) else None
+        composited.append(bytes(canvas))
+
+    open(os.path.join(OUT, "clip2_64x48.webp"), "wb").write(anim)
+    for i, rgba in enumerate(composited):
+        open(os.path.join(OUT, f"clip2_64x48_f{i}.composited"), "wb").write(
+            struct.pack(">II", w, h) + rgba)
+    main_res = os.path.join(os.path.dirname(__file__), "..",
+                            "src", "main", "resources", "graft", "fixtures")
+    open(os.path.join(main_res, "clip2.webp"), "wb").write(anim)
+    print(f"  clip2.webp -> main resources ({len(anim)}B, 8 frames, "
+          "blend/dispose/partial)")
+
 
 if __name__ == "__main__":
     main()
