@@ -45,7 +45,7 @@ object PilResample {
     * precompute_coeffs + normalize_coeffs_8bpc. Returns (xmin per out
     * pixel, tap count per out pixel, fixed-point coeffs laid out
     * out×ksize, ksize). */
-  private def coeffs(inSize: Int, outSize: Int)
+  private[graft] def coeffs(inSize: Int, outSize: Int)
       : (Array[Int], Array[Int], Array[Int], Int) = {
     val scale = inSize.toDouble / outSize
     val filterscale = math.max(scale, 1.0)
