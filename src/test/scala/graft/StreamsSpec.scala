@@ -742,4 +742,153 @@ class StreamsSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("randomized crash-restart property: dedupIngest stays exactly-once " +
+      "under kills after (and during) every batch, at sf0.1 volume") {
+    // VERDICT r9 §next-7: the empty-first-batch wedge was found by
+    // thought, not load — this drives the restart matrix with data. The
+    // sf0.1 documents table (5 000 rows, real duplicate texts) arrives
+    // as 10 staged files; after each one a seeded coin decides whether
+    // the query survives, is stopped cleanly after the batch, or is
+    // KILLED IMMEDIATELY after staging (stop() racing the in-flight
+    // batch — the at-least-once replay path the batch_id-keyed dynamic
+    // overwrite exists for). The invariant under EVERY schedule: the
+    // sink equals the deterministic first-seen/min-id-keeper replay and
+    // the ledger holds each hash exactly once.
+    import spark.implicits._
+    val mk = () => java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val (ledger, outDir, ckpt) = (mk(), mk(), mk())
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_crash_src")
+    val all = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nBatches = 10
+    val per = (all.length + nBatches - 1) / nBatches
+    val batches = all.grouped(per).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stage(k: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crash_stage").toString
+      batches(k).toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(f"b$k%02d.parquet"))
+    }
+    def start() = Streams.dedupIngest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+      ledger, outDir, ckpt)
+    // driver-side replay of the declared semantics: within-batch keeper
+    // = min doc_id per text hash; first batch to carry a hash wins
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash(id: Long, text: String): String =
+      if (text == null) s"null:$id"
+      else md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (b <- batches) {
+      val keepers = b.groupBy { case (id, t) => hash(id, t) }
+        .map { case (h, rows) => (h, rows.map(_._1).min) }
+      for ((h, id) <- keepers.toSeq.sortBy(_._2) if !seen.contains(h)) {
+        seen += h; expected += id
+      }
+    }
+    val rng = new scala.util.Random(20260815)
+    var q = start()
+    try {
+      for (k <- batches.indices) {
+        stage(k)
+        rng.nextInt(3) match {
+          case 0 => // survive: just drain
+            q.processAllAvailable()
+          case 1 => // clean kill AFTER the batch
+            q.processAllAvailable(); q.stop(); q = start()
+          case _ => // kill DURING: stop races the in-flight batch, the
+            // restart must replay it idempotently
+            q.stop(); q = start(); q.processAllAvailable()
+        }
+      }
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(out === expected.sorted.toSeq,
+        s"sink drifted from the replay oracle (${out.length} vs ${expected.length})")
+      val hashes = spark.read.parquet(ledger).select("text_md5")
+        .collect().map(_.getString(0)).toSeq
+      assert(hashes.length === hashes.distinct.length,
+        "a ledger hash landed twice across restarts")
+      assert(hashes.toSet === seen.toSet, "ledger diverged from the oracle")
+    } finally q.stop()
+  }
+
+  test("randomized crash-restart property: trendingTypes closed windows " +
+      "emit exactly once under restarts") {
+    import spark.implicits._
+    val mk = () => java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val (outDir, ckpt) = (mk(), mk())
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_trend_src")
+    // six hour-batches of synthetic events; the 1-hour watermark closes
+    // hour h when hour h+1 arrives, so every batch both emits and opens
+    val types = Seq("view", "click", "purchase", "refund")
+    val rng0 = new scala.util.Random(7)
+    val hours = (0 until 6).map { h =>
+      (0 until 200).map { i =>
+        val t = types(rng0.nextInt(types.length))
+        (new java.sql.Timestamp(h * 3600000L + i * 1000L), t)
+      }
+    }
+    def stage(k: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_trend_stage").toString
+      hours(k).toDF("ts", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(f"h$k%02d.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    def start() = Streams.trendingTypes(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+      k = 2, outDir, ckpt)
+    val rng = new scala.util.Random(20260815)
+    var q = start()
+    try {
+      for (k <- hours.indices) {
+        stage(k)
+        rng.nextInt(3) match {
+          case 0 => q.processAllAvailable()
+          case 1 => q.processAllAvailable(); q.stop(); q = start()
+          case _ => q.stop(); q = start(); q.processAllAvailable()
+        }
+      }
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("window_start", "event_type", "n", "rnk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      // exactly-once: each closed (window, type) pair appears once
+      val pairs = got.map(t => (t._1, t._2)).toSeq
+      assert(pairs.length === pairs.distinct.length,
+        "a closed window emitted twice across restarts")
+      // correctness: top-2 per closed window matches a batch replay
+      val flat = hours.flatten
+      val byWin = flat.groupBy(_._1.getTime / 3600000L * 3600)
+      val closed = got.map(_._1).distinct.sorted
+      for (ws <- closed) {
+        val want = byWin(ws).groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (t, n) => (-n, t) }.take(2)
+        val have = got.filter(_._1 == ws).sortBy(_._4)
+          .map(t => (t._2, t._3)).toSeq
+        assert(have === want, s"window $ws top-2 drifted")
+      }
+      assert(closed.nonEmpty, "no window ever closed — the property ran empty")
+    } finally q.stop()
+  }
 }
