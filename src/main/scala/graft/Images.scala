@@ -80,7 +80,9 @@ object Images {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
-    def extOk(name: String): Boolean = {
+    // ONE splitext-parity predicate for driver and executors (a val
+    // lambda, so the executor closure captures only the Set)
+    val extOk: String => Boolean = { name =>
       val i = name.lastIndexOf('.')
       i > 0 && exts.contains(name.substring(i).toLowerCase(java.util.Locale.ROOT))
     }
@@ -91,9 +93,11 @@ object Images {
       .filter(st => st.isFile && extOk(st.getPath.getName))
       .map(_.getPath.toUri.toString).toSeq
     val sc = spark.sparkContext
-    val listed: org.apache.spark.rdd.RDD[String] =
-      if (!recursive) sc.parallelize(rootFiles,
-        math.max(1, math.min(rootFiles.length, sc.defaultParallelism * 2)))
+    val (listed: org.apache.spark.rdd.RDD[String], knownCount: Option[Int]) =
+      if (!recursive)
+        (sc.parallelize(rootFiles,
+          math.max(1, math.min(rootFiles.length, sc.defaultParallelism * 2))),
+          Some(rootFiles.length))
       else {
         // os.walk parity holds: listStatus and the per-task recursive
         // listFiles below have NO hidden-name filter, so `_thumbs/`,
@@ -104,9 +108,8 @@ object Images {
         val rootRdd = sc.parallelize(rootFiles,
           math.max(1, math.min(math.max(rootFiles.length, 1),
             sc.defaultParallelism)))
-        if (subDirs.isEmpty) rootRdd
+        if (subDirs.isEmpty) (rootRdd, Some(rootFiles.length))
         else {
-          val extsB = exts // capture the plain Set, not the method
           val walked = sc
             .parallelize(subDirs,
               math.max(1, math.min(subDirs.length, sc.defaultParallelism)))
@@ -117,22 +120,29 @@ object Images {
               val it = f.listFiles(p, true)
               while (it.hasNext) {
                 val st = it.next()
-                val name = st.getPath.getName
-                val i = name.lastIndexOf('.')
-                if (i > 0 && extsB.contains(
-                    name.substring(i).toLowerCase(java.util.Locale.ROOT)))
-                  out += st.getPath.toUri.toString
+                if (extOk(st.getPath.getName)) out += st.getPath.toUri.toString
               }
               out
             }
-          rootRdd.union(walked)
+          (rootRdd.union(walked), None)
         }
       }
-    // global sort keeps the partition layout deterministic across runs
-    // (the sample pass touches only path strings, never image bytes)
-    val readParallelism = math.max(1, sc.defaultParallelism * 2)
+    // deterministic partition layout WITHOUT a global sort: a
+    // HashPartitioner on the path string assigns each file the same
+    // partition on every run with no RangePartitioner sampling job —
+    // a sortBy here would execute the whole distributed walk TWICE per
+    // action (the sampling collect plus the real shuffle map stage),
+    // doubling listing I/O at exactly the 10⁸-file scale this path
+    // targets. The walk stays fully lazy: no cluster job runs until the
+    // caller's first action.
+    val readParallelism = knownCount match {
+      case Some(n) => math.max(1, math.min(n, sc.defaultParallelism * 2))
+      case None    => math.max(1, sc.defaultParallelism * 2)
+    }
     spark.createDataset(
-      listed.sortBy(identity, ascending = true, numPartitions = readParallelism)
+      listed.map(u => (u, null: Null))
+        .partitionBy(new org.apache.spark.HashPartitioner(readParallelism))
+        .keys
         .mapPartitions { it =>
           // one FS client per (scheme, authority) per task; bytes read
           // executor-side — the driver never touches image content

@@ -63,12 +63,21 @@ object WebPContainer {
     Option(found)
   }
 
-  /** The container's first decodable frame. For a still this is its
-    * VP8/VP8L (+ALPH) chunk set; for an animation, the first ANMF frame —
-    * required to cover the full canvas at (0,0), which is what every
-    * encoder emits for frame 0 (later frames may be partial deltas this
-    * still decoder has no canvas state for). */
-  def firstFrame(b: Array[Byte]): Option[Frame] = {
+  /** Everything ONE top-level walk can tell us: the still's chunk set
+    * (if any), the VP8X canvas dims, and the (start, len) span of every
+    * ANMF chunk — gathered once and shared by [[firstFrame]], [[frames]]
+    * and [[compositedFrames]], so the three entry points ride the same
+    * hardened dispatch and cannot drift. */
+  private final case class Top(vp8: Array[Byte], vp8l: Array[Byte],
+                               alph: Array[Byte], canvasW: Int, canvasH: Int,
+                               anmf: Vector[(Int, Int)]) {
+    def still: Option[Frame] =
+      if (vp8 != null || vp8l != null)
+        Some(Frame(Option(vp8), Option(vp8l), Option(alph)))
+      else None
+  }
+
+  private def gatherTop(b: Array[Byte]): Option[Top] = {
     if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
       return None
     var vp8: Array[Byte] = null
@@ -76,57 +85,12 @@ object WebPContainer {
     var alph: Array[Byte] = null
     var canvasW = -1
     var canvasH = -1
-    var animFrame: Frame = null
+    val anmf = Vector.newBuilder[(Int, Int)]
     walk(b, 12, b.length, (cc, start, len) => cc match {
       case "VP8 " if vp8 == null && vp8l == null =>
-        vp8 = slice(b, start, len); false
+        vp8 = slice(b, start, len); true
       case "VP8L" if vp8 == null && vp8l == null =>
-        vp8l = slice(b, start, len); false
-      case "ALPH" if alph == null =>
-        alph = slice(b, start, len); true
-      case "VP8X" if len >= 10 =>
-        canvasW = le24(b, start + 4) + 1
-        canvasH = le24(b, start + 7) + 1
-        true
-      case "ANMF" if animFrame == null =>
-        // only the FIRST frame is eligible: a later frame may be a
-        // partial delta over canvas state this still decoder doesn't keep
-        animFrame = anmfFrame(b, start, len, canvasW, canvasH).orNull
-        false
-      case _ => true // ICCP / EXIF / XMP / ANIM / unknown: skip
-    })
-    if (vp8 != null || vp8l != null) Some(Frame(Option(vp8), Option(vp8l), Option(alph)))
-    else Option(animFrame)
-  }
-
-  /** EVERY decodable frame, in stream order: a still yields its single
-    * VP8/VP8L(+ALPH) chunk set; an animation yields each STANDALONE
-    * ANMF frame. Standalone means (a) full-canvas at the origin (a
-    * partial frame is a delta over canvas state a stateless per-frame
-    * decoder doesn't keep), and (b) for frames after the first, either
-    * the do-not-blend flag is set or the frame carries no alpha — an
-    * alpha-BLENDING frame composites over the prior canvas (container
-    * spec, ANMF "Blending method"), so decoding it alone would produce
-    * silently wrong pixels, not just different ones. Skipped frames are
-    * dropped, never decoded wrong — callers sampling frames for
-    * per-frame work (the mm_frame_sample fan-out) get exactly the
-    * frames whose standalone decode equals the reference's composited
-    * view of them. Same hardened walk as [[firstFrame]]. */
-  def frames(b: Array[Byte]): Seq[Frame] = {
-    if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
-      return Seq.empty
-    var vp8: Array[Byte] = null
-    var vp8l: Array[Byte] = null
-    var alph: Array[Byte] = null
-    var canvasW = -1
-    var canvasH = -1
-    var anmfIdx = 0
-    val anim = scala.collection.mutable.ArrayBuffer.empty[Frame]
-    walk(b, 12, b.length, (cc, start, len) => cc match {
-      case "VP8 " if vp8 == null && vp8l == null =>
-        vp8 = slice(b, start, len); false
-      case "VP8L" if vp8 == null && vp8l == null =>
-        vp8l = slice(b, start, len); false
+        vp8l = slice(b, start, len); true
       case "ALPH" if alph == null =>
         alph = slice(b, start, len); true
       case "VP8X" if len >= 10 =>
@@ -134,15 +98,41 @@ object WebPContainer {
         canvasH = le24(b, start + 7) + 1
         true
       case "ANMF" =>
-        anmfFrame(b, start, len, canvasW, canvasH, anmfIdx).foreach(anim += _)
-        anmfIdx += 1
-        true
-      case _ => true
+        anmf += ((start, len)); true
+      case _ => true // ICCP / EXIF / XMP / ANIM / unknown: skip
     })
-    if (vp8 != null || vp8l != null)
-      Seq(Frame(Option(vp8), Option(vp8l), Option(alph)))
-    else anim.toSeq
+    Some(Top(vp8, vp8l, alph, canvasW, canvasH, anmf.result()))
   }
+
+  /** The container's first decodable frame. For a still this is its
+    * VP8/VP8L (+ALPH) chunk set; for an animation, the first ANMF frame —
+    * required to cover the full canvas at (0,0), which is what every
+    * encoder emits for frame 0 (later frames may be partial deltas this
+    * still decoder has no canvas state for). */
+  def firstFrame(b: Array[Byte]): Option[Frame] =
+    gatherTop(b).flatMap { t =>
+      t.still.orElse(t.anmf.headOption.flatMap { case (start, len) =>
+        anmfFrame(b, start, len, t.canvasW, t.canvasH, 0)
+      })
+    }
+
+  /** EVERY STANDALONE-decodable frame, in stream order: a still yields
+    * its single VP8/VP8L(+ALPH) chunk set; an animation yields each ANMF
+    * frame that decodes correctly WITHOUT canvas state — (a) full-canvas
+    * at the origin, and (b) for frames after the first, either
+    * do-not-blend or alpha-free (an alpha-BLENDING frame composites over
+    * the prior canvas, so decoding it alone would produce silently wrong
+    * pixels). Skipped frames are dropped, never decoded wrong — use
+    * [[compositedFrames]] when every frame is needed: it carries the
+    * canvas state this walk deliberately refuses to fake. */
+  def frames(b: Array[Byte]): Seq[Frame] =
+    gatherTop(b) match {
+      case None => Seq.empty
+      case Some(t) => t.still.map(Seq(_)).getOrElse(
+        t.anmf.zipWithIndex.flatMap { case ((start, len), i) =>
+          anmfFrame(b, start, len, t.canvasW, t.canvasH, i)
+        })
+    }
 
   /** One ANMF frame with its placement/compositing metadata (container
     * spec ANMF header): rect at (x, y) sized w×h on the canvas; `blend`
@@ -176,74 +166,76 @@ object WebPContainer {
     * [[frames]], which yields only frames whose STANDALONE decode
     * already equals the composited view and silently drops the rest,
     * every frame decodes here. */
-  def compositedFrames(b: Array[Byte]): Seq[Vp8l.Decoded] = {
-    if (b.length < 20 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP")
-      return Seq.empty
-    var vp8: Array[Byte] = null
-    var vp8l: Array[Byte] = null
-    var alph: Array[Byte] = null
-    var canvasW = -1
-    var canvasH = -1
-    val anim = scala.collection.mutable.ArrayBuffer.empty[AnimFrame]
-    walk(b, 12, b.length, (cc, start, len) => cc match {
-      case "VP8 " if vp8 == null && vp8l == null =>
-        vp8 = slice(b, start, len); false
-      case "VP8L" if vp8 == null && vp8l == null =>
-        vp8l = slice(b, start, len); false
-      case "ALPH" if alph == null =>
-        alph = slice(b, start, len); true
-      case "VP8X" if len >= 10 =>
-        canvasW = le24(b, start + 4) + 1
-        canvasH = le24(b, start + 7) + 1
-        true
-      case "ANMF" =>
-        anim += anmfMeta(b, start, len)
-        true
-      case _ => true
-    })
-    if (vp8 != null || vp8l != null)
-      return Seq(decodeFrame(Frame(Option(vp8), Option(vp8l), Option(alph))))
-    if (anim.isEmpty) return Seq.empty
-    require(canvasW > 0 && canvasH > 0, "animation without a VP8X canvas")
-    // same PIL-parity decompression-bomb bound as the frame decoders:
-    // a hostile VP8X header must not buy the canvas allocation
-    require(canvasW.toLong * canvasH <= 178956970L,
-      s"decompression bomb: ${canvasW}x$canvasH exceeds the 178.9 Mpx limit")
-    val canvas = new Array[Int](canvasW * canvasH) // transparent black
-    var disposeRect: AnimFrame = null
-    anim.iterator.map { af =>
-      if (disposeRect != null) {
-        var row = 0
-        while (row < disposeRect.h) {
-          java.util.Arrays.fill(canvas,
-            (disposeRect.y + row) * canvasW + disposeRect.x,
-            (disposeRect.y + row) * canvasW + disposeRect.x + disposeRect.w, 0)
-          row += 1
+  def compositedFrames(b: Array[Byte],
+                       sampleEvery: Int = 1): Seq[Vp8l.Decoded] = {
+    require(sampleEvery > 0, s"sampleEvery must be positive, got $sampleEvery")
+    gatherTop(b) match {
+      case None => Seq.empty
+      case Some(t) =>
+        t.still match {
+          case Some(f) => Seq(decodeFrame(f))
+          case None =>
+            if (t.anmf.isEmpty) return Seq.empty
+            val (canvasW, canvasH) = (t.canvasW, t.canvasH)
+            require(canvasW > 0 && canvasH > 0, "animation without a VP8X canvas")
+            // same PIL-parity decompression-bomb bound as the frame
+            // decoders: a hostile VP8X header must not buy the canvas
+            require(canvasW.toLong * canvasH <= 178956970L,
+              s"decompression bomb: ${canvasW}x$canvasH exceeds the 178.9 Mpx limit")
+            val canvasPx = canvasW * canvasH
+            val canvas = new Array[Int](canvasPx) // transparent black
+            var disposeRect: AnimFrame = null
+            var emittedPx = 0L
+            val out = Vector.newBuilder[Vp8l.Decoded]
+            var idx = 0
+            for ((spanStart, spanLen) <- t.anmf) {
+              val af = anmfMeta(b, spanStart, spanLen)
+              if (disposeRect != null) {
+                var row = 0
+                while (row < disposeRect.h) {
+                  java.util.Arrays.fill(canvas,
+                    (disposeRect.y + row) * canvasW + disposeRect.x,
+                    (disposeRect.y + row) * canvasW + disposeRect.x + disposeRect.w, 0)
+                  row += 1
+                }
+              }
+              val d = decodeFrame(af.frame)
+              require(d.width == af.w && d.height == af.h,
+                s"ANMF declares ${af.w}x${af.h} but payload decodes ${d.width}x${d.height}")
+              require(af.x >= 0 && af.y >= 0 &&
+                af.x.toLong + af.w <= canvasW && af.y.toLong + af.h <= canvasH,
+                s"ANMF rect ${af.w}x${af.h}@(${af.x},${af.y}) escapes the " +
+                  s"${canvasW}x$canvasH canvas")
+              var row = 0
+              while (row < af.h) {
+                var cOff = (af.y + row) * canvasW + af.x
+                var fOff = row * af.w
+                val rowEnd = cOff + af.w
+                while (cOff < rowEnd) {
+                  val sp = d.argb(fOff)
+                  canvas(cOff) = if (af.blend) blendPixel(sp, canvas(cOff)) else sp
+                  cOff += 1
+                  fOff += 1
+                }
+                row += 1
+              }
+              disposeRect = if (af.disposeBg) af else null
+              if (idx % sampleEvery == 0) {
+                // only SAMPLED frames are snapshotted, and total emitted
+                // output is bounded like one still decode: a small
+                // crafted file declaring many frames on a huge canvas
+                // gets the error channel, never an OutOfMemoryError the
+                // per-row Exception handler cannot catch
+                emittedPx += canvasPx
+                require(emittedPx <= 178956970L,
+                  s"decompression bomb: composited output passes 178.9 Mpx at frame $idx")
+                out += Vp8l.Decoded(canvasW, canvasH, canvas.clone())
+              }
+              idx += 1
+            }
+            out.result()
         }
-      }
-      val d = decodeFrame(af.frame)
-      require(d.width == af.w && d.height == af.h,
-        s"ANMF declares ${af.w}x${af.h} but payload decodes ${d.width}x${d.height}")
-      require(af.x >= 0 && af.y >= 0 &&
-        af.x.toLong + af.w <= canvasW && af.y.toLong + af.h <= canvasH,
-        s"ANMF rect ${af.w}x${af.h}@(${af.x},${af.y}) escapes the " +
-          s"${canvasW}x$canvasH canvas")
-      var row = 0
-      while (row < af.h) {
-        var cOff = (af.y + row) * canvasW + af.x
-        var fOff = row * af.w
-        val end = cOff + af.w
-        while (cOff < end) {
-          val s = d.argb(fOff)
-          canvas(cOff) = if (af.blend) blendPixel(s, canvas(cOff)) else s
-          cOff += 1
-          fOff += 1
-        }
-        row += 1
-      }
-      disposeRect = if (af.disposeBg) af else null
-      Vp8l.Decoded(canvasW, canvasH, canvas.clone())
-    }.toVector
+    }
   }
 
   /** libwebp anim_decode.c BlendPixelNonPremult: straight-alpha OVER in
@@ -317,35 +309,17 @@ object WebPContainer {
     f.alph.isDefined ||
       f.vp8l.exists(l => l.length > 4 && ((l(4) >> 4) & 1) == 1)
 
-  /** Parse one ANMF payload: 16-byte frame header (x/2, y/2, w-1, h-1,
-    * duration — 24-bit LE each — then a flags byte: bit0 disposal, bit1
-    * blending method where 1 = do NOT blend), then the frame's own
-    * ALPH?/VP8|VP8L chunk sequence. None unless the frame decodes
-    * STANDALONE: full-canvas at the origin, and (for frames after the
-    * first) either do-not-blend or alpha-free — an alpha-blending later
-    * frame composites over prior canvas state. */
+  /** One ANMF payload as a STANDALONE-decodable frame (the [[frames]]/
+    * [[firstFrame]] acceptance rule): full-canvas at the origin, and for
+    * frames after the first, do-not-blend or alpha-free. Malformed
+    * payloads yield None — those walks skip bad frames, they do not
+    * composite over them. */
   private def anmfFrame(b: Array[Byte], start: Int, len: Int,
                         canvasW: Int, canvasH: Int,
-                        frameIndex: Int = 0): Option[Frame] = {
-    if (len < 16) return None
-    val x = le24(b, start) * 2
-    val y = le24(b, start + 3) * 2
-    val w = le24(b, start + 6) + 1
-    val h = le24(b, start + 9) + 1
-    if (x != 0 || y != 0 || w != canvasW || h != canvasH) return None
-    val noBlend = (b(start + 15) & 2) != 0
-    var vp8: Array[Byte] = null
-    var vp8l: Array[Byte] = null
-    var alph: Array[Byte] = null
-    walk(b, start + 16, start + len, (cc, s, l) => cc match {
-      case "VP8 " if vp8 == null && vp8l == null => vp8 = slice(b, s, l); false
-      case "VP8L" if vp8 == null && vp8l == null => vp8l = slice(b, s, l); false
-      case "ALPH" if alph == null                => alph = slice(b, s, l); true
-      case _                                     => true
-    })
-    if (vp8 == null && vp8l == null) return None
-    val frame = Frame(Option(vp8), Option(vp8l), Option(alph))
-    if (frameIndex > 0 && !noBlend && frameHasAlpha(frame)) None
-    else Some(frame)
-  }
+                        frameIndex: Int = 0): Option[Frame] =
+    scala.util.Try(anmfMeta(b, start, len)).toOption.flatMap { m =>
+      if (m.x != 0 || m.y != 0 || m.w != canvasW || m.h != canvasH) None
+      else if (frameIndex > 0 && m.blend && frameHasAlpha(m.frame)) None
+      else Some(m.frame)
+    }
 }

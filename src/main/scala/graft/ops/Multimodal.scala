@@ -122,11 +122,15 @@ object Multimodal {
     * cannot drift between them. */
   private def sampledAnimFrames(bytes: Array[Byte],
                                 every: Int): IndexedSeq[(Int, Double, Int)] = {
-    val frames = graft.images.WebPContainer.compositedFrames(bytes)
+    // sampleEvery pushes the sampling INTO the compositor: every frame
+    // still decodes (canvas state is stateful) but only every k-th is
+    // snapshotted, so memory is one canvas + the sampled frames
+    val frames = graft.images.WebPContainer.compositedFrames(bytes, every)
     if (frames.isEmpty)
       throw new IllegalArgumentException("no decodable frames")
-    (0 until frames.length by every).map { f =>
-      val d = frames(f)
+    frames.indices.map { j =>
+      val f = j * every
+      val d = frames(j)
       var s = 0.0
       var i = 0
       while (i < d.argb.length) {

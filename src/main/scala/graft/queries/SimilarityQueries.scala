@@ -354,7 +354,11 @@ object SimilarityQueries extends QueryRegistry {
       val q = v.filter(isQuery)
         .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
           SimilarityOps.norm(col("embedding")).as("qnorm"))
-      val train = v.filter(!isQuery)
+      // the NOT(AND) complement pushes nothing on its own; the
+      // semantically-implied IsNotNull (a null vec_id never survives
+      // either branch) gives the parquet scan a pushable predicate
+      // (PlanSweepSpec rule 4, the r9 pattern)
+      val train = v.filter(col("vec_id").isNotNull && !isQuery)
         .select(col("vec_id"), col("embedding"), col("label"),
           SimilarityOps.norm(col("embedding")).as("tnorm"))
       val scored = broadcast(q).crossJoin(train)

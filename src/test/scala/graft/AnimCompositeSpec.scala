@@ -74,6 +74,22 @@ class AnimCompositeSpec extends AnyFunSuite {
       "blending against the canvas must differ from standalone decode")
   }
 
+  test("in-compositor sampling: sampleEvery=k returns exactly the k-th " +
+      "snapshots of the full walk (state still advances through skipped " +
+      "frames)") {
+    val full = WebPContainer.compositedFrames(clip2)
+    val sampled = WebPContainer.compositedFrames(clip2, sampleEvery = 4)
+    assert(sampled.length === 2)
+    for ((j, f) <- Seq(0 -> 0, 1 -> 4)) {
+      assert(sampled(j).width === full(f).width)
+      assert(java.util.Arrays.equals(sampled(j).argb, full(f).argb),
+        s"sampled($j) must equal full($f) — dispose/blend state drifted")
+    }
+    intercept[IllegalArgumentException] {
+      WebPContainer.compositedFrames(clip2, sampleEvery = 0)
+    }
+  }
+
   test("stills pass through compositedFrames as their single decode") {
     val still = resource("agrad_64x48_q75.webp")
     val comp = WebPContainer.compositedFrames(still)

@@ -776,7 +776,14 @@ class StreamsSpec extends SparkSpec {
         .write.mode("overwrite").parquet(tmp)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
         .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(part, srcDir.resolve(f"b$k%02d.parquet"))
+      // ATOMIC placement: the query may be live-polling srcDir, and the
+      // file source can list a half-copied file mid-copy. Stage under a
+      // dot-prefixed name (the source ignores hidden files) and move
+      // into place atomically — the contract file sources require.
+      val tmpName = srcDir.resolve(f".b$k%02d.parquet.tmp")
+      java.nio.file.Files.copy(part, tmpName)
+      java.nio.file.Files.move(tmpName, srcDir.resolve(f"b$k%02d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     def start() = Streams.dedupIngest(
       spark.readStream.schema(schema)
@@ -847,7 +854,11 @@ class StreamsSpec extends SparkSpec {
         .write.mode("overwrite").parquet(tmp)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
         .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.copy(part, srcDir.resolve(f"h$k%02d.parquet"))
+      // atomic placement, same reason as the dedupIngest property above
+      val tmpName = srcDir.resolve(f".h$k%02d.parquet.tmp")
+      java.nio.file.Files.copy(part, tmpName)
+      java.nio.file.Files.move(tmpName, srcDir.resolve(f"h$k%02d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts",
