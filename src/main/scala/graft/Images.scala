@@ -172,6 +172,121 @@ object Images {
       .toDF("path", "content", "read_error")
   }
 
+  /** PNG (colorType, has tRNS chunk) when `bytes` is a PNG — the two
+    * facts [[pilEnsureRgb]] needs that the decoded BufferedImage cannot
+    * tell apart (a gray+alpha raster may be color type 4 OR type 0 +
+    * tRNS, and PIL treats them OPPOSITELY). Bounded chunk walk, stops
+    * at IDAT/IEND. */
+  private def pngColorTypeAndTrns(bytes: Array[Byte]): Option[(Int, Boolean)] = {
+    if (bytes.length < 33) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    var i = 0
+    while (i < 8) { if (bytes(i) != sig(i)) return None; i += 1 }
+    val colorType = bytes(8 + 8 + 9) & 0xff // IHDR is first; data offset 8
+    var off = 8L
+    var trns = false
+    var go = true
+    while (go && off + 8 <= bytes.length) {
+      val o = off.toInt
+      val len = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      val typ = new String(bytes, o + 4, 4, "US-ASCII")
+      if (typ == "tRNS") { trns = true; go = false }
+      else if (typ == "IDAT" || typ == "IEND") go = false
+      else off += 12 + len
+    }
+    Some((colorType, trns))
+  }
+
+  /** Pillow's MULDIV255 rounding: round(a·b/255) in integer arithmetic
+    * (libImaging/ImagingUtils.h — the arithmetic under Image.paste). */
+  @inline private def mulDiv255(a: Int, b: Int): Int = {
+    val t = a * b + 128
+    ((t >> 8) + t) >> 8
+  }
+
+  /** R5, full PIL parity (appV2.py:20-27). `pil_ensure_rgb` branches on
+    * the PIL MODE, which for PNGs maps from the color type in ways the
+    * decoded raster alone cannot reproduce:
+    *
+    *   - type 4 (gray+alpha, mode "LA"): NOT in ["RGB","RGBA"] and
+    *     carries no "transparency" key → `convert("RGB")` — the alpha
+    *     channel is DROPPED and raw L replicates to RGB. (Java2D's own
+    *     gray+alpha → RGB conversion also gamma-shifts L — 100 → 168 —
+    *     so this path reads the raster band directly.)
+    *   - type 0 + tRNS (mode "L" + transparency): `convert("RGBA")`
+    *     then white-composite — raw L, Pillow paste arithmetic.
+    *   - type 2 + tRNS (mode "RGB" + transparency key): mode IS in the
+    *     list, so the transparency is IGNORED — raw RGB survives.
+    *   - everything else (RGBA, palette±tRNS, plain gray/RGB, and every
+    *     non-PNG format): alpha — where present — composites over
+    *     white, the [[ensureRgbOnWhite]] path. */
+  private[graft] def pilEnsureRgb(bytes: Array[Byte], img: BufferedImage): BufferedImage =
+    pngColorTypeAndTrns(bytes) match {
+      case Some((4, _))    => grayDropAlpha(img)
+      case Some((0, true)) => grayCompositeWhite(img)
+      case Some((2, true)) => stripAlpha(img)
+      case _               => ensureRgbOnWhite(img)
+    }
+
+  /** Mode "LA" → convert("RGB"): raw L replicated, alpha ignored. */
+  private def grayDropAlpha(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val r = img.getRaster
+    val shift = math.max(0, r.getSampleModel.getSampleSize(0) - 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = r.getSample(x, y, 0) >> shift
+        out.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Mode "L"+tRNS → convert("RGBA") then paste on white: raw L with
+    * Pillow's paste rounding, fg·a/255 + 255·(255−a)/255. */
+  private def grayCompositeWhite(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val r = img.getRaster
+    val nb = r.getNumBands
+    val shift = math.max(0, r.getSampleModel.getSampleSize(0) - 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = r.getSample(x, y, 0) >> shift
+        val a = if (nb > 1) r.getSample(x, y, nb - 1) >> shift else 255
+        val v = mulDiv255(g, a) + (255 - a) // white term is exact
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Mode "RGB"+tRNS: the transparency key is ignored — keep raw RGB. */
+  private def stripAlpha(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** R5 (appV2.py:20-27): force RGB, compositing any alpha over white. */
   private[graft] def ensureRgbOnWhite(img: BufferedImage): BufferedImage = {
     val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
@@ -239,7 +354,7 @@ object Images {
   def preprocess(bytes: Array[Byte], targetSize: Int = 448): Array[Float] = {
     val decoded = readGuarded(bytes)
     if (decoded == null) throw new IllegalArgumentException("undecodable image bytes")
-    val squared = padSquare(ensureRgbOnWhite(decoded))
+    val squared = padSquare(pilEnsureRgb(bytes, decoded))
     // PIL-parity resize (appV2.py:41 image.resize(target, BICUBIC)):
     // graft.images.PilResample — antialiased scaled-support bicubic,
     // PIL's own fixed-point arithmetic. Java2D's BICUBIC hint samples a

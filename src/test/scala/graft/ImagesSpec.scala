@@ -129,6 +129,80 @@ class ImagesSpec extends SparkSpec {
     assert(e.getMessage.contains("decompression bomb"))
   }
 
+  // ---- R5 PIL-mode parity branches (appV2.py:20-27): crafted PNGs for
+  // the three cases where `pil_ensure_rgb` does NOT composite-over-white
+  // (the decoded raster alone cannot distinguish them — Images.scala
+  // sniffs the PNG color type / tRNS chunk).
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      .putInt(crc.getValue.toInt).array()
+  }
+
+  private def craftPng(colorType: Int, width: Int, raw: Array[Byte],
+                       trns: Option[Array[Byte]]): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(1).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", ihdr) ++
+      trns.map(pngChunk("tRNS", _)).getOrElse(Array.empty[Byte]) ++
+      pngChunk("IDAT", java.util.Arrays.copyOf(buf, n)) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  private def rgbAt(img: java.awt.image.BufferedImage, x: Int) =
+    (img.getRGB(x, 0) >> 16 & 0xff, img.getRGB(x, 0) >> 8 & 0xff,
+      img.getRGB(x, 0) & 0xff)
+
+  test("R5 parity: gray+alpha PNG (mode LA) drops alpha to raw L — " +
+      "never composited, never gamma-shifted") {
+    // PIL: mode LA is not in [RGB, RGBA] and has no transparency key →
+    // convert(\"RGB\") discards alpha and replicates raw L. Java2D's own
+    // conversion would BOTH composite and gamma-shift (100 → 168).
+    val png = craftPng(4, 2, Array[Byte](0, 100, 0, -56, -1), None)
+    // px0: L=100 a=0; px1: L=200 a=255
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = Images.pilEnsureRgb(png, img)
+    assert(rgbAt(out, 0) === ((100, 100, 100)), "alpha must be DROPPED, raw L kept")
+    assert(rgbAt(out, 1) === ((200, 200, 200)))
+  }
+
+  test("R5 parity: gray+tRNS PNG (mode L + transparency) composites " +
+      "over white with raw L") {
+    // tRNS declares gray value 100 fully transparent → PIL converts to
+    // RGBA and pastes on white: that pixel becomes 255; others raw L
+    val trns = java.nio.ByteBuffer.allocate(2).putShort(100.toShort).array()
+    val png = craftPng(0, 2, Array[Byte](0, 100, -56), Some(trns))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = Images.pilEnsureRgb(png, img)
+    assert(rgbAt(out, 0) === ((255, 255, 255)), "tRNS-matched gray → white")
+    assert(rgbAt(out, 1) === ((200, 200, 200)), "opaque gray stays raw L")
+  }
+
+  test("R5 parity: truecolor+tRNS PNG (mode RGB) IGNORES the " +
+      "transparency key — raw RGB survives") {
+    // PIL: mode RGB is in the list, so the first branch skips and the
+    // RGBA paste branch never runs — the tRNS-matched pixel keeps its
+    // raw channel values (ImageIO, by contrast, surfaces it as alpha=0,
+    // which a naive composite would turn white)
+    val trns = java.nio.ByteBuffer.allocate(6)
+      .putShort(10.toShort).putShort(20.toShort).putShort(30.toShort).array()
+    val png = craftPng(2, 2, Array[Byte](0, 10, 20, 30, 100, 110, 120), Some(trns))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getColorModel.hasAlpha, "precondition: ImageIO surfaces tRNS as alpha")
+    val out = Images.pilEnsureRgb(png, img)
+    assert(rgbAt(out, 0) === ((10, 20, 30)), "transparency must be ignored")
+    assert(rgbAt(out, 1) === ((100, 110, 120)))
+  }
+
   test("R5-R7 preprocess: shape, range, BGR order, white-pad corners") {
     val bytes = Files.readAllBytes(Paths.get(dir, "portrait.png"))
     val t = Images.preprocess(bytes, targetSize = 64)
