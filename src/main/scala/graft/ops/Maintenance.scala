@@ -72,11 +72,17 @@ object Maintenance {
     require(!fs.exists(new org.apache.hadoop.fs.Path(retired)),
       s"$retired already exists — a previous compaction's rollback copy; " +
         "inspect and remove it before compacting again")
-    // row count rides the write action via observe() — no second scan
+    // row count rides the write action via observe() — no second scan.
+    // The metrics node must sit ABOVE the range exchange: when nOut > 1
+    // the RangePartitioner runs its own sampling job over the exchange's
+    // CHILD plan, and an observe placed below would be executed by that
+    // pass too, reporting ~2x the true count (regression-pinned in
+    // MaintenanceSpec; the nOut == 1 path plans no sampler, which is
+    // why small-directory tests never saw it)
     val obs = org.apache.spark.sql.Observation(s"compact_${p.getName}")
-    df.observe(obs, count(lit(1)).as("rows"))
-      .repartitionByRange(nOut, col(sortCol))
+    df.repartitionByRange(nOut, col(sortCol))
       .sortWithinPartitions(sortCol)
+      .observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").parquet(staging)
     val rows = obs.get("rows").asInstanceOf[Long]
     require(fs.rename(p, new org.apache.hadoop.fs.Path(retired)),

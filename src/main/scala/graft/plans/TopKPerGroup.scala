@@ -19,11 +19,16 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * SORTS every group partition (WindowExec) and shuffles EVERY input
   * row, even though only k survive. This operator keeps a bounded heap
   * of k rows per group on each mapper (partial phase), so the exchange
-  * carries at most k·|groups| rows per input partition, then reduces the
-  * per-group heaps after the shuffle (final phase) — the same
-  * partial/final shape as Spark aggregation, O(n log k) with no full
-  * sort. At 100 TB, top-k-per-key is the difference between shuffling
-  * the corpus and shuffling k rows per key.
+  * carries at most k·|groups| rows per input partition; the final phase
+  * then sorts the (already k-per-group-reduced) shuffle output by
+  * (group, order) — Spark's own spillable SortExec, inserted via
+  * requiredChildOrdering — and streams out the first k rows of each
+  * group with O(1) state. The same partial/final shape as Spark
+  * aggregation: map side O(n log k) with no full sort of the corpus,
+  * reduce side a sort of k·|groups| rows that spills instead of
+  * OOMing at any group cardinality. At 100 TB, top-k-per-key is the
+  * difference between shuffling the corpus and shuffling k rows per
+  * key.
   *
   * Determinism contract: `order` must be a TOTAL order (callers append
   * an id tie-break), in which case the output row set is exactly the
@@ -55,10 +60,24 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(group))
+  // FINAL phase is sort-based: requiring (group, order) makes
+  // EnsureRequirements insert a memory-managed, SPILLABLE SortExec above
+  // the exchange, and the reduce becomes a streaming first-k-per-group
+  // pass with O(1) state — a hash-of-heaps final (the partial phase's
+  // shape) would hold EVERY group of the partition in an untracked JVM
+  // map with no spill path: at 10^10 distinct keys over a few hundred
+  // partitions that is an executor OOM Spark's memory manager cannot
+  // even see, in exactly the high-cardinality case this operator
+  // exists for. The sort input is already reduced (≤ k rows per group
+  // per mapper), never the corpus.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(group.map(g => SortOrder(g, Ascending)) ++ order)
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
   override protected def doExecute(): RDD[InternalRow] = {
+    if (!partial) return doExecuteFinal()
     val kLocal = k
     val groupExprs = group
     val sortExprs = order
@@ -128,6 +147,38 @@ final case class TopKPerGroupExec(k: Int, group: Seq[Expression],
         }
         override def hasNext: Boolean = { advance(); flushed.hasNext }
         override def next(): InternalRow = { advance(); flushed.next() }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  /** The final reduce over (group, order)-sorted input: rows of one
+    * group arrive contiguously, best first, so top-k is "emit the first
+    * k rows of each group" — one UnsafeRow of state, no per-group map,
+    * nothing for the memory manager to miss (the sort below holds the
+    * spillable memory). Output order per group (best → worst) matches
+    * the old heap drain, so consumers see identical rows in identical
+    * per-group order. */
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupExprs = group
+    val childOutput = child.output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      var curKey: UnsafeRow = null
+      var emitted = 0
+      it.flatMap { r =>
+        val row = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
+        val key = keyProj(row)
+        if (curKey == null || key != curKey) {
+          curKey = key.copy()
+          emitted = 0
+        }
+        if (emitted < kLocal) { emitted += 1; Some(row.copy()) }
+        else None
       }
     }, preservesPartitioning = true)
   }

@@ -53,41 +53,76 @@ class GraftSink extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-/** Driver-side audit log, keyed by the sink's `name` option. */
+/** Driver-side audit log, keyed by the sink's `name` option.
+  *
+  * BOUNDED by design: a streaming query with sub-second triggers
+  * commits millions of epochs per week, and a registry that retains
+  * every record grows the driver heap linearly with stream age — the
+  * unbounded-driver-state hazard this repo hunts everywhere else. Per
+  * name, the registry keeps (a) EXACT running totals (rows/commit
+  * counts — counters, immune to eviction) and (b) a sliding window of
+  * the most recent [[maxRetained]] per-commit / per-epoch records for
+  * inspection. Epoch replay stays idempotent inside the window (a
+  * re-committed epochId overwrites its record and never re-counts); a
+  * replay of an epoch ALREADY EVICTED would re-count its rows, but a
+  * replay only ever follows a just-failed commit — thousands of epochs
+  * ago is not a reachable replay distance for Structured Streaming. */
 object GraftSinkRegistry {
   final case class CommitStats(rows: Long, bytes: Long, tasks: Int)
-  // batch: EVERY commit is retained (newest first) — two appends to the
-  // same name are two audit records, symmetric with the streaming
-  // epochs map; `committed` surfaces the most recent for convenience
-  private val commits = TrieMap.empty[String, List[CommitStats]]
-  private val aborts = TrieMap.empty[String, Int]
-  // streaming: one entry per committed epoch — idempotent on epoch
-  // replay (a re-committed epochId overwrites with identical stats
-  // rather than double-counting, the sink half of exactly-once)
-  private val epochs = TrieMap.empty[String, TrieMap[Long, CommitStats]]
 
-  private[sources] def recordCommit(name: String, s: CommitStats): Unit =
-    commits.updateWith(name) { l => Some(s :: l.getOrElse(Nil)) }
+  /** Per-name record-window size; totals are exact regardless. */
+  val maxRetained = 4096
+
+  private val commits = TrieMap.empty[String, List[CommitStats]]
+  private val commitTotals = TrieMap.empty[String, (Long, Long)] // (nCommits, rows)
+  private val aborts = TrieMap.empty[String, Int]
+  private val epochs = TrieMap.empty[String, TrieMap[Long, CommitStats]]
+  private val epochRows = TrieMap.empty[String, Long]
+
+  private[sources] def recordCommit(name: String, s: CommitStats): Unit = {
+    commits.updateWith(name) { l =>
+      Some((s :: l.getOrElse(Nil)).take(maxRetained))
+    }
+    commitTotals.updateWith(name) { t =>
+      val (n, r) = t.getOrElse((0L, 0L)); Some((n + 1, r + s.rows))
+    }
+  }
   private[sources] def recordAbort(name: String): Unit =
     aborts.updateWith(name) { n => Some(n.getOrElse(0) + 1) }
-  private[sources] def recordEpoch(name: String, epochId: Long, s: CommitStats): Unit =
-    epochs.getOrElseUpdate(name, TrieMap.empty).put(epochId, s)
+  private[sources] def recordEpoch(name: String, epochId: Long, s: CommitStats): Unit = {
+    val m = epochs.getOrElseUpdate(name, TrieMap.empty)
+    val replaced = m.put(epochId, s)
+    // totals count each epoch once; an in-window replay replaces its
+    // record and contributes the delta (normally zero — same stats)
+    epochRows.updateWith(name) { r =>
+      Some(r.getOrElse(0L) + s.rows - replaced.map(_.rows).getOrElse(0L))
+    }
+    // evict oldest epochs beyond the window (records only, never totals)
+    while (m.size > maxRetained) m.keys.minOption.foreach(m.remove)
+  }
 
-  /** Most recent batch commit for `name`; full history in commitHistory. */
+  /** Most recent batch commit for `name`; recent history in commitHistory. */
   def committed(name: String): Option[CommitStats] =
     commits.get(name).flatMap(_.headOption)
-  /** All batch commits for `name`, oldest first. */
+  /** The most recent [[maxRetained]] batch commits for `name`, oldest
+    * first; [[batchRows]]/[[commitCount]] stay exact beyond the window. */
   def commitHistory(name: String): Seq[CommitStats] =
     commits.get(name).map(_.reverse).getOrElse(Nil)
-  /** Total rows across every batch commit (streamedRows' batch dual). */
-  def batchRows(name: String): Long = commitHistory(name).map(_.rows).sum
+  /** Total rows across EVERY batch commit ever (exact counter). */
+  def batchRows(name: String): Long =
+    commitTotals.get(name).map(_._2).getOrElse(0L)
+  /** Number of batch commits ever (exact counter). */
+  def commitCount(name: String): Long =
+    commitTotals.get(name).map(_._1).getOrElse(0L)
   def abortCount(name: String): Int = aborts.getOrElse(name, 0)
+  /** The most recent [[maxRetained]] committed epochs. */
   def committedEpochs(name: String): Map[Long, CommitStats] =
     epochs.get(name).map(_.toMap).getOrElse(Map.empty)
-  def streamedRows(name: String): Long =
-    committedEpochs(name).values.map(_.rows).sum
+  /** Total rows across EVERY committed epoch ever (exact counter). */
+  def streamedRows(name: String): Long = epochRows.getOrElse(name, 0L)
   def clear(name: String): Unit = {
-    commits.remove(name); aborts.remove(name); epochs.remove(name)
+    commits.remove(name); commitTotals.remove(name)
+    aborts.remove(name); epochs.remove(name); epochRows.remove(name)
   }
 }
 

@@ -110,21 +110,32 @@ object Streams {
     * (an order-insensitive fold), emitting the user's current snapshot
     * in update mode; once all input is consumed the last snapshot per
     * user EQUALS the batch funnel (StreamsSpec proves it). State is
-    * O(candidate events inside one attribution window) per user, not
-    * O(stream). */
+    * O(candidate events inside one attribution window) per user once a
+    * view exists; for a user with NO view the lists are pruned against
+    * the stream's watermark (candidates at or below it can never
+    * attribute to a still-unseen view), so with a watermarked input —
+    * the deploy shape — state is bounded for every user. Without a
+    * watermark the no-view lists are necessarily unbounded (any view
+    * may still arrive arbitrarily late); that is the unbounded-lateness
+    * contract the caller chose, not a leak. */
   def funnelStages(events: DataFrame, wClick: Long, wBuy: Long): Dataset[FunnelSnap] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // ts rides along UNUSED: it is the (possibly) watermarked attribute,
+    // and Spark's stateful operator only filters late input rows when
+    // that attribute is present in its child schema — the no-view prune
+    // below is sound ONLY under that filter (a view below the watermark
+    // must be dropped, not arrive after its candidates were pruned)
     events.select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
-      .as[(Long, String, Long)]
+        unix_micros(col("ts")).as("tus"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String, Long)],
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
          state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(
             FunnelState(Long.MaxValue, Nil, Nil))
-          rows.foreach { case (_, ty, t) =>
+          rows.foreach { case (_, ty, t, _) =>
             ty match {
               case "view" =>
                 if (t < st.minView) st = st.copy(minView = t)
@@ -137,6 +148,24 @@ object Streams {
           if (v != Long.MaxValue) st = st.copy(
             clicks = st.clicks.filter(_ <= v + wClick),
             buys = st.buys.filter(_ <= v + wClick + wBuy))
+          else {
+            // NO VIEW ON FILE: the minView prune above never runs, so a
+            // user that only ever clicks/buys (a bot, or a stream whose
+            // views are sampled out) would grow these lists forever.
+            // When the caller watermarked the stream, a candidate at or
+            // below the watermark is dead state: any view still to
+            // arrive has event time ABOVE the watermark W, a click
+            // attributes only to a view v < t, so t ≤ W can never be
+            // chosen (and purchases ride clicks, same bound). Without a
+            // watermark getCurrentWatermarkMs THROWS (API contract);
+            // that case prunes nothing — the documented
+            // unbounded-lateness semantics are unchanged.
+            val wmUs = scala.util.Try(state.getCurrentWatermarkMs())
+              .getOrElse(0L) * 1000L
+            if (wmUs > 0L) st = st.copy(
+              clicks = st.clicks.filter(_ > wmUs),
+              buys = st.buys.filter(_ > wmUs))
+          }
           state.update(st)
           val tView = if (v == Long.MaxValue) None else Some(v)
           val tClick = tView.flatMap(tv =>
@@ -411,11 +440,18 @@ object Streams {
         OutputMode.Append())
   }
 
-  /** Stream-static join: enrich the event stream with a static dimension
-    * (broadcast per micro-batch — the streaming dual of the engine's
-    * vocab join). */
+  /** Stream-static join: enrich the event stream with a static
+    * dimension. NO forced broadcast hint: a user-keyed dimension is
+    * proportional to the user universe, not a bounded vocabulary — at
+    * corpus scale a `broadcast(dim)` hint would override Catalyst's
+    * size guard and collect a corpus-proportional relation to the
+    * driver every micro-batch (the exact fraction-fallacy class the r9
+    * scale sweep removed from five batch queries). Catalyst still
+    * broadcasts automatically whenever the dimension's stats fit
+    * autoBroadcastJoinThreshold, which is the right call at every
+    * scale. */
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    events.join(dim, Seq("user_id"), "left")
 
   /** Stream-STREAM inner join with an event-time interval: purchases
     * matched to the same user's clicks within the preceding hour. Both
@@ -520,10 +556,18 @@ object Streams {
         val hashed = batch.withColumn("text_md5",
           coalesce(md5(col("text")),
             concat(lit("null:"), col("doc_id").cast("string"))))
-        // within-batch keeper: deterministic min doc_id per hash
+        // within-batch keeper: deterministic min doc_id per hash. The
+        // trailing dropDuplicates matters under at-least-once UPSTREAMS:
+        // a producer retry can deliver the keeper row itself twice in
+        // one micro-batch, and both copies match the (text_md5, doc_id)
+        // keeper join — without the collapse they would BOTH land in
+        // the corpus, permanently (the ledger stores only hashes, so
+        // no later batch can evict them). Gate-blind by construction:
+        // exactly one row per hash survives here, whatever arrived.
         val keepers = hashed.join(
-          hashed.groupBy("text_md5").agg(min(col("doc_id")).as("doc_id")),
-          Seq("text_md5", "doc_id"))
+            hashed.groupBy("text_md5").agg(min(col("doc_id")).as("doc_id")),
+            Seq("text_md5", "doc_id"))
+          .dropDuplicates("text_md5")
         val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
         val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // "ledger has prior data" must mean ACTUAL batch_id= partition
@@ -564,6 +608,58 @@ object Streams {
         writeBatchPartition(fresh.select("text_md5"), ledgerDir, batchId)
       }
       .start()
+  }
+
+  /** Offline maintenance for [[dedupIngest]]'s hash ledger: fold every
+    * `batch_id=N` partition into ONE consolidated `batch_id=-1` base.
+    * A long-lived stream creates one ledger partition per micro-batch
+    * forever — sub-minute triggers mean 10⁵–10⁶ tiny partition
+    * directories per year, so every batch's anti-join pays an
+    * O(#batches) driver-side listing that grows with stream age, and
+    * `Maintenance.compactParquet` refuses partitioned roots by contract.
+    * This is the ledger-shaped compactor: distinct hashes, one
+    * partition, same atomic retire-and-swap posture as compactParquet.
+    *
+    * Run ONLY with the stream STOPPED and its last batch fully
+    * committed (the same quiesced contract as compacting the doc sink).
+    * Correctness across restart: real batchIds are non-negative, so the
+    * anti-join's `batch_id =!= currentBatch` filter always keeps the
+    * -1 base visible, and a replayed batch's dynamic overwrite touches
+    * only its own non-negative partition — the base is never rewritten
+    * by the stream. Repeated compactions fold the base into itself.
+    * Returns (partitions before, distinct hashes). */
+  def compactLedger(spark: SparkSession, ledgerDir: String): (Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no ledger at $ledgerDir")
+    val parts = fs.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    require(parts.nonEmpty, s"$ledgerDir holds no batch_id= partitions")
+    val staging = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.compacting")
+    val retired = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.pre-compact")
+    require(!fs.exists(retired),
+      s"$retired already exists — a previous compaction's rollback copy; " +
+        "inspect and remove it before compacting again")
+    if (fs.exists(staging)) fs.delete(staging, true) // dead prior attempt
+    val consolidated = spark.read.parquet(ledgerDir)
+      .select(col("text_md5")).distinct()
+      .withColumn("batch_id", lit(-1L))
+    consolidated.write.mode("overwrite")
+      .partitionBy("batch_id").parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    require(fs.rename(p, retired),
+      s"could not retire $ledgerDir — ledger untouched, staged copy at $staging")
+    if (!fs.rename(staging, p)) {
+      val rolledBack = fs.rename(retired, p)
+      throw new IllegalStateException(
+        if (rolledBack)
+          s"could not swap staging into $ledgerDir — original rolled back, staging left at $staging"
+        else
+          s"could not swap staging into $ledgerDir AND rollback failed — ledger is at $retired")
+    }
+    (parts.length, n)
   }
 
   /** Per-window top-k ("trending") via the append-mode + rank-at-sink

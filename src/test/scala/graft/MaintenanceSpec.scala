@@ -47,4 +47,24 @@ class MaintenanceSpec extends SparkSpec {
     val retired = new java.io.File(d.getParentFile, s".${d.getName}.pre-compact")
     assert(retired.exists, "pre-compact data not retained")
   }
+
+  test("report.rows is exact when compaction needs MULTIPLE output files " +
+      "(RangePartitioner sampling must not double-count the observe)") {
+    // nOut > 1 plans a range shuffle whose partitioner runs a separate
+    // sampling job; with the metrics node below the exchange that job
+    // re-executes it and rows reads ~2x. Tiny targetFileBytes forces
+    // the multi-file path the 25-file test never takes.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    (0 until 10).foreach { k =>
+      docs.filter(col("doc_id") % 10 === k).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val report = Maintenance.compactParquet(spark, dir, "doc_id",
+      targetFileBytes = 8L * 1024)
+    assert(report.filesAfter > 1, "test must exercise the multi-file path")
+    assert(report.rows === docs.count(),
+      s"rows=${report.rows} vs actual ${docs.count()} — sampling double-count")
+  }
 }

@@ -832,6 +832,72 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactLedger folds the per-batch ledger into one base partition; " +
+      "a resumed stream still dedups against folded hashes") {
+    import spark.implicits._
+    val mk = () => java.nio.file.Files.createTempDirectory("graft_lcomp").toString
+    val (ledger, outDir, ckpt) = (mk(), mk(), mk())
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lcomp_src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lcomp_stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val tmpName = srcDir.resolve(s".$name.tmp")
+      java.nio.file.Files.copy(part, tmpName)
+      java.nio.file.Files.move(tmpName, srcDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def start() = Streams.dedupIngest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+      ledger, outDir, ckpt)
+    stage("a.parquet", Seq(1L -> "alpha", 2L -> "beta"))
+    stage("b.parquet", Seq(3L -> "gamma", 4L -> "alpha"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val hashesBefore = spark.read.parquet(ledger)
+      .select("text_md5").collect().map(_.getString(0)).sorted.toSeq
+    val partsBefore = new java.io.File(ledger).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partsBefore.length >= 2, s"need multiple batches, got $partsBefore")
+    // quiesced compaction
+    val (nParts, nHashes) = Streams.compactLedger(spark, ledger)
+    assert(nParts === partsBefore.length && nHashes === hashesBefore.length)
+    val partsAfter = new java.io.File(ledger).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(partsAfter === Seq("batch_id=-1"), s"got $partsAfter")
+    assert(spark.read.parquet(ledger).select("text_md5")
+      .collect().map(_.getString(0)).sorted.toSeq === hashesBefore,
+      "compaction must preserve the exact hash set")
+    // resume: a repeat of a FOLDED text must stay excluded; new text lands
+    stage("c.parquet", Seq(5L -> "alpha", 6L -> "delta"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1L, 2L, 3L, 6L),
+      s"folded hashes must still dedup after compaction, got $out")
+    assert(spark.read.parquet(ledger).count() === 4,
+      "base (alpha, beta, gamma) + the new batch's delta")
+    // idempotent: compacting again folds the base into itself — after
+    // clearing the first run's retained rollback copy, per the guard
+    val l = new java.io.File(ledger)
+    val retired = new java.io.File(l.getParentFile, s".${l.getName}.pre-compact")
+    assert(retired.exists, "rollback copy must be retained")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(retired)
+    val (p2, n2) = Streams.compactLedger(spark, ledger)
+    assert(p2 === 2 && n2 === 4)
+  }
+
   test("randomized crash-restart property: trendingTypes closed windows " +
       "emit exactly once under restarts") {
     import spark.implicits._

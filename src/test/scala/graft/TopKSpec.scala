@@ -64,6 +64,11 @@ class TopKSpec extends SparkSpec {
       s"no final exec in:\n$execs")
     assert(!execs.contains("Window"), s"WindowExec crept in:\n$execs")
     assert(execs.contains("Exchange"), s"no exchange between phases:\n$execs")
+    // the final phase's memory-safety shape: a Spark-managed (spillable)
+    // SortExec above the exchange feeds the streaming first-k pass — the
+    // alternative (a hash-of-heaps final) holds every group of the
+    // partition in an untracked map and OOMs at high cardinality
+    assert(execs.contains("Sort"), s"no spillable sort above the exchange:\n$execs")
   }
 
   test("whole-stage codegen OFF: non-UnsafeRow child rows are normalized") {
