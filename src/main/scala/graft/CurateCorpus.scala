@@ -72,16 +72,28 @@ object CurateCorpus {
     val docs = docsIn.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("string").as("text"))
       .localCheckpoint()
-    val nIn = docs.count()
-    // a non-numeric id column (string/UUID corpus) casts to ALL NULLs,
-    // and every downstream join on doc_id would then match nothing — an
-    // empty output misattributed to the quality filter. Fail with the
-    // actual cause instead of silent total data loss.
-    val nullIds = docs.filter(col("doc_id").isNull).count()
+    // ONE validation pass: total, null ids, distinct ids. A non-numeric
+    // id column (string/UUID corpus) casts to ALL NULLs and every
+    // downstream join would match nothing — an empty output
+    // misattributed to the quality filter; DUPLICATE ids are just as
+    // gate-blind and worse at scale: every equi-join stage multiplies a
+    // duplicate group geometrically (4 rows after the quality join, 8
+    // after the keeper join, ...), silently inflating the written
+    // corpus and every reported count. Fail with the actual cause.
+    val idStats = docs.agg(count(lit(1)),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)),
+        countDistinct(col("doc_id"))).collect().head
+    val nIn = idStats.getLong(0)
+    val nullIds = Option(idStats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nDistinct = idStats.getLong(2)
     require(nullIds == 0,
       s"$nullIds of $nIn rows have a NULL/non-numeric '$idCol' after the " +
         s"long cast — curation joins on this id; map non-numeric ids to " +
-        s"a numeric surrogate (e.g. xxhash64) before calling curate")
+        s"a numeric surrogate (hash + collision-check) before calling curate")
+    require(nDistinct == nIn,
+      s"'$idCol' is not unique: $nIn rows but $nDistinct distinct ids — " +
+        s"every curation join would multiply duplicate-id groups " +
+        s"geometrically; deduplicate ids before calling curate")
 
     // 1. quality filter (same formula as text_quality_score; n_chars
     // derived from the text so any corpus works; stats row-local)
@@ -109,12 +121,31 @@ object CurateCorpus {
     // connected components → drop non-keepers
     val sig = TextOps.minhashSignaturesLocal(afterExact, "doc_id", "text", 3, 16)
       .localCheckpoint()
-    val bands = TextOps.lshBands(sig, "doc_id", 16, 4)
+    val bands0 = TextOps.lshBands(sig, "doc_id", 16, 4)
+    // hot-bucket guard (the TextOps.jaccardPairsCapped maxDf convention,
+    // applied to LSH buckets): one template-spam cluster puts m
+    // near-identical docs into the same (band, band_key) bucket, and
+    // the self-join below generates m²/2 candidate rows BEFORE any
+    // verification — at m = 10⁶ that is ~2·10¹² joined rows, a job
+    // that never finishes, invisible at fixture scale. Buckets above
+    // the cap are dropped from the candidate stage: a recall posture
+    // (their members still pair through their other 3 bands when below
+    // the cap there), never a correctness one, and the cap is far
+    // above any honest bucket.
+    val maxBucket = 4096
+    val hotBuckets = bands0.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+      .select("band", "band_key")
+    val bands = bands0.join(hotBuckets, Seq("band", "band_key"), "left_anti")
+    // pinned: cand feeds BOTH candDocs (via the arrs checkpoint) and
+    // scoredPairs — un-checkpointed, the band self-join + distinct (the
+    // dominant shuffle of this stage) would execute twice
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+      .localCheckpoint()
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2"))).distinct()
     // exact verify via the shared sorted-merge array kernel (same path

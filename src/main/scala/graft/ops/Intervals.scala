@@ -26,15 +26,28 @@ object Intervals {
 
   /** All overlapping same-key pairs (idA < idB) of half-open intervals.
     * Input columns: key, id, s, e (e exclusive, s < e). Output:
-    * (key, id1, id2). */
+    * (key, id1, id2).
+    *
+    * Long-span safety: an interval spanning more than
+    * `maxBinsPerInterval` bins does NOT ride the explode — a single
+    * open-ended sentinel row (e = Long.MaxValue, the SCD "current"
+    * idiom) would otherwise expand to ~10¹⁴ sequence() elements and
+    * kill the whole job, the exact one-dirty-row failure the
+    * zero-length filter below exists to prevent. Such intervals are
+    * rare by construction (they span > cap·W time units), so they take
+    * an EXACT key-equi theta path against the full relation instead:
+    * same pair set, no explosion, and the common short-interval case
+    * pays nothing. */
   def overlapPairs(df: DataFrame, keyCol: String, idCol: String,
-                   sCol: String, eCol: String, binWidth: Long): DataFrame = {
+                   sCol: String, eCol: String, binWidth: Long,
+                   maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     // exact long floor-division: pmod subtracts the remainder and `div`
     // divides in INTEGER arithmetic — floor(c / W) or `/` would round-trip
     // through a double, and at epoch-nano magnitudes (> 2^53) that
     // mis-bins boundary-adjacent endpoints
-    val binned = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+    val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
       // a zero-length (or inverted) half-open interval is EMPTY: it
       // overlaps nothing mathematically, but the pairwise predicate
@@ -47,17 +60,35 @@ object Intervals {
         expr(s"(s - pmod(s, ${binWidth}L)) div ${binWidth}L"))
       .withColumn("ebin",
         expr(s"(e - 1 - pmod(e - 1, ${binWidth}L)) div ${binWidth}L"))
+      // read by the short-side explode AND both sides of the long-path
+      // join — pin it, or the caller's upstream scan runs three times
+      .localCheckpoint()
+    val isLong = col("ebin") - col("sbin") >= maxBinsPerInterval
+    val binned = base.where(!isLong)
       .select(col("k"), col("id"), col("s"), col("e"), col("sbin"),
         explode(sequence(col("sbin"), col("ebin"))).as("bin"))
       // the self-join below reads this subtree twice — pin it, or the
-      // caller's upstream scan + explode run once per side
+      // explode runs once per side
       .localCheckpoint()
-    binned.as("a").join(binned.as("b"),
+    val shortPairs = binned.as("a").join(binned.as("b"),
         col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
           col("a.id") < col("b.id") &&
           col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
           col("a.bin") === greatest(col("a.sbin"), col("b.sbin")))
       .select(col("a.k").as(keyCol), col("a.id").as("id1"),
         col("b.id").as("id2"))
+    // every pair with at least one LONG side: key-equi join of the
+    // (rare) longs against the full relation, id-normalized + distinct
+    // (distinct is cheap — the relation is |longs|·|co-keyed| rows, and
+    // a long-vs-long pair is the only double-emission)
+    val longPairs = base.where(isLong).as("a")
+      .join(base.as("b"),
+        col("a.k") === col("b.k") && col("a.id") =!= col("b.id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(col("a.k").as(keyCol),
+        least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    shortPairs.unionByName(longPairs)
   }
 }

@@ -63,15 +63,23 @@ object Money {
   def centsMeanSql(term: String): String =
     s"${centsSumSql(term)} / count(*)"
 
-  /** Row-local floor-cents quantization — a VALUE used as an exact
-    * integer term/key (not the rule-11 sum): floor of a double is
-    * bit-exact in both engines on every input (rule 2), unlike round()'s
-    * half-way tie-breaking. ONE definition so the quantization
-    * convention cannot drift between the queries that share it. */
-  def floorCents(x: Column): Column = floor(x * 100).cast("long")
+  /** Row-local cents quantization — a VALUE used as an exact integer
+    * term/key (not the rule-11 sum): round-half-up VIA floor,
+    * `floor(x·100 + 0.5)`, which keeps rule-2 bit-exactness (floor of
+    * the identical IEEE chain is identical in both engines, unlike
+    * round()'s divergent half-way tie-breaking) AND lands every 2-dp
+    * money value on its true cent. A bare floor(x·100) understates
+    * roughly half of all stored prices by one cent — 0.29 is
+    * 0.2899999…₂, ×100 = 28.999999999999996, floor → 28 — and since
+    * both engines computed the identical wrong integer, the oracle
+    * gate was structurally blind to it (round-10 review finding). ONE
+    * definition so the quantization convention cannot drift between
+    * the queries that share it. */
+  def quantizeCents(x: Column): Column = floor(x * 100 + 0.5).cast("long")
 
-  /** DuckDB dual of [[floorCents]]. */
-  def floorCentsSql(x: String): String = s"CAST(floor(($x) * 100) AS BIGINT)"
+  /** DuckDB dual of [[quantizeCents]]. */
+  def quantizeCentsSql(x: String): String =
+    s"CAST(floor(($x) * 100 + 0.5) AS BIGINT)"
 
   /** Spark-SQL-text flavor of [[centsMean]] for queries authored as SQL
     * strings (the q_sql_text_api surface): DECIMAL(38,0) partials as in

@@ -277,7 +277,8 @@ object SimilarityOps {
     * OOM the driver on misuse. */
   def allPairsCosineLocal(df: DataFrame, idCol: String, vecCol: String,
                           rawPrefilter: Double,
-                          maxCollectRows: Long = 1000000L): DataFrame = {
+                          maxCollectRows: Long = 1000000L,
+                          maxCollectBytes: Long = 1L << 30): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // dirty-row guard (the file-wide kernel convention): a null id fails
@@ -286,11 +287,17 @@ object SimilarityOps {
     // same rows (graft_cosine → null → prefilter) — behavior must not
     // flip from drop to crash on input size
     val clean = df.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // (rows, BYTES) decision, like TextOps.verifyCandidates: 1M vectors
+    // at dim 4096 is ~16 GB — a row cap alone does not bound the
+    // driver-side payload
+    val rel = clean.select(col(idCol).cast("long"), col(vecCol))
+    val dec = rel.agg(count(lit(1)),
+      coalesce(sum(size(col(vecCol)).cast("long")), lit(0L))).collect().head
+    val fits = dec.getLong(0) <= maxCollectRows &&
+      dec.getLong(1) * 4L <= maxCollectBytes
     val collected: Array[(Long, Array[Float])] =
-      clean.select(col(idCol).cast("long"), col(vecCol))
-        .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
-        .as[(Long, Array[Float])].collect()
-    if (collected.length > maxCollectRows) {
+      if (!fits) Array.empty else rel.as[(Long, Array[Float])].collect()
+    if (!fits) {
       val v = clean.select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
       return v.as("a").join(v.as("b"), col("a.pid") < col("b.pid"))
         .select(col("a.pid").as("id1"), col("b.pid").as("id2"),
@@ -319,7 +326,15 @@ object SimilarityOps {
                 k += 1
               }
               val c = dot / (math.sqrt(nx) * math.sqrt(ny))
-              if (c >= rawPrefilter) Some((id1, id2, c)) else None
+              // NaN (a zero-norm vector: 0/0) must pass, matching the
+              // distributed fallback below — Spark's comparison treats
+              // NaN as greater than every double, so `raw_cos >=
+              // prefilter` KEEPS the pair there, while Java's `>=` is
+              // false for NaN and would silently drop it here: the pair
+              // set would flip on input size, the exact drop-vs-keep
+              // flip this function's dirty-row contract forbids (and
+              // the oracle, NaN-greatest like Spark, sides with keep)
+              if (c >= rawPrefilter || c.isNaN) Some((id1, id2, c)) else None
             }
           }
         }

@@ -71,7 +71,7 @@ object TextOps {
       .filter(size(col("ws")) >= k + w - 1)
       .select(col(idCol), expr(
         s"""transform(ws, t -> aggregate(
-           |  transform(regexp_extract_all(t, '.', 0), c -> cast(ascii(c) as bigint)),
+           |  transform(regexp_extract_all(t, '(?s).', 0), c -> cast(ascii(c) as bigint)),
            |  cast(0 as bigint), (h, c) -> (h * 31 + c) % $p))""".stripMargin)
         .as("th"))
       .localCheckpoint()
@@ -509,16 +509,24 @@ object TextOps {
     * above: two shuffle joins ship each pair its arrays. Both paths run
     * `interCount`. */
   private[graft] def verifyCandidates(cand: DataFrame, arrs: DataFrame, idCol: String,
-                                      maxBroadcastDocs: Long): DataFrame = {
+                                      maxBroadcastDocs: Long,
+                                      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    // limit-guarded collect: ONE job decides the path AND fetches the
-    // broadcast payload (no separate count) — an overfull corpus comes
-    // back truncated at max+1 rows and routes to the join path
-    val collected = arrs.select(col(idCol), col("sh_arr"))
-      .limit(math.min(maxBroadcastDocs + 1, Int.MaxValue).toInt)
-      .as[(Long, Array[Long])].collect()
-    if (collected.length <= maxBroadcastDocs) {
+    // the decision is (rows, BYTES), not rows alone: a row cap bounds
+    // cardinality but not payload — 100k docs averaging 100k shingles
+    // is ~80 GB "within budget" under a docs-only guard, then doubled
+    // by toMap and broadcast: a driver OOM the cap existed to prevent.
+    // One cheap agg job decides; the collect runs only when BOTH fit.
+    val rel = arrs.select(col(idCol), col("sh_arr"))
+    val dec = rel.agg(count(lit(1)),
+      coalesce(sum(size(col("sh_arr")).cast("long")), lit(0L))).collect().head
+    val fits = dec.getLong(0) <= maxBroadcastDocs &&
+      dec.getLong(1) * 8L <= maxBroadcastBytes
+    val collected =
+      if (!fits) Array.empty[(Long, Array[Long])]
+      else rel.as[(Long, Array[Long])].collect()
+    if (fits) {
       val bc = spark.sparkContext.broadcast(collected.toMap)
       cand.as[(Long, Long)].mapPartitions { it =>
         val data = bc.value
@@ -684,7 +692,8 @@ object TextOps {
     * instead of a silent driver OOM. */
   def allPairsLevenshteinLocal(df: DataFrame, idCol: String, strCol: String,
                                maxDist: Int,
-                               maxCollectRows: Long = 2000000L): DataFrame = {
+                               maxCollectRows: Long = 2000000L,
+                               maxCollectBytes: Long = 1L << 30): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // dirty-row guard (file convention): a null string NPEs the DP loop
@@ -692,11 +701,16 @@ object TextOps {
     // fallback silently drops the same rows (levenshtein(null,·) → null
     // → filter) — behavior must not flip from drop to crash on size
     val clean = df.where(col(idCol).isNotNull && col(strCol).isNotNull)
+    // (rows, BYTES) decision, like verifyCandidates: 2M strings of
+    // unbounded length can dwarf the row cap
+    val rel = clean.select(col(idCol).cast("long"), col(strCol).cast("string"))
+    val dec = rel.agg(count(lit(1)),
+      coalesce(sum(length(col(strCol)).cast("long")), lit(0L))).collect().head
+    val fits = dec.getLong(0) <= maxCollectRows &&
+      dec.getLong(1) * 2L <= maxCollectBytes
     val collected: Array[(Long, String)] =
-      clean.select(col(idCol).cast("long"), col(strCol).cast("string"))
-        .limit(math.min(maxCollectRows + 1, Int.MaxValue).toInt)
-        .as[(Long, String)].collect()
-    if (collected.length > maxCollectRows) {
+      if (!fits) Array.empty else rel.as[(Long, String)].collect()
+    if (!fits) {
       val s = clean.select(col(idCol).cast("long").as("pid"),
         col(strCol).cast("string").as("pstr"))
       return s.as("a").join(s.as("b"), col("a.pid") < col("b.pid"))

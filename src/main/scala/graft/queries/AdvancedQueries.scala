@@ -21,7 +21,7 @@ object AdvancedQueries extends QueryRegistry {
 
   /** floor-to-cents: exact integer money, immune to double-sum order and
     * to the Spark-vs-DuckDB round() tie-break divergence. */
-  private def cents(c: Column): Column = graft.ops.Money.floorCents(c)
+  private def cents(c: Column): Column = graft.ops.Money.quantizeCents(c)
 
   /** 2-D skyline (maximize both columns), grid-prefiltered so no window
     * ever runs unpartitioned: phase 1 hashes each point into one of 32
@@ -152,9 +152,9 @@ object AdvancedQueries extends QueryRegistry {
     },
     Some("""WITH log AS (
         |  SELECT o_orderkey AS k, 'I' AS op, CAST(1 AS BIGINT) AS version,
-        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents FROM orders
         |  UNION ALL
-        |  SELECT o_orderkey, 'U', 2, CAST(floor(o_totalprice * 100) AS BIGINT) + 12345
+        |  SELECT o_orderkey, 'U', 2, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 12345
         |  FROM orders WHERE o_orderkey % 3 = 1
         |  UNION ALL
         |  SELECT o_orderkey, 'D', 3, 0 FROM orders WHERE o_orderkey % 5 = 2),
@@ -253,7 +253,7 @@ object AdvancedQueries extends QueryRegistry {
         |                  / 1152921504606846976.0) / o_totalprice DESC,
         |        o_orderkey) AS rank,
         |    o_orderkey,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         |  FROM orders) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin))
 
@@ -338,7 +338,7 @@ object AdvancedQueries extends QueryRegistry {
     },
     Some("""WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1),
         |seq AS (
         |  SELECT day, rev_cents,
@@ -371,7 +371,7 @@ object AdvancedQueries extends QueryRegistry {
     },
     Some("""WITH pts AS (
         |  SELECT o_custkey,
-        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents,
         |    count(*) AS n_orders
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, spend_cents, n_orders FROM pts p
@@ -660,7 +660,7 @@ object AdvancedQueries extends QueryRegistry {
         .orderBy("change_type")
     },
     Some("""WITH base AS (SELECT o_orderkey AS k,
-        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
         |  o_orderstatus AS status FROM orders),
         |olds AS (SELECT k, md5(concat_ws('|', price_cents, status)) AS h_old
         |  FROM base WHERE k % 7 <> 0),
@@ -739,13 +739,13 @@ object AdvancedQueries extends QueryRegistry {
     Some("""WITH stride AS (
         |  SELECT greatest(997, count(*) // 1000 + 1) AS s FROM orders),
         |cuts AS (
-        |  SELECT DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  SELECT DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |  FROM orders WHERE o_orderkey % (SELECT s FROM stride) = 0),
         |tiers AS (SELECT row_number() OVER (ORDER BY c) AS tier, c AS lo,
         |  lead(c, 1) OVER (ORDER BY c) AS hi FROM cuts),
         |t AS (SELECT tier, lo, hi FROM tiers WHERE hi IS NOT NULL),
         |f AS (SELECT o_orderkey,
-        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders)
         |SELECT tier, count(*) AS n_orders, CAST(sum(pc) AS BIGINT) AS sum_cents
         |FROM f JOIN t ON f.pc >= t.lo AND f.pc < t.hi
         |GROUP BY tier ORDER BY tier""".stripMargin))

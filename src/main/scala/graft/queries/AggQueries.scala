@@ -299,7 +299,7 @@ object AggQueries extends QueryRegistry {
       def aggOf(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("o_custkey").as("cust"))
         .agg(count(lit(1)).as("n"),
-          sum(Money.floorCents(col("o_totalprice"))).as("sum_cents"),
+          sum(Money.quantizeCents(col("o_totalprice"))).as("sum_cents"),
           max(col("o_orderdate")).as("last_dt"))
       val orders = Tables.orders(spark, d)
       val base = aggOf(orders.filter(col("o_orderdate") < lit(split).cast("timestamp_ntz")))
@@ -318,10 +318,10 @@ object AggQueries extends QueryRegistry {
         .orderBy("cust")
     },
     Some("""SELECT o_custkey AS cust, count(*) AS n,
-        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents,
         |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_day,
-        |  CAST(floor(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |  CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    / count(*)) AS BIGINT) AS avg_cents
         |FROM orders GROUP BY 1 ORDER BY cust""".stripMargin))
 

@@ -32,12 +32,12 @@ object Relational5Queries extends QueryRegistry {
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
   /** Exact money arithmetic: per-row discounted price in integer cents
-    * through THE shared quantizer (ops.Money.floorCents — one audited
+    * through THE shared quantizer (ops.Money.quantizeCents — one audited
     * definition). floor() of the identical IEEE product is bit-identical
     * in both engines, and integer sums are order-insensitive — so
     * thresholds (Q11) and equality against a max (Q15) can never flap. */
   private def revCents: Column =
-    graft.ops.Money.floorCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    graft.ops.Money.quantizeCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
 
   // ---- Q2 min-cost regional supplier: for each qualifying part, the
   // EUROPE supplier(s) quoting the minimum unit cost. The textbook form
@@ -152,7 +152,7 @@ object Relational5Queries extends QueryRegistry {
     },
     Some("""WITH vals AS (
         |  SELECT l_partkey AS p_key,
-        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
         |                  AS BIGINT)) AS BIGINT) AS value_cents
         |  FROM lineitem
         |  WHERE l_suppkey IN
@@ -187,7 +187,7 @@ object Relational5Queries extends QueryRegistry {
     },
     Some("""WITH revenue AS (
         |  SELECT l_suppkey,
-        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
         |                  AS BIGINT)) AS BIGINT) AS total_revenue_cents
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-10-01'

@@ -260,7 +260,7 @@ object ScalarFuncQueries extends QueryRegistry {
       .filter(col("p_partkey") % 50 === 0)
       .select(col("p_partkey").as("id"), col("p_name").as("name"),
         length(col("p_name")).as("len"),
-        Money.floorCents(col("p_retailprice")).as("cents"))
+        Money.quantizeCents(col("p_retailprice")).as("cents"))
 
   /** Blocked near-pair builder shared by q_er_gram_blocked and
     * q_er_resolve: trigram count-filter candidates + Levenshtein verify,
@@ -341,7 +341,7 @@ object ScalarFuncQueries extends QueryRegistry {
     },
     Some("""WITH RECURSIVE rel AS (
         |  SELECT p_partkey AS id, p_name AS name,
-        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM part WHERE p_partkey % 50 = 0),
         |pairs AS (
         |  SELECT a.id AS id1, b.id AS id2 FROM rel a JOIN rel b

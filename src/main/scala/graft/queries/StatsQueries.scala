@@ -373,7 +373,7 @@ object StatsQueries extends QueryRegistry {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
       val cells = Tables.orders(spark, d)
         .select(col("o_custkey"),
-          graft.ops.Money.floorCents(col("o_totalprice")).as("cents"))
+          graft.ops.Money.quantizeCents(col("o_totalprice")).as("cents"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n_orders"), sum("cents").as("cs"))
@@ -399,7 +399,7 @@ object StatsQueries extends QueryRegistry {
     },
     Some("""WITH j AS (SELECT c_mktsegment AS segment,
         |    c_nationkey AS nation,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders JOIN customer ON o_custkey = c_custkey),
         |g AS (SELECT CAST(sum(cents) AS DOUBLE) AS gs, count(*) AS gn FROM j)
         |SELECT segment, CAST(nation AS BIGINT) AS nation,

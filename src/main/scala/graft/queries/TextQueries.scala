@@ -208,7 +208,7 @@ object TextQueries extends QueryRegistry {
         |th AS (
         |  SELECT doc_id, list_transform(ws, t -> list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(t, '.'),
+        |      list_transform(regexp_extract_all(t, '(?s).'),
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 2147483647)) AS th
         |  FROM ws),
@@ -235,8 +235,11 @@ object TextQueries extends QueryRegistry {
 
   // Regex tokenization (the BPE-ish split path) + a true polynomial
   // rolling hash over the character stream: h ← (31h + code) mod (2³¹−1),
-  // exact BIGINT arithmetic both engines (chars via regexp '.' so the
-  // char streams are identical — Spark split-on-empty has edge empties).
+  // exact BIGINT arithmetic both engines (chars via regexp '(?s).' so
+  // the char streams are identical INCLUDING line terminators — a bare
+  // '.' skips \n/\r in both RE2 and Java, so 'foo\nbar' and 'foobar'
+  // would hash the same: a gate-blind fingerprint-collision class —
+  // and Spark split-on-empty has edge empties).
   private val tokenRegex = NamedQuery(
     "text_token_regex",
     (spark, d) => Tables.documents(spark, d)
@@ -244,7 +247,7 @@ object TextQueries extends QueryRegistry {
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha"),
         size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
         aggregate(
-          transform(expr("regexp_extract_all(text, '.', 0)"),
+          transform(expr("regexp_extract_all(text, '(?s).', 0)"),
             c => ascii(c).cast("long")),
           lit(0L), (h, c) => (h * 31 + c) % 2147483647L).as("rolling_hash"))
       .orderBy("doc_id"),
@@ -253,7 +256,7 @@ object TextQueries extends QueryRegistry {
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(text, '.'),
+        |      list_transform(regexp_extract_all(text, '(?s).'),
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin))

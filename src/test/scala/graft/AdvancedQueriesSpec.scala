@@ -81,7 +81,7 @@ class AdvancedQueriesSpec extends SparkSpec {
   test("q_skyline_pareto: output is mutually non-dominated and dominates everything else") {
     val pts = Tables.orders(spark, sfDir)
       .groupBy("o_custkey")
-      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("s"),
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =

@@ -617,6 +617,40 @@ class PropertiesSpec extends SparkSpec {
       assert(got.toSet === want && got.length == want.size,
         "epoch-nano magnitudes mis-binned")
     }
+    // LONG-SPAN safety: an open-ended sentinel (e = Long.MaxValue, the
+    // SCD "current row" idiom) must ride the exact theta path, not
+    // explode ~10^14 sequence() bins and kill the job — and the pair
+    // set must stay exactly the brute-force one
+    locally {
+      val rows = Seq((0L, 0L, 5L, Long.MaxValue), (0L, 1L, 0L, 10L),
+        (0L, 2L, 100L, 120L), (1L, 3L, 0L, 4L), (0L, 4L, 200L, Long.MaxValue))
+      val got = graft.ops.Intervals
+        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+      } yield (a._1, a._2, b._2)).toSet
+      assert(got.toSet === want && got.length == want.size,
+        s"sentinel intervals mishandled: got ${got.toSeq.sorted}")
+    }
+    // mixed paths under fuzz: a tiny maxBinsPerInterval forces most
+    // intervals down the long path — the union must still be exact and
+    // duplicate-free for any split
+    for (((keys, starts, lens, w), i) <- samples(caseGen, 5).zipWithIndex) {
+      val rows = keys.indices.map(j => (keys(j), j.toLong, starts(j), starts(j) + lens(j)))
+      val got = graft.ops.Intervals
+        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", w,
+          maxBinsPerInterval = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._2 < b._2 &&
+          a._3 < a._4 && b._3 < b._4 && a._3 < b._4 && b._3 < a._4
+      } yield (a._1, a._2, b._2)).toSet
+      assert(got.toSet === want && got.length == want.size,
+        s"mixed-path case $i: w=$w rows=$rows")
+    }
   }
 
   test("property: Money.centsMean is partition-invariant and matches the " +

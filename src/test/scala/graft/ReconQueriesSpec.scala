@@ -32,11 +32,11 @@ class ReconQueriesSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // reference answer straight from the theta-join the oracle states
     val cents = Tables.orders(spark, sfDir)
-      .select((floor(col("o_totalprice") * 100)).cast("long").as("pc"),
+      .select((floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("pc"),
         col("o_orderkey")).collect().map(_.getLong(0)).sorted
     val cuts = Tables.orders(spark, sfDir)
       .filter(pmod(col("o_orderkey"), lit(997)) === 0)
-      .select(floor(col("o_totalprice") * 100).cast("long"))
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
     val expected = cuts.zip(cuts.tail).zipWithIndex.flatMap {
       case ((lo, hi), i) =>

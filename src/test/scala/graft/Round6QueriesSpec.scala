@@ -199,7 +199,7 @@ class Round6QueriesSpec extends SparkSpec {
     val full = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("cust"))
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("sum_cents"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
       .withColumn("avg_cents", floor(col("sum_cents") / col("n")).cast("long"))
       .orderBy("cust").collect().toSeq

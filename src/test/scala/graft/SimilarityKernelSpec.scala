@@ -55,6 +55,27 @@ class SimilarityKernelSpec extends SparkSpec {
     assert(guarded === local)
   }
 
+  test("allPairsCosineLocal: a zero-norm vector (NaN cosine) yields the " +
+      "SAME pair set on both paths — kernel must not drop what the " +
+      "distributed join keeps") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)) // zero norm: cosine = 0/0 = NaN vs anyone
+    ).toDF("vec_id", "embedding")
+    def pairs(maxRows: Long) = SimilarityOps
+      .allPairsCosineLocal(v, "vec_id", "embedding", 0.45, maxRows)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val kernel = pairs(1000000L)
+    val fallback = pairs(1L) // force the distributed join
+    assert(kernel === fallback, "pair set flipped between paths")
+    // Spark/oracle semantics: NaN is greater than any threshold → the
+    // zero-norm vector's pairs are KEPT on both paths
+    assert(kernel.contains((1L, 3L)) && kernel.contains((2L, 3L)),
+      s"NaN pairs must survive the prefilter, got $kernel")
+  }
+
   test("allPairsLevenshteinLocal over-limit input routes to the distributed join, same rows") {
     val s = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name"))
     val local = TextOps.allPairsLevenshteinLocal(s, "s_suppkey", "s_name", 3)
