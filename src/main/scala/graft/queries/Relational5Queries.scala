@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *     volume share → supplier semi-join) — three levels of semi-joins.
   *
   * Cross-engine determinism: money sums go through per-row integer
-  * cents (floor(x*100) AS BIGINT) so aggregation order can never flap a
+  * cents (Money.quantizeCents — floor(x*100 + 0.5) AS BIGINT, the
+  * round-half-up-via-floor quantizer) so aggregation order can never flap a
   * threshold/equality comparison; quantities are integral-valued
   * doubles (sums exact in IEEE); Q2's unit cost is a MIN over per-row
   * divisions (order-insensitive, bit-identical across engines).
