@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g3"
+  val generation = "g4"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -45,6 +45,68 @@ object ImageFixtures {
       img.setRGB(x, y, (alpha << 24) | pix(x, y, seed))
     }
     img
+  }
+
+  /** Minimal GIF LZW stream: a CLEAR code before every pixel code keeps
+    * the code width constant at minCode+1 (the dictionary never grows),
+    * so no compression logic is needed — valid per GIF89a Appendix F,
+    * and decodes identically everywhere. */
+  private def gifLzw(pixels: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val width = minCode + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var nbits = 0
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    pixels.foreach { p => emit(clear); emit(p & 0xff) }
+    emit(eoi)
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Hand-crafted GIF89a (4-entry global palette, optional transparent
+    * index, one image block per frame — 2+ frames = animated). Exists
+    * because ImageIO's writer round-trip cannot pin FORMAT-level parity
+    * facts (PIL's mode "P" + transparency → RGBA → white composite;
+    * first-frame choice for animations) the way controlled bytes can. */
+  private[graft] def craftGif(w: Int, h: Int, palette: Array[Int],
+                              frames: Seq[Array[Byte]],
+                              transparentIndex: Int = -1): Array[Byte] = {
+    require(palette.length == 4, "4-entry palette (GCT size field = 1)")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    bos.write(0x80 | 0x01) // GCT present, 2^(1+1) = 4 entries
+    bos.write(0); bos.write(0) // background index, aspect
+    palette.foreach { c =>
+      bos.write((c >> 16) & 0xff); bos.write((c >> 8) & 0xff); bos.write(c & 0xff)
+    }
+    frames.foreach { px =>
+      require(px.length == w * h, "frame pixel count")
+      if (transparentIndex >= 0) {
+        bos.write(0x21); bos.write(0xf9); bos.write(4)
+        bos.write(0x01) // packed: transparent-color flag
+        u16(0) // delay
+        bos.write(transparentIndex); bos.write(0)
+      }
+      bos.write(0x2c); u16(0); u16(0); u16(w); u16(h); bos.write(0)
+      bos.write(2) // LZW minimum code size
+      val lzw = gifLzw(px, 2)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        bos.write(n); bos.write(lzw, off, n); off += n
+      }
+      bos.write(0)
+    }
+    bos.write(0x3b)
+    bos.toByteArray
   }
 
   /** Write the fixture corpus under `dir` (idempotent, concurrency-safe:
@@ -79,7 +141,35 @@ object ImageFixtures {
     write(rgbImage(40, 40, 3), "png", "square.PNG") // upper-case ext (appV2.py:135)
     write(rgbaImage(48, 48, 4), "png", "alpha.png")
     write(rgbImage(24, 24, 5), "bmp", "tiny.bmp")
+    // plain grayscale PNG (color type 0, PIL mode "L"): pins the raw-L
+    // replication branch — convert("RGB") does NO color management,
+    // where Java2D's gray→sRGB conversion gamma-shifts (100 → 168) —
+    // inside the hash-checked e2e digest, not just the unit spec
+    writeAtomic("gray.png") { tmp =>
+      val g = new BufferedImage(28, 20, BufferedImage.TYPE_BYTE_GRAY)
+      val r = g.getRaster
+      for (y <- 0 until 20; x <- 0 until 28)
+        r.setSample(x, y, 0, (x * 9 + y * 17) % 256)
+      ImageIO.write(g, "png", tmp)
+      ()
+    }
     write(rgbImage(24, 24, 6), "gif", "anim.gif")
+    // crafted animated GIF with a transparent index (VERDICT r10 #6):
+    // PIL opens GIFs as mode "P" + a `transparency` info key →
+    // convert("RGBA") → white composite (binary alpha — exact), and
+    // Image.open resolves an animation to its FIRST frame; both facts
+    // ride the hash-checked e2e digest here. Frame 2 is a different
+    // solid color so a wrong-frame choice changes bytes loudly.
+    writeAtomic("trans.gif") { tmp =>
+      val palette = Array(0x0ac925, 0x28323c, 0x8f1e55, 0xffffff)
+      val w = 20; val h = 16
+      val f1 = Array.tabulate(w * h)(i =>
+        (if ((i % w) < w / 2) 0 else 1).toByte) // left = transparent idx 0
+      val f2 = Array.fill(w * h)(2.toByte)
+      java.nio.file.Files.write(tmp.toPath,
+        craftGif(w, h, palette, Seq(f1, f2), transparentIndex = 0))
+      ()
+    }
     write(rgbImage(24, 24, 7), "jpg", "photo.jpg")
     writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(
       tmp.toPath, "not an image at all".getBytes))

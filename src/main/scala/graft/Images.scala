@@ -216,17 +216,23 @@ object Images {
     *     so this path reads the raster band directly.)
     *   - type 0 + tRNS (mode "L" + transparency): `convert("RGBA")`
     *     then white-composite — raw L, Pillow paste arithmetic.
+    *   - type 0, no tRNS (mode "L"): `convert("RGB")` — raw L
+    *     replicates to RGB. Routing this through the generic path
+    *     would gamma-shift (Java2D converts linear gray to sRGB,
+    *     L=100 → 168); PIL does no color management here.
     *   - type 2 + tRNS (mode "RGB" + transparency key): mode IS in the
     *     list, so the transparency is IGNORED — raw RGB survives.
-    *   - everything else (RGBA, palette±tRNS, plain gray/RGB, and every
+    *   - everything else (RGBA, palette±tRNS, plain RGB, and every
     *     non-PNG format): alpha — where present — composites over
-    *     white, the [[ensureRgbOnWhite]] path. */
+    *     white, the [[ensureRgbOnWhite]] path (Pillow paste
+    *     arithmetic; raw-L fast path for alphaless gray rasters). */
   private[graft] def pilEnsureRgb(bytes: Array[Byte], img: BufferedImage): BufferedImage =
     pngColorTypeAndTrns(bytes) match {
-      case Some((4, _))    => grayDropAlpha(img)
-      case Some((0, true)) => grayCompositeWhite(img)
-      case Some((2, true)) => stripAlpha(img)
-      case _               => ensureRgbOnWhite(img)
+      case Some((4, _))     => grayDropAlpha(img)
+      case Some((0, true))  => grayCompositeWhite(img)
+      case Some((0, false)) => grayDropAlpha(img)
+      case Some((2, true))  => stripAlpha(img)
+      case _                => ensureRgbOnWhite(img)
     }
 
   /** Mode "LA" → convert("RGB"): raw L replicated, alpha ignored. */
@@ -287,14 +293,52 @@ object Images {
     out
   }
 
-  /** R5 (appV2.py:20-27): force RGB, compositing any alpha over white. */
+  /** R5 (appV2.py:20-27): force RGB, compositing any alpha over white
+    * with Pillow's paste arithmetic — per channel,
+    * `out = MULDIV255(fg, a) + (255 − a)` (the white term
+    * 255·(255−a)/255 is exact, so only the foreground product rounds,
+    * and it rounds exactly as libImaging does). The former Java2D
+    * `drawImage` SRC_OVER was retired here (round 11): its integer
+    * rounding — and, for premultiplied sources, the un-premultiply
+    * round-trip — can differ from Pillow by ±1 per channel at
+    * a ∈ 1..254, a divergence the committed expectation digests would
+    * have baked in silently. Covers RGBA PNGs (color type 6), palette
+    * PNGs with 8-bit tRNS alpha (type 3 — `img.getRGB` applies the
+    * palette lookup, PIL's convert("RGBA") equivalent), GIF binary
+    * transparency, and decoded WebP-alpha stills.
+    *
+    * Alphaless GRAY rasters (grayscale JPEG/BMP — mode "L" to PIL)
+    * take the raw-band-replication fast path instead: `getRGB` would
+    * run Java2D's linear-gray→sRGB conversion (L=100 → 168) where
+    * PIL's convert("RGB") replicates raw L. (Gray PNGs never reach
+    * here — [[pilEnsureRgb]] routes them by color type.) */
   private[graft] def ensureRgbOnWhite(img: BufferedImage): BufferedImage = {
-    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
-    val g = out.createGraphics()
-    g.setColor(java.awt.Color.WHITE)
-    g.fillRect(0, 0, img.getWidth, img.getHeight)
-    g.drawImage(img, 0, 0, null) // SRC_OVER composite = paste with alpha mask
-    g.dispose()
+    val cm = img.getColorModel
+    if (!cm.hasAlpha &&
+        cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY)
+      return grayDropAlpha(img)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // non-premultiplied ARGB — PNG/GIF/BMP ImageIO color models and the
+    // engine's own WebP surface are straight-alpha, so no precision is
+    // lost un-premultiplying here
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val dst = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      val a = p >>> 24
+      if (a == 255) dst(i) = p & 0xffffff
+      else {
+        val inv = 255 - a
+        val r = mulDiv255((p >> 16) & 0xff, a) + inv
+        val g = mulDiv255((p >> 8) & 0xff, a) + inv
+        val b = mulDiv255(p & 0xff, a) + inv
+        dst(i) = (r << 16) | (g << 8) | b
+      }
+      i += 1
+    }
+    out.setRGB(0, 0, w, h, dst, 0, w)
     out
   }
 

@@ -167,8 +167,10 @@ object WebPContainer {
     * already equals the composited view and silently drops the rest,
     * every frame decodes here. */
   def compositedFrames(b: Array[Byte],
-                       sampleEvery: Int = 1): Seq[Vp8l.Decoded] = {
+                       sampleEvery: Int = 1,
+                       maxTotalPixels: Long = 178956970L * 4): Seq[Vp8l.Decoded] = {
     require(sampleEvery > 0, s"sampleEvery must be positive, got $sampleEvery")
+    require(maxTotalPixels > 0, s"maxTotalPixels must be positive")
     gatherTop(b) match {
       case None => Seq.empty
       case Some(t) =>
@@ -221,14 +223,23 @@ object WebPContainer {
               }
               disposeRect = if (af.disposeBg) af else null
               if (idx % sampleEvery == 0) {
-                // only SAMPLED frames are snapshotted, and total emitted
-                // output is bounded like one still decode: a small
-                // crafted file declaring many frames on a huge canvas
-                // gets the error channel, never an OutOfMemoryError the
-                // per-row Exception handler cannot catch
+                // only SAMPLED frames are snapshotted; the PER-FRAME
+                // canvas is bounded like one still decode (the VP8X
+                // require above), while TOTAL emitted output gets its
+                // own, larger budget: a per-still limit repurposed as a
+                // cumulative cap would reject legitimate long
+                // animations (~87 frames of 1920x1080 at sampleEvery=1)
+                // that libwebp/PIL decode fine. The default — 4 stills'
+                // worth, ~345 1080p frames, ≤ 2.9 GB of ARGB — still
+                // turns a crafted
+                // many-frame/huge-canvas file into the R16 error
+                // channel, never an OutOfMemoryError the per-row
+                // Exception handler cannot catch; callers sampling
+                // deliberately can raise maxTotalPixels.
                 emittedPx += canvasPx
-                require(emittedPx <= 178956970L,
-                  s"decompression bomb: composited output passes 178.9 Mpx at frame $idx")
+                require(emittedPx <= maxTotalPixels,
+                  s"decompression bomb: composited output passes " +
+                    s"$maxTotalPixels total px at frame $idx")
                 out += Vp8l.Decoded(canvasW, canvasH, canvas.clone())
               }
               idx += 1

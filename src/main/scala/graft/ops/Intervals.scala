@@ -63,7 +63,15 @@ object Intervals {
       // read by the short-side explode AND both sides of the long-path
       // join — pin it, or the caller's upstream scan runs three times
       .localCheckpoint()
-    val isLong = col("ebin") - col("sbin") >= maxBinsPerInterval
+    // ebin − sbin can OVERFLOW Long for an interval spanning nearly the
+    // full Long range at a small binWidth (s near Long.MinValue, e near
+    // Long.MaxValue): under ANSI mode a plain minus THROWS (one dirty
+    // row kills the job — the exact failure this guard exists to
+    // prevent), and with ANSI off it would wrap negative and read as
+    // "short", riding a ~2^64-bin explode. try_subtract yields NULL on
+    // overflow; a span too wide to even compute is by definition long.
+    val span = expr("try_subtract(ebin, sbin)")
+    val isLong = span.isNull || span >= maxBinsPerInterval
     val binned = base.where(!isLong)
       .select(col("k"), col("id"), col("s"), col("e"), col("sbin"),
         explode(sequence(col("sbin"), col("ebin"))).as("bin"))

@@ -429,11 +429,17 @@ object EventsQueries extends QueryRegistry {
       val v = ev.groupBy("user_id")
         .agg(min(when(col("event_type") === "view", col("tus"))).as("t_view"))
         .filter(col("t_view").isNotNull)
+      // c is consumed TWICE (the purchase stage's join and its own stage
+      // count) and its subtree holds the click⋈view join over the full
+      // events scan: without a pin both consumers re-execute it (the
+      // repeated-subtree sweep, PlanSweepSpec, caught this). One
+      // materialized per-user relation replaces two fact-scan joins.
       val c = ev.filter(col("event_type") === "click")
         .join(v, "user_id")
         .filter(col("tus") > col("t_view") &&
           col("tus") <= col("t_view") + lit(86400L * 1000000L))
         .groupBy("user_id").agg(min(col("tus")).as("t_click"))
+        .localCheckpoint()
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id")
         .filter(col("tus") > col("t_click") &&

@@ -117,15 +117,26 @@ object Streams {
     * the deploy shape — state is bounded for every user. Without a
     * watermark the no-view lists are necessarily unbounded (any view
     * may still arrive arbitrarily late); that is the unbounded-lateness
-    * contract the caller chose, not a leak. */
+    * contract the caller chose, not a leak.
+    *
+    * LATE ROWS on a watermarked input are dropped INSIDE the fold:
+    * FlatMapGroupsWithStateExec applies its built-in late-row filter
+    * only under EventTimeTimeout (Spark 4.1.2 — same fact the
+    * ewmaOrderedFold doc states), and this fold uses NoTimeout, so
+    * Spark delivers watermark-late rows to the state function. The
+    * no-view prune is sound only if they never enter it — a late VIEW
+    * must not arrive after its candidate clicks/buys were pruned — so
+    * every incoming event with t ≤ watermark is ignored explicitly,
+    * the same filter a streaming aggregation would apply. Data that
+    * respects its watermark (the contract the caller declared) loses
+    * nothing; unwatermarked input drops and prunes nothing. */
   def funnelStages(events: DataFrame, wClick: Long, wBuy: Long): Dataset[FunnelSnap] = {
     val spark = events.sparkSession
     import spark.implicits._
-    // ts rides along UNUSED: it is the (possibly) watermarked attribute,
-    // and Spark's stateful operator only filters late input rows when
-    // that attribute is present in its child schema — the no-view prune
-    // below is sound ONLY under that filter (a view below the watermark
-    // must be dropped, not arrive after its candidates were pruned)
+    // ts rides along UNUSED by the fold: it is the (possibly)
+    // watermarked attribute, and projecting it away would prune the
+    // EventTimeWatermark node so getCurrentWatermarkMs throws even on
+    // a watermarked stream
     events.select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"), col("ts"))
       .as[(Long, String, Long, java.sql.Timestamp)]
@@ -135,8 +146,15 @@ object Streams {
          state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(
             FunnelState(Long.MaxValue, Nil, Nil))
+          // getCurrentWatermarkMs throws on an unwatermarked stream
+          // (API contract) → wmUs = 0 → nothing is dropped or pruned
+          val wmUs = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) * 1000L
           rows.foreach { case (_, ty, t, _) =>
-            ty match {
+            // explicit late-row drop (see Scaladoc): NoTimeout means
+            // Spark did NOT filter these, and a late view entering
+            // after the no-view prune would silently lose its funnel
+            if (wmUs <= 0L || t > wmUs) ty match {
               case "view" =>
                 if (t < st.minView) st = st.copy(minView = t)
               case "click" => st = st.copy(clicks = t :: st.clicks)
@@ -156,12 +174,12 @@ object Streams {
             // below the watermark is dead state: any view still to
             // arrive has event time ABOVE the watermark W, a click
             // attributes only to a view v < t, so t ≤ W can never be
-            // chosen (and purchases ride clicks, same bound). Without a
-            // watermark getCurrentWatermarkMs THROWS (API contract);
-            // that case prunes nothing — the documented
-            // unbounded-lateness semantics are unchanged.
-            val wmUs = scala.util.Try(state.getCurrentWatermarkMs())
-              .getOrElse(0L) * 1000L
+            // chosen (and purchases ride clicks, same bound). The
+            // prune is self-consistent with the late-row drop above:
+            // a view surviving that drop has t > watermark-at-arrival
+            // ≥ watermark-now, so no pruned candidate could ever have
+            // attributed to it. Unwatermarked input: wmUs = 0, prunes
+            // nothing — unbounded-lateness semantics unchanged.
             if (wmUs > 0L) st = st.copy(
               clicks = st.clicks.filter(_ > wmUs),
               buys = st.buys.filter(_ > wmUs))
@@ -740,10 +758,30 @@ object Streams {
     * event time passes — the config-first answer) or the foreachBatch
     * hash-ledger posture of `dedup_incremental` (the ever-seen set
     * lives in a compacted parquet ledger anti-joined per batch, not in
-    * the state store). Keep this variant for finite replays and tests. */
+    * the state store). Keep this variant for finite replays and tests.
+    *
+    * That scope is enforced IN CODE, not just documented: starting this
+    * on a STREAMING input requires the explicit opt-in conf
+    * `spark.graft.nearDupFilter.unboundedState=true` — without it the
+    * call throws at plan time, pointing at [[nearDupFilterBounded]], so
+    * the ever-growing state store cannot be wired into a production
+    * ingest silently. Batch inputs (the oracle arm) need no opt-in:
+    * a batch dropDuplicates holds no cross-batch state. */
   def nearDupFilter(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (docs.isStreaming) {
+      val optIn = spark.conf
+        .getOption("spark.graft.nearDupFilter.unboundedState")
+        .exists(_.equalsIgnoreCase("true"))
+      require(optIn,
+        "nearDupFilter keeps one state-store row per distinct signature " +
+          "FOREVER — on an unbounded stream that is a state leak, not a " +
+          "dedup. Use nearDupFilterBounded (watermark-horizon state) or " +
+          "the dedup_incremental foreachBatch hash ledger for ingestion; " +
+          "for a finite replay or test, opt in explicitly with " +
+          "spark.graft.nearDupFilter.unboundedState=true.")
+    }
     val fam = graft.ops.TextOps.minhashFamily(16).toArray
     // one TOTAL typed map (a stream cannot self-join its signature
     // relation back without event-time bounds): every row gets a key in

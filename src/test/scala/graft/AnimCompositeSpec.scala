@@ -90,6 +90,20 @@ class AnimCompositeSpec extends AnyFunSuite {
     }
   }
 
+  test("total-output budget is separate from the per-frame canvas bound " +
+      "and caller-tunable (ADVICE r11 #3)") {
+    // clip2 is 8 frames of 64x48 = 24,576 total px. A budget below that
+    // fires mid-walk (bomb channel); the tight-but-sufficient budget
+    // decodes all 8 — the cumulative cap no longer rejects animations
+    // merely for being long.
+    val ex = intercept[IllegalArgumentException] {
+      WebPContainer.compositedFrames(clip2, maxTotalPixels = 64L * 48 * 3)
+    }
+    assert(ex.getMessage.contains("decompression bomb"))
+    assert(WebPContainer.compositedFrames(clip2,
+      maxTotalPixels = 64L * 48 * 8).length === 8)
+  }
+
   test("stills pass through compositedFrames as their single decode") {
     val still = resource("agrad_64x48_q75.webp")
     val comp = WebPContainer.compositedFrames(still)

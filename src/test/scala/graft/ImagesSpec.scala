@@ -20,9 +20,9 @@ class ImagesSpec extends SparkSpec {
     // the reference's os.walk has no hidden-file notion, and Spark's
     // own file index (which drops them) is deliberately bypassed
     assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
-      "anim.gif", "art.webp", "corrupt.png", "landscape.png", "lossy.webp",
-      "motion.webp", "photo.jpg", "photo.webp", "portrait.png", "square.PNG",
-      "tiny.bmp", "translucent.webp"))
+      "anim.gif", "art.webp", "corrupt.png", "gray.png", "landscape.png",
+      "lossy.webp", "motion.webp", "photo.jpg", "photo.webp", "portrait.png",
+      "square.PNG", "tiny.bmp", "trans.gif", "translucent.webp"))
   }
 
   test("webp contract: lossless AND lossy decode natively, corrupt rides " +
@@ -143,7 +143,8 @@ class ImagesSpec extends SparkSpec {
   }
 
   private def craftPng(colorType: Int, width: Int, raw: Array[Byte],
-                       trns: Option[Array[Byte]]): Array[Byte] = {
+                       trns: Option[Array[Byte]],
+                       plte: Option[Array[Byte]] = None): Array[Byte] = {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(1).put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
@@ -153,6 +154,7 @@ class ImagesSpec extends SparkSpec {
     val n = defl.deflate(buf)
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       pngChunk("IHDR", ihdr) ++
+      plte.map(pngChunk("PLTE", _)).getOrElse(Array.empty[Byte]) ++
       trns.map(pngChunk("tRNS", _)).getOrElse(Array.empty[Byte]) ++
       pngChunk("IDAT", java.util.Arrays.copyOf(buf, n)) ++
       pngChunk("IEND", Array.empty[Byte])
@@ -203,6 +205,120 @@ class ImagesSpec extends SparkSpec {
     assert(rgbAt(out, 1) === ((100, 110, 120)))
   }
 
+  test("R5 parity: plain gray PNG (mode L, no tRNS) replicates raw L — " +
+      "no gamma shift (ADVICE r11 #2)") {
+    // PIL: mode L, no transparency key → convert("RGB") replicates raw
+    // samples. The generic path's getRGB would run Java2D's linear-gray
+    // → sRGB conversion (100 → 168).
+    val png = craftPng(0, 2, Array[Byte](0, 100, -56), None)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = Images.pilEnsureRgb(png, img)
+    assert(rgbAt(out, 0) === ((100, 100, 100)), "raw L, not gamma-shifted")
+    assert(rgbAt(out, 1) === ((200, 200, 200)))
+  }
+
+  test("R5 paste parity: fractional alpha composites with Pillow's " +
+      "MULDIV255 rounding at a ∈ {1, 127, 128, 254} (VERDICT r10 #1)") {
+    // Independent Double reference for Image.paste on white:
+    // out = round(fg·a/255) + (255−a) exactly — the white term
+    // 255·(255−a)/255 is integral, only the fg product rounds, and
+    // MULDIV255's (t>>8 + t)>>8 with t = fg·a+128 IS round-half-up.
+    // Java2D SRC_OVER (the retired path) disagrees by ±1 on several of
+    // these cells, which is why they are pinned one by one.
+    val alphas = Seq(0, 1, 127, 128, 254, 255)
+    val (fr, fg, fb) = (10, 201, 37)
+    val img = new java.awt.image.BufferedImage(
+      alphas.size, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    alphas.zipWithIndex.foreach { case (a, x) =>
+      img.setRGB(x, 0, (a << 24) | (fr << 16) | (fg << 8) | fb)
+    }
+    val out = Images.ensureRgbOnWhite(img)
+    def ref(c: Int, a: Int): Int =
+      math.floor(c * a / 255.0 + 0.5).toInt + (255 - a)
+    alphas.zipWithIndex.foreach { case (a, x) =>
+      assert(rgbAt(out, x) === ((ref(fr, a), ref(fg, a), ref(fb, a))),
+        s"alpha=$a")
+    }
+  }
+
+  test("R5 paste parity: palette PNG (type 3) with 8-bit tRNS alpha " +
+      "composites via the palette lookup + Pillow paste") {
+    // PIL: mode P with a transparency key → convert("RGBA") (palette
+    // lookup + per-index alpha) → paste on white. Palette: index 0 =
+    // (10, 201, 37) with alpha 127, index 1 = (40, 50, 60) opaque
+    // (tRNS shorter than PLTE → missing entries default to 255).
+    val plte = Array[Byte](10, 201.toByte, 37, 40, 50, 60)
+    val trns = Array[Byte](127)
+    val png = craftPng(3, 2, Array[Byte](0, 0, 1), Some(trns), Some(plte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getColorModel.hasAlpha,
+      "precondition: ImageIO surfaces palette tRNS as alpha")
+    val out = Images.pilEnsureRgb(png, img)
+    def ref(c: Int, a: Int): Int =
+      math.floor(c * a / 255.0 + 0.5).toInt + (255 - a)
+    assert(rgbAt(out, 0) === ((ref(10, 127), ref(201, 127), ref(37, 127))))
+    assert(rgbAt(out, 1) === ((40, 50, 60)))
+  }
+
+  test("R5 parity: GIF transparent index → white, opaque indices → raw " +
+      "palette RGB (VERDICT r10 #6)") {
+    // PIL: mode "P" with a `transparency` info key → convert("RGBA")
+    // (palette lookup, transparent index at alpha 0) → paste on white.
+    // Binary alpha makes the composite exact: transparent pixels are
+    // pure white, opaque pixels are the raw palette entry — any
+    // divergence here is a palette-lookup bug, not rounding.
+    val palette = Array(0x0ac925, 0x28323c, 0x8f1e55, 0x000000)
+    val gif = ImageFixtures.craftGif(3, 1, palette,
+      Seq(Array[Byte](0, 1, 2)), transparentIndex = 0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img.getColorModel.hasAlpha,
+      "precondition: ImageIO surfaces the GIF transparent index as alpha")
+    val out = Images.pilEnsureRgb(gif, img)
+    assert(rgbAt(out, 0) === ((255, 255, 255)), "transparent index → white")
+    assert(rgbAt(out, 1) === ((0x28, 0x32, 0x3c)), "raw palette lookup")
+    assert(rgbAt(out, 2) === ((0x8f, 0x1e, 0x55)))
+  }
+
+  test("R5 parity: animated GIF resolves to its FIRST frame, like " +
+      "PIL's Image.open (VERDICT r10 #6)") {
+    // frame 1 solid index 1, frame 2 solid index 2 — a wrong-frame (or
+    // composited) read yields the wrong color everywhere, loudly
+    val palette = Array(0x0ac925, 0x28323c, 0x8f1e55, 0xffffff)
+    val f1 = Array.fill(16)(1.toByte)
+    val f2 = Array.fill(16)(2.toByte)
+    val gif = ImageFixtures.craftGif(4, 4, palette, Seq(f1, f2))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    val out = Images.pilEnsureRgb(gif, img)
+    for (x <- 0 until 4)
+      assert(rgbAt(out, x) === ((0x28, 0x32, 0x3c)),
+        s"first-frame palette color expected at x=$x")
+    // and the full preprocess path (readGuarded's reader.read(0)) sees
+    // the same frame: uniform input → uniform tensor at frame-1's color
+    val t = Images.preprocess(gif, targetSize = 4)
+    val expB = (0x3c / 255.0f - 0.5f) / 0.5f
+    assert(math.abs(t(0) - expB) < 0.01f, s"BGR plane 0 ≈ $expB, got ${t(0)}")
+  }
+
+  test("R5 parity: grayscale JPEG (mode L) replicates the raw luma band") {
+    // Same PIL convert("RGB") contract as gray PNG, but reaching
+    // ensureRgbOnWhite's gray fast path (no PNG color type to sniff).
+    // JPEG is lossy, so the expectation reads the DECODED raster band —
+    // the pin is raw replication (r=g=b=L), not a absolute pixel value.
+    val src = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      src.getRaster.setSample(x, y, 0, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", bos)
+    val bytes = bos.toByteArray
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = Images.pilEnsureRgb(bytes, img)
+    val l = img.getRaster.getSample(3, 3, 0)
+    assert(math.abs(l - 100) <= 2, s"uniform JPEG should decode near 100, got $l")
+    assert(rgbAt(out, 3) === ((l, l, l)),
+      "raw luma replicated — Java2D's gray→sRGB shift would give ~168")
+  }
+
   test("R5-R7 preprocess: shape, range, BGR order, white-pad corners") {
     val bytes = Files.readAllBytes(Paths.get(dir, "portrait.png"))
     val t = Images.preprocess(bytes, targetSize = 64)
@@ -229,10 +345,11 @@ class ImagesSpec extends SparkSpec {
     val (corruptLogits, corruptStatus) = scored("corrupt.png")
     assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
     val okCount = scored.values.count(_._2 == "ok")
-    // 7 classic + _shadow.png + .dotfile.png (hidden-name parity) +
-    // art.webp (VP8L) + lossy.webp (VP8) + translucent.webp (ALPH alpha)
-    // + motion.webp (first anim frame) — all engine-native
-    assert(okCount === 13)
+    // 7 classic + gray.png (raw-L branch) + trans.gif (transparent
+    // index + first-frame) + _shadow.png + .dotfile.png (hidden-name
+    // parity) + art.webp (VP8L) + lossy.webp (VP8) + translucent.webp
+    // (ALPH alpha) + motion.webp (first anim frame) — all engine-native
+    assert(okCount === 15)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -247,14 +364,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 15L && m("n_ok") === 13L && m("n_failed") === 2L)
+    assert(m("n_total") === 17L && m("n_ok") === 15L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 15)
+    assert(rows.length === 17)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))

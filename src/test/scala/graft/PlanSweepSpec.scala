@@ -124,6 +124,122 @@ class PlanSweepSpec extends SparkSpec {
       .exists(_.startsWith("unpushed parquet filter")))
   }
 
+  // ---- repeated-subtree execution sweep (VERDICT r10 #5): two round-10
+  // fixes (the band self-join running twice before localCheckpoint,
+  // CurateCorpus's candidate relation) were found by eye; this catches
+  // the class. An expensive subtree (join/aggregate/window) whose
+  // canonicalized form appears more than once in the physical plan
+  // executes that many times — UNLESS Spark's exchange reuse dedups it,
+  // which it does exactly when the repeats sit under canonically
+  // identical Exchange nodes. The sweep therefore works on the PREPARED
+  // plan (exchanges inserted — `sparkPlan` has none yet), applies
+  // Spark's own ReuseExchangeAndSubquery rule (the same canonical-key
+  // criterion AQE's runtime stage cache uses), and then counts, for
+  // each duplicated expensive node, how many occurrences still read a
+  // REAL base (a leaf that is not a ReusedExchange). Two or more
+  // real-base occurrences = the scans and everything above them
+  // genuinely execute twice; one real + N reused = only the cheap
+  // post-shuffle merge repeats (the percent-of-total idiom — accepted).
+  // The fix on a hit is a localCheckpoint/cache pin on the shared
+  // relation. Known limitation: AQE's runtime reuse has been observed
+  // not to engage on some shapes this static rule dedups
+  // (ops/Components.scala doc) — the sweep is a floor, not a ceiling.
+
+  private val expensiveAllow: Map[String, String] = Map.empty
+
+  private def preparedWithReuse(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    val p = df.queryExecution.executedPlan match {
+      // pre-execution AQE wrapper: executedPlan here is the initial
+      // physical plan with exchanges inserted, nothing has run
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        aqe.executedPlan
+      case other => other
+    }
+    org.apache.spark.sql.execution.reuse.ReuseExchangeAndSubquery.apply(p)
+  }
+
+  private def repeatedExpensive(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val plan = preparedWithReuse(df)
+    def expensive(p: SparkPlan): Boolean = p match {
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec |
+           _: CartesianProductExec | _: WindowExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec |
+           _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec |
+           _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec |
+           _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _ => false
+    }
+    def realBase(p: SparkPlan): Boolean =
+      p.collectLeaves().exists {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => false
+        case _ => true
+      }
+    val occs = scala.collection.mutable.LinkedHashMap[SparkPlan,
+      scala.collection.mutable.ArrayBuffer[SparkPlan]]()
+    plan.foreach { n =>
+      if (expensive(n))
+        occs.getOrElseUpdate(n.canonicalized,
+          scala.collection.mutable.ArrayBuffer()) += n
+    }
+    val flagged = occs.filter(_._2.count(realBase) >= 2).keys.toSeq
+    // report only MAXIMAL repeated subtrees: a doubled join doubles its
+    // child aggregates too — one root cause, one line
+    val maximal = flagged.filterNot(g =>
+      flagged.exists(h => (h ne g) && h.children.exists(_.find(_ == g).isDefined)))
+    maximal.map(g =>
+      s"${occs(g).count(realBase)}x ${g.nodeName} over " +
+        g.collectLeaves().map(_.nodeName.trim).distinct.mkString("/"))
+  }
+
+  test("the repeated-subtree detector actually fires (not vacuously green)") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    // one expensive relation (fact scan + broadcast join), consumed by
+    // two aggregations with DIFFERENT grouping keys: the two required
+    // hash partitionings share no exchange, so exchange reuse cannot
+    // dedup the base — the scan and join execute twice. This is exactly
+    // the r10 band-join shape.
+    val j = Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(broadcast(Tables.customer(spark, "/root/testdata/sf0.001")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+    // both consumers read the SAME columns (column pruning would
+    // otherwise make the two occurrences canonically different — the
+    // detector pins literal duplicates, the shape a shared val produces)
+    def twoAggs(base: org.apache.spark.sql.DataFrame) =
+      base.groupBy(col("c_nationkey")).agg(sum(col("o_totalprice")).as("v"))
+        .join(base.groupBy(col("o_totalprice"))
+          .agg(count(col("c_nationkey")).as("n")), lit(true), "cross")
+    val found = repeatedExpensive(twoAggs(j))
+    assert(found.nonEmpty, "detector missed a twice-executed join subtree")
+    // the pinned twin is NOT flagged: localCheckpoint turns the shared
+    // relation into a scanned leaf, executed once
+    assert(repeatedExpensive(twoAggs(j.localCheckpoint())).isEmpty,
+      "a checkpoint-pinned relation must not be flagged")
+    // and the reuse-aware half does not over-fire: the percent-of-total
+    // idiom (re-aggregating an aggregate — identical exchange below,
+    // only the tiny post-shuffle merge repeats) stays green
+    val rev = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("v"))
+    val tot = rev.agg(sum(col("v")).as("t"))
+    assert(repeatedExpensive(rev.join(broadcast(tot), lit(true), "cross")).isEmpty,
+      "a reused-exchange re-aggregation must not be flagged")
+  }
+
+  test("no expensive subtree executes more than once (post exchange-reuse) " +
+      "across the full query registry") {
+    val dir = "/root/testdata/sf0.001"
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val found = repeatedExpensive(fn(spark, dir))
+      if (found.nonEmpty && !expensiveAllow.contains(name))
+        violations += s"$name: ${found.mkString("; ")}"
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.size} queries with repeated expensive subtrees:\n" +
+        violations.mkString("\n"))
+  }
+
   test("no unpartitioned window / cartesian / unbroadcast-small-side " +
       "shuffled join / unpushed parquet filter across the full query registry") {
     val dir = "/root/testdata/sf0.001"

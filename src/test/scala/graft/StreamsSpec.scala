@@ -556,8 +556,18 @@ class StreamsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-    val q = Streams.runToMemory(Streams.nearDupFilter(stream),
+    // the unbounded-state variant requires an explicit opt-in on
+    // streaming input (VERDICT r10 #7) — without it, plan-time refusal
+    // pointing at the bounded path, so a production ingest cannot wire
+    // in the ever-growing state store by accident
+    val refused = intercept[IllegalArgumentException] {
+      Streams.nearDupFilter(stream)
+    }
+    assert(refused.getMessage.contains("nearDupFilterBounded"))
+    spark.conf.set("spark.graft.nearDupFilter.unboundedState", "true")
+    val q = try Streams.runToMemory(Streams.nearDupFilter(stream),
       "stream_neardup", OutputMode.Append())
+    finally spark.conf.unset("spark.graft.nearDupFilter.unboundedState")
     try {
       q.processAllAvailable()
       assert(spark.table("stream_neardup").count() === expected)
@@ -740,6 +750,70 @@ class StreamsSpec extends SparkSpec {
       }
       assert(got === expected)
       assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermarked funnel drops late rows explicitly — a late view cannot " +
+      "arrive after its candidate clicks were pruned (ADVICE r11 #1)") {
+    // The no-view prune discards clicks/buys at or below the watermark on
+    // the theorem "any still-unseen view arrives ABOVE the watermark".
+    // mapGroupsWithState under NoTimeout does NOT filter late input
+    // (Spark only does so under EventTimeTimeout), so without the
+    // explicit in-fold drop a watermark-late view WOULD enter after its
+    // candidates were pruned, yielding a torn snapshot (view set, click
+    // silently lost). Three hand-sequenced micro-batches build exactly
+    // that schedule and assert the late view is refused outright.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_wm")
+    val base = 946684800L * 1000000L // 2000-01-01, micros
+    def stage(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, tUs, u, ty) => (id, tUs, u, ty, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    val (wClick, wBuy) = (86400L * 1000000L, 259200L * 1000000L)
+    val sec = 1000000L
+    // batch 1: user 1 clicks+buys (no view yet); user 99 far ahead, so
+    // the post-batch watermark (max ts − 10 min) passes user 1's events
+    stage(Seq((1L, base + 1000 * sec, 1L, "click"),
+      (2L, base + 1500 * sec, 1L, "purchase"),
+      (3L, base + 100000 * sec, 99L, "view")))
+    val q = Streams.runToMemory(
+      Streams.funnelStages(
+        Streams.readEvents(spark, dir.toString).withWatermark("ts", "10 minutes"),
+        wClick, wBuy).toDF(),
+      "stream_funnel_wm", OutputMode.Update())
+    try {
+      q.processAllAvailable()
+      // batch 2: an on-time click for user 1 invokes its fold → the
+      // no-view prune discards the batch-1 candidates (≤ watermark);
+      // user 2 is the on-time control
+      stage(Seq((4L, base + 101000 * sec, 1L, "click"),
+        (5L, base + 100500 * sec, 2L, "view")))
+      q.processAllAvailable()
+      // batch 3: user 1's view arrives LATE (t ≪ watermark); user 2's
+      // click is on time
+      stage(Seq((6L, base + 500 * sec, 1L, "view"),
+        (7L, base + 100600 * sec, 2L, "click")))
+      q.processAllAvailable()
+      val last = spark.table("stream_funnel_wm")
+        .withColumn("ord", monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(max_by(struct(col("t_view"), col("t_click"), col("t_purchase")),
+          col("ord")).as("s"))
+        .collect().map { r =>
+          val s = r.getStruct(1)
+          r.getLong(0) -> (Option(s.get(0)), Option(s.get(1)), Option(s.get(2)))
+        }.toMap
+      // the late view was refused — NOT admitted as a torn (view, no
+      // click) snapshot after its candidate click at base+1000s was
+      // pruned; watermark semantics: the row is simply late
+      assert(last(1L) === ((None, None, None)),
+        s"late view must be dropped, got ${last(1L)}")
+      // on-time control: watermark-respecting rows still fold normally
+      assert(last(2L) ===
+        ((Some(base + 100500 * sec), Some(base + 100600 * sec), None)))
+      assert(last(99L)._1 === Some(base + 100000 * sec))
     } finally q.stop()
   }
 

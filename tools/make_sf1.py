@@ -19,7 +19,13 @@ Correctness at sf1 is still oracle-checked: verify_local.py runs DuckDB
 on the SAME derived parquet, so the gate is engine-vs-engine equality,
 independent of how the data was derived.
 
-Usage: python3 tools/make_sf1.py [outDir=/tmp/graft_sf1]
+Usage: python3 tools/make_sf1.py [outDir=/tmp/graft_sf1] [reps=10]
+
+The optional reps arg generalizes the same derivation to other scale
+points — e.g. `make_sf1.py /tmp/graft_sf3 30` builds the sf3 (30x sf0.1)
+fixture for the round-11 second-decade headroom gate. Key offsets,
+word-shuffle seeds and noise seeds are all (row, rep)-deterministic, so
+replicas beyond the first 10 extend the sf1 fixture, never perturb it.
 """
 import os
 import random
@@ -30,7 +36,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-REPS = 10
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -114,4 +120,4 @@ print(f"embeddings: {len(out_rows)} rows")
 for t in ["orders", "lineitem", "events", "documents", "embeddings"]:
     n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(f"check {t}: {n} rows")
-print(f"sf1 derived at {OUT}")
+print(f"sf fixture ({REPS}x sf0.1) derived at {OUT}")
