@@ -172,17 +172,19 @@ object Images {
       .toDF("path", "content", "read_error")
   }
 
-  /** PNG (colorType, has tRNS chunk) when `bytes` is a PNG — the two
-    * facts [[pilEnsureRgb]] needs that the decoded BufferedImage cannot
-    * tell apart (a gray+alpha raster may be color type 4 OR type 0 +
-    * tRNS, and PIL treats them OPPOSITELY). Bounded chunk walk, stops
-    * at IDAT/IEND. */
-  private def pngColorTypeAndTrns(bytes: Array[Byte]): Option[(Int, Boolean)] = {
+  /** PNG (colorType, has tRNS chunk, bit depth) when `bytes` is a PNG —
+    * the facts [[pilEnsureRgb]] needs that the decoded BufferedImage
+    * cannot tell apart (a gray+alpha raster may be color type 4 OR
+    * type 0 + tRNS, and PIL treats them OPPOSITELY; a 1/2/4-bit gray
+    * raster surfaces its RAW index samples, which must be scaled the
+    * way PIL's unpackers do). Bounded chunk walk, stops at IDAT/IEND. */
+  private def pngColorTypeAndTrns(bytes: Array[Byte]): Option[(Int, Boolean, Int)] = {
     if (bytes.length < 33) return None
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     var i = 0
     while (i < 8) { if (bytes(i) != sig(i)) return None; i += 1 }
-    val colorType = bytes(8 + 8 + 9) & 0xff // IHDR is first; data offset 8
+    val bitDepth = bytes(8 + 8 + 8) & 0xff // IHDR is first; data offset 8
+    val colorType = bytes(8 + 8 + 9) & 0xff
     var off = 8L
     var trns = false
     var go = true
@@ -195,7 +197,7 @@ object Images {
       else if (typ == "IDAT" || typ == "IEND") go = false
       else off += 12 + len
     }
-    Some((colorType, trns))
+    Some((colorType, trns, bitDepth))
   }
 
   /** Pillow's MULDIV255 rounding: round(a·b/255) in integer arithmetic
@@ -228,24 +230,43 @@ object Images {
     *     arithmetic; raw-L fast path for alphaless gray rasters). */
   private[graft] def pilEnsureRgb(bytes: Array[Byte], img: BufferedImage): BufferedImage =
     pngColorTypeAndTrns(bytes) match {
-      case Some((4, _))     => grayDropAlpha(img)
-      case Some((0, true))  => grayCompositeWhite(img)
-      case Some((0, false)) => grayDropAlpha(img)
-      case Some((2, true))  => stripAlpha(img)
-      case _                => ensureRgbOnWhite(img)
+      case Some((4, _, _))     => grayDropAlpha(img)
+      case Some((0, true, _))  => grayCompositeWhite(img)
+      case Some((0, false, _)) => grayDropAlpha(img)
+      case Some((2, true, _))  => stripAlpha(img)
+      case _                   => ensureRgbOnWhite(img)
     }
 
-  /** Mode "LA" → convert("RGB"): raw L replicated, alpha ignored. */
+  /** Mode "LA"/"L"/"1" → convert("RGB"): raw L replicated, alpha (if
+    * any) ignored. Depth handling mirrors Pillow's unpackers exactly:
+    * 8-bit samples pass through; 16-bit shifts down 8 (Pillow's
+    * I;16 → L converter); 1/2/4-bit gray PNGs decode to an
+    * IndexColorModel whose raster samples are palette INDICES — the
+    * gray-ramp LUT ImageIO builds for them (0/255, ×0x55, ×0x11 —
+    * probed empirically, literal table reads, no color management) is
+    * the same scaling Pillow's 1/L;2/L;4 unpackers apply, so the LUT
+    * red channel IS the PIL gray value. Reading the raw index instead
+    * turned a 1-bit white pixel into RGB(1,1,1) — caught by the
+    * round-11 review. */
   private def grayDropAlpha(img: BufferedImage): BufferedImage = {
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val r = img.getRaster
+    val lut = img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val t = new Array[Int](icm.getMapSize)
+        var i = 0
+        while (i < t.length) { t(i) = icm.getRed(i); i += 1 }
+        t
+      case _ => null
+    }
     val shift = math.max(0, r.getSampleModel.getSampleSize(0) - 8)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = r.getSample(x, y, 0) >> shift
+        val s = r.getSample(x, y, 0)
+        val g = if (lut != null) lut(s) else s >> shift
         out.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }

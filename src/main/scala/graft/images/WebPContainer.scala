@@ -168,7 +168,7 @@ object WebPContainer {
     * every frame decodes here. */
   def compositedFrames(b: Array[Byte],
                        sampleEvery: Int = 1,
-                       maxTotalPixels: Long = 178956970L * 4): Seq[Vp8l.Decoded] = {
+                       maxTotalPixels: Long = 178956970L * 2): Seq[Vp8l.Decoded] = {
     require(sampleEvery > 0, s"sampleEvery must be positive, got $sampleEvery")
     require(maxTotalPixels > 0, s"maxTotalPixels must be positive")
     gatherTop(b) match {
@@ -229,13 +229,15 @@ object WebPContainer {
                 // own, larger budget: a per-still limit repurposed as a
                 // cumulative cap would reject legitimate long
                 // animations (~87 frames of 1920x1080 at sampleEvery=1)
-                // that libwebp/PIL decode fine. The default — 4 stills'
-                // worth, ~345 1080p frames, ≤ 2.9 GB of ARGB — still
-                // turns a crafted
+                // that libwebp/PIL decode fine. The default — 2 stills'
+                // worth, ~172 1080p frames — still turns a crafted
                 // many-frame/huge-canvas file into the R16 error
                 // channel, never an OutOfMemoryError the per-row
-                // Exception handler cannot catch; callers sampling
-                // deliberately can raise maxTotalPixels.
+                // Exception handler cannot catch. The budget check runs
+                // BEFORE the clone, so worst-case RETAINED heap is
+                // bounded by maxTotalPixels × 4 B (default ≈ 1.4 GB —
+                // the knob trades animation-length acceptance against
+                // per-task heap; size it to the executor when raising).
                 emittedPx += canvasPx
                 require(emittedPx <= maxTotalPixels,
                   s"decompression bomb: composited output passes " +

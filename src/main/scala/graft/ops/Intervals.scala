@@ -43,10 +43,17 @@ object Intervals {
                    maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
-    // exact long floor-division: pmod subtracts the remainder and `div`
-    // divides in INTEGER arithmetic — floor(c / W) or `/` would round-trip
-    // through a double, and at epoch-nano magnitudes (> 2^53) that
-    // mis-bins boundary-adjacent endpoints
+    // exact long floor-division WITHOUT intermediate overflow: `div`
+    // truncates toward zero, so floor(x / W) = x div W, minus 1 when the
+    // (dividend-signed) remainder is negative. The former
+    // `(x - pmod(x, W)) div W` form underflowed for x within W of
+    // Long.MinValue (a "-infinity" sentinel at binWidth 86400): under
+    // ANSI mode the subtraction THREW — one dirty row killing the job,
+    // the same class the try_subtract span guard below exists for.
+    // Plain `/` would round-trip through a double, and at epoch-nano
+    // magnitudes (> 2^53) that mis-bins boundary-adjacent endpoints.
+    def floorDiv(x: String): String =
+      s"(($x) div ${binWidth}L) + (CASE WHEN ($x) % ${binWidth}L < 0 THEN -1 ELSE 0 END)"
     val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
       // a zero-length (or inverted) half-open interval is EMPTY: it
@@ -56,10 +63,8 @@ object Intervals {
       // sbin makes sequence() emit a bogus DESCENDING bin list. Filter,
       // don't require: at scale one dirty row must not fail the job.
       .where(col("s") < col("e"))
-      .withColumn("sbin",
-        expr(s"(s - pmod(s, ${binWidth}L)) div ${binWidth}L"))
-      .withColumn("ebin",
-        expr(s"(e - 1 - pmod(e - 1, ${binWidth}L)) div ${binWidth}L"))
+      .withColumn("sbin", expr(floorDiv("s")))
+      .withColumn("ebin", expr(floorDiv("e - 1")))
       // read by the short-side explode AND both sides of the long-path
       // join — pin it, or the caller's upstream scan runs three times
       .localCheckpoint()

@@ -173,8 +173,9 @@ object DedupQueries extends QueryRegistry {
     * groups are genuine near-dup sets whose pair lists are the answer;
     * downstream consumers that only need CLUSTERS should consume
     * dedup_clusters' components, never the raw pair list. */
-  private def minhashVerifiedPairs(spark: org.apache.spark.sql.SparkSession,
-                                   d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def minhashVerifiedPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, d)
     val sig = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, minhashK)
       .localCheckpoint()

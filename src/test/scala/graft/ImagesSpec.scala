@@ -144,9 +144,10 @@ class ImagesSpec extends SparkSpec {
 
   private def craftPng(colorType: Int, width: Int, raw: Array[Byte],
                        trns: Option[Array[Byte]],
-                       plte: Option[Array[Byte]] = None): Array[Byte] = {
+                       plte: Option[Array[Byte]] = None,
+                       depth: Int = 8): Array[Byte] = {
     val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(width).putInt(1).put(8.toByte).put(colorType.toByte)
+      .putInt(width).putInt(1).put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
@@ -163,6 +164,13 @@ class ImagesSpec extends SparkSpec {
   private def rgbAt(img: java.awt.image.BufferedImage, x: Int) =
     (img.getRGB(x, 0) >> 16 & 0xff, img.getRGB(x, 0) >> 8 & 0xff,
       img.getRGB(x, 0) & 0xff)
+
+  /** Independent Double reference for Pillow's paste-on-white:
+    * out = round(fg·a/255) + (255−a) — the white term is integral, and
+    * MULDIV255's (t>>8 + t)>>8 with t = fg·a+128 IS round-half-up
+    * (verified exhaustively over the 256x256 domain). */
+  private def pasteRef(c: Int, a: Int): Int =
+    math.floor(c * a / 255.0 + 0.5).toInt + (255 - a)
 
   test("R5 parity: gray+alpha PNG (mode LA) drops alpha to raw L — " +
       "never composited, never gamma-shifted") {
@@ -233,11 +241,9 @@ class ImagesSpec extends SparkSpec {
       img.setRGB(x, 0, (a << 24) | (fr << 16) | (fg << 8) | fb)
     }
     val out = Images.ensureRgbOnWhite(img)
-    def ref(c: Int, a: Int): Int =
-      math.floor(c * a / 255.0 + 0.5).toInt + (255 - a)
     alphas.zipWithIndex.foreach { case (a, x) =>
-      assert(rgbAt(out, x) === ((ref(fr, a), ref(fg, a), ref(fb, a))),
-        s"alpha=$a")
+      assert(rgbAt(out, x) ===
+        ((pasteRef(fr, a), pasteRef(fg, a), pasteRef(fb, a))), s"alpha=$a")
     }
   }
 
@@ -254,10 +260,37 @@ class ImagesSpec extends SparkSpec {
     assert(img.getColorModel.hasAlpha,
       "precondition: ImageIO surfaces palette tRNS as alpha")
     val out = Images.pilEnsureRgb(png, img)
-    def ref(c: Int, a: Int): Int =
-      math.floor(c * a / 255.0 + 0.5).toInt + (255 - a)
-    assert(rgbAt(out, 0) === ((ref(10, 127), ref(201, 127), ref(37, 127))))
+    assert(rgbAt(out, 0) ===
+      ((pasteRef(10, 127), pasteRef(201, 127), pasteRef(37, 127))))
     assert(rgbAt(out, 1) === ((40, 50, 60)))
+  }
+
+  test("R5 parity: sub-8-bit and 16-bit gray PNGs scale like Pillow's " +
+      "unpackers — a 1-bit white pixel is 255, not raw index 1 (review r11)") {
+    // ImageIO surfaces 1/2/4-bit gray as IndexColorModel with RAW index
+    // samples; PIL's unpackers scale (x255, x0x55, x0x11). The LUT
+    // ImageIO builds applies the same ramp — grayDropAlpha must read
+    // through it, not the raw sample (which turned white near-black).
+    // depth 1, px (0,1) -> (0, 255)
+    val p1 = craftPng(0, 2, Array[Byte](0, 0x40), None, depth = 1)
+    val i1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p1))
+    val o1 = Images.pilEnsureRgb(p1, i1)
+    assert(rgbAt(o1, 0) === ((0, 0, 0)) && rgbAt(o1, 1) === ((255, 255, 255)))
+    // depth 2, px (1,3) -> (85, 255)
+    val p2 = craftPng(0, 2, Array[Byte](0, 0x70), None, depth = 2)
+    val i2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p2))
+    val o2 = Images.pilEnsureRgb(p2, i2)
+    assert(rgbAt(o2, 0) === ((85, 85, 85)) && rgbAt(o2, 1) === ((255, 255, 255)))
+    // depth 4, px (5,15) -> (85, 255)
+    val p4 = craftPng(0, 2, Array[Byte](0, 0x5f), None, depth = 4)
+    val i4 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p4))
+    val o4 = Images.pilEnsureRgb(p4, i4)
+    assert(rgbAt(o4, 0) === ((85, 85, 85)) && rgbAt(o4, 1) === ((255, 255, 255)))
+    // depth 16, samples (256, 65280) -> Pillow I;16 -> L is >> 8 -> (1, 255)
+    val p16 = craftPng(0, 2, Array[Byte](0, 1, 0, 0xff.toByte, 0), None, depth = 16)
+    val i16 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p16))
+    val o16 = Images.pilEnsureRgb(p16, i16)
+    assert(rgbAt(o16, 0) === ((1, 1, 1)) && rgbAt(o16, 1) === ((255, 255, 255)))
   }
 
   test("R5 parity: GIF transparent index → white, opaque indices → raw " +

@@ -634,22 +634,27 @@ class PropertiesSpec extends SparkSpec {
       assert(got.toSet === want && got.length == want.size,
         s"sentinel intervals mishandled: got ${got.toSeq.sorted}")
     }
-    // OVERFLOW safety (ADVICE r11 #4): an interval spanning nearly the
-    // full Long range at binWidth=1 makes ebin − sbin wrap NEGATIVE;
-    // the span < 0 arm must read that as "long" (theta path), not ride
-    // a 2^64-bin explode
+    // OVERFLOW safety (ADVICE r11 #4 + review): an interval spanning
+    // nearly the full Long range at binWidth=1 makes ebin − sbin
+    // overflow (try_subtract → NULL → long/theta path, not a 2^64-bin
+    // explode); and at binWidth=86400 a start within one bin of
+    // Long.MinValue used to underflow inside the BINNING expression
+    // itself (ANSI throw) — the floor-div must be subtraction-free
     locally {
-      val rows = Seq((0L, 0L, Long.MinValue + 2L, Long.MaxValue),
-        (0L, 1L, -5L, 10L), (0L, 2L, 50L, 60L), (1L, 3L, 0L, 4L))
-      val got = graft.ops.Intervals
-        .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", 1L)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val want = (for {
-        a <- rows; b <- rows
-        if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
-      } yield (a._1, a._2, b._2)).toSet
-      assert(got.toSet === want && got.length == want.size,
-        s"full-range interval mishandled: got ${got.toSeq.sorted}")
+      for (w <- Seq(1L, 86400L)) {
+        val rows = Seq((0L, 0L, Long.MinValue + 2L, Long.MaxValue),
+          (0L, 1L, -5L, 10L), (0L, 2L, 50L, 60L), (1L, 3L, 0L, 4L),
+          (1L, 4L, Long.MinValue, -1L), (1L, 5L, -100L, 3L))
+        val got = graft.ops.Intervals
+          .overlapPairs(rows.toDF("key", "id", "s", "e"), "key", "id", "s", "e", w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val want = (for {
+          a <- rows; b <- rows
+          if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+        } yield (a._1, a._2, b._2)).toSet
+        assert(got.toSet === want && got.length == want.size,
+          s"w=$w: full-range interval mishandled: got ${got.toSeq.sorted}")
+      }
     }
     // mixed paths under fuzz: a tiny maxBinsPerInterval forces most
     // intervals down the long path — the union must still be exact and

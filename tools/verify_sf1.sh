@@ -22,6 +22,7 @@ SKIP_BENCH=0
 for a in "$@"; do
   case "$a" in
     --skip-bench) SKIP_BENCH=1 ;;
+    --*) echo "unknown flag: $a (did you mean --skip-bench?)" >&2; exit 2 ;;
     *) SF1="$a" ;;
   esac
 done
