@@ -32,7 +32,8 @@ object MlStatsQueries extends QueryRegistry {
   // the mean of the preceding ≤7 days (min 3 for a usable stddev). The
   // daily sums run in exact cents (Money rule 11) so both engines feed
   // the trailing aggregates identical doubles in identical frame order;
-  // sigma=0 frames emit NULL z rather than a division blow-up.
+  // sigma=0 frames emit NULL z rather than a division blow-up — but the
+  // FLAG still fires when the day deviates from a constant trail.
   private val anomaly = NamedQuery(
     "q_anomaly_zscore",
     (spark, d) => {
@@ -58,9 +59,16 @@ object MlStatsQueries extends QueryRegistry {
           col("z"),
           // the flag derives from the SAME 4-dp z that is emitted, so a
           // row can never read z=2.0000 with is_anomaly=1 — output is
-          // self-consistent at the rounding boundary by construction
+          // self-consistent at the rounding boundary by construction.
+          // σ = 0 with a DEVIATING day is the most anomalous case of
+          // all (infinite z): it flags 1 with z left NULL — both
+          // engines previously NULLed the flag and the spike vanished
+          // from any is_anomaly consumer (gate-blind, review r11).
           when(col("sigma") > 0,
-            when(abs(col("z")) > 2, 1L).otherwise(0L)).as("is_anomaly"))
+            when(abs(col("z")) > 2, 1L).otherwise(0L))
+            .when(col("sigma") === 0,
+              when(col("revenue") =!= col("mu"), 1L).otherwise(0L))
+            .as("is_anomaly"))
         .orderBy("event_type", "day")
     },
     Some(s"""WITH daily AS (
@@ -80,6 +88,8 @@ object MlStatsQueries extends QueryRegistry {
         |  CASE WHEN sigma > 0 THEN round((revenue - mu) / sigma, 4) END AS z,
         |  CASE WHEN sigma > 0 THEN
         |    (CASE WHEN abs(round((revenue - mu) / sigma, 4)) > 2 THEN 1 ELSE 0 END)
+        |  WHEN sigma = 0 THEN
+        |    (CASE WHEN revenue <> mu THEN 1 ELSE 0 END)
         |  END AS is_anomaly
         |FROM z WHERE trail_n >= 3 ORDER BY event_type, day""".stripMargin))
 
@@ -156,29 +166,50 @@ object MlStatsQueries extends QueryRegistry {
         |SELECT p.a AS a, p.b AS b, count(*) AS n
         |FROM pairs GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 50""".stripMargin))
 
-  // Histogram-exact two-sample Kolmogorov–Smirnov statistic between the
-  // click and purchase value distributions: KS = max |F̂₁ − F̂₂| over the
-  // observed-value buckets. Exact at integer-bucket resolution because
-  // both ECDFs are step functions evaluated at every occupied bucket.
-  // The cumulative sums use the windowless broadcast-histogram self-join
-  // (ops.Ranking's shape): the join runs over the value-domain-bounded
-  // histogram (~500 rows regardless of corpus size), so no unpartitioned
-  // window and no corpus-wide sort — the same two-phase trick that makes
-  // q_auc_rank and q_ntile_deciles scale.
+  // Two-sample Kolmogorov–Smirnov statistic between the click and
+  // purchase value distributions: KS = max |F̂₁ − F̂₂|. EXACT for the
+  // 2-dp fixture values: buckets are CENTS (rule-11 rounding,
+  // floor(v·100 + 0.5) — the former integer-bucket binning hid all
+  // within-unit ECDF separation, so two disjoint distributions inside
+  // one unit bucket scored ks = 0 in BOTH engines; gate-blind, review
+  // r11). NULL values are excluded on both sides — they previously
+  // inflated the denominators while never joining into any cumulative
+  // sum, deflating both ECDFs identically. The cumulative sums use a
+  // TWO-LEVEL blocked prefix: within-block histogram self-join
+  // (≤ 1000-bucket blocks ⇒ bounded pairs) plus broadcast block-prefix
+  // totals — domain-bounded at any corpus size, no unpartitioned
+  // window, no corpus-wide sort, same family of tricks as q_auc_rank.
   private val ksTest = NamedQuery(
     "q_ks_histogram",
     (spark, d) => {
       val h = Tables.events(spark, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .groupBy(floor(col("value")).cast("long").as("b"))
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .groupBy(floor(col("value") * 100 + 0.5).cast("long").as("b"))
         .agg(
           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
-      val h2 = h.select(col("b").as("b2"), col("c1").as("c1b"),
-        col("c2").as("c2b"))
-      val cum = h.join(broadcast(h2), col("b2") <= col("b"))
-        .groupBy("b")
-        .agg(sum("c1b").as("cum1"), sum("c2b").as("cum2"))
+        // b ≥ 0 (values are non-negative money), so truncating div ==
+        // floor div == DuckDB's // — the block keys agree
+        .withColumn("blk", expr("b div 1000"))
+        .localCheckpoint() // read by 3 consumers below
+      val h2 = h.select(col("blk").as("blk2"), col("b").as("b2"),
+        col("c1").as("c1b"), col("c2").as("c2b"))
+      val within = h.join(h2,
+          col("blk") === col("blk2") && col("b2") <= col("b"))
+        .groupBy("blk", "b")
+        .agg(sum("c1b").as("w1"), sum("c2b").as("w2"))
+      val blockTot = h.groupBy("blk")
+        .agg(sum("c1").as("s1"), sum("c2").as("s2"))
+      val bt2 = blockTot.select(col("blk").as("blkb"),
+        col("s1").as("s1b"), col("s2").as("s2b"))
+      val prefix = blockTot.join(broadcast(bt2), col("blkb") < col("blk"), "left")
+        .groupBy("blk")
+        .agg(sum("s1b").as("p1"), sum("s2b").as("p2"))
+      val cum = within.join(broadcast(prefix), "blk")
+        .select(col("b"),
+          (col("w1") + coalesce(col("p1"), lit(0L))).as("cum1"),
+          (col("w2") + coalesce(col("p2"), lit(0L))).as("cum2"))
       val tot = h.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       cum.crossJoin(broadcast(tot))
         .agg(
@@ -188,13 +219,24 @@ object MlStatsQueries extends QueryRegistry {
           max("n1").as("n1"), max("n2").as("n2"))
     },
     Some("""WITH h AS (
-        |  SELECT cast(floor(value) AS BIGINT) AS b,
+        |  SELECT cast(floor(value * 100 + 0.5) AS BIGINT) AS b,
+        |         cast(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS blk,
         |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
         |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
-        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT a.blk, a.b, sum(b2.c1) AS w1, sum(b2.c2) AS w2
+        |  FROM h a JOIN h b2 ON b2.blk = a.blk AND b2.b <= a.b
+        |  GROUP BY 1, 2),
+        |bt AS (SELECT blk, sum(c1) AS s1, sum(c2) AS s2 FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT a.blk, sum(b2.s1) AS p1, sum(b2.s2) AS p2
+        |  FROM bt a LEFT JOIN bt b2 ON b2.blk < a.blk GROUP BY 1),
         |c AS (
-        |  SELECT a.b, sum(b2.c1) AS cum1, sum(b2.c2) AS cum2
-        |  FROM h a JOIN h b2 ON b2.b <= a.b GROUP BY a.b),
+        |  SELECT w.b, w1 + coalesce(p1, 0) AS cum1, w2 + coalesce(p2, 0) AS cum2
+        |  FROM w JOIN p USING (blk)),
         |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h)
         |SELECT round(max(abs(cast(cum1 AS DOUBLE) / n1
         |                    - cast(cum2 AS DOUBLE) / n2)), 6) AS ks,
@@ -286,11 +328,12 @@ object MlStatsQueries extends QueryRegistry {
         |mu AS (
         |  SELECT r.i AS i, avg(cast(embedding[r.i] AS DOUBLE)) AS m
         |  FROM embeddings, range(1, 9) r(i) GROUP BY 1),
-        |g AS (SELECT i, j, avg(x * y) AS exy, count(*) AS n FROM p GROUP BY i, j)
-        |SELECT g.i, g.j, round(g.exy - mi.m * mj.m, 5) AS cov,
-        |       cast(g.n AS BIGINT) AS n
-        |FROM g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
-        |ORDER BY g.i, g.j""".stripMargin))
+        |g AS (SELECT p.i, p.j, avg((x - mi.m) * (y - mj.m)) AS cov,
+        |             count(*) AS n
+        |      FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j
+        |      GROUP BY p.i, p.j)
+        |SELECT i, j, round(cov, 5) AS cov, cast(n AS BIGINT) AS n
+        |FROM g ORDER BY i, j""".stripMargin))
 
   // Per-week Pearson correlation between the daily click and purchase
   // revenue series — "are my engagement and conversion metrics moving
@@ -317,19 +360,32 @@ object MlStatsQueries extends QueryRegistry {
             when(col("event_type") === "click", col("value")).otherwise(0.0)).as("x"),
           graft.ops.Money.centsSumRaw(
             when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("y"))
+      // Pearson r via power sums kept in EXACT integer arithmetic
+      // (decimal(38,0) — the daily x/y are exact cents) all the way
+      // through the n·Sxx − Sx² subtraction, with ONE double conversion
+      // for the final division/sqrt. The former all-double pipeline was
+      // the textbook catastrophic-cancellation form: at large
+      // near-constant daily revenues Sx² exceeds 2⁵³ and the subtraction
+      // can flip the positivity guard or corrupt r past the 4-dp
+      // rounding — identically in both engines (gate-blind, review
+      // r11; the oracle mirrors with HUGEINT). Variances are ≥ 0 by
+      // Cauchy–Schwarz, exactly, so the guard tests each factor.
       val wk = daily
         .groupBy(date_format(date_trunc("week", col("day")), "yyyy-MM-dd").as("week"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
-          sum(col("x") * col("y")).cast("double").as("sxy"),
-          sum(col("x") * col("x")).cast("double").as("sxx"),
-          sum(col("y") * col("y")).cast("double").as("syy"))
-      wk.select(col("week"), col("n").cast("long").as("n"),
-          when((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
-            round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                (col("n") * col("syy") - col("sy") * col("sy"))), 4)).as("r"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      val nD = col("cnt").cast("decimal(38,0)")
+      val vx = nD * col("sxx") - col("sx") * col("sx")
+      val vy = nD * col("syy") - col("sy") * col("sy")
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      wk.select(col("week"), col("cnt").as("n"),
+          when(vx > 0 && vy > 0,
+            round(num.cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")), 4)).as("r"))
         .orderBy("week")
     },
     Some(s"""WITH daily AS (
@@ -341,18 +397,23 @@ object MlStatsQueries extends QueryRegistry {
         |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
         |wk AS (
         |  SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
-        |         cast(count(*) AS DOUBLE) AS n,
-        |         cast(sum(x) AS DOUBLE) AS sx, cast(sum(y) AS DOUBLE) AS sy,
-        |         cast(sum(x * y) AS DOUBLE) AS sxy,
-        |         cast(sum(x * x) AS DOUBLE) AS sxx,
-        |         cast(sum(y * y) AS DOUBLE) AS syy
-        |  FROM daily GROUP BY 1)
+        |         count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM daily GROUP BY 1),
+        |v AS (
+        |  SELECT week, n,
+        |         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        |         n * sxy - sx * sy AS num
+        |  FROM wk)
         |SELECT week, cast(n AS BIGINT) AS n,
-        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
-        |    round((n * sxy - sx * sy) /
-        |          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(CAST(num AS DOUBLE) /
+        |          sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 4)
         |  END AS r
-        |FROM wk ORDER BY week""".stripMargin))
+        |FROM v ORDER BY week""".stripMargin))
 
   // First-order Markov transition matrix over each user's event-type
   // sequence: P(next | prev) with exact counts. The lead() runs in a
@@ -469,14 +530,24 @@ object MlStatsQueries extends QueryRegistry {
       .select(expr("transform(slice(embedding, 1, 8), x -> cast(x as double))").as("v"))
     val mu = v8.select(posexplode(col("v")).as(Seq("i0", "x")))
       .groupBy((col("i0") + 1).as("i")).agg(avg("x").as("m"))
+    val mj = mu.select(col("i").as("j"), col("m").as("mj"))
+    // CENTERED accumulation E[(x−mᵢ)(y−mⱼ)] — the uncentered
+    // E[xy] − E[x]E[y] form is the textbook cancellation hazard: with a
+    // large common mean (un-normalized activations ~100±0.01) the
+    // subtraction destroys most significant digits, identically in both
+    // engines, and the rounded result feeds the PCA eigensolve
+    // (gate-blind, review r11). The tiny mean relation broadcasts into
+    // the row-local pair expansion BEFORE aggregation — same shuffle
+    // shape (one 64-group aggregate), one extra map-side subtract.
     val g = v8.select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
       .select(col("i0"), col("x"), posexplode(col("v")).as(Seq("j0", "y")))
-      .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
-      .agg(avg(col("x") * col("y")).as("exy"), count(lit(1)).as("n"))
-    val mj = mu.select(col("i").as("j"), col("m").as("mj"))
-    g.join(broadcast(mu), Seq("i")).join(broadcast(mj), Seq("j"))
-      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        (col("exy") - col("m") * col("mj")).as("cov"), col("n"))
+      .join(broadcast(mu), (col("i0") + 1) === col("i"))
+      .join(broadcast(mj), (col("j0") + 1) === col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(avg((col("x") - col("m")) * (col("y") - col("mj"))).as("cov"),
+        count(lit(1)).as("n"))
+    g.select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+      col("cov"), col("n"))
   }
 
   /** The covariance matrix (8-dp rounded, dimension-bounded collect) and
@@ -523,9 +594,9 @@ object MlStatsQueries extends QueryRegistry {
         |  SELECT r.i AS i, avg(cast(embedding[r.i] AS DOUBLE)) AS m
         |  FROM embeddings, range(1, 9) r(i) GROUP BY 1),
         |cov AS (
-        |  SELECT g.i, g.j, round(g.exy - mi.m * mj.m, 8) AS c
-        |  FROM (SELECT i, j, avg(x * y) AS exy FROM p GROUP BY i, j) g
-        |  JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+        |  SELECT p.i, p.j, round(avg((x - mi.m) * (y - mj.m)), 8) AS c
+        |  FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j
+        |  GROUP BY p.i, p.j),
         |it AS (
         |  SELECT 0 AS t, i,
         |    CASE WHEN i = 1 THEN cast(1.0 AS DOUBLE)
@@ -584,9 +655,9 @@ object MlStatsQueries extends QueryRegistry {
         |  SELECT r.i AS i, avg(cast(embedding[r.i] AS DOUBLE)) AS m
         |  FROM embeddings, range(1, 9) r(i) GROUP BY 1),
         |cov AS (
-        |  SELECT g.i, g.j, round(g.exy - mi.m * mj.m, 8) AS c
-        |  FROM (SELECT i, j, avg(x * y) AS exy FROM p GROUP BY i, j) g
-        |  JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+        |  SELECT p.i, p.j, round(avg((x - mi.m) * (y - mj.m)), 8) AS c
+        |  FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j
+        |  GROUP BY p.i, p.j),
         |it AS (
         |  SELECT 0 AS t, i,
         |    CASE WHEN i = 1 THEN cast(1.0 AS DOUBLE)
@@ -768,8 +839,11 @@ object MlStatsQueries extends QueryRegistry {
   // The ref/cur boundary is DERIVED from the data (midpoint of the
   // purchase date span, integer day arithmetic both engines share) —
   // a hard-coded date would silently empty one period if the fixture's
-  // time span ever moved, and Laplace smoothing would keep the score
-  // plausible-looking while it measured nothing.
+  // time span ever moved. A 0-1 day span still empties the reference
+  // half even with the derived split, so an empty period NULLs the
+  // score outright (n_ref/n_cur stay emitted): Laplace smoothing would
+  // otherwise keep a period-free "PSI" plausible-looking while it
+  // measured distance to uniform noise.
   private val psi = NamedQuery(
     "q_psi_drift",
     (spark, d) => {
@@ -791,9 +865,17 @@ object MlStatsQueries extends QueryRegistry {
           ((col("c_cur") + 1.0) / (col("n_cur") + col("nb"))).as("q"))
         .groupBy("nb", "n_ref", "n_cur")
         .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
-          .as("psi"))
+          .as("psi_raw"))
+        // an EMPTY period is not drift, it is no data: when the purchase
+        // span is 0-1 days the derived midpoint empties the reference
+        // half, and the Laplace-smoothed fold would emit a plausible,
+        // alarm-range "PSI vs uniform noise" in BOTH engines (gate-blind,
+        // review r11) — exactly the failure the derived boundary was
+        // meant to prevent. NULL the score instead; n_ref/n_cur stay
+        // emitted so the dashboard shows WHY.
         .select(col("nb").as("n_buckets"), col("n_ref"), col("n_cur"),
-          col("psi"))
+          when(col("n_ref") > 0 && col("n_cur") > 0, col("psi_raw"))
+            .as("psi"))
     },
     Some("""WITH ev AS (
         |  SELECT value, cast(ts AS DATE) AS dte
@@ -822,7 +904,8 @@ object MlStatsQueries extends QueryRegistry {
         |SELECT cast((SELECT nb FROM t) AS BIGINT) AS n_buckets,
         |  cast((SELECT n_ref FROM t) AS BIGINT) AS n_ref,
         |  cast((SELECT n_cur FROM t) AS BIGINT) AS n_cur,
-        |  round(sum((p - q) * ln(p / q)), 6) AS psi
+        |  CASE WHEN (SELECT n_ref FROM t) > 0 AND (SELECT n_cur FROM t) > 0
+        |       THEN round(sum((p - q) * ln(p / q)), 6) END AS psi
         |FROM s""".stripMargin))
 
   // Ratio-to-report: each nation's share of its region's revenue plus

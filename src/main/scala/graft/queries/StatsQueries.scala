@@ -260,7 +260,16 @@ object StatsQueries extends QueryRegistry {
       val tot = docs.agg(count(lit(1)).as("n"),
         countDistinct(col("lang")).as("r"),
         countDistinct(col("source")).as("c"))
-      cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+      // the COMPLETE r×c table, not just observed cells: Pearson χ²
+      // sums over every (row, col) combination — an unobserved pair
+      // still contributes its full expected count E = rm·cm/n as
+      // (0−E)²/E = E. Building cells from groupBy alone silently
+      // dropped those terms in BOTH engines (gate-blind, review r11);
+      // the margin cross join is r×c rows — tiny by domain, never by
+      // corpus.
+      val grid = broadcast(rm).crossJoin(broadcast(cm))
+      grid.join(cells, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
         .crossJoin(broadcast(tot))
         // margins cast to double BEFORE the multiply: rm·cm in LONG
         // silently wraps past 2^63 at corpus scale (DuckDB's BIGINT
@@ -288,11 +297,12 @@ object StatsQueries extends QueryRegistry {
         |cm AS (SELECT source, sum(o) AS cm FROM cells GROUP BY 1),
         |tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS r,
         |               count(DISTINCT source) AS c FROM documents),
-        |co AS (SELECT cells.lang, cells.source, n, r, c,
-        |         (o - (CAST(rm AS DOUBLE) * cm) / n)
-        |           * (o - (CAST(rm AS DOUBLE) * cm) / n)
+        |grid AS (SELECT lang, rm, source, cm FROM rm CROSS JOIN cm),
+        |co AS (SELECT grid.lang, grid.source, n, r, c,
+        |         (coalesce(o, 0) - (CAST(rm AS DOUBLE) * cm) / n)
+        |           * (coalesce(o, 0) - (CAST(rm AS DOUBLE) * cm) / n)
         |           / ((CAST(rm AS DOUBLE) * cm) / n) AS contrib
-        |       FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+        |       FROM grid LEFT JOIN cells USING (lang, source)
         |       CROSS JOIN tot),
         |s AS (SELECT n, r, c,
         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
