@@ -81,10 +81,14 @@ object Images {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
     // ONE splitext-parity predicate for driver and executors (a val
-    // lambda, so the executor closure captures only the Set)
+    // lambda, so the executor closure captures only the Set). Python's
+    // os.path.splitext skips ALL leading dots: ".png" AND "..png" are
+    // extensionless (excluded by the reference, appV2.py:135); the dot
+    // counts as a separator only with a non-dot character before it.
     val extOk: String => Boolean = { name =>
       val i = name.lastIndexOf('.')
-      i > 0 && exts.contains(name.substring(i).toLowerCase(java.util.Locale.ROOT))
+      i > 0 && name.substring(0, i).exists(_ != '.') &&
+        exts.contains(name.substring(i).toLowerCase(java.util.Locale.ROOT))
     }
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
     // driver work is ONE shallow listing: root files + first-level dirs

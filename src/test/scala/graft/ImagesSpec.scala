@@ -64,9 +64,16 @@ class ImagesSpec extends SparkSpec {
     Files.copy(Paths.get(dir, "photo.jpg"), d2.resolve("camera.Jpg"))
     Files.copy(Paths.get(dir, "portrait.png"), d2.resolve("scan.pNg"))
     Files.write(d2.resolve("note.TxT"), "not an image".getBytes("UTF-8"))
+    // splitext parity at the leading-dot boundary (appV2.py:135):
+    // Python treats a dot as the extension separator only with a
+    // non-dot character BEFORE it, so ".png" and "..png" are
+    // extensionless (excluded) while "a..png" keeps its ".png"
+    Files.copy(Paths.get(dir, "portrait.png"), d2.resolve(".png"))
+    Files.copy(Paths.get(dir, "portrait.png"), d2.resolve("..png"))
+    Files.copy(Paths.get(dir, "portrait.png"), d2.resolve("a..png"))
     val names = Images.source(spark, d2.toString)
       .select(col("path")).collect().map(_.getString(0).split('/').last).sorted
-    assert(names === Array("camera.Jpg", "scan.pNg"))
+    assert(names === Array("a..png", "camera.Jpg", "scan.pNg"))
   }
 
   test("R1 source: recursive picks up the nested file (appV2.py:137)") {

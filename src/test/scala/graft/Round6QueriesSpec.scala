@@ -133,8 +133,12 @@ class Round6QueriesSpec extends SparkSpec {
     val rm = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val cm = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val chi2 = cells.toSeq.sortBy(_._1).foldLeft(0.0) {
-      case (acc, ((l, s), o)) =>
+    // the COMPLETE r×c grid (gate-blindness fix, round 11): an
+    // unobserved cell still contributes (0−E)²/E = E to the statistic
+    val grid = for (l <- rm.keys.toSeq; s <- cm.keys.toSeq) yield (l, s)
+    val chi2 = grid.sorted.foldLeft(0.0) {
+      case (acc, (l, s)) =>
+        val o = cells.getOrElse((l, s), 0L)
         val e = (rm(l) * cm(s)).toDouble / n
         acc + (o - e) * (o - e) / e
     }
