@@ -136,9 +136,15 @@ object DedupQueries extends QueryRegistry {
 
   // ---- MinHash + LSH banding: 16 md5-seeded min-hashes, 4 bands × 4
   // rows; band-key equi-join yields candidates; exact Jaccard verifies.
-  // With 4 rows/band, P(candidate) = 1-(1-j⁴)⁴ ≈ 0.98 at j=0.8 — and the
-  // planted pairs sit at j≥0.9 where recall is ≈1, so the verified output
-  // equals the exact-Jaccard result (oracle-checked).
+  // With 4 rows/band, P(candidate) = 1-(1-j⁴)⁴: ≈ 0.88 at j=0.8 (the
+  // θ boundary — a true-0.8 pair is MISSED with ≈ 0.12 probability;
+  // the round-10 claim of "≈ 0.98 at j=0.8" was the j=0.9 value,
+  // arithmetic corrected in review r11) and ≈ 0.986 at j=0.9, where
+  // the fixture's planted pairs sit — there recall ≈ 1 and the
+  // verified output coincides with exact Jaccard ON THIS CORPUS. The
+  // oracle replays the IDENTICAL banding (LSH-vs-LSH — it pins the
+  // pipeline, not LSH recall; the recall trade is SCALE.md "Known
+  // divergences").
   private val minhashK = 16
   private val minhashBands = 4
 

@@ -111,12 +111,26 @@ object TextQueries extends QueryRegistry {
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY doc_id""".stripMargin))
 
-  // Repetition-based quality metrics (the Gopher filter family, Rae et
-  // al. 2021 §A1.1): fraction of all bigrams taken by the single most
-  // frequent bigram, and fraction of trigram occurrences that are
-  // duplicates. High values flag boilerplate/spam for pretraining
-  // filters. Fractions are ONE integer division each → bit-identical
-  // across engines, emitted raw (COVERAGE.md determinism rule 2).
+  // Repetition-based quality metrics in the Gopher filter family (Rae
+  // et al. 2021 §A1.1). Two metric FLAVORS per n-gram statistic:
+  //   - occurrence fractions (top_bigram_frac, dup_trigram_frac) —
+  //     share of n-gram OCCURRENCES; compact and threshold-friendly,
+  //     but NOT the published definition;
+  //   - character fractions (top_bigram_char_frac,
+  //     dup_trigram_char_frac) — Rae et al.'s actual filters are
+  //     "fraction of CHARACTERS in the most common n-gram" / "in
+  //     duplicate n-grams", approximated as count·len(gram)/n_chars
+  //     (overlapping occurrences can exceed 1, as the paper notes) —
+  //     emitted so a consumer applying the PUBLISHED thresholds gets
+  //     the published quantity (gate-blind label fix, review r11).
+  // Top-gram tie-break: max (count, char-length) — deeper ties leave
+  // count·len unchanged. Docs with exactly 2 tokens have one bigram and
+  // NO trigrams: they emit top_bigram_frac = 1 with NULL
+  // dup_trigram_frac (a bi⋈tri inner join silently dropped them — the
+  // short boilerplate this query exists to surface; review r11). Docs
+  // with < 2 tokens have no n-gram statistics at all and are absent.
+  // Fractions are ONE division each → bit-identical across engines,
+  // emitted raw (COVERAGE.md determinism rule 2).
   private val repetition = NamedQuery(
     "text_repetition",
     (spark, d) => {
@@ -124,16 +138,24 @@ object TextQueries extends QueryRegistry {
       val bi = TextOps.ngrams(docs, "doc_id", "text", 2)
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("topc"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("topc"),
+          max(struct(col("c"), length(col("gram")).as("glen"))).as("top"))
       val tri = TextOps.ngrams(docs, "doc_id", "text", 3)
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_trigrams"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
-      bi.join(tri, "doc_id")
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"),
+          sum(when(col("c") > 1, col("c") * length(col("gram")))
+            .otherwise(0L)).as("dupchars"))
+      bi.join(tri, Seq("doc_id"), "left")
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
         .select(col("doc_id"), col("n_bigrams"),
           (col("topc") / col("n_bigrams")).as("top_bigram_frac"),
-          (col("dupc") / col("n_trigrams")).as("dup_trigram_frac"))
+          (col("dupc") / col("n_trigrams")).as("dup_trigram_frac"),
+          (col("top.c") * col("top.glen") / col("n_chars"))
+            .as("top_bigram_char_frac"),
+          (coalesce(col("dupchars"), lit(0L)) / col("n_chars"))
+            .as("dup_trigram_char_frac"))
         .orderBy("doc_id")
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -142,16 +164,27 @@ object TextQueries extends QueryRegistry {
         |bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
         |bia AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |               max(c) AS topc FROM bic GROUP BY 1),
+        |bitop AS (SELECT doc_id, c, glen FROM (
+        |            SELECT doc_id, c, length(g) AS glen, row_number() OVER (
+        |              PARTITION BY doc_id ORDER BY c DESC, length(g) DESC) AS rn
+        |            FROM bic) t WHERE rn = 1),
         |tri AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS g
         |        FROM w, unnest(generate_series(1, len(words) - 2)) t(i)),
         |tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
         |tria AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
-        |                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+        |                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc,
+        |                CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+        |                     AS BIGINT) AS dupchars
         |         FROM tric GROUP BY 1)
-        |SELECT doc_id, n_bigrams,
+        |SELECT bia.doc_id, n_bigrams,
         |  topc / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
-        |  dupc / CAST(n_trigrams AS DOUBLE) AS dup_trigram_frac
-        |FROM bia JOIN tria USING (doc_id)
+        |  dupc / CAST(n_trigrams AS DOUBLE) AS dup_trigram_frac,
+        |  (bitop.c * bitop.glen) / CAST(d.n_chars AS DOUBLE) AS top_bigram_char_frac,
+        |  coalesce(dupchars, 0) / CAST(d.n_chars AS DOUBLE) AS dup_trigram_char_frac
+        |FROM bia
+        |JOIN bitop USING (doc_id)
+        |LEFT JOIN tria USING (doc_id)
+        |JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin))
 
   // Document fingerprints: whole-text md5 plus a 1-hash MinHash over
@@ -1306,9 +1339,17 @@ object TextQueries extends QueryRegistry {
         |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
 
-  // BM25 retrieval ranking (Robertson/Okapi, k1=1.2 b=0.75) — the lexical
-  // search / RAG-retrieval scoring stage TF-IDF doesn't cover: term
-  // saturation (k1) and doc-length normalization (b). Scale shape: the
+  // BM25 retrieval ranking, k1=1.2 b=0.75 — the lexical search /
+  // RAG-retrieval scoring stage TF-IDF doesn't cover: term saturation
+  // (k1) and doc-length normalization (b). The idf is the
+  // Lucene/ATIRE variant ln(1 + (N−df+0.5)/(df+0.5)) (Trotman et al.,
+  // "Improvements to BM25 and Language Models Examined", ADCS 2014;
+  // Lucene BM25Similarity), chosen deliberately: classic
+  // Robertson/Okapi idf ln((N−df+0.5)/(df+0.5)) goes NEGATIVE for
+  // df > N/2 and lets a stop-word-ish query term SUBTRACT relevance.
+  // (Labeled "Robertson/Okapi" until review r11 — the formulas differ
+  // in ranking, not just scale, and both engines carried the same
+  // label error.) Scale shape: the
   // query is a TINY broadcast dimension, so the per-doc tf rows (row-local
   // termCountsLocal kernel, one row per distinct term) are pruned to query
   // postings BEFORE any shuffle; df and corpus stats (N, avgdl — integer-

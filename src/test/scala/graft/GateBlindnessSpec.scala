@@ -113,6 +113,33 @@ class GateBlindnessSpec extends SparkSpec {
       "an empty period is no-data, not drift — psi must be NULL")
   }
 
+  test("text_repetition keeps 2-token docs and emits Gopher CHARACTER " +
+      "fractions alongside occurrence fractions") {
+    // doc 1 'buy now': ONE bigram, NO trigrams — the old bi⋈tri inner
+    // join dropped it in both engines (the short boilerplate the query
+    // exists to flag). doc 2 'a b a b a b': hand-computed fractions,
+    // incl. the >1 duplicate-char case the paper notes for overlaps.
+    val dir = stageDir()
+    write(dir, "documents", docs(Seq(
+      (1L, "buy now", "en", "web"),
+      (2L, "a b a b a b", "en", "web"))))
+    val got = SparkEntry.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.contains(1L), "2-token doc must not vanish")
+    val r1 = got(1L)
+    assert(r1.getAs[Double]("top_bigram_frac") === 1.0)
+    assert(r1.isNullAt(r1.fieldIndex("dup_trigram_frac")),
+      "no trigrams -> NULL occurrence share, not a dropped row")
+    assert(r1.getAs[Double]("top_bigram_char_frac") === 1.0) // 7 of 7 chars
+    assert(r1.getAs[Double]("dup_trigram_char_frac") === 0.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Double]("top_bigram_frac") === 0.6) // 'a b' 3 of 5
+    assert(r2.getAs[Double]("dup_trigram_frac") === 1.0) // all 4 duplicated
+    assert(math.abs(r2.getAs[Double]("top_bigram_char_frac") - 9.0 / 11) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("dup_trigram_char_frac") - 20.0 / 11) < 1e-12,
+      "overlapping duplicate trigrams may exceed 1, as Rae et al. note")
+  }
+
   test("weekly Pearson r survives large near-constant revenues (exact " +
       "integer power sums)") {
     // 7 days in one week, cents ~1e12 with tiny +/-1-cent structure:
