@@ -44,7 +44,12 @@ object EventsQueries extends QueryRegistry {
 
   // Session windows (30-min gap) per user: Spark session_window semantics
   // are start = first event, end = last event + gap; the oracle is the
-  // classic gaps-and-islands rewrite.
+  // classic gaps-and-islands rewrite. Boundary parity: Spark merges an
+  // event at EXACTLY prev_ts + gap (UpdatingSessionsIterator starts a
+  // new session only for start strictly past the current end), so the
+  // oracle's inclusive `<= INTERVAL 30 MINUTE` is the faithful rewrite —
+  // pinned by GateBlindnessSpec (the fixture's jittered timestamps never
+  // exercise the boundary).
   private val session = NamedQuery(
     "q_window_session",
     (spark, d) => Tables.events(spark, d)

@@ -167,6 +167,36 @@ class GateBlindnessSpec extends SparkSpec {
       s"exact-integer Pearson must recover r = -1, got $got")
   }
 
+  test("session windows merge at EXACTLY the 30-minute gap (inclusive " +
+      "boundary, matching the oracle's <= rewrite)") {
+    // Spark's UpdatingSessionsIterator starts a new session only when
+    // the incoming event's start is STRICTLY past the current session
+    // end (the getSessionEnd compare in the shipped 4.1.2 bytecode
+    // branches on ifgt) — an event at exactly prev_ts + gap EXTENDS the
+    // session, the same inclusive boundary the oracle's
+    // `ts - lag(ts) <= INTERVAL 30 MINUTE` rewrite encodes. The
+    // fixture's microsecond-jitter timestamps never land on the
+    // boundary, so the driver gate is structurally blind to a
+    // divergence here; only this pin holds the agreement.
+    val dir = stageDir()
+    val t0 = 800000000L
+    write(dir, "events", events(Seq(
+      (1L, t0, 7L, "view", java.lang.Double.valueOf(1.0)),
+      // exactly gap later: must merge
+      (2L, t0 + 1800L, 7L, "view", java.lang.Double.valueOf(2.0)),
+      // gap + 1s after the merged event: must start a new session
+      (3L, t0 + 1800L + 1801L, 7L, "view", java.lang.Double.valueOf(4.0)))))
+    val out = SparkEntry.queries("q_window_session")(spark, dir).collect()
+    assert(out.length === 2,
+      s"expected [merged 2-event session, single]: ${out.mkString("; ")}")
+    assert(out(0).getAs[Long]("session_start") === t0)
+    assert(out(0).getAs[Long]("session_end") === t0 + 1800L + 1800L,
+      "merged session must end at last event + gap")
+    assert(out(0).getAs[Long]("n") === 2L)
+    assert(out(1).getAs[Long]("session_start") === t0 + 3601L)
+    assert(out(1).getAs[Long]("n") === 1L)
+  }
+
   test("centered covariance survives a large common mean") {
     // embeddings ~ 1e5 +/- 0.5 on dims 1-2 (perfectly anti-correlated),
     // zeros elsewhere: true cov(1,2) = -0.25. Uncentered E[xy]-E[x]E[y]
