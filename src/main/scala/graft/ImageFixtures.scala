@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g4"
+  val generation = "g5"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -109,6 +109,54 @@ object ImageFixtures {
     bos.toByteArray
   }
 
+  /** 4-band JPEG from stored samples, with an optionally injected Adobe
+    * APP14 transform (the JDK writer emits none — probed): the crafted
+    * shape a CMYK/YCCK file takes. `blocks` paints vertical 8px stripes
+    * cycling the given stored 4-tuples; constant 8×8 blocks survive
+    * quality-1.0 quantization bit-exactly (probed: stored samples
+    * round-trip through readRaster unchanged), so the decode is
+    * deterministic without any golden tolerance. */
+  private[graft] def craftCmykJpeg(w: Int, h: Int, blocks: Seq[Array[Int]],
+                                   adobeTransform: Int = -1): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "8-aligned so constant blocks stay exact")
+    val raster = java.awt.image.Raster.createInterleavedRaster(
+      java.awt.image.DataBuffer.TYPE_BYTE, w, h, 4, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = blocks((x / 8) % blocks.length)
+      for (b <- 0 until 4) raster.setSample(x, y, b, px(b))
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    try writer.write(null, new javax.imageio.IIOImage(raster, null, null), p)
+    finally { writer.dispose(); ios.close() }
+    val plain = bos.toByteArray
+    if (adobeTransform < 0) plain
+    else {
+      // APP14 "Adobe" v100, flags 0, transform byte — spliced after SOI
+      val seg = Array(0xff, 0xee, 0, 14, 'A'.toInt, 'd'.toInt, 'o'.toInt,
+        'b'.toInt, 'e'.toInt, 0, 100, 0, 0, 0, 0, adobeTransform)
+        .map(_.toByte)
+      plain.take(2) ++ seg ++ plain.drop(2)
+    }
+  }
+
+  /** Stored YCCK sample for true ink (c, m, y, k) under the Adobe
+    * inverted-storage convention: the YCC channels carry the forward
+    * JFIF transform of ink-as-RGB, K stores the complement. */
+  private[graft] def ycckStored(c: Int, m: Int, y: Int, k: Int): Array[Int] = {
+    def r(v: Double) = math.max(0, math.min(255, math.round(v).toInt))
+    Array(
+      r(0.299 * c + 0.587 * m + 0.114 * y),
+      r(-0.168735892 * c - 0.331264108 * m + 0.5 * y + 128),
+      r(0.5 * c - 0.418687589 * m - 0.081312411 * y + 128),
+      255 - k)
+  }
+
   /** Write the fixture corpus under `dir` (idempotent, concurrency-safe:
     * every file lands via temp-name + atomic rename, so a reader in
     * another JVM can never observe a torn half-written image — the
@@ -171,6 +219,19 @@ object ImageFixtures {
       ()
     }
     write(rgbImage(24, 24, 7), "jpg", "photo.jpg")
+    // CMYK JPEG in the Photoshop YCCK layout (Adobe APP14 transform 2,
+    // inverted storage): PIL opens it as mode "CMYK" and convert("RGB")s
+    // (appV2.py:21-22,41); ImageIO.read() has no CMYK color model, so
+    // this pins Images.decodeCmykJpeg's raw-raster Pillow-chain replay
+    // inside the hash-checked e2e digest. Blocks: paper white, full
+    // black, pure cyan, a mixed tone.
+    writeAtomic("cmyk.jpg") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftCmykJpeg(32, 16,
+        Seq(ycckStored(0, 0, 0, 0), ycckStored(0, 0, 0, 255),
+          ycckStored(255, 0, 0, 0), ycckStored(60, 70, 80, 90)),
+        adobeTransform = 2))
+      ()
+    }
     writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(
       tmp.toPath, "not an image at all".getBytes))
     // a STRUCTURALLY VALID WebP container with a TRUNCATED zero VP8

@@ -19,7 +19,10 @@ import scala.util.{Failure, Success, Try}
   *     a white canvas (appV2.py:29-36), PIL-algorithm antialiased
   *     bicubic resize to 448×448 (graft.images.PilResample), /255,
   *     HWC→CHW, RGB→BGR channel reverse, (x−0.5)/0.5 normalize
-  *     (appV2.py:38-49). ImageIO covers png/jpg/jpeg/bmp/gif natively;
+  *     (appV2.py:38-49). ImageIO covers png/jpg/jpeg/bmp/gif natively
+  *     (4-component CMYK/YCCK JPEGs — which ImageIO.read() cannot
+  *     color-convert — decode through the engine's own raw-raster
+  *     replay of Pillow's libjpeg chain, [[decodeCmykJpeg]]);
   *     webp decodes through the engine's OWN pure-JVM readers
   *     (graft.images: Vp8l lossless, Vp8 lossy keyframes, Alpha for
   *     ALPH lossy-with-alpha, WebPContainer resolving animations to
@@ -211,6 +214,114 @@ object Images {
     ((t >> 8) + t) >> 8
   }
 
+  /** JPEG marker walk — the [[pngColorTypeAndTrns]] counterpart for the
+    * JPEG facts the decoded image cannot surface: the SOF component
+    * count and the Adobe APP14 color transform. Returns (nComponents,
+    * adobeTransform), transform −1 when no Adobe marker exists; walks
+    * every marker up to SOS (libjpeg honors an APP14 anywhere in the
+    * header). None for non-JPEG bytes or a broken marker stream. */
+  private def jpegSofAndAdobe(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var i = 2
+    var adobe = -1
+    var ncomp = -1
+    var go = true
+    while (go && i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None // marker desync
+      val m = bytes(i + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else {
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        if (m == 0xee && len >= 12 &&
+            new String(bytes, i + 4, 5, "US-ASCII") == "Adobe")
+          adobe = bytes(i + 2 + len - 1) & 0xff
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          ncomp = bytes(i + 9) & 0xff // SOFn: len, precision, h, w, ncomp
+        else if (m == 0xda) go = false // SOS: header ends
+        i += 2 + len
+      }
+    }
+    if (ncomp > 0) Some((ncomp, adobe)) else None
+  }
+
+  /** PIL-parity CMYK JPEG decode (the reference tags CMYK JPEGs through
+    * PIL mode "CMYK" → convert("RGB"), appV2.py:20-27,41). ImageIO's
+    * read() has no CMYK color model — it materializes a 4-band
+    * TYPE_CUSTOM image whose getRGB() is meaningless (probed: solid
+    * black for every input), so a CMYK JPEG in the corpus would have
+    * produced a silently WRONG tensor, not even an error row. The
+    * pipeline instead reads the RAW raster (Sun's readRaster applies no
+    * color transform — stored samples round-trip bit-exactly, probed
+    * across all three Adobe variants) and replays Pillow's exact chain:
+    *
+    *   1. libjpeg color handling (jdapimin.c / jdcolor.c — Pillow's
+    *      JpegDecode.c requests out_color_space JCS_CMYK): an Adobe
+    *      APP14 transform of 2 — or any nonzero value, jdapimin warns
+    *      and assumes YCCK — means the stream stores YCCK, where the
+    *      YCC channels encode the complement of the STORED (Adobe-
+    *      inverted) CMY; ycck_cmyk_convert reconstructs R'G'B' with the
+    *      fixed-point tables of build_ycc_rgb_table and complements,
+    *      leaving the output in the same inverted-storage convention as
+    *      a transform-0/no-Adobe stream (passthrough), K untouched.
+    *   2. Pillow's rawmode "CMYK;I" (JpegImagePlugin SOF handler:
+    *      4-layer JPEGs "assume Adobe conventions") inverts all four
+    *      channels — stored convention → true ink. (Pillow applies this
+    *      unconditionally, so a rare NON-Adobe true-ink CMYK JPEG
+    *      decodes inverted in PIL — and therefore here too: parity
+    *      means reproducing that documented Pillow quirk, not fixing
+    *      it.)
+    *   3. convert("RGB") = libImaging/Convert.c cmyk2rgb: nk = 255 − K,
+    *      channel = CLIP8(nk − MULDIV255(ink, nk)) — (255−ink)(255−K)
+    *      / 255 with Pillow's rounding ([[mulDiv255]]).
+    *
+    * Anchors (ImagesSpec): paper-white and full-K decode to exact
+    * white/black in the YCCK layout Photoshop writes; stored-CMYK
+    * blocks match exact hand-computed values; a YCCK color block stays
+    * within ±1 of an independent real-arithmetic reference. */
+  private def decodeCmykJpeg(reader: javax.imageio.ImageReader,
+                             adobeTransform: Int): BufferedImage = {
+    val raster = reader.readRaster(0, null)
+    val (w, h) = (raster.getWidth, raster.getHeight)
+    val ycck = adobeTransform > 0 // 2 = YCCK; jdapimin: nonzero ⇒ YCCK
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val dst = new Array[Int](w)
+    val row = new Array[Int](4 * w)
+    // libjpeg6b build_ycc_rgb_table: FIX(x) = round(x·2^16), ONE_HALF
+    // added before the arithmetic right shift
+    val FIX_1_40200 = 91881; val FIX_1_77200 = 116130
+    val FIX_0_71414 = 46802; val FIX_0_34414 = 22554
+    @inline def clamp(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    var y = 0
+    while (y < h) {
+      raster.getPixels(0, y, w, 1, row)
+      var x = 0
+      while (x < w) {
+        val o = 4 * x
+        var c = 0; var m = 0; var yl = 0
+        if (ycck) {
+          val lum = row(o); val cb = row(o + 1) - 128; val cr = row(o + 2) - 128
+          c = clamp(lum + ((FIX_1_40200 * cr + 32768) >> 16))
+          m = clamp(lum + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + 32768) >> 16))
+          yl = clamp(lum + ((FIX_1_77200 * cb + 32768) >> 16))
+        } else {
+          c = 255 - row(o); m = 255 - row(o + 1); yl = 255 - row(o + 2)
+        }
+        val nk = row(o + 3) // = 255 − (255 − storedK) = stored K
+        val r = nk - mulDiv255(c, nk)
+        val g = nk - mulDiv255(m, nk)
+        val b = nk - mulDiv255(yl, nk)
+        dst(x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      out.setRGB(0, y, w, 1, dst, 0, w)
+      y += 1
+    }
+    out
+  }
+
   /** R5, full PIL parity (appV2.py:20-27). `pil_ensure_rgb` branches on
     * the PIL MODE, which for PNGs maps from the color type in ways the
     * decoded raster alone cannot reproduce:
@@ -392,7 +503,7 @@ object Images {
     * enforce (images/Vp8.scala, images/WebP.scala), so a hostile header
     * in ANY supported format rides the error channel instead of buying
     * a multi-hundred-MB executor allocation. */
-  private def readGuarded(bytes: Array[Byte]): BufferedImage = {
+  private[graft] def readGuarded(bytes: Array[Byte]): BufferedImage = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -405,7 +516,13 @@ object Images {
         if (w * h > 178956970L)
           throw new IllegalArgumentException(
             s"decompression bomb: ${w}x$h exceeds the 178.9 Mpx limit")
-        reader.read(0)
+        jpegSofAndAdobe(bytes) match {
+          // 4-component JPEG (PIL mode "CMYK"): ImageIO.read() would
+          // return a 4-band TYPE_CUSTOM image with meaningless getRGB —
+          // decode the raw raster through Pillow's exact chain instead
+          case Some((4, transform)) => decodeCmykJpeg(reader, transform)
+          case _ => reader.read(0)
+        }
       } catch {
         // ImageIO.read's own contract: decoder RuntimeExceptions surface
         // as IIOException(e.toString()) — keep the status messages (and

@@ -20,9 +20,10 @@ class ImagesSpec extends SparkSpec {
     // the reference's os.walk has no hidden-file notion, and Spark's
     // own file index (which drops them) is deliberately bypassed
     assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
-      "anim.gif", "art.webp", "corrupt.png", "gray.png", "landscape.png",
-      "lossy.webp", "motion.webp", "photo.jpg", "photo.webp", "portrait.png",
-      "square.PNG", "tiny.bmp", "trans.gif", "translucent.webp"))
+      "anim.gif", "art.webp", "cmyk.jpg", "corrupt.png", "gray.png",
+      "landscape.png", "lossy.webp", "motion.webp", "photo.jpg",
+      "photo.webp", "portrait.png", "square.PNG", "tiny.bmp", "trans.gif",
+      "translucent.webp"))
   }
 
   test("webp contract: lossless AND lossy decode natively, corrupt rides " +
@@ -359,6 +360,65 @@ class ImagesSpec extends SparkSpec {
       "raw luma replicated — Java2D's gray→sRGB shift would give ~168")
   }
 
+  test("R5 parity: CMYK JPEG (no Adobe / transform 0) — stored samples " +
+      "invert (Pillow CMYK;I) then cmyk2rgb, exactly") {
+    // ImageIO.read() on a 4-component JPEG returns a TYPE_CUSTOM image
+    // whose getRGB is solid black — before decodeCmykJpeg this produced
+    // a silently WRONG tensor, not even an error row. Constant 8×8
+    // blocks at quality 1.0 round-trip bit-exactly through readRaster
+    // (probed), so the expectation is EXACT integer arithmetic: the
+    // spec's own MULDIV255 replica, independent of the implementation.
+    def md255(a: Int, b: Int) = { val t = a * b + 128; ((t >> 8) + t) >> 8 }
+    val blocks = Seq(Array(255, 255, 255, 255), Array(0, 0, 0, 0),
+      Array(155, 185, 205, 255), Array(100, 200, 50, 120))
+    for (t <- Seq(-1, 0)) {
+      val bytes = ImageFixtures.craftCmykJpeg(32, 16, blocks, adobeTransform = t)
+      val out = Images.pilEnsureRgb(bytes, Images.readGuarded(bytes))
+      for ((b, i) <- blocks.zipWithIndex) {
+        val ink = b.map(255 - _)
+        val nk = 255 - ink(3) // = stored K
+        val exp = (0 to 2).map(ch => nk - md255(ink(ch), nk))
+        val p = out.getRGB(i * 8 + 4, 8)
+        assert((((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)) ===
+          ((exp(0), exp(1), exp(2))),
+          s"adobeTransform=$t block $i stored=${b.mkString(",")}")
+      }
+    }
+  }
+
+  test("R5 parity: CMYK JPEG in the Photoshop YCCK layout — paper white " +
+      "and full K exact, color blocks within ±1 of the real-valued chain") {
+    // Adobe transform 2, inverted storage: the YCC channels encode
+    // ink-as-RGB. Paper white (no ink) and full-K are exact anchors —
+    // any inversion mistake anywhere in the three-step chain flips them
+    // loudly. The color blocks check the fixed-point YCCK math against
+    // an INDEPENDENT real-arithmetic reference (libjpeg's real-valued
+    // coefficients, float inverse + exact final conversion), ±1 for the
+    // table rounding (the PilResampleSpec pattern).
+    val inks = Seq(Array(0, 0, 0, 0), Array(0, 0, 0, 255),
+      Array(255, 0, 0, 0), Array(60, 70, 80, 90))
+    val stored = inks.map(a => ImageFixtures.ycckStored(a(0), a(1), a(2), a(3)))
+    val bytes = ImageFixtures.craftCmykJpeg(32, 16, stored, adobeTransform = 2)
+    val out = Images.pilEnsureRgb(bytes, Images.readGuarded(bytes))
+    def rgb(i: Int) = {
+      val p = out.getRGB(i * 8 + 4, 8)
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    assert(rgb(0) === ((255, 255, 255)), "no ink = paper white")
+    assert(rgb(1) === ((0, 0, 0)), "full K = black")
+    for (i <- Seq(2, 3)) {
+      val s = stored(i)
+      val y = s(0).toDouble; val cb = s(1) - 128.0; val cr = s(2) - 128.0
+      val ink = Seq(y + 1.40200 * cr, y - 0.34414 * cb - 0.71414 * cr,
+        y + 1.77200 * cb).map(v => math.max(0.0, math.min(255.0, v)))
+      val nk = s(3).toDouble // 255 − inverted K = stored K
+      val exp = ink.map(c => nk - c * nk / 255.0)
+      val got = rgb(i)
+      for ((g, e) <- Seq(got._1, got._2, got._3).zip(exp))
+        assert(math.abs(g - e) <= 1.5, s"block $i: got $got expected ~$exp")
+    }
+  }
+
   test("R5-R7 preprocess: shape, range, BGR order, white-pad corners") {
     val bytes = Files.readAllBytes(Paths.get(dir, "portrait.png"))
     val t = Images.preprocess(bytes, targetSize = 64)
@@ -386,10 +446,11 @@ class ImagesSpec extends SparkSpec {
     assert(corruptStatus.startsWith("error:") && corruptLogits.isEmpty)
     val okCount = scored.values.count(_._2 == "ok")
     // 7 classic + gray.png (raw-L branch) + trans.gif (transparent
-    // index + first-frame) + _shadow.png + .dotfile.png (hidden-name
-    // parity) + art.webp (VP8L) + lossy.webp (VP8) + translucent.webp
-    // (ALPH alpha) + motion.webp (first anim frame) — all engine-native
-    assert(okCount === 15)
+    // index + first-frame) + cmyk.jpg (YCCK raw-raster decode) +
+    // _shadow.png + .dotfile.png (hidden-name parity) + art.webp (VP8L)
+    // + lossy.webp (VP8) + translucent.webp (ALPH alpha) + motion.webp
+    // (first anim frame) — all engine-native
+    assert(okCount === 16)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -404,14 +465,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 17L && m("n_ok") === 15L && m("n_failed") === 2L)
+    assert(m("n_total") === 18L && m("n_ok") === 16L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 17)
+    assert(rows.length === 18)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
