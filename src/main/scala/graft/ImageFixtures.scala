@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g5"
+  val generation = "g6"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -145,6 +145,22 @@ object ImageFixtures {
     }
   }
 
+  /** Splice an APP2 ICC_PROFILE segment (single chunk) into a JPEG,
+    * right after SOI — the layout AdobeRGB/Display-P3 cameras write.
+    * Used to pin that decode IGNORES the profile like PIL (Sun's reader
+    * would otherwise color-convert through it). */
+  private[graft] def withJpegIcc(jpeg: Array[Byte], icc: Array[Byte]): Array[Byte] = {
+    val hdr = "ICC_PROFILE".getBytes("US-ASCII") :+ 0.toByte
+    val len = 2 + hdr.length + 2 + icc.length
+    require(len <= 0xffff, "single-chunk test profile only")
+    val seg = java.nio.ByteBuffer.allocate(4 + hdr.length + 2 + icc.length)
+    seg.put(0xff.toByte).put(0xe2.toByte)
+      .put((len >> 8).toByte).put((len & 0xff).toByte)
+      .put(hdr).put(1.toByte).put(1.toByte) // chunk 1 of 1
+      .put(icc)
+    jpeg.take(2) ++ seg.array() ++ jpeg.drop(2)
+  }
+
   /** Stored YCCK sample for true ink (c, m, y, k) under the Adobe
     * inverted-storage convention: the YCC channels carry the forward
     * JFIF transform of ink-as-RGB, K stores the complement. */
@@ -219,6 +235,21 @@ object ImageFixtures {
       ()
     }
     write(rgbImage(24, 24, 7), "jpg", "photo.jpg")
+    // ICC-profiled JPEG (the AdobeRGB/Display-P3 camera shape): PIL
+    // ignores the embedded profile at decode (raw JFIF samples), Sun's
+    // reader color-converts through it — Images.stripJpegIcc restores
+    // parity, and this corpus file rides the hash-checked e2e digest.
+    // The digest does NOT depend on the JDK's profile bytes: the
+    // profile is stripped before decode, so tags equal the profileless
+    // twin's.
+    writeAtomic("icc.jpg") { tmp =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(rgbImage(24, 24, 11), "jpg", bos)
+      val icc = java.awt.color.ICC_Profile
+        .getInstance(java.awt.color.ColorSpace.CS_LINEAR_RGB).getData
+      java.nio.file.Files.write(tmp.toPath, withJpegIcc(bos.toByteArray, icc))
+      ()
+    }
     // CMYK JPEG in the Photoshop YCCK layout (Adobe APP14 transform 2,
     // inverted storage): PIL opens it as mode "CMYK" and convert("RGB")s
     // (appV2.py:21-22,41); ImageIO.read() has no CMYK color model, so

@@ -247,6 +247,58 @@ object Images {
     if (ncomp > 0) Some((ncomp, adobe)) else None
   }
 
+  /** PIL parity for ICC-profiled JPEGs: Pillow never color-manages at
+    * decode — an embedded profile lands in info['icc_profile'] untouched
+    * and the pixels stay raw JFIF samples (ImageCms is a separate,
+    * opt-in API the reference never calls). Sun's JPEG reader instead
+    * runs a ColorConvertOp through any embedded APP2 ICC profile
+    * (probed: raw (64,128,192) under a linear-RGB profile reads back as
+    * (137,188,225)) — every AdobeRGB / Display-P3 camera or web JPEG
+    * would silently diverge from the reference, pixel by pixel, with
+    * status 'ok'. Stripping the APP2 ICC_PROFILE segments before
+    * ImageIO sees the stream restores PIL's raw-sample decode. Returns
+    * the input array unchanged (no copy) when no such segment exists —
+    * the overwhelmingly common case pays one marker walk. (The PNG
+    * reader needs no twin: probed to ignore gAMA/iCCP, pinned in
+    * ImagesSpec.) */
+  private def stripJpegIcc(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return bytes
+    val iccHdr = "ICC_PROFILE".getBytes("US-ASCII") :+ 0.toByte
+    var segments: List[(Int, Int)] = Nil // (start, total length) to drop
+    var i = 2
+    var go = true
+    while (go && i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) go = false // desync: leave as-is
+      else {
+        val m = bytes(i + 1) & 0xff
+        if (m == 0xff) i += 1
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else {
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > bytes.length) go = false
+          else {
+            if (m == 0xe2 && len >= 2 + iccHdr.length &&
+                iccHdr.indices.forall(k => bytes(i + 4 + k) == iccHdr(k)))
+              segments ::= ((i, 2 + len))
+            if (m == 0xda) go = false // entropy data: stop walking
+            i += 2 + len
+          }
+        }
+      }
+    }
+    if (segments.isEmpty) bytes
+    else {
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      var pos = 0
+      segments.reverse.foreach { case (s, l) =>
+        out.write(bytes, pos, s - pos); pos = s + l
+      }
+      out.write(bytes, pos, bytes.length - pos)
+      out.toByteArray
+    }
+  }
+
   /** PIL-parity CMYK JPEG decode (the reference tags CMYK JPEGs through
     * PIL mode "CMYK" → convert("RGB"), appV2.py:20-27,41). ImageIO's
     * read() has no CMYK color model — it materializes a 4-band
@@ -504,7 +556,10 @@ object Images {
     * in ANY supported format rides the error channel instead of buying
     * a multi-hundred-MB executor allocation. */
   private[graft] def readGuarded(bytes: Array[Byte]): BufferedImage = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    // PIL parity: decode ignores any embedded ICC profile (see
+    // stripJpegIcc — Sun's reader would color-convert through it)
+    val clean = stripJpegIcc(bytes)
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(clean))
     try {
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext)

@@ -21,7 +21,7 @@ class ImagesSpec extends SparkSpec {
     // own file index (which drops them) is deliberately bypassed
     assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
       "anim.gif", "art.webp", "cmyk.jpg", "corrupt.png", "gray.png",
-      "landscape.png", "lossy.webp", "motion.webp", "photo.jpg",
+      "icc.jpg", "landscape.png", "lossy.webp", "motion.webp", "photo.jpg",
       "photo.webp", "portrait.png", "square.PNG", "tiny.bmp", "trans.gif",
       "translucent.webp"))
   }
@@ -419,6 +419,63 @@ class ImagesSpec extends SparkSpec {
     }
   }
 
+  test("R5 parity: ICC-profiled JPEG decodes RAW like PIL — the profile " +
+      "is stripped, never color-converted") {
+    // PIL leaves an embedded ICC profile in info['icc_profile'] and the
+    // pixels raw; Sun's reader runs a ColorConvertOp through it. The
+    // engine must produce the SAME pixels for a JPEG with and without
+    // the profile (identical entropy data).
+    val bos = new java.io.ByteArrayOutputStream()
+    val src = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) src.setRGB(x, y, 0x4080C0)
+    javax.imageio.ImageIO.write(src, "jpg", bos)
+    val plain = bos.toByteArray
+    val icc = java.awt.color.ICC_Profile
+      .getInstance(java.awt.color.ColorSpace.CS_LINEAR_RGB).getData
+    val profiled = ImageFixtures.withJpegIcc(plain, icc)
+    val a = Images.readGuarded(plain)
+    val b = Images.readGuarded(profiled)
+    assert(a.getRGB(8, 8) === b.getRGB(8, 8),
+      "profiled JPEG must decode to the raw samples PIL sees")
+    // fires-for-real: WITHOUT the strip, ImageIO really does convert —
+    // the divergence the strip exists to prevent (a silent, status-ok,
+    // pixel-level drift on every AdobeRGB/P3 photo)
+    val converted = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(profiled))
+    assert(converted.getRGB(8, 8) !== a.getRGB(8, 8),
+      "probe invariant: Sun's reader color-converts under an ICC profile")
+  }
+
+  test("R5 parity: PNG gAMA/iCCP chunks do not shift pixels (PIL ignores " +
+      "them; ImageIO ignores them — pinned so a JDK change cannot drift silently)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val src = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) src.setRGB(x, y, 0x4080C0)
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val plain = bos.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    // extreme gAMA (10.0) + a linear-RGB iCCP after IHDR (ends at 33)
+    val gama = chunk("gAMA", Array(0, 0, 0x27, 0x10).map(_.toByte))
+    val deflater = new java.util.zip.Deflater()
+    val icc = java.awt.color.ICC_Profile
+      .getInstance(java.awt.color.ColorSpace.CS_LINEAR_RGB).getData
+    deflater.setInput(icc); deflater.finish()
+    val buf = new Array[Byte](icc.length * 2)
+    val n = deflater.deflate(buf)
+    val iccp = chunk("iCCP",
+      "lin".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ buf.take(n))
+    val modded = plain.take(33) ++ gama ++ iccp ++ plain.drop(33)
+    assert(Images.readGuarded(modded).getRGB(4, 4) ===
+      Images.readGuarded(plain).getRGB(4, 4))
+  }
+
   test("R5-R7 preprocess: shape, range, BGR order, white-pad corners") {
     val bytes = Files.readAllBytes(Paths.get(dir, "portrait.png"))
     val t = Images.preprocess(bytes, targetSize = 64)
@@ -449,8 +506,8 @@ class ImagesSpec extends SparkSpec {
     // index + first-frame) + cmyk.jpg (YCCK raw-raster decode) +
     // _shadow.png + .dotfile.png (hidden-name parity) + art.webp (VP8L)
     // + lossy.webp (VP8) + translucent.webp (ALPH alpha) + motion.webp
-    // (first anim frame) — all engine-native
-    assert(okCount === 16)
+    // (first anim frame) + icc.jpg (profile stripped) — all engine-native
+    assert(okCount === 17)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -465,14 +522,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 18L && m("n_ok") === 16L && m("n_failed") === 2L)
+    assert(m("n_total") === 19L && m("n_ok") === 17L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 18)
+    assert(rows.length === 19)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
