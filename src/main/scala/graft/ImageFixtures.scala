@@ -76,7 +76,9 @@ object ImageFixtures {
     * first-frame choice for animations) the way controlled bytes can. */
   private[graft] def craftGif(w: Int, h: Int, palette: Array[Int],
                               frames: Seq[Array[Byte]],
-                              transparentIndex: Int = -1): Array[Byte] = {
+                              transparentIndex: Int = -1,
+                              frameRect: Option[(Int, Int, Int, Int)] = None)
+      : Array[Byte] = {
     require(palette.length == 4, "4-entry palette (GCT size field = 1)")
     val bos = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
@@ -87,15 +89,16 @@ object ImageFixtures {
     palette.foreach { c =>
       bos.write((c >> 16) & 0xff); bos.write((c >> 8) & 0xff); bos.write(c & 0xff)
     }
+    val (fx, fy, fw, fh) = frameRect.getOrElse((0, 0, w, h))
     frames.foreach { px =>
-      require(px.length == w * h, "frame pixel count")
+      require(px.length == fw * fh, "frame pixel count")
       if (transparentIndex >= 0) {
         bos.write(0x21); bos.write(0xf9); bos.write(4)
         bos.write(0x01) // packed: transparent-color flag
         u16(0) // delay
         bos.write(transparentIndex); bos.write(0)
       }
-      bos.write(0x2c); u16(0); u16(0); u16(w); u16(h); bos.write(0)
+      bos.write(0x2c); u16(fx); u16(fy); u16(fw); u16(fh); bos.write(0)
       bos.write(2) // LZW minimum code size
       val lzw = gifLzw(px, 2)
       var off = 0

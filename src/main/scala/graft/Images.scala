@@ -247,6 +247,85 @@ object Images {
     if (ncomp > 0) Some((ncomp, adobe)) else None
   }
 
+  /** GIF logical-screen facts the frame-rect decode cannot surface:
+    * ImageIO's read(0) returns an image of the FIRST FRAME's dimensions
+    * (probed: an 8×8 frame at (4,4) on a 20×16 screen reads back 8×8),
+    * while PIL's Image.open sizes the image to the LOGICAL SCREEN and
+    * draws the frame at its offset over a zero-filled canvas — palette
+    * index 0, NOT the header's background index (Image.core.new zeroes
+    * the buffer and the decoder only writes the tile rect). Returns
+    * (screenW, screenH, frameX, frameY, frameW, frameH, fillArgb) with
+    * fillArgb = the frame's effective palette entry 0 (local table if
+    * the first frame has one, else global), fully transparent when the
+    * first frame's GCE names index 0 as transparent. None for non-GIF
+    * bytes or a broken stream. */
+  private def gifScreenAndFirstFrame(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+    if (bytes.length < 14 || bytes(0) != 'G' || bytes(1) != 'I' ||
+        bytes(2) != 'F') return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val sw = u16(6); val sh = u16(8)
+    val packed = bytes(10) & 0xff
+    var i = 13
+    var gct = -1
+    if ((packed & 0x80) != 0) { gct = 13; i += 3 << ((packed & 7) + 1) }
+    var trans = -1
+    while (i + 9 < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x21 => // extension block: label + sub-blocks
+          val label = bytes(i + 1) & 0xff
+          var j = i + 2
+          while (j < bytes.length && (bytes(j) & 0xff) != 0) {
+            val sz = bytes(j) & 0xff
+            if (label == 0xf9 && sz >= 4 && j + 4 < bytes.length &&
+                (bytes(j + 1) & 1) != 0)
+              trans = bytes(j + 4) & 0xff
+            j += 1 + sz
+          }
+          i = j + 1
+        case 0x2c =>
+          val fx = u16(i + 1); val fy = u16(i + 3)
+          val fw = u16(i + 5); val fh = u16(i + 7)
+          val lpacked = bytes(i + 9) & 0xff
+          val palOff = if ((lpacked & 0x80) != 0) i + 10 else gct
+          val fill =
+            if (trans == 0) 0 // index 0 transparent: canvas is clear
+            else if (palOff < 0 || palOff + 2 >= bytes.length) 0xff000000
+            else 0xff000000 | ((bytes(palOff) & 0xff) << 16) |
+              ((bytes(palOff + 1) & 0xff) << 8) | (bytes(palOff + 2) & 0xff)
+          return Some((sw, sh, fx, fy, fw, fh, fill))
+        case _ => return None // trailer/junk before any image descriptor
+      }
+    }
+    None
+  }
+
+  /** Paste the decoded first frame onto the PIL-semantics logical-screen
+    * canvas (see [[gifScreenAndFirstFrame]]): fill = palette index 0,
+    * frame pixels written VERBATIM (the GIF decoder emits an index for
+    * every rect pixel — a transparent-index pixel stays transparent, it
+    * does not reveal the canvas). */
+  private def expandGifToScreen(frame: BufferedImage, sw: Int, sh: Int,
+                                fx: Int, fy: Int, fillArgb: Int): BufferedImage = {
+    val out = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+    val row = new Array[Int](sw)
+    java.util.Arrays.fill(row, fillArgb)
+    var y = 0
+    while (y < sh) { out.setRGB(0, y, sw, 1, row, 0, sw); y += 1 }
+    val (fw, fh) = (frame.getWidth, frame.getHeight)
+    val fr = frame.getRGB(0, 0, fw, fh, null, 0, fw)
+    var yy = 0
+    while (yy < fh && fy + yy < sh) {
+      var xx = 0
+      while (xx < fw && fx + xx < sw) {
+        out.setRGB(fx + xx, fy + yy, fr(yy * fw + xx))
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** PIL parity for ICC-profiled JPEGs: Pillow never color-manages at
     * decode — an embedded profile lands in info['icc_profile'] untouched
     * and the pixels stay raw JFIF samples (ImageCms is a separate,
@@ -400,9 +479,51 @@ object Images {
       case Some((4, _, _))     => grayDropAlpha(img)
       case Some((0, true, _))  => grayCompositeWhite(img)
       case Some((0, false, _)) => grayDropAlpha(img)
+      // 16-bit truecolor (types 2/6): Pillow's ;16B unpackers keep the
+      // HIGH byte; Java2D getRGB scale-rounds — see rgb16HighBytes.
+      // Covers 2+tRNS too (transparency ignored at any depth, the PIL
+      // mode-"RGB" allow-list rule).
+      case Some((2, _, 16)) | Some((6, _, 16)) => rgb16HighBytes(img)
       case Some((2, true, _))  => stripAlpha(img)
       case _                   => ensureRgbOnWhite(img)
     }
+
+  /** 16-bit truecolor PNGs (color types 2 and 6 at depth 16): Pillow's
+    * ;16B unpackers keep each sample's HIGH byte — the same convention
+    * as its I;16 → L gray conversion — while Java2D's getRGB
+    * scale-rounds 16→8: sample 0x01FF reads back 2 where PIL gives 1, a
+    * systematic ±1 on every channel (probed). The raster carries the
+    * full 16-bit samples, so high-byte extraction restores parity; a
+    * type-6 alpha band (also high-byte) then composites over white with
+    * the standard Pillow paste arithmetic. */
+  private def rgb16HighBytes(img: BufferedImage): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val raster = img.getRaster
+    val hasAlpha = raster.getNumBands >= 4
+    val dst = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = raster.getSample(x, y, 0) >> 8
+        val g = raster.getSample(x, y, 1) >> 8
+        val b = raster.getSample(x, y, 2) >> 8
+        dst(x) =
+          if (!hasAlpha) (r << 16) | (g << 8) | b
+          else {
+            val a = raster.getSample(x, y, 3) >> 8
+            val inv = 255 - a
+            ((mulDiv255(r, a) + inv) << 16) |
+              ((mulDiv255(g, a) + inv) << 8) | (mulDiv255(b, a) + inv)
+          }
+        x += 1
+      }
+      out.setRGB(0, y, w, 1, dst, 0, w)
+      y += 1
+    }
+    out
+  }
 
   /** Mode "LA"/"L"/"1" → convert("RGB"): raw L replicated, alpha (if
     * any) ignored. Depth handling mirrors Pillow's unpackers exactly:
@@ -571,12 +692,29 @@ object Images {
         if (w * h > 178956970L)
           throw new IllegalArgumentException(
             s"decompression bomb: ${w}x$h exceeds the 178.9 Mpx limit")
+        // GIF: the reader's getWidth/getHeight above are the FRAME's, so
+        // a small frame on a huge logical screen must be bomb-checked on
+        // the SCREEN (the canvas the PIL-parity expansion allocates)
+        val gifFacts = gifScreenAndFirstFrame(bytes)
+        gifFacts.foreach { case (sw, sh, _, _, _, _, _) =>
+          if (sw.toLong * sh > 178956970L)
+            throw new IllegalArgumentException(
+              s"decompression bomb: logical screen ${sw}x$sh exceeds the " +
+                "178.9 Mpx limit")
+        }
         jpegSofAndAdobe(bytes) match {
           // 4-component JPEG (PIL mode "CMYK"): ImageIO.read() would
           // return a 4-band TYPE_CUSTOM image with meaningless getRGB —
           // decode the raw raster through Pillow's exact chain instead
           case Some((4, transform)) => decodeCmykJpeg(reader, transform)
-          case _ => reader.read(0)
+          case _ =>
+            val img = reader.read(0)
+            gifFacts match {
+              case Some((sw, sh, fx, fy, fw, fh, fill))
+                  if fx != 0 || fy != 0 || fw != sw || fh != sh =>
+                expandGifToScreen(img, sw, sh, fx, fy, fill)
+              case _ => img
+            }
         }
       } catch {
         // ImageIO.read's own contract: decoder RuntimeExceptions surface

@@ -301,6 +301,32 @@ class ImagesSpec extends SparkSpec {
     assert(rgbAt(o16, 0) === ((1, 1, 1)) && rgbAt(o16, 1) === ((255, 255, 255)))
   }
 
+  test("R5 parity: 16-bit truecolor PNGs keep the HIGH byte like Pillow's " +
+      ";16B unpackers — Java2D's scale-round is off by one") {
+    // type 2 (RGB), one row of two pixels; samples chosen where >>8 and
+    // round(v·255/65535) differ: 0x01FF → PIL 1, Java2D getRGB 2 —
+    // probed; the raster still carries the full 16-bit samples
+    val raw2 = Array[Byte](0, // filter
+      0x01, 0xff.toByte, 0x80.toByte, 0x80.toByte, 0xff.toByte, 0x00,
+      0x00, 0xff.toByte, 0x00, 0x01, 0x12, 0x34)
+    val p2 = craftPng(2, 2, raw2, None, depth = 16)
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p2))
+    val out2 = Images.pilEnsureRgb(p2, img2)
+    assert(rgbAt(out2, 0) === ((0x01, 0x80, 0xff)))
+    assert(rgbAt(out2, 1) === ((0x00, 0x00, 0x12)))
+    // type 6 (RGBA): high-byte channels AND alpha, then the Pillow
+    // white paste — both at half and full alpha
+    val raw6 = Array[Byte](0,
+      0x80.toByte, 0x00, 0x40, 0x00, 0xc0.toByte, 0x00, 0x7f, 0xff.toByte,
+      0x10, 0x00, 0x20, 0x00, 0x30, 0x00, 0xff.toByte, 0x00)
+    val p6 = craftPng(6, 2, raw6, None, depth = 16)
+    val img6 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p6))
+    val out6 = Images.pilEnsureRgb(p6, img6)
+    assert(rgbAt(out6, 0) === ((pasteRef(0x80, 0x7f), pasteRef(0x40, 0x7f),
+      pasteRef(0xc0, 0x7f))))
+    assert(rgbAt(out6, 1) === ((0x10, 0x20, 0x30)))
+  }
+
   test("R5 parity: GIF transparent index → white, opaque indices → raw " +
       "palette RGB (VERDICT r10 #6)") {
     // PIL: mode "P" with a `transparency` info key → convert("RGBA")
@@ -417,6 +443,33 @@ class ImagesSpec extends SparkSpec {
       for ((g, e) <- Seq(got._1, got._2, got._3).zip(exp))
         assert(math.abs(g - e) <= 1.5, s"block $i: got $got expected ~$exp")
     }
+  }
+
+  test("R5 parity: GIF first frame SMALLER than the logical screen expands " +
+      "to the screen like PIL — uncovered canvas is palette index 0") {
+    // ImageIO.read(0) returns the FRAME rect (probed: 8x8 for an 8x8
+    // frame on a 20x16 screen); PIL sizes the image to the logical
+    // screen and draws the frame at its offset over a zero-filled
+    // canvas — palette index 0, not the header's background index.
+    val pal = Array(0x112233, 0x44aa44, 0x8f1e55, 0xffffff)
+    val g1 = ImageFixtures.craftGif(12, 10, pal,
+      Seq(Array.fill(4 * 3)(2.toByte)), frameRect = Some((2, 5, 4, 3)))
+    val o1 = Images.pilEnsureRgb(g1, Images.readGuarded(g1))
+    assert((o1.getWidth, o1.getHeight) === ((12, 10)),
+      "PIL sizes the image to the logical screen, not the frame rect")
+    assert((o1.getRGB(0, 0) & 0xffffff) === 0x112233) // canvas: palette[0]
+    assert((o1.getRGB(3, 6) & 0xffffff) === 0x8f1e55) // in-frame: index 2
+    assert((o1.getRGB(11, 9) & 0xffffff) === 0x112233)
+    // transparent index 0: clear canvas → white composite; an index-0
+    // pixel INSIDE the frame is transparent too (the decoder writes
+    // every rect index — transparency never reveals the canvas)
+    val px = Array.tabulate(4 * 3)(i => (if (i % 2 == 0) 0 else 1).toByte)
+    val g2 = ImageFixtures.craftGif(12, 10, pal, Seq(px),
+      transparentIndex = 0, frameRect = Some((2, 5, 4, 3)))
+    val o2 = Images.pilEnsureRgb(g2, Images.readGuarded(g2))
+    assert((o2.getRGB(0, 0) & 0xffffff) === 0xffffff)
+    assert((o2.getRGB(2, 5) & 0xffffff) === 0xffffff) // index 0 in-frame
+    assert((o2.getRGB(3, 5) & 0xffffff) === 0x44aa44) // index 1 in-frame
   }
 
   test("R5 parity: ICC-profiled JPEG decodes RAW like PIL — the profile " +
