@@ -1047,12 +1047,33 @@ object Images {
       lastScored.put(spark, s)
       s
     }
-    val ok = scored.filter(col("status") === "ok")
-      .select(col("path").as("image_id"), col("logits"))
-    val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)
-    scored.select(col("path"), col("status"))
-      .join(tags.withColumnRenamed("image_id", "path"), Seq("path"), "left")
-      .select(col("path"), col("status"), col("tags"))
+    // appV2 parity (appV2.py:79,92): a vocab index at or past the
+    // model's output dimension raises numpy IndexError inside the
+    // per-image try — EVERY image fails, none is tagged. The condition
+    // is row-independent (vocab × scorer dimension, both known here),
+    // so it is checked once against the driver-sized vocab dimension;
+    // ok rows then carry the reference's per-image error instead of a
+    // silent skip of the overrun entries. Decode-failed rows keep
+    // their own (earlier) error.
+    val entries = vocab.select("tag_idx", "tag_name", "category", "emit_pos")
+      .collect()
+      .map(r => Vocab.Entry(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+    Tagging.overrunError(entries, scorer.nTags) match {
+      case Some(msg) =>
+        scored.select(col("path"),
+          when(col("status") === "ok", lit("error: " + msg))
+            .otherwise(col("status")).as("status"),
+          lit(null).cast("string").as("tags"))
+      case None =>
+        val ok = scored.filter(col("status") === "ok")
+          .select(col("path").as("image_id"), col("logits"))
+        val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)
+        scored.select(col("path"), col("status"))
+          .join(tags.withColumnRenamed("image_id", "path"), Seq("path"), "left")
+          .select(col("path"), col("status"), col("tags"))
+    }
   }
 
   /** R17 run metrics (appV2.py:162-163,186-190): success/failed counters

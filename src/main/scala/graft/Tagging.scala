@@ -167,9 +167,28 @@ object Tagging {
     * only on the tag name, appV2.py:98). One instance is closed over by
     * pipelineLocal's partition function — the executor-side equivalent of
     * the reference's precomputed category index (appV2.py:62-71). */
+  /** appV2 parity for a vocabulary that OVERRUNS the model's output
+    * dimension (appV2.py:79,92 — `probs[categories[cat]]`): numpy fancy
+    * indexing raises IndexError inside the per-image try/except, so
+    * EVERY image fails; a silent "skip the overrun entries" would be
+    * reference-unfaithful for this misconfiguration. Returns numpy's
+    * error text for the FIRST offending index in the reference's
+    * traversal order (category emission rank, then JSON insertion
+    * position — the order the arrays are built and indexed), None when
+    * the vocab fits. Blacklisted and empty-named entries still offend:
+    * the reference indexes the full category array before any emission
+    * check runs. */
+  def overrunError(entries: Seq[Vocab.Entry], nOutputs: Int): Option[String] =
+    entries
+      .filter(_.tagIdx >= nOutputs)
+      .sortBy(e => (Vocab.emissionRank(e.category), e.emitPos))
+      .headOption
+      .map(e => s"index ${e.tagIdx} is out of bounds for axis 0 with size $nOutputs")
+
   private[graft] final case class SelectionProgram(
       argmaxLanes: Array[(Array[Int], Array[String])],
-      thresholdLanes: Array[(Array[Int], Array[String], Double)]) extends Serializable {
+      thresholdLanes: Array[(Array[Int], Array[String], Double)],
+      maxIdx: Int) extends Serializable {
 
     // identical double math to Spark's exp builtin (java.lang.Math.exp
     // in codegen) → bit-identical probs and therefore identical
@@ -185,8 +204,14 @@ object Tagging {
         1.0 / (1.0 + java.lang.Math.exp(-clipped))
       }
 
-    /** The reference's get_tags over one score vector (appV2.py:74-101). */
+    /** The reference's get_tags over one score vector (appV2.py:74-101).
+      * Returns NULL when any vocab index overruns the vector — the
+      * reference's numpy IndexError fails the whole image (see
+      * [[Tagging.overrunError]]); callers represent failure as a null
+      * tags value (the same convention tagImages' left join produces
+      * for decode-failed rows). */
     def tags(vec: Array[Double]): String = {
+      if (maxIdx >= vec.length) return null
       val sb = new java.lang.StringBuilder(64)
       var lane = 0
       while (lane < argmaxLanes.length) {
@@ -269,7 +294,11 @@ object Tagging {
            val (i, d) = lane(c, argmaxLane = false); (i, d, genThreshold) }) ++
          Vocab.charThresholdCategories.map(c => {
            val (i, d) = lane(c, argmaxLane = false); (i, d, charThreshold) }))
-          .toArray)
+          .toArray,
+        // from the UNFILTERED entries: a blacklisted or empty-named
+        // entry still sits in the reference's category array and still
+        // raises the IndexError (the overrun contract above)
+        if (vocabEntries.isEmpty) -1 else vocabEntries.map(_.tagIdx).max.toInt)
     }
   }
 
@@ -297,11 +326,18 @@ object Tagging {
     *-line math — the Dataset encoder's Array[Double] fast path avoids
     * per-element boxing both ways.
     *
-    * Output is bit-identical to `pipeline` (same java.lang.Math.exp, same
-    * comparisons; the tags column is a string), pinned by TaggingSpec and
+    * Output is bit-identical to `pipeline` for every vocab that FITS the
+    * score vectors (same java.lang.Math.exp, same comparisons; the tags
+    * column is a string) — on an OVERRUN vocab the two deliberately
+    * part: the relational form's inner join can only skip (its DuckDB
+    * oracle mirrors the join, keeping the gate engine-vs-engine exact),
+    * while this path and tagImages implement the reference's IndexError
+    * row failure. Pinned by TaggingSpec and
     * the tagger_pipeline_local oracle query. A vocab entry whose tag_idx
-    * exceeds the score vector's length contributes nothing, mirroring the
-    * relational form's inner-join hole skip.
+    * reaches the score vector's length fails the ROW (null tags) — the
+    * reference's numpy IndexError, see [[overrunError]]; the old silent
+    * skip was reference-unfaithful (holes — an absent vocab row for an
+    * existing output — remain skips, the correct direction).
     *
     * The id column keeps its own family: a STRING id (the image-path ids
     * scoreImages emits — the documented 100 TB wiring) rides a

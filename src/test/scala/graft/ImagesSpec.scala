@@ -614,6 +614,25 @@ class ImagesSpec extends SparkSpec {
       "tag a")
   }
 
+  test("R3 parity: a vocab overrunning the scorer dimension errors EVERY " +
+      "image (numpy IndexError, appV2.py:79,92); decode errors keep their own") {
+    import spark.implicits._
+    val wide = ImageFixtures.vocab(spark).unionByName(
+      Seq((40L, "wide_tag", "general", 40L))
+        .toDF("tag_idx", "tag_name", "category", "emit_pos"))
+    val rows = Images.tagImages(spark, dir, wide, Images.FixtureScorer(32))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        ((r.getString(1), r.isNullAt(2)))).toMap
+    assert(rows("landscape.png")._1 ===
+      "error: index 40 is out of bounds for axis 0 with size 32")
+    assert(rows("landscape.png")._2, "failed rows carry null tags")
+    assert(rows("corrupt.png")._1.startsWith("error:") &&
+      !rows("corrupt.png")._1.contains("out of bounds"),
+      "decode failures precede get_tags and keep their own message")
+    Images.releaseScored(spark)
+  }
+
   test("tagImages cache lifecycle: one relation per session, released by releaseScored") {
     Images.releaseScored(spark) // settle: drop any relation a prior test's call owns
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -179,14 +179,17 @@ class TaggingSpec extends SparkSpec {
     val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) === "safe, masterpiece, long hair, watermark, alice, acme copyright")
     assert(got(2L) === "questionable, masterpiece")
-    // vector shorter than max tag_idx: idx 13 missing from an 8-logit vec
+    // vector SHORTER than the vocab's max tag_idx: the reference's
+    // numpy indexing raises IndexError (appV2.py:79,92) and the image
+    // FAILS — pipelineLocal returns null tags, never a partial tag set
+    // (this row used to pin the old silent-skip behavior, which the
+    // r11 parity sweep found reference-unfaithful)
     val short = Tagging.pipelineLocal(
       Seq((3L, Seq(40.0, -40.0, 40.0, -40.0, 40.0, -40.0, 40.0, -40.0)))
         .toDF("image_id", "logits"), entries)
-      .collect().head.getString(1)
-    // idx 6 'holiday' fires but is blacklisted at plan time; idx ≥ 8 is
-    // beyond the vector (try_element_at → NULL → hole skip)
-    assert(short === "safe, masterpiece, long hair")
+      .collect().head
+    assert(short.isNullAt(1),
+      "an overrun vocab must fail the row like the reference's IndexError")
     // THE scale property: no Exchange anywhere in the physical plan
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
@@ -216,5 +219,39 @@ class TaggingSpec extends SparkSpec {
     // quality argmax tie → zeta_quality (inserted first, despite idx 9);
     // general threshold emission order → late_general before early_general
     assert(out === "zeta quality, late general, early general")
+  }
+
+  test("vocab overrunning the model dimension fails EVERY row like numpy's " +
+      "IndexError (appV2.py:79,92) — never a silent skip") {
+    // the reference indexes probs[categories[cat]] with the FULL
+    // category array: an out-of-bounds entry raises inside the
+    // per-image try and no image is tagged. First offender follows the
+    // traversal order (category emission rank, then insertion
+    // position) — here the general-lane idx 40 beats the artist-lane
+    // idx 35 despite 35 < 40, and a BLACKLISTED meta overrun still
+    // offends (indexing precedes every emission check).
+    val entries = Seq(
+      Vocab.Entry(1, "ok_tag", "general", 0),
+      Vocab.Entry(35, "painter", "artist", 1),
+      Vocab.Entry(40, "wide_general", "general", 2))
+    assert(Tagging.overrunError(entries, 32) ===
+      Some("index 40 is out of bounds for axis 0 with size 32"))
+    assert(Tagging.overrunError(entries, 64) === None)
+    assert(Tagging.overrunError(Seq(
+      Vocab.Entry(50, "tag_id_card", "meta", 0)), 32) ===
+      Some("index 50 is out of bounds for axis 0 with size 32"))
+    // pipelineLocal: the row fails (null tags), same convention as
+    // tagImages' left join for decode-failed rows
+    val out = Tagging.pipelineLocal(
+      Seq((7L, Seq(40.0, 40.0))).toDF("image_id", "logits"), entries)
+      .collect()
+    assert(out.length === 1 && out.head.isNullAt(1),
+      "overrun must fail the row, not emit the in-range tags")
+    // and a vocab that FITS still tags normally through the same path
+    val okOut = Tagging.pipelineLocal(
+      Seq((7L, Seq(40.0, 40.0))).toDF("image_id", "logits"),
+      Seq(Vocab.Entry(1, "ok_tag", "general", 0)))
+      .collect()
+    assert(okOut.head.getString(1) === "ok tag")
   }
 }
