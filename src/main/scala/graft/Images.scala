@@ -75,6 +75,15 @@ object Images {
     * extension splits on the file NAME only and a leading-dot-only name
     * (".webp") has NO extension.
     *
+    * os.walk parity (r11 sweep): a missing or plain-file root yields
+    * ZERO rows (os.walk of either is an empty generator — the reference
+    * prints "no images" and returns, never crashes); on the local
+    * scheme, broken symlinks list as FILES (error row at read, like the
+    * reference's failed open) and symlinked DIRECTORIES are never
+    * descended (followlinks=False — also the loop-safety property);
+    * per-directory listing errors are swallowed like os.walk's
+    * onerror=None.
+    *
     * Output: (path STRING, content BINARY nullable, read_error STRING
     * nullable — null for healthy rows). */
   def source(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
@@ -94,24 +103,70 @@ object Images {
         exts.contains(name.substring(i).toLowerCase(java.util.Locale.ROOT))
     }
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
-    // driver work is ONE shallow listing: root files + first-level dirs
-    val rootChildren = fs.listStatus(root)
-    val rootFiles = rootChildren.iterator
-      .filter(st => st.isFile && extOk(st.getPath.getName))
-      .map(_.getPath.toUri.toString).toSeq
+    val isLocal = "file" == Option(fs.getUri.getScheme).getOrElse("file")
+    // LOCAL scheme: java.nio listing for exact os.walk SYMLINK semantics
+    // (probed against Hadoop) — listStatus silently DROPS broken
+    // symlinks while os.walk lists them as files (the reference then
+    // fails the open and emits a per-image error row, appV2.py:183-185),
+    // and os.walk(followlinks=False, the default) puts symlinked
+    // directories in dirnames without ever DESCENDING into them, while
+    // Hadoop's recursive listFiles follows them — double-listing every
+    // file reachable both ways and LOOPING on a cyclic link. Listing
+    // errors are swallowed per directory like os.walk's onerror=None
+    // default: a dir deleted mid-walk contributes nothing, never a job
+    // failure. Non-local schemes have no symlinks and keep the Hadoop
+    // listing (listFiles' flat enumeration is the right scale shape on
+    // object stores).
+    val localChildren: java.nio.file.Path => (Seq[String], Seq[String]) = { d =>
+      val files = Seq.newBuilder[String]
+      val dirs = Seq.newBuilder[String]
+      Try {
+        val ds = java.nio.file.Files.newDirectoryStream(d)
+        try {
+          val it = ds.iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (java.nio.file.Files.isDirectory(e)) { // follows links, like scandir.is_dir()
+              if (!java.nio.file.Files.isSymbolicLink(e))
+                dirs += e.toUri.toString
+            } else if (extOk(e.getFileName.toString)) files += e.toUri.toString
+          }
+        } finally ds.close()
+      }
+      (files.result(), dirs.result())
+    }
+    // os.walk parity for the ROOT itself (appV2.py:132-137): walking a
+    // missing path or a plain file is an EMPTY generator — the reference
+    // prints "no images found" and returns, it never crashes. listStatus
+    // would throw on a missing root and return the file itself for a
+    // file root, so the root is probed first.
+    // driver work stays ONE shallow listing: root files + first-level dirs
+    val (rootFiles: Seq[String], subDirs: Seq[String]) =
+      if (isLocal) {
+        val rp = java.nio.file.Paths.get(fs.makeQualified(root).toUri)
+        if (!java.nio.file.Files.isDirectory(rp)) (Seq.empty, Seq.empty)
+        else localChildren(rp)
+      } else Try(fs.getFileStatus(root)) match {
+        case Success(st) if st.isDirectory =>
+          val cs = fs.listStatus(root)
+          (cs.iterator.filter(st => st.isFile && extOk(st.getPath.getName))
+            .map(_.getPath.toUri.toString).toSeq,
+            cs.iterator.filter(_.isDirectory)
+              .map(_.getPath.toUri.toString).toSeq)
+        case _ => (Seq.empty, Seq.empty)
+      }
     val sc = spark.sparkContext
     val (listed: org.apache.spark.rdd.RDD[String], knownCount: Option[Int]) =
       if (!recursive)
         (sc.parallelize(rootFiles,
-          math.max(1, math.min(rootFiles.length, sc.defaultParallelism * 2))),
+          math.max(1, math.min(math.max(rootFiles.length, 1),
+            sc.defaultParallelism * 2))),
           Some(rootFiles.length))
       else {
-        // os.walk parity holds: listStatus and the per-task recursive
-        // listFiles below have NO hidden-name filter, so `_thumbs/`,
-        // `_cover.jpg`, `.photo.png` all survive — only Spark's own
-        // InMemoryFileIndex (bypassed here) drops them
-        val subDirs = rootChildren.iterator.filter(_.isDirectory)
-          .map(_.getPath.toUri.toString).toSeq
+        // os.walk parity holds: neither listing has a hidden-name
+        // filter, so `_thumbs/`, `_cover.jpg`, `.photo.png` all
+        // survive — only Spark's own InMemoryFileIndex (bypassed here)
+        // drops them
         val rootRdd = sc.parallelize(rootFiles,
           math.max(1, math.min(math.max(rootFiles.length, 1),
             sc.defaultParallelism)))
@@ -121,15 +176,29 @@ object Images {
             .parallelize(subDirs,
               math.max(1, math.min(subDirs.length, sc.defaultParallelism)))
             .flatMap { d =>
-              val p = new org.apache.hadoop.fs.Path(new java.net.URI(d))
-              val f = p.getFileSystem(conf.value)
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              val it = f.listFiles(p, true)
-              while (it.hasNext) {
-                val st = it.next()
-                if (extOk(st.getPath.getName)) out += st.getPath.toUri.toString
+              if (isLocal) {
+                // the driver's os.walk rules, iterated: files collected,
+                // non-symlink dirs descended, symlink dirs listed-only
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                val stack = scala.collection.mutable.ArrayDeque(
+                  java.nio.file.Paths.get(new java.net.URI(d)))
+                while (stack.nonEmpty) {
+                  val (fls, drs) = localChildren(stack.removeLast())
+                  out ++= fls
+                  stack ++= drs.map(u => java.nio.file.Paths.get(new java.net.URI(u)))
+                }
+                out
+              } else {
+                val p = new org.apache.hadoop.fs.Path(new java.net.URI(d))
+                val f = p.getFileSystem(conf.value)
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                val it = f.listFiles(p, true)
+                while (it.hasNext) {
+                  val st = it.next()
+                  if (extOk(st.getPath.getName)) out += st.getPath.toUri.toString
+                }
+                out
               }
-              out
             }
           (rootRdd.union(walked), None)
         }

@@ -99,6 +99,42 @@ class ImagesSpec extends SparkSpec {
     assert(names.contains("nested.png"))
   }
 
+  test("R1 source: os.walk parity for roots — a missing or plain-file " +
+      "root yields ZERO rows, never a throw (appV2.py:132-141)") {
+    assert(Images.source(spark, dir + "/definitely_missing").count() === 0)
+    assert(Images.source(spark, dir + "/landscape.png").count() === 0)
+    assert(Images.source(spark, dir + "/definitely_missing",
+      recursive = true).count() === 0)
+  }
+
+  test("R1 source: os.walk symlink parity — broken links list as files " +
+      "(error row at read), symlinked dirs never descended, loops safe") {
+    // os.walk(followlinks=False): a broken symlink appears in filenames
+    // (the reference then fails the open per image); a symlink to a
+    // directory appears in dirnames but is never walked — which also
+    // makes a cyclic link safe. Hadoop's listStatus DROPS broken links
+    // and listFiles FOLLOWS dir links (probed), so the local scheme
+    // lists via java.nio.
+    val d = Files.createTempDirectory("graft_symlink")
+    val sub = d.resolve("sub"); Files.createDirectory(sub)
+    Files.copy(Paths.get(dir, "portrait.png"), sub.resolve("real.png"))
+    Files.createSymbolicLink(d.resolve("subs"), sub) // dir symlink at root
+    Files.createSymbolicLink(sub.resolve("loop"), sub) // cyclic link
+    Files.createSymbolicLink(d.resolve("ghost.png"), d.resolve("gone.png"))
+    Files.createSymbolicLink(d.resolve("alias.png"), sub.resolve("real.png"))
+    val rows = Images.source(spark, d.toString, recursive = true)
+      .select(col("path"), col("read_error")).collect()
+      .map(r => r.getString(0).split('/').last -> Option(r.getString(1)))
+    val counts = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts.get("real.png") === Some(1),
+      s"symlinked dir must not double-list: $counts")
+    assert(counts.get("alias.png") === Some(1), "file symlinks are files")
+    assert(counts.get("ghost.png") === Some(1),
+      "a broken symlink lists as a file, like os.walk")
+    assert(rows.toMap.apply("ghost.png").exists(_.startsWith("error: read failed")),
+      "the broken link fails at READ, riding the error channel")
+  }
+
   test("R16 source read error channel: a file deleted between listing " +
       "and read becomes a status row, never a job failure") {
     val d = Files.createTempDirectory("graft_imgdel")
