@@ -1136,9 +1136,16 @@ object Images {
             .otherwise(col("status")).as("status"),
           lit(null).cast("string").as("tags"))
       case None =>
+        // python wrap parity: a VALID negative index reads from the end
+        // (numpy probs[-1] = last logit; int("-1") parses as a JSON key)
+        // — the relational join needs the wrapped value, and the scorer
+        // dimension known here makes the wrap a driver-side remap
+        val fitted = vocab.withColumn("tag_idx",
+          when(col("tag_idx") < 0, col("tag_idx") + scorer.nTags)
+            .otherwise(col("tag_idx")))
         val ok = scored.filter(col("status") === "ok")
           .select(col("path").as("image_id"), col("logits"))
-        val tags = Tagging.pipeline(ok, vocab, genThreshold, charThreshold)
+        val tags = Tagging.pipeline(ok, fitted, genThreshold, charThreshold)
         scored.select(col("path"), col("status"))
           .join(tags.withColumnRenamed("image_id", "path"), Seq("path"), "left")
           .select(col("path"), col("status"), col("tags"))

@@ -49,9 +49,10 @@ object TagDirectory {
       case None => Tagging.syntheticVocab(spark, opt("--tags").map(_.toInt).getOrElse(32))
     }
     // the scorer must cover the vocabulary: with a loaded --vocab the
-    // logit count defaults to maxTagIdx+1 — a fixed 32 would leave every
-    // tag_idx >= 32 silently unreachable through the inner join's
-    // hole-skip (no row, no error, wrong side-cars)
+    // logit count defaults to maxTagIdx+1. An explicit --tags N smaller
+    // than the vocab's max index now fails EVERY image with the
+    // reference's IndexError (Tagging.overrunError parity) — loud and
+    // faithful, where it used to skip the overrun entries silently
     val nTags = opt("--tags").map(_.toInt).getOrElse {
       if (opt("--vocab").isDefined) {
         val mx = vocab.agg(max(col("tag_idx"))).head

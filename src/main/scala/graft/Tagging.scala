@@ -180,7 +180,11 @@ object Tagging {
     * check runs. */
   def overrunError(entries: Seq[Vocab.Entry], nOutputs: Int): Option[String] =
     entries
-      .filter(_.tagIdx >= nOutputs)
+      // python-faithful bounds: negative indices WRAP (int("-1") parses,
+      // numpy probs[-1] is the last logit — see the wrap remap in
+      // tagImages / SelectionProgram.tags); only idx ≥ n or idx < −n
+      // raises
+      .filter(e => e.tagIdx >= nOutputs || e.tagIdx < -nOutputs.toLong)
       .sortBy(e => (Vocab.emissionRank(e.category), e.emitPos))
       .headOption
       .map(e => s"index ${e.tagIdx} is out of bounds for axis 0 with size $nOutputs")
@@ -188,7 +192,7 @@ object Tagging {
   private[graft] final case class SelectionProgram(
       argmaxLanes: Array[(Array[Int], Array[String])],
       thresholdLanes: Array[(Array[Int], Array[String], Double)],
-      maxIdx: Int) extends Serializable {
+      maxIdx: Int, minIdx: Int) extends Serializable {
 
     // identical double math to Spark's exp builtin (java.lang.Math.exp
     // in codegen) → bit-identical probs and therefore identical
@@ -209,9 +213,13 @@ object Tagging {
       * reference's numpy IndexError fails the whole image (see
       * [[Tagging.overrunError]]); callers represent failure as a null
       * tags value (the same convention tagImages' left join produces
-      * for decode-failed rows). */
+      * for decode-failed rows). NEGATIVE indices wrap like numpy
+      * (probs[-1] = last logit) down to −len, below which numpy raises
+      * too — before this contract, vec(-1) was an
+      * ArrayIndexOutOfBoundsException that killed the whole JOB on one
+      * malformed vocab row. */
     def tags(vec: Array[Double]): String = {
-      if (maxIdx >= vec.length) return null
+      if (maxIdx >= vec.length || minIdx < -vec.length) return null
       val sb = new java.lang.StringBuilder(64)
       var lane = 0
       while (lane < argmaxLanes.length) {
@@ -221,12 +229,13 @@ object Tagging {
         var best = -1; var bestP = Double.NaN
         var i = 0
         while (i < idxs.length) {
-          val idx = idxs(i)
-          if (idx < vec.length) { // hole skip: idx beyond the vector
-            val p = sigmoid(vec(idx))
-            // Double.compare ≡ Spark's max_by struct ordering (NaN-safe)
-            if (best < 0 || java.lang.Double.compare(p, bestP) > 0) { best = i; bestP = p }
-          }
+          val raw = idxs(i)
+          // numpy wrap: a negative index reads from the end; the
+          // out-of-bounds cases already returned null above
+          val idx = if (raw < 0) raw + vec.length else raw
+          val p = sigmoid(vec(idx))
+          // Double.compare ≡ Spark's max_by struct ordering (NaN-safe)
+          if (best < 0 || java.lang.Double.compare(p, bestP) > 0) { best = i; bestP = p }
           i += 1
         }
         // displays(best) == null marks an EMPTY-NAMED winner (the
@@ -243,14 +252,13 @@ object Tagging {
         val (idxs, displays, theta) = thresholdLanes(lane)
         var i = 0
         while (i < idxs.length) {
-          val idx = idxs(i)
-          if (idx < vec.length) {
-            val p = sigmoid(vec(idx))
-            // primitive >= is already numpy's semantics: NaN >= θ false
-            if (!p.isNaN && p >= theta) {
-              if (sb.length > 0) sb.append(", ")
-              sb.append(displays(i))
-            }
+          val raw = idxs(i)
+          val idx = if (raw < 0) raw + vec.length else raw // numpy wrap
+          val p = sigmoid(vec(idx))
+          // primitive >= is already numpy's semantics: NaN >= θ false
+          if (!p.isNaN && p >= theta) {
+            if (sb.length > 0) sb.append(", ")
+            sb.append(displays(i))
           }
           i += 1
         }
@@ -298,7 +306,12 @@ object Tagging {
         // from the UNFILTERED entries: a blacklisted or empty-named
         // entry still sits in the reference's category array and still
         // raises the IndexError (the overrun contract above)
-        if (vocabEntries.isEmpty) -1 else vocabEntries.map(_.tagIdx).max.toInt)
+        // clamped, not truncated: a Long index past Int range must trip
+        // the bounds pre-check, never wrap through toInt into the lanes
+        if (vocabEntries.isEmpty) -1
+        else math.min(vocabEntries.map(_.tagIdx).max, Int.MaxValue.toLong).toInt,
+        if (vocabEntries.isEmpty) 0
+        else math.max(vocabEntries.map(_.tagIdx).min, Int.MinValue.toLong).toInt)
     }
   }
 
@@ -332,7 +345,10 @@ object Tagging {
     * part: the relational form's inner join can only skip (its DuckDB
     * oracle mirrors the join, keeping the gate engine-vs-engine exact),
     * while this path and tagImages implement the reference's IndexError
-    * row failure. Pinned by TaggingSpec and
+    * row failure — and numpy's NEGATIVE-index wrap (probs[-1] = last
+    * logit): here per row against the vector length, in tagImages as a
+    * driver-side remap of the vocab against the scorer dimension before
+    * the join. Pinned by TaggingSpec and
     * the tagger_pipeline_local oracle query. A vocab entry whose tag_idx
     * reaches the score vector's length fails the ROW (null tags) — the
     * reference's numpy IndexError, see [[overrunError]]; the old silent

@@ -254,4 +254,32 @@ class TaggingSpec extends SparkSpec {
       .collect()
     assert(okOut.head.getString(1) === "ok tag")
   }
+
+  test("negative vocab indices WRAP like numpy (probs[-1] = last logit); " +
+      "below -len raises — never an executor ArrayIndexOutOfBounds") {
+    // int("-1") parses as a JSON key and numpy fancy indexing wraps;
+    // the old code crashed the whole JOB on vec(-1) where the reference
+    // has well-defined per-image behavior
+    val wrap = Seq(Vocab.Entry(-1, "last_logit", "general", 0))
+    // logits: idx 0 low, idx 1 (== -1) high -> the wrapped entry fires
+    val hit = Tagging.pipelineLocal(
+      Seq((1L, Seq(-40.0, 40.0))).toDF("image_id", "logits"), wrap)
+      .collect().head.getString(1)
+    assert(hit === "last logit")
+    // idx -1 == idx 0 when len is 1: reads the only logit
+    val miss = Tagging.pipelineLocal(
+      Seq((2L, Seq(-40.0))).toDF("image_id", "logits"), wrap)
+      .collect().head.getString(1)
+    assert(miss === "")
+    // idx -3 with a 2-logit vector: numpy IndexError -> row fails
+    val oob = Tagging.pipelineLocal(
+      Seq((3L, Seq(40.0, 40.0))).toDF("image_id", "logits"),
+      Seq(Vocab.Entry(-3, "too_negative", "general", 0)))
+      .collect().head
+    assert(oob.isNullAt(1), "index below -len must fail like numpy")
+    assert(Tagging.overrunError(Seq(Vocab.Entry(-33, "t", "general", 0)), 32) ===
+      Some("index -33 is out of bounds for axis 0 with size 32"))
+    assert(Tagging.overrunError(Seq(Vocab.Entry(-32, "t", "general", 0)), 32) ===
+      None, "-len is the last VALID negative index")
+  }
 }
