@@ -14,6 +14,21 @@ import org.apache.spark.sql.SparkSession
   * iteration run can never clobber the committed snapshot.
   */
 object Bench {
+  /** Declared exact-correctness baselines (VERDICT r11 #2 / SCALE.md):
+    * Ω(n²)-candidate reference implementations kept ONLY so the oracle can
+    * pin the scale paths' exact semantics. Their sf3/sf1 ratios are measured
+    * super-linear (dedup_ngram_jaccard 5.81×: Σdf² candidate growth;
+    * dedup_embedding_cosine 5.52×: all-pairs), so counting them in the
+    * headline total makes every future capture pay a known super-linear
+    * constant that says nothing about the engine's scale posture. They are
+    * still RUN and reported (per-query monitoring signal, `baselines` map +
+    * `baseline_total`), just not summed into `value`; the benched scale
+    * paths for the same semantics are dedup_ngram_capped / dedup_minhash_lsh
+    * and dedup_embedding_blocked.
+    */
+  private val excludedBaselines: Set[String] =
+    Set("dedup_ngram_jaccard", "dedup_embedding_cosine")
+
   /** Queries whose individual times appear in the stdout JSON line. Chosen to
     * cover each operator family plus the historically slowest entries.
     */
@@ -115,7 +130,10 @@ object Bench {
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     // failures carry a -1.0 sentinel in the per-query map; summing them
     // would make the total SMALLER (read: better) the more queries crash
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results
+      .collect { case (k, v) if v >= 0 && !excludedBaselines(k) => v }.sum
+    val baselineTotal = results
+      .collect { case (k, v) if v >= 0 && excludedBaselines(k) => v }.sum
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -123,8 +141,13 @@ object Bench {
     // the SUM of per-query times; the inter-query System.gc() pauses are
     // deliberately outside the timers (not comparable to round<=3 totals,
     // which let earlier queries' GC debt land in later queries' numbers)
+    // `value` excludes the declared exact baselines (see excludedBaselines
+    // scaladoc); they still appear in `queries` and their sum is reported
+    // as `baseline_total` so the exclusion is visible in every capture
+    val exc = excludedBaselines.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"excluded_baselines":$exc,"baseline_total":${fmt(baselineTotal)},"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
     // the committed snapshot is the sf0.1 run; any other SF writes its own
     // file so an iteration run at sf0.01 (or the sf1 gate) can never
     // clobber it (SPARK_GRAFT_BENCH_OUT overrides explicitly)
@@ -141,7 +164,7 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${fmt(v)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"excluded_baselines":$exc,"baseline_total":${fmt(baselineTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
