@@ -124,9 +124,13 @@ object SimilarityOps {
       .as[(Option[Long], Array[Float])] // Option: a dirty null id must make
       .mapPartitions { it =>            // an error row, not an encoder crash
         val cs = bc.value
+        // Per-partition reusable buffers: RAW cosine per centroid plus a
+        // validity mask (NaN is a REAL cosine value — zero-norm vectors —
+        // so it cannot double as the "mismatched" sentinel).
+        val raw = new Array[Double](cs.length)
+        val okc = new Array[Boolean](cs.length)
         it.flatMap { case (id, v) =>
-          var bestCid = -1L
-          var bestR = 0.0
+          var xmax = 0.0
           var found = false      // a real (length-matched) cosine seen
           var nullSeen = false   // any mismatched centroid seen
           var nullCid = 0L       // lowest mismatched cid (null-cos rule);
@@ -137,6 +141,7 @@ object SimilarityOps {
           while (i < cs.length) {
             val (cid, c) = cs(i)
             if (v == null || c == null || c.length != v.length) {
+              okc(i) = false
               // a null or length-mismatched embedding (POINT or
               // CENTROID side) behaves like the relational null-cosine:
               // struct(ccos, -cid) orders null-first, so the lowest
@@ -151,9 +156,10 @@ object SimilarityOps {
                 dot += x * y; nx += x * x; ny += y * y
                 k += 1
               }
-              val r = roundN(dot / (math.sqrt(nx) * math.sqrt(ny)), 6)
-              if (!found || java.lang.Double.compare(r, bestR) > 0) {
-                found = true; bestR = r; bestCid = cid
+              val x = dot / (math.sqrt(nx) * math.sqrt(ny))
+              raw(i) = x; okc(i) = true
+              if (!found || java.lang.Double.compare(x, xmax) > 0) {
+                found = true; xmax = x
               }
             }
             i += 1
@@ -162,7 +168,35 @@ object SimilarityOps {
           // unless a caller actually wants it back — column pruning can't
           // reach inside the lambda
           val emb = if (carryEmbedding) v else null
-          if (found) Some((id, bestCid, Some(bestR), emb))
+          if (found) {
+            // Winner under the ROUNDED ordering, without rounding per
+            // pair. roundN is monotone w.r.t. Double.compare's total
+            // order (NaN→NaN greatest, ±Inf fixed, finite monotone, and
+            // -0.0/0.0 both round to 0.0), so max(round(raw_i)) =
+            // round(xmax) and the winner is the FIRST (lowest-cid,
+            // ascending scan = the one-pass fold's strict-improvement
+            // rule) index whose raw value rounds to it. Only values in
+            // the raw max's 1e-6-wide rounding bucket can tie it, so
+            // everything below xmax − 2e-6 (a NaN/Inf-safe guard: for
+            // xmax NaN or +Inf the subtraction propagates and only an
+            // equal raw passes compare ≥ 0) is skipped without the
+            // BigDecimal.valueOf→setScale call — the per-PAIR rounding
+            // (N·√N Double.toString parses) that dominated the sf3
+            // assignment stage profile (SCALE.md round 12).
+            val rmax = roundN(xmax, 6)
+            val floor6 = xmax - 2e-6
+            var bestCid = -1L
+            var j = 0
+            var done = false
+            while (!done && j < cs.length) {
+              if (okc(j) && java.lang.Double.compare(raw(j), floor6) >= 0 &&
+                  java.lang.Double.compare(roundN(raw(j), 6), rmax) == 0) {
+                bestCid = cs(j)._1; done = true
+              }
+              j += 1
+            }
+            Some((id, bestCid, Some(rmax), emb))
+          }
           else if (nullSeen) Some((id, nullCid, None: Option[Double], emb))
           else None
         }
