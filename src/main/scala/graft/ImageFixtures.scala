@@ -148,6 +148,32 @@ object ImageFixtures {
     }
   }
 
+  /** A baseline JDK-written JPEG with its SOF0 marker rewritten to SOF9
+    * (extended sequential, ARITHMETIC entropy coding — ITU T.81 table
+    * B.1): the minimal stream that DECLARES arithmetic coding. Pillow's
+    * bundled libjpeg-turbo decodes the class (appV2.py:167 tags it);
+    * the JDK cannot — used to pin the engine's explicit refusal
+    * message (COVERAGE.md R5 known divergence). The scan stops at the
+    * first FF C0, which for a JDK-written baseline stream is the real
+    * SOF (entropy data, where FF is escaped as FF 00, only starts after
+    * SOS). */
+  private[graft] def craftArithmeticJpeg(): Array[Byte] = {
+    val src = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(src, "jpg", bos)
+    val b = bos.toByteArray
+    var i = 2
+    var done = false
+    while (!done && i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0) {
+        b(i + 1) = 0xc9.toByte; done = true
+      } else i += 1
+    }
+    require(done, "no SOF0 marker found to rewrite")
+    b
+  }
+
   /** Splice an APP2 ICC_PROFILE segment (single chunk) into a JPEG,
     * right after SOI — the layout AdobeRGB/Display-P3 cameras write.
     * Used to pin that decode IGNORES the profile like PIL (Sun's reader

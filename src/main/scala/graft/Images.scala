@@ -285,16 +285,18 @@ object Images {
 
   /** JPEG marker walk — the [[pngColorTypeAndTrns]] counterpart for the
     * JPEG facts the decoded image cannot surface: the SOF component
-    * count and the Adobe APP14 color transform. Returns (nComponents,
-    * adobeTransform), transform −1 when no Adobe marker exists; walks
-    * every marker up to SOS (libjpeg honors an APP14 anywhere in the
-    * header). None for non-JPEG bytes or a broken marker stream. */
-  private def jpegSofAndAdobe(bytes: Array[Byte]): Option[(Int, Int)] = {
+    * count, the Adobe APP14 color transform, and WHICH SOFn opened the
+    * frame. Returns (nComponents, adobeTransform, sofMarker), transform
+    * −1 when no Adobe marker exists; walks every marker up to SOS
+    * (libjpeg honors an APP14 anywhere in the header). None for
+    * non-JPEG bytes or a broken marker stream. */
+  private def jpegSofAndAdobe(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 4 ||
         (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     var i = 2
     var adobe = -1
     var ncomp = -1
+    var sof = -1
     var go = true
     while (go && i + 3 < bytes.length) {
       if ((bytes(i) & 0xff) != 0xff) return None // marker desync
@@ -304,17 +306,41 @@ object Images {
       else {
         val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
         if (len < 2 || i + 2 + len > bytes.length) return None
-        if (m == 0xee && len >= 12 &&
+        // libjpeg reads the transform at FIXED payload offset 11
+        // (jdmarker.c examine_app14: GETJOCTET(data[11]), data starting
+        // after the 2 length bytes, requiring 12 payload bytes → len ≥
+        // 14) — NOT the segment's last byte, which diverges for any
+        // nonstandard APP14 with len > 14 (ADVICE r11)
+        if (m == 0xee && len >= 14 &&
             new String(bytes, i + 4, 5, "US-ASCII") == "Adobe")
-          adobe = bytes(i + 2 + len - 1) & 0xff
-        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          adobe = bytes(i + 4 + 11) & 0xff
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn payload: precision, h(2), w(2), ncomp — ncomp needs 6
+          // payload bytes (len ≥ 8); a shorter declared len means the
+          // read would escape the segment (malformed stream → None)
+          if (len < 8) return None
           ncomp = bytes(i + 9) & 0xff // SOFn: len, precision, h, w, ncomp
+          sof = m
+        }
         else if (m == 0xda) go = false // SOS: header ends
         i += 2 + len
       }
     }
-    if (ncomp > 0) Some((ncomp, adobe)) else None
+    if (ncomp > 0) Some((ncomp, adobe, sof)) else None
   }
+
+  /** SOFn markers whose entropy coding is ARITHMETIC (ITU T.81 table
+    * B.1: C9/CA/CB extended-sequential/progressive/lossless, CD/CE/CF
+    * their differential forms). Pillow's bundled libjpeg-turbo decodes
+    * these (D_ARITH_CODING_SUPPORTED), the JDK's reader does not — the
+    * one known input class where the engine REFUSES what the reference
+    * tags (COVERAGE.md R5; VERDICT r11 known-gap). Pinned as an
+    * explicit, greppable error-channel message rather than whatever
+    * incidental exception ImageIO's entropy decoder happens to die
+    * with. */
+  private def isArithmeticSof(sof: Int): Boolean =
+    sof == 0xc9 || sof == 0xca || sof == 0xcb ||
+      sof == 0xcd || sof == 0xce || sof == 0xcf
 
   /** GIF logical-screen facts the frame-rect decode cannot surface:
     * ImageIO's read(0) returns an image of the FIRST FRAME's dimensions
@@ -772,10 +798,20 @@ object Images {
                 "178.9 Mpx limit")
         }
         jpegSofAndAdobe(bytes) match {
+          // arithmetic entropy coding: the JDK cannot decode what
+          // Pillow's libjpeg-turbo can — refuse EXPLICITLY (stable,
+          // greppable message) instead of the incidental ImageIO
+          // error; the known accept/reject divergence vs the reference
+          // (appV2.py:167 tags such a file) is recorded in COVERAGE.md
+          case Some((_, _, sof)) if isArithmeticSof(sof) =>
+            throw new IllegalArgumentException(
+              f"arithmetic-coded JPEG (SOF${sof - 0xc0}%d): unsupported " +
+                "entropy coding — known divergence, the reference " +
+                "(Pillow/libjpeg-turbo) decodes this class")
           // 4-component JPEG (PIL mode "CMYK"): ImageIO.read() would
           // return a 4-band TYPE_CUSTOM image with meaningless getRGB —
           // decode the raw raster through Pillow's exact chain instead
-          case Some((4, transform)) => decodeCmykJpeg(reader, transform)
+          case Some((4, transform, _)) => decodeCmykJpeg(reader, transform)
           case _ =>
             val img = reader.read(0)
             gifFacts match {
@@ -791,7 +827,9 @@ object Images {
         // the committed expectation digests) byte-identical to it. The
         // bomb rejection above passes through un-wrapped by rethrow.
         case bomb: IllegalArgumentException
-            if Option(bomb.getMessage).exists(_.startsWith("decompression bomb")) =>
+            if Option(bomb.getMessage).exists(m =>
+              m.startsWith("decompression bomb") ||
+                m.startsWith("arithmetic-coded JPEG")) =>
           throw bomb
         case e: RuntimeException =>
           throw new javax.imageio.IIOException(e.toString, e)

@@ -180,6 +180,14 @@ object Tagging {
     * check runs. */
   def overrunError(entries: Seq[Vocab.Entry], nOutputs: Int): Option[String] =
     entries
+      // an unrecognized category is dropped at LOAD in the reference
+      // (appV2.py:68 `if cat in categories`) — its index never enters a
+      // category array, so it can never raise. Vocab.parseJson already
+      // drops these, but tagImages accepts an arbitrary vocab DataFrame;
+      // without this filter such an entry would NoSuchElementException
+      // the emissionRank sort below (ADVICE r11) where the reference
+      // tags normally.
+      .filter(e => Vocab.emissionRank.contains(e.category))
       // python-faithful bounds: negative indices WRAP (int("-1") parses,
       // numpy probs[-1] is the last logit — see the wrap remap in
       // tagImages / SelectionProgram.tags); only idx ≥ n or idx < −n
@@ -217,7 +225,23 @@ object Tagging {
       * (probs[-1] = last logit) down to −len, below which numpy raises
       * too — before this contract, vec(-1) was an
       * ArrayIndexOutOfBoundsException that killed the whole JOB on one
-      * malformed vocab row. */
+      * malformed vocab row.
+      *
+      * DELIBERATE DIVERGENCE (ADVICE r11, documented not replicated):
+      * the PROBS wrap is faithful, but the reference's display-name
+      * lookup goes through a dense `names` list sized max(keys)+1
+      * (appV2.py:62), so a negative KEY there python-wraps the list
+      * ASSIGNMENT at load: `names[-1] = tag` overwrites the top slot,
+      * aliasing the max-index entry's display name to the negative
+      * entry's (both then emit the negative entry's name), and a key
+      * below −(max+1) IndexErrors at LOAD — the reference dies before
+      * tagging any image. This engine has no names array (hole = absent
+      * row; each entry carries its own name), so each entry displays its
+      * OWN name and a deeply-negative key is a per-image failure (the
+      * overrun contract above) rather than a load-time crash. Chosen:
+      * per-image well-defined behavior over replicating load-order-
+      * dependent slot aliasing; display output can differ from the
+      * reference on vocabs with negative keys. */
     def tags(vec: Array[Double]): String = {
       if (maxIdx >= vec.length || minIdx < -vec.length) return null
       val sb = new java.lang.StringBuilder(64)

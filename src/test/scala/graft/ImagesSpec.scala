@@ -173,6 +173,32 @@ class ImagesSpec extends SparkSpec {
     assert(e.getMessage.contains("decompression bomb"))
   }
 
+  test("R5 known divergence pinned: an arithmetic-coded JPEG (SOF9) " +
+      "refuses with the explicit message, and rides the error channel") {
+    // The ONE input class where engine and reference disagree on
+    // accept/reject: Pillow's libjpeg-turbo decodes arithmetic entropy
+    // coding (appV2.py:167), the JDK does not. The refusal must be the
+    // engine's own stable, greppable message — not whatever incidental
+    // exception ImageIO's entropy decoder dies with — and a crawl
+    // hitting one must produce an error ROW, never a job failure.
+    val bytes = ImageFixtures.craftArithmeticJpeg()
+    val e = intercept[IllegalArgumentException](Images.preprocess(bytes, 16))
+    assert(e.getMessage.startsWith("arithmetic-coded JPEG (SOF9)"),
+      s"expected the explicit refusal, got '${e.getMessage}'")
+    assert(e.getMessage.contains("known divergence"), e.getMessage)
+    val d2 = Files.createTempDirectory("graft_arith")
+    Files.write(d2.resolve("arith.jpg"), bytes)
+    val scored = Images.scoreImages(
+      Images.source(spark, d2.toString), Images.FixtureScorer(8), targetSize = 16)
+      .collect().map(r => r.getString(0).split('/').last ->
+        (Option(r.getSeq[Float](1)), r.getString(2))).toMap
+    val (logits, status) = scored("arith.jpg")
+    assert(status.startsWith("error:") &&
+      status.contains("arithmetic-coded JPEG (SOF9)"),
+      s"error-channel status must carry the explicit message, got '$status'")
+    assert(logits.isEmpty, "error rows carry null logits")
+  }
+
   // ---- R5 PIL-mode parity branches (appV2.py:20-27): crafted PNGs for
   // the three cases where `pil_ensure_rgb` does NOT composite-over-white
   // (the decoded raster alone cannot distinguish them — Images.scala

@@ -21,14 +21,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * class at runtime: exchange reuse silently disengaging, a convergence
   * loop gaining rounds, an accidental extra action — anything that
   * makes a query run more Spark work than the day its budget was
-  * recorded. Attribution is by job group: Spark propagates local
+  * recorded. Since r12 each budget line also pins SHUFFLE-WRITE BYTES
+  * (format: `name jobs stages bytes`) with a 25%+64KB tolerance band —
+  * the stage count can stay flat while a broadcast silently falls back
+  * to sort-merge; the write volume is what grows. Attribution is by job group: Spark propagates local
   * properties into AQE stage-materialization and broadcast threads
   * (SPARK-33933), so suites running concurrently on the shared session
   * cannot pollute the counts. Budgets are tied to the test config
   * (local[4], shuffle.partitions=4, sf0.001); after a deliberate plan
   * change, regenerate with
   * `GRAFT_REGEN_JOB_BUDGETS=1 sbt "testOnly graft.QueriesSmokeSpec"`. */
-class QueriesSmokeSpec extends SparkSpec {
+class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
   private val budgetPath = Paths.get("fixtures/job_budgets.txt")
@@ -36,6 +39,7 @@ class QueriesSmokeSpec extends SparkSpec {
 
   private val jobsByQuery = new ConcurrentHashMap[String, AtomicInteger]()
   private val stagesByQuery = new ConcurrentHashMap[String, AtomicInteger]()
+  private val shuffleBytesByQuery = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val stageOwner = new ConcurrentHashMap[Int, String]()
 
   private val listener = new SparkListener {
@@ -49,15 +53,45 @@ class QueriesSmokeSpec extends SparkSpec {
       }
     }
     override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
+      // attempt 0 only: a scheduler retry/resubmission re-fires the
+      // completion event for the same stage, and the committed budgets
+      // are exact snapshots with zero headroom — a transient fetch
+      // failure must not trip the gate (ADVICE r11)
+      if (st.stageInfo.attemptNumber != 0) return
       val name = stageOwner.get(st.stageInfo.stageId)
-      if (name != null)
+      if (name != null) {
         stagesByQuery.computeIfAbsent(name, _ => new AtomicInteger).incrementAndGet()
+        // shuffle-WRITE bytes: the runtime dual of the stage-count pin.
+        // A plan can keep its stage count while regressing to a wider
+        // exchange (a broadcast silently falling back to sort-merge
+        // ships the big side through the shuffle) — the write side is
+        // the one that grows (VERDICT r11 #5)
+        shuffleBytesByQuery
+          .computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(st.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
     }
   }
 
+  /** Shuffle-byte tolerance: exact counts are NOT reproducible the way
+    * job/stage counts are (lz4 block boundaries, AQE coalesce grouping,
+    * map-side spill timing all move a few percent), so the gate flags
+    * only growth past band — generous enough for codec noise, far
+    * below the 2×+ a broadcast→sort-merge fallback or a lost partial
+    * aggregation produces. */
+  private def shuffleBytesOver(actual: Long, budget: Long): Boolean =
+    actual > budget + (budget / 4) + 65536L
+
   // registered at construction so every test (and a filtered testOnly -z
-  // run) records counts; listeners survive on the shared session
+  // run) records counts; removed in afterAll — the session is shared
+  // per-JVM, so a listener left behind would accumulate one copy per
+  // suite instantiation and double-count repeated runs (ADVICE r11)
   spark.sparkContext.addSparkListener(listener)
+
+  override protected def afterAll(): Unit = {
+    spark.sparkContext.removeSparkListener(listener)
+    super.afterAll()
+  }
 
   /** Run `body` under an attributed job group, flush the listener bus,
     * and return (jobs, executed stages) recorded for it. */
@@ -101,12 +135,13 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
-  test("runtime job/stage counts stay within committed budgets") {
+  test("runtime job/stage/shuffle-byte costs stay within committed budgets") {
     GraftTestShims.waitListenerBusEmpty(spark.sparkContext)
     val names = SparkEntry.queries.keySet
-    val actual: Map[String, (Int, Int)] = names.iterator.map { n =>
+    val actual: Map[String, (Int, Int, Long)] = names.iterator.map { n =>
       n -> ((Option(jobsByQuery.get(n)).map(_.get).getOrElse(0),
-        Option(stagesByQuery.get(n)).map(_.get).getOrElse(0)))
+        Option(stagesByQuery.get(n)).map(_.get).getOrElse(0),
+        Option(shuffleBytesByQuery.get(n)).map(_.get).getOrElse(0L)))
     }.toMap
     // a filtered run (testOnly -z) records nothing for skipped queries —
     // only judge what actually ran in this suite instance
@@ -116,7 +151,7 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(ran.size == names.size,
         s"budget regeneration needs a full-suite run; ran ${ran.size}/${names.size}")
       val body = ran.toSeq.sortBy(_._1)
-        .map { case (n, (j, s)) => s"$n $j $s" }.mkString("", "\n", "\n")
+        .map { case (n, (j, s, b)) => s"$n $j $s $b" }.mkString("", "\n", "\n")
       val tmp = Files.createTempFile(budgetPath.getParent, "job_budgets", ".tmp")
       Files.write(tmp, body.getBytes("UTF-8"))
       Files.move(tmp, budgetPath, StandardCopyOption.REPLACE_EXISTING,
@@ -125,12 +160,12 @@ class QueriesSmokeSpec extends SparkSpec {
     } else {
       assert(Files.exists(budgetPath),
         s"$budgetPath missing — regenerate with GRAFT_REGEN_JOB_BUDGETS=1")
-      val budget: Map[String, (Int, Int)] =
+      val budget: Map[String, (Int, Int, Long)] =
         scala.jdk.CollectionConverters.IteratorHasAsScala(
           Files.lines(budgetPath).iterator).asScala
           .filter(_.nonEmpty).map { line =>
-            val Array(n, j, s) = line.split(" ")
-            n -> ((j.toInt, s.toInt))
+            val Array(n, j, s, b) = line.split(" ")
+            n -> ((j.toInt, s.toInt, b.toLong))
           }.toMap
       val stale = budget.keySet -- names
       assert(stale.isEmpty,
@@ -138,17 +173,41 @@ class QueriesSmokeSpec extends SparkSpec {
       val missing = ran.keySet -- budget.keySet
       assert(missing.isEmpty,
         s"queries without a committed job budget (regenerate): $missing")
-      val over = ran.toSeq.sortBy(_._1).flatMap { case (n, (j, s)) =>
-        val (bj, bs) = budget(n)
+      val over = ran.toSeq.sortBy(_._1).flatMap { case (n, (j, s, b)) =>
+        val (bj, bs, bb) = budget(n)
         if (j > bj || s > bs)
           Some(s"$n: jobs $j (budget $bj), executed stages $s (budget $bs)")
+        else if (shuffleBytesOver(b, bb))
+          Some(s"$n: shuffle-write $b bytes (budget $bb + 25% band) — a " +
+            "broadcast fell back to shuffle, a partial agg disengaged, or " +
+            "the exchange got wider")
         else None
       }
       assert(over.isEmpty,
         s"\n${over.size} queries ran more Spark work than their committed " +
-          s"budget — a repeated subtree, a disengaged exchange reuse, or an " +
-          s"extra action (regenerate only if deliberate):\n${over.mkString("\n")}")
+          s"budget — a repeated subtree, a disengaged exchange reuse, a " +
+          s"wider shuffle, or an extra action (regenerate only if " +
+          s"deliberate):\n${over.mkString("\n")}")
     }
+  }
+
+  test("the shuffle-byte detector fires for real (not vacuously green)") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // a shuffling query must RECORD bytes through the listener path...
+    val (_, _) = measured("selftest-bytes") {
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("v")).count()
+    }
+    val recorded =
+      Option(shuffleBytesByQuery.get("selftest-bytes")).map(_.get).getOrElse(0L)
+    assert(recorded > 0L,
+      "listener recorded zero shuffle-write bytes for a shuffling query")
+    // ...and the comparator must flag a broadcast→shuffle-scale jump
+    // while tolerating codec/AQE noise inside the band
+    assert(shuffleBytesOver(recorded * 2 + 200000L, recorded),
+      "comparator blind to a 2x shuffle growth")
+    assert(!shuffleBytesOver(recorded + recorded / 10, recorded),
+      "comparator flags 10% codec noise — band too tight")
   }
 
   test("plan hygiene: no query plans an un-broadcast CartesianProduct") {
