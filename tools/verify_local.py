@@ -10,7 +10,7 @@ written by `graft.Verify`, sorts columns by name, and compares values
 row-by-row (exact for non-floats; floats reported with max abs diff so
 boundary risk is visible). --ledger additionally writes a per-query JSON
 verdict map (the committed sf1 artifact trail, VERDICT r8 §next-2)."""
-import json, sys, glob, math
+import json, os, sys, glob, math
 import duckdb
 
 args = sys.argv[1:]
@@ -30,6 +30,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Resource knobs for the big-SF ledgers (sf0.01 defaults are fine): at
+# sf10 the IVF-family oracles build ~1e8-row spilling intermediates;
+# without a memory_limit DuckDB runs to the RAM ceiling and the OOM
+# killer takes the whole process, and without a temp_directory it
+# spills into the repo cwd's .tmp until the disk fills (r12 lesson).
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+if os.environ.get("GRAFT_DUCKDB_TEMP"):
+    os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
@@ -37,9 +49,16 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        want = con.sql(sql).fetchall()
-        wcols = [d[0] for d in con.sql(sql).description]
-        wdf = con.sql(sql).df()
+        # ONE execution per oracle: the relation API re-runs the query
+        # on EVERY materialization, so fetchall + description + df was
+        # 3x the full oracle cost (which tripled the sf10 spill peaks).
+        # CTAS materializes once; the three reads below scan the table,
+        # and DuckDB's default preserve_insertion_order keeps the
+        # query's ORDER BY intact through CTAS + table scans.
+        con.execute("CREATE OR REPLACE TEMP TABLE __oracle AS " + sql)
+        want = con.sql("SELECT * FROM __oracle").fetchall()
+        wcols = [d[0] for d in con.sql("SELECT * FROM __oracle").description]
+        wdf = con.sql("SELECT * FROM __oracle").df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         ledger[name] = f"FAIL: oracle error: {e}"
@@ -51,9 +70,11 @@ for name, sql in sorted(oracle.items()):
         ledger[name] = "FAIL: no spark output"
         fail += 1
         continue
-    got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
-    gcols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet({files!r})").description]
-    gdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE __spark AS SELECT * FROM read_parquet({files!r})")
+    got = con.sql("SELECT * FROM __spark").fetchall()
+    gcols = [d[0] for d in con.sql("SELECT * FROM __spark").description]
+    gdf = con.sql("SELECT * FROM __spark").df()
     # Driver-parity dtype check: the driver hashes pandas-rendered values,
     # where DuckDB HUGEINT (sum of ints) and DOUBLE (floor/ceil) become
     # float64 ("500.0") while Spark longs stay int64 ("500"). An int/float

@@ -44,6 +44,14 @@ LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r12.json}"
 # box.
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
 
+# DuckDB oracle resource caps (verify_local.py honors these): the
+# IVF-family oracles at 200k vectors build ~1e8-row intermediates.
+# Uncapped, DuckDB ran to the RAM ceiling (OOM-killed at 116 GiB) and
+# spilled into the repo cwd until the disk filled — r12 first attempt.
+export GRAFT_DUCKDB_MEM="${GRAFT_DUCKDB_MEM:-64GB}"
+export GRAFT_DUCKDB_TEMP="${GRAFT_DUCKDB_TEMP:-/tmp/duckdb_spill}"
+export GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-16}"
+
 if [ ! -f "$SF10/embeddings.parquet" ]; then
   echo "[verify_sf10] deriving sf10 at $SF10"
   python3 tools/make_sf1.py "$SF10" 100
