@@ -399,11 +399,16 @@ object DedupQueries extends QueryRegistry {
         .filter(col("cosine") >= 0.4)
         .orderBy("id1", "id2")
     },
+    // the assign CTE deliberately does NOT carry emb: a ~1 KB list per
+    // row through the N×cells cross join + window sort spilled ~90 GB
+    // at sf10 (r12) — the pair stage re-joins v for the two embeddings
+    // it actually scores, result-identical (vec_id is the key; a null
+    // vec_id can never survive the a.vec_id < b.vec_id pair condition)
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
         |assign AS (
-        |  SELECT vec_id, emb, cid, sim_c FROM (
-        |    SELECT v.vec_id, v.emb, cent.cid,
+        |  SELECT vec_id, cid, sim_c FROM (
+        |    SELECT v.vec_id, cent.cid,
         |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
         |      row_number() OVER (
         |      PARTITION BY v.vec_id
@@ -413,10 +418,12 @@ object DedupQueries extends QueryRegistry {
         |  WHERE crn = 1),
         |${SimilarityOps.bandSqlCte}
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        |  round(list_cosine_similarity(va.emb, vb.emb), 6) AS cosine
         |FROM banded a JOIN banded b
         |  ON a.cid = b.cid AND a.band = b.band AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+        |JOIN v va ON va.vec_id = a.vec_id
+        |JOIN v vb ON vb.vec_id = b.vec_id
+        |WHERE round(list_cosine_similarity(va.emb, vb.emb), 6) >= 0.4
         |ORDER BY id1, id2""".stripMargin))
 
   // ---- Dedup clusters: near-dup PAIRS → connected components → one
@@ -536,11 +543,14 @@ object DedupQueries extends QueryRegistry {
           when(col("dup").isNotNull, 0).otherwise(1).as("kept"))
         .orderBy("vec_id")
     },
+    // emb-free assign CTE + v re-join in the prune stage, same reason
+    // (and same result identity) as the dedup_embedding_blocked oracle:
+    // carrying the list through the cross join spilled ~90 GB at sf10
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
         |assign AS (
-        |  SELECT vec_id, emb, cid, sim_c FROM (
-        |    SELECT v.vec_id, v.emb, cent.cid,
+        |  SELECT vec_id, cid, sim_c FROM (
+        |    SELECT v.vec_id, cent.cid,
         |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
         |      row_number() OVER (PARTITION BY v.vec_id
         |        ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC,
@@ -550,7 +560,9 @@ object DedupQueries extends QueryRegistry {
         |${SimilarityOps.bandSqlCte},
         |dropped AS (SELECT DISTINCT b.vec_id FROM banded a JOIN banded b
         |            ON a.cid = b.cid AND a.band = b.band AND a.pos < b.pos
-        |            WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4)
+        |            JOIN v va ON va.vec_id = a.vec_id
+        |            JOIN v vb ON vb.vec_id = b.vec_id
+        |            WHERE round(list_cosine_similarity(va.emb, vb.emb), 6) >= 0.4)
         |SELECT o.vec_id, o.cid, o.sim_c,
         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         |FROM banded o LEFT JOIN dropped d ON o.vec_id = d.vec_id
