@@ -441,16 +441,26 @@ object SimilarityOps {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
+        // reusable raw-distance buffer (two-pass rounding, see below);
+        // each subspace's argmin fully consumes it before the next fills
+        val raw = new Array[Double](cs.length)
         it.flatMap { case (id, v) =>
           require(v.length % nSub == 0,
             s"pqEncodeLocal: ${v.length} dims not divisible into $nSub subspaces")
           val dimsPer = v.length / nSub
           (0 until nSub).iterator.map { s =>
-            var bestCid = -1L
-            var bestD2 = Double.MaxValue
+            // Pass 1: raw d2 + raw min under the original's primitive-<
+            // rule (NaN and +Inf never win — NaN < x and Inf < MaxValue
+            // are both false). Rounding is monotone, so the
+            // argmin-of-rounded winner falls out of raw comparisons and
+            // the N·nSub·|codebook| BigDecimal.valueOf calls (each a
+            // Double.toString + parse) collapse to ~one per (point,
+            // subspace) — the assignment-kernel two-pass (SCALE.md r12).
+            var rawMin = Double.MaxValue
+            var found = false
             var i = 0
             while (i < cs.length) {
-              val (cid, c) = cs(i)
+              val c = cs(i)._2
               var d2 = 0.0
               var k = s * dimsPer
               val end = k + dimsPer
@@ -459,10 +469,27 @@ object SimilarityOps {
                 d2 += t * t
                 k += 1
               }
-              val r = java.math.BigDecimal.valueOf(d2)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-              if (r < bestD2) { bestD2 = r; bestCid = cid }
+              raw(i) = d2
+              if (d2 < rawMin) { rawMin = d2; found = true }
               i += 1
+            }
+            // Pass 2: first (ascending-cid = the strict-< fold's tie
+            // rule) candidate in the raw min's 1e-6 rounding bucket
+            // whose d2 rounds to the rounded min.
+            var bestCid = -1L
+            if (found) {
+              val rmin = java.math.BigDecimal.valueOf(rawMin)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              val ceil6 = rawMin + 2e-6
+              var j = 0
+              while (bestCid == -1L && j < cs.length) {
+                if (raw(j) <= ceil6 && {
+                  val rj = java.math.BigDecimal.valueOf(raw(j))
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                  rj == rmin
+                }) bestCid = cs(j)._1
+                j += 1
+              }
             }
             (id, s, bestCid)
           }
@@ -566,18 +593,41 @@ object SimilarityOps {
     * object-level method so executor closures stay self-contained). */
   private def nearestCentroid(c: Array[(Long, Array[Double])],
                               v: Array[Double]): (Int, Double) = {
-    var best = -1; var bestD = 0.0
+    if (c.length == 0) return (-1, 0.0)
+    // Pass 1: RAW squared distances + raw min under Double.compare. The
+    // BigDecimal rounding the relational parity demands is monotone in
+    // that total order, so the argmin-of-rounded winner falls out of
+    // raw comparisons (the assignment kernel's two-pass derivation,
+    // which cut its sf10 stage 4.6x): only distances inside the raw
+    // min's 1e-6 rounding bucket can tie it, so the k-per-point
+    // BigDecimal.valueOf (a Double.toString + parse each) collapses to
+    // ~one per point across every Lloyd iteration.
+    val raw = new Array[Double](c.length)
+    var xmin = 0.0
     var j = 0
     while (j < c.length) {
       val cj = c(j)._2
       var d = 0.0; var i = 0
       val n = math.min(v.length, cj.length)
       while (i < n) { val t = v(i) - cj(i); d += t * t; i += 1 }
-      d = roundN(d, 6)
-      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) { best = j; bestD = d }
+      raw(j) = d
+      if (j == 0 || java.lang.Double.compare(d, xmin) < 0) xmin = d
       j += 1
     }
-    (best, bestD)
+    // Pass 2: first (lowest-index = the one-pass fold's strict-
+    // improvement rule) candidate whose distance rounds to the rounded
+    // min. xmin + 2e-6 is NaN/Inf-safe: NaN propagates and only a NaN
+    // raw passes the == rmin check; +Inf admits only +Inf.
+    val rmin = roundN(xmin, 6)
+    val ceil6 = xmin + 2e-6
+    j = 0
+    while (j < c.length) {
+      if (java.lang.Double.compare(raw(j), ceil6) <= 0 &&
+          java.lang.Double.compare(roundN(raw(j), 6), rmin) == 0)
+        return (j, rmin)
+      j += 1
+    }
+    (0, rmin) // unreachable: the raw min itself always rounds to rmin
   }
 
   /** K-means (Lloyd) — the cluster-scale kernel behind the relational
