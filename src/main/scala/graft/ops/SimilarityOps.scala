@@ -240,6 +240,32 @@ object SimilarityOps {
     agg.select(outCols: _*)
   }
 
+  /** DuckDB dual of [[assignNearestCell]] in STREAMING form (expects
+    * `v(vec_id, emb)` and `cent(cid, cemb)` CTEs upstream; emits
+    * `assign(vec_id, cid, sim_c)`). The historical row_number form
+    * sorted the N×cells cross join through a window — at sf10 (200k
+    * vectors × 448 centroids = 89M rows) DuckDB spilled that sort past
+    * the machine's disk. This form materializes the slim (vec_id, cid,
+    * s) relation ONCE (~24 B/row: 2 GB at sf10) and replaces the window
+    * with two streaming hash aggregates. Decision-identical in DuckDB
+    * semantics: NaN = NaN is TRUE and NaN aggregates/orders greatest
+    * (probed on 1.0.0), so max(s) is the window's DESC head and
+    * min(cid) over the s = max rows is its cid tie-break; a NULL s
+    * (impossible for the fixture's fixed-width casts) is the only
+    * divergence class — the window form would keep an all-NULL vector
+    * with crn = 1 where the join drops it. */
+  val assignSqlCtes: String =
+    """sims AS MATERIALIZED (
+      |  SELECT v.vec_id, cent.cid,
+      |    round(list_cosine_similarity(v.emb, cent.cemb), 6) AS s
+      |  FROM v CROSS JOIN cent),
+      |assign AS (
+      |  SELECT s.vec_id, min(s.cid) AS cid, max(s.s) AS sim_c
+      |  FROM sims s
+      |  JOIN (SELECT vec_id, max(s) AS ms FROM sims GROUP BY vec_id) m
+      |    ON s.vec_id = m.vec_id AND s.s = m.ms
+      |  GROUP BY s.vec_id)""".stripMargin
+
   /** Second-level cell split (two-level IVF): cells are capped at
     * [[cellCap]] members by banding each cell's members in
     * (sim_c, vec_id) order — row_number partitions by cid, so band

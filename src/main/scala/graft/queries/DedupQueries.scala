@@ -399,23 +399,16 @@ object DedupQueries extends QueryRegistry {
         .filter(col("cosine") >= 0.4)
         .orderBy("id1", "id2")
     },
-    // the assign CTE deliberately does NOT carry emb: a ~1 KB list per
-    // row through the N×cells cross join + window sort spilled ~90 GB
-    // at sf10 (r12) — the pair stage re-joins v for the two embeddings
-    // it actually scores, result-identical (vec_id is the key; a null
-    // vec_id can never survive the a.vec_id < b.vec_id pair condition)
+    // the assign CTE deliberately does NOT carry emb (a ~1 KB list per
+    // row through the N×cells cross join spilled ~90 GB at sf10 — the
+    // pair stage re-joins v for the two embeddings it actually scores;
+    // result-identical, vec_id is the key and a null vec_id can never
+    // survive the a.vec_id < b.vec_id pair condition) and uses the
+    // STREAMING group-by-max form (SimilarityOps.assignSqlCtes) — the
+    // slim window sort alone still outgrew the disk
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
-        |assign AS (
-        |  SELECT vec_id, cid, sim_c FROM (
-        |    SELECT v.vec_id, cent.cid,
-        |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
-        |      row_number() OVER (
-        |      PARTITION BY v.vec_id
-        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
-        |      AS crn
-        |    FROM v CROSS JOIN cent) t
-        |  WHERE crn = 1),
+        |${SimilarityOps.assignSqlCtes},
         |${SimilarityOps.bandSqlCte}
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  round(list_cosine_similarity(va.emb, vb.emb), 6) AS cosine
@@ -543,20 +536,14 @@ object DedupQueries extends QueryRegistry {
           when(col("dup").isNotNull, 0).otherwise(1).as("kept"))
         .orderBy("vec_id")
     },
-    // emb-free assign CTE + v re-join in the prune stage, same reason
-    // (and same result identity) as the dedup_embedding_blocked oracle:
-    // carrying the list through the cross join spilled ~90 GB at sf10
+    // emb-free, streaming assign CTE + v re-join in the prune stage,
+    // same reasons (and same result identity) as the
+    // dedup_embedding_blocked oracle: the list-carrying cross join
+    // spilled ~90 GB at sf10, and the slim window sort still outgrew
+    // the disk
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
-        |assign AS (
-        |  SELECT vec_id, cid, sim_c FROM (
-        |    SELECT v.vec_id, cent.cid,
-        |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC,
-        |          cent.cid) AS crn
-        |    FROM v CROSS JOIN cent) t
-        |  WHERE crn = 1),
+        |${SimilarityOps.assignSqlCtes},
         |${SimilarityOps.bandSqlCte},
         |dropped AS (SELECT DISTINCT b.vec_id FROM banded a JOIN banded b
         |            ON a.cid = b.cid AND a.band = b.band AND a.pos < b.pos

@@ -95,15 +95,11 @@ object SimilarityQueries extends QueryRegistry {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id", "rnk")
     },
+    // streaming assign CTE (SimilarityOps.assignSqlCtes): the window
+    // form spilled the 89M-row cross-join sort past the disk at sf10
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
-        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
-        |      AS crn
-        |    FROM v CROSS JOIN cent) t
-        |  WHERE crn = 1),
+        |${SimilarityOps.assignSqlCtes},
         |probes AS (
         |  SELECT query_id, cid FROM (
         |    SELECT v.vec_id AS query_id, cent.cid, row_number() OVER (
@@ -231,13 +227,7 @@ object SimilarityQueries extends QueryRegistry {
         |    WHERE q.vec_id < 20 AND v.vec_id <> q.vec_id) t
         |  WHERE rnk <= $topK),
         |${SimilarityOps.centroidSqlCte},
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT v.vec_id, cent.cid, row_number() OVER (PARTITION BY v.vec_id
-        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
-        |      AS crn
-        |    FROM v CROSS JOIN cent) t
-        |  WHERE crn = 1),
+        |${SimilarityOps.assignSqlCtes},
         |probes AS (
         |  SELECT query_id, cid FROM (
         |    SELECT v.vec_id AS query_id, cent.cid, row_number() OVER (
@@ -520,17 +510,10 @@ object SimilarityQueries extends QueryRegistry {
         .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"))
         .orderBy("vec_id", "rnk")
     },
+    // streaming assign CTE: the window form spilled past the disk at sf10
     Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |${SimilarityOps.centroidSqlCte},
-        |assign AS (
-        |  SELECT vec_id, cid, sim_c FROM (
-        |    SELECT v.vec_id, cent.cid,
-        |      round(list_cosine_similarity(v.emb, cent.cemb), 6) AS sim_c,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |      ORDER BY round(list_cosine_similarity(v.emb, cent.cemb), 6) DESC, cent.cid)
-        |      AS crn
-        |    FROM v CROSS JOIN cent) t
-        |  WHERE crn = 1),
+        |${SimilarityOps.assignSqlCtes},
         |${SimilarityOps.bandSqlCte},
         |cand AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
