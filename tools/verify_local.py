@@ -12,6 +12,13 @@ boundary risk is visible). --ledger additionally writes a per-query JSON
 verdict map (the committed sf1 artifact trail, VERDICT r8 §next-2)."""
 import json, os, sys, glob, math
 import duckdb
+# Eager import: .df() lazy-imports numpy/pandas at CONVERSION time, which
+# on a near-memory-limit run fails inside numpy's loader with a
+# misleading "you should not try to import numpy from its source
+# directory" (observed at the sf10 ledger, 105 GB DuckDB allocation).
+# Importing before DuckDB takes the memory removes the class.
+import numpy   # noqa: F401
+import pandas  # noqa: F401
 
 args = sys.argv[1:]
 ledger_path = None
