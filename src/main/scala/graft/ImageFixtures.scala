@@ -148,6 +148,38 @@ object ImageFixtures {
     }
   }
 
+  /** Minimal 16bpp BMP (BITMAPINFOHEADER, bottom-up). `is565` writes
+    * BI_BITFIELDS with the canonical 565 masks; otherwise BI_RGB
+    * (which the format defines as 555). `sample(x, y)` returns the raw
+    * packed 16-bit pixel. `masksOverride` substitutes arbitrary masks
+    * (for pinning the unsupported-layout refusal). */
+  private[graft] def craftBmp16(w: Int, h: Int, is565: Boolean,
+                                sample: (Int, Int) => Int,
+                                masksOverride: Option[(Int, Int, Int)] = None)
+      : Array[Byte] = {
+    val comp = if (is565 || masksOverride.isDefined) 3 else 0
+    val maskBytes = if (comp == 3) 12 else 0
+    val rowBytes = ((w * 2 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    val offset = 14 + 40 + maskBytes
+    val size = offset + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(offset)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(16)
+      .putInt(comp).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    if (comp == 3) {
+      val (rm, gm, bm) = masksOverride.getOrElse((0xf800, 0x07e0, 0x001f))
+      b.putInt(rm).putInt(gm).putInt(bm)
+    }
+    for (y <- (h - 1) to 0 by -1) { // bottom-up row order
+      for (x <- 0 until w) b.putShort(sample(x, y).toShort)
+      var pad = rowBytes - w * 2
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+    }
+    b.array()
+  }
+
   /** A baseline JDK-written JPEG with its SOF0 marker rewritten to SOF9
     * (extended sequential, ARITHMETIC entropy coding — ITU T.81 table
     * B.1): the minimal stream that DECLARES arithmetic coding. Pillow's
@@ -290,6 +322,17 @@ object ImageFixtures {
         Seq(ycckStored(0, 0, 0, 0), ycckStored(0, 0, 0, 255),
           ycckStored(255, 0, 0, 0), ycckStored(60, 70, 80, 90)),
         adobeTransform = 2))
+      ()
+    }
+    // 16bpp (555) BMP: the reference allow-list includes .bmp
+    // (appV2.py:17) and Pillow's BGR;15 unpacker expands 5-bit samples
+    // with TRUNCATING `v * 255 / 31` where the JDK's getRGB rounds — a
+    // ±1 on about half the sample values (Images.bmp16Expand). The
+    // gradient sweeps all 32 values of each channel so any rounding
+    // drift moves the hash-checked e2e digest.
+    writeAtomic("lowcolor.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmp16(32, 16, is565 = false,
+        (x, y) => ((x & 31) << 10) | (((x + y) & 31) << 5) | (y & 31)))
       ()
     }
     writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(

@@ -570,6 +570,18 @@ object Images {
     *     white, the [[ensureRgbOnWhite]] path (Pillow paste
     *     arithmetic; raw-L fast path for alphaless gray rasters). */
   private[graft] def pilEnsureRgb(bytes: Array[Byte], img: BufferedImage): BufferedImage =
+    // 16bpp BMP first: a non-PNG class with its own raw-sample parity
+    // path (bmp16Expand scaladoc); every other BMP falls through to the
+    // PNG sniff (None) and the generic chain like before
+    bmp16Mode(bytes) match {
+      case Some(is565)
+          if img.getType == BufferedImage.TYPE_USHORT_555_RGB ||
+            img.getType == BufferedImage.TYPE_USHORT_565_RGB =>
+        bmp16Expand(img, is565)
+      case _ => pilEnsureRgbPng(bytes, img)
+    }
+
+  private def pilEnsureRgbPng(bytes: Array[Byte], img: BufferedImage): BufferedImage =
     pngColorTypeAndTrns(bytes) match {
       case Some((4, _, _))     => grayDropAlpha(img)
       case Some((0, true, _))  => grayCompositeWhite(img)
@@ -582,6 +594,74 @@ object Images {
       case Some((2, true, _))  => stripAlpha(img)
       case _                   => ensureRgbOnWhite(img)
     }
+
+  /** BMP header facts the decoded image cannot surface: bits-per-pixel,
+    * compression, and (for BI_BITFIELDS) the three channel masks.
+    * Returns (bpp, compression, Some((rMask, gMask, bMask)) when
+    * compression == 3 and the masks are present). None for non-BMP
+    * bytes or a truncated header. Masks live at file offset 54 for
+    * every header ≥ BITMAPINFOHEADER: the legacy layout appends three
+    * DWORDs after the 40-byte header, and the V4/V5 headers place
+    * their mask fields at the same absolute position. */
+  private def bmpHeader(bytes: Array[Byte]): Option[(Int, Int, Option[(Long, Long, Long)])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (u32(14) < 40) return None // BITMAPCOREHEADER: no compression field
+    val bpp = u16(28)
+    val comp = u32(30).toInt
+    val masks =
+      if (comp == 3 && bytes.length >= 66) Some((u32(54), u32(58), u32(62)))
+      else None
+    Some((bpp, comp, masks))
+  }
+
+  /** PIL's accepted 16bpp BMP layouts (BmpImagePlugin SUPPORTED/
+    * MASK_MODES): BI_RGB defaults to 555 ("BGR;15"); BI_BITFIELDS is
+    * accepted ONLY with the canonical 565 (f800/7e0/1f → "BGR;16") or
+    * 555 (7c00/3e0/1f → "BGR;15") masks. Returns Some(is565) for the
+    * three accepted layouts, None otherwise (non-BMP, other depths —
+    * and the unsupported-mask case, which [[readGuarded]] already
+    * rejected before decode). */
+  private def bmp16Mode(bytes: Array[Byte]): Option[Boolean] =
+    bmpHeader(bytes) match {
+      case Some((16, 0, _)) => Some(false)
+      case Some((16, 3, Some((0xf800L, 0x7e0L, 0x1fL)))) => Some(true)
+      case Some((16, 3, Some((0x7c00L, 0x3e0L, 0x1fL)))) => Some(false)
+      case _ => None
+    }
+
+  /** 16bpp BMPs: Pillow's BGR;15/BGR;16 unpackers expand each 5/6-bit
+    * sample with TRUNCATING integer math — `v * 255 / 31` (green:
+    * `/ 63` at 565) — while the JDK's USHORT_555/565 getRGB
+    * scale-ROUNDS: 5-bit 16 reads back 132 where PIL gives 131, a
+    * systematic ±1 on roughly half the sample values (probed; Pillow
+    * Unpack.c ImagingUnpackBGR15/BGR16). The decoded raster carries the
+    * raw 5/6-bit samples (probed: TYPE_USHORT_*_RGB band samples), so
+    * truncating expansion restores parity. 16bpp BMPs carry no alpha in
+    * PIL (the unpackers set A = 255). */
+  private def bmp16Expand(img: BufferedImage, is565: Boolean): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val raster = img.getRaster
+    val gMax = if (is565) 63 else 31
+    val dst = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = raster.getSample(x, y, 0) * 255 / 31
+        val g = raster.getSample(x, y, 1) * 255 / gMax
+        val b = raster.getSample(x, y, 2) * 255 / 31
+        dst(x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      out.setRGB(0, y, w, 1, dst, 0, w)
+      y += 1
+    }
+    out
+  }
 
   /** 16-bit truecolor PNGs (color types 2 and 6 at depth 16): Pillow's
     * ;16B unpackers keep each sample's HIGH byte — the same convention
@@ -797,6 +877,23 @@ object Images {
               s"decompression bomb: logical screen ${sw}x$sh exceeds the " +
                 "178.9 Mpx limit")
         }
+        // BMP BI_BITFIELDS masks outside Pillow's accepted set: PIL
+        // raises "Unsupported BMP bitfields layout" at open where the
+        // JDK decodes ANY mask triple generically (probed: 4/4/4 masks
+        // decode here, raise there) — an accept/reject divergence, so
+        // the refusal is pinned with PIL's own message. Scope: 16bpp
+        // (both accepted layouts are named in bmp16Mode) and 24bpp
+        // (PIL accepts only ff0000/ff00/ff).
+        bmpHeader(bytes).foreach {
+          case (16, 3, masks)
+              if !masks.exists(m => m == ((0xf800L, 0x7e0L, 0x1fL)) ||
+                m == ((0x7c00L, 0x3e0L, 0x1fL))) =>
+            throw new IllegalArgumentException("Unsupported BMP bitfields layout")
+          case (24, 3, masks)
+              if !masks.exists(_ == ((0xff0000L, 0xff00L, 0xffL))) =>
+            throw new IllegalArgumentException("Unsupported BMP bitfields layout")
+          case _ => ()
+        }
         jpegSofAndAdobe(bytes) match {
           // arithmetic entropy coding: the JDK cannot decode what
           // Pillow's libjpeg-turbo can — refuse EXPLICITLY (stable,
@@ -829,7 +926,8 @@ object Images {
         case bomb: IllegalArgumentException
             if Option(bomb.getMessage).exists(m =>
               m.startsWith("decompression bomb") ||
-                m.startsWith("arithmetic-coded JPEG")) =>
+                m.startsWith("arithmetic-coded JPEG") ||
+                m.startsWith("Unsupported BMP bitfields")) =>
           throw bomb
         case e: RuntimeException =>
           throw new javax.imageio.IIOException(e.toString, e)

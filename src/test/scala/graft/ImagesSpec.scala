@@ -21,9 +21,9 @@ class ImagesSpec extends SparkSpec {
     // own file index (which drops them) is deliberately bypassed
     assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
       "anim.gif", "art.webp", "cmyk.jpg", "corrupt.png", "gray.png",
-      "icc.jpg", "landscape.png", "lossy.webp", "motion.webp", "photo.jpg",
-      "photo.webp", "portrait.png", "square.PNG", "tiny.bmp", "trans.gif",
-      "translucent.webp"))
+      "icc.jpg", "landscape.png", "lossy.webp", "lowcolor.bmp",
+      "motion.webp", "photo.jpg", "photo.webp", "portrait.png",
+      "square.PNG", "tiny.bmp", "trans.gif", "translucent.webp"))
   }
 
   test("webp contract: lossless AND lossy decode natively, corrupt rides " +
@@ -171,6 +171,50 @@ class ImagesSpec extends SparkSpec {
       .map(_.toByte) ++ chunk("IHDR", ihdr)
     val e = intercept[IllegalArgumentException](Images.preprocess(png, 16))
     assert(e.getMessage.contains("decompression bomb"))
+  }
+
+  test("R5 parity: 16bpp BMP expands 5/6-bit samples with Pillow's " +
+      "TRUNCATING v*255/max, not the JDK's scale-round") {
+    // Pillow Unpack.c BGR;15/BGR;16: integer `v * 255 / 31` (truncates);
+    // the JDK's TYPE_USHORT_555/565 getRGB rounds — 5-bit 16 reads back
+    // 132 where PIL gives 131 (probed). The expectations below are the
+    // spec's OWN trunc math, so a regression to getRGB fails loudly.
+    def rgbAt3(img: java.awt.image.BufferedImage, x: Int) = {
+      val p = img.getRGB(x, 0)
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    // 555 BI_RGB: per-pixel channel value = x (0..31 sweep)
+    val b555 = ImageFixtures.craftBmp16(32, 2, is565 = false,
+      (x, _) => ((x & 31) << 10) | ((x & 31) << 5) | (x & 31))
+    val out555 = Images.pilEnsureRgb(b555, Images.readGuarded(b555))
+    for (v <- Seq(0, 3, 16, 30, 31)) {
+      val e = v * 255 / 31
+      assert(rgbAt3(out555, v) === ((e, e, e)),
+        s"555 v=$v must be trunc ${e} (JDK getRGB gives ${math.round(v * 255.0 / 31)})")
+    }
+    // 565 BITFIELDS: green has 6 bits — g=33 truncs to 133 (JDK: 134)
+    val b565 = ImageFixtures.craftBmp16(32, 2, is565 = true,
+      (x, _) => ((16 & 31) << 11) | ((33 & 63) << 5) | (16 & 31))
+    val out565 = Images.pilEnsureRgb(b565, Images.readGuarded(b565))
+    assert(rgbAt3(out565, 4) === ((16 * 255 / 31, 33 * 255 / 63, 16 * 255 / 31)))
+    assert(rgbAt3(out565, 4) === ((131, 133, 131)))
+  }
+
+  test("R5 divergence pinned: BMP bitfields outside Pillow's accepted " +
+      "layouts refuse with PIL's message (the JDK would decode them)") {
+    // PIL BmpImagePlugin accepts 16bpp masks ONLY as canonical 565/555;
+    // a 4/4/4 layout raises "Unsupported BMP bitfields layout" where
+    // ImageIO decodes it generically (probed) — accept/reject parity.
+    val weird = ImageFixtures.craftBmp16(8, 2, is565 = false,
+      (_, _) => 0x567, masksOverride = Some((0x0F00, 0x00F0, 0x000F)))
+    val e = intercept[IllegalArgumentException](Images.preprocess(weird, 16))
+    assert(e.getMessage === "Unsupported BMP bitfields layout")
+    // the canonical 555-as-bitfields layout must still decode
+    val ok555 = ImageFixtures.craftBmp16(8, 2, is565 = false,
+      (_, _) => (16 << 10) | (16 << 5) | 16,
+      masksOverride = Some((0x7C00, 0x03E0, 0x001F)))
+    val out = Images.pilEnsureRgb(ok555, Images.readGuarded(ok555))
+    assert((out.getRGB(1, 0) & 0xff) === 131)
   }
 
   test("R5 known divergence pinned: an arithmetic-coded JPEG (SOF9) " +
@@ -621,8 +665,9 @@ class ImagesSpec extends SparkSpec {
     // index + first-frame) + cmyk.jpg (YCCK raw-raster decode) +
     // _shadow.png + .dotfile.png (hidden-name parity) + art.webp (VP8L)
     // + lossy.webp (VP8) + translucent.webp (ALPH alpha) + motion.webp
-    // (first anim frame) + icc.jpg (profile stripped) — all engine-native
-    assert(okCount === 17)
+    // (first anim frame) + icc.jpg (profile stripped) + lowcolor.bmp
+    // (16bpp truncating expansion) — all engine-native
+    assert(okCount === 18)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -637,14 +682,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 19L && m("n_ok") === 17L && m("n_failed") === 2L)
+    assert(m("n_total") === 20L && m("n_ok") === 18L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 19)
+    assert(rows.length === 20)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
