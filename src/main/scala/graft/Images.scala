@@ -883,14 +883,21 @@ object Images {
         // decode here, raise there) — an accept/reject divergence, so
         // the refusal is pinned with PIL's own message. Scope: 16bpp
         // (both accepted layouts are named in bmp16Mode) and 24bpp
-        // (PIL accepts only ff0000/ff00/ff).
+        // (PIL accepts only ff0000/ff00/ff). The refusal fires ONLY
+        // when the mask DWORDs are actually PRESENT (ADVICE r12): a
+        // file truncated before offset 66 gets Pillow's
+        // truncated-file error class, not the layout refusal — it
+        // falls through to the generic decoder-error path here too.
+        // 32bpp BI_BITFIELDS is deliberately NOT gated: Pillow
+        // restricts it to a 4-mask (r,g,b,a) accepted set that cannot
+        // be probed in this environment — scope gap recorded in
+        // COVERAGE.md rather than pinned from an unverifiable list.
         bmpHeader(bytes).foreach {
-          case (16, 3, masks)
-              if !masks.exists(m => m == ((0xf800L, 0x7e0L, 0x1fL)) ||
-                m == ((0x7c00L, 0x3e0L, 0x1fL))) =>
+          case (16, 3, Some(m))
+              if m != ((0xf800L, 0x7e0L, 0x1fL)) &&
+                m != ((0x7c00L, 0x3e0L, 0x1fL)) =>
             throw new IllegalArgumentException("Unsupported BMP bitfields layout")
-          case (24, 3, masks)
-              if !masks.exists(_ == ((0xff0000L, 0xff00L, 0xffL))) =>
+          case (24, 3, Some(m)) if m != ((0xff0000L, 0xff00L, 0xffL)) =>
             throw new IllegalArgumentException("Unsupported BMP bitfields layout")
           case _ => ()
         }

@@ -295,6 +295,7 @@ object Tagging {
   private[graft] object SelectionProgram {
     def apply(vocabEntries: Seq[Vocab.Entry],
               genThreshold: Double, charThreshold: Double): SelectionProgram = {
+      val boundEntries = vocabEntries.filter(e => Vocab.emissionRank.contains(e.category))
       val byCat = vocabEntries.groupBy(_.category)
         .map { case (c, es) => c -> es.sortBy(_.emitPos) }
       def lane(cat: String, argmaxLane: Boolean): (Array[Int], Array[String]) = {
@@ -327,15 +328,21 @@ object Tagging {
          Vocab.charThresholdCategories.map(c => {
            val (i, d) = lane(c, argmaxLane = false); (i, d, charThreshold) }))
           .toArray,
-        // from the UNFILTERED entries: a blacklisted or empty-named
-        // entry still sits in the reference's category array and still
-        // raises the IndexError (the overrun contract above)
+        // from the RECOGNIZED-category entries only (the same filter as
+        // overrunError, ADVICE r12): an unrecognized category is dropped
+        // at LOAD in the reference (appV2.py:68), so its index never
+        // enters a category array and can never trip the IndexError —
+        // bounds-checking it here would null every image's tags where
+        // the reference (and this engine's relational path, whose inner
+        // join drops the entry) tags normally. Blacklisted and
+        // empty-named entries are KEPT: they do sit in the reference's
+        // category arrays and do raise.
         // clamped, not truncated: a Long index past Int range must trip
         // the bounds pre-check, never wrap through toInt into the lanes
-        if (vocabEntries.isEmpty) -1
-        else math.min(vocabEntries.map(_.tagIdx).max, Int.MaxValue.toLong).toInt,
-        if (vocabEntries.isEmpty) 0
-        else math.max(vocabEntries.map(_.tagIdx).min, Int.MinValue.toLong).toInt)
+        if (boundEntries.isEmpty) -1
+        else math.min(boundEntries.map(_.tagIdx).max, Int.MaxValue.toLong).toInt,
+        if (boundEntries.isEmpty) 0
+        else math.max(boundEntries.map(_.tagIdx).min, Int.MinValue.toLong).toInt)
     }
   }
 

@@ -251,13 +251,18 @@ object SimilarityOps {
     * semantics: NaN = NaN is TRUE and NaN aggregates/orders greatest
     * (probed on 1.0.0), so max(s) is the window's DESC head and
     * min(cid) over the s = max rows is its cid tie-break; a NULL s
-    * (impossible for the fixture's fixed-width casts) is the only
-    * divergence class — the window form would keep an all-NULL vector
-    * with crn = 1 where the join drops it. */
+    * is the one divergence class — the join form would silently DROP an
+    * all-NULL vector where the Spark kernel's nullSeen path keeps it
+    * with sim_c NULL. Rather than leave that gate-blind (ADVICE r12),
+    * the assumption fails LOUDLY: coalesce(s, error(...)) raises inside
+    * the oracle the moment any fixture gains a null/dirty embedding
+    * (coalesce short-circuits in DuckDB — probed on 1.0.0 — so clean
+    * fixtures never evaluate the error branch). */
   val assignSqlCtes: String =
     """sims AS MATERIALIZED (
       |  SELECT v.vec_id, cent.cid,
-      |    round(list_cosine_similarity(v.emb, cent.cemb), 6) AS s
+      |    coalesce(round(list_cosine_similarity(v.emb, cent.cemb), 6),
+      |             error('NULL cosine: assign group-by-max oracle would drop this vector; fixture gained a null/dirty embedding')) AS s
       |  FROM v CROSS JOIN cent),
       |assign AS (
       |  SELECT s.vec_id, min(s.cid) AS cid, max(s.s) AS sim_c
@@ -304,7 +309,10 @@ object SimilarityOps {
   // (null/length-mismatched embedding) carries sim_c NULL by the
   // assignment contract, and DuckDB's ASC default is NULLS LAST — the
   // two duals would band such a row differently and the blocked-pair
-  // candidate sets would silently diverge.
+  // candidate sets would silently diverge. With assignSqlCtes' error()
+  // guard a NULL sim_c can no longer REACH this CTE through the
+  // group-by-max assign (it raises upstream); NULLS FIRST stays for
+  // callers that band an assignment produced by other CTEs.
 
   /** All-pairs raw cosine over a SMALL vector set as a broadcast-matrix
     * kernel — the scale-correct form of the brute-force baseline.

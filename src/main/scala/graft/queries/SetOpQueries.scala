@@ -24,12 +24,29 @@ object SetOpQueries extends QueryRegistry {
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin))
 
+  // EXCEPT's subtrahend is RESTRICTED to one region's supplier nations
+  // (VERDICT r12: the unrestricted form was vacuously green — customer
+  // nations minus ALL supplier nations is empty at every scale factor,
+  // so a broken EXCEPT returning 0 rows would also have passed). With
+  // EUROPE's ~5 nations subtracted from the ~25 customer nations the
+  // result is non-empty at every SF, making the hash gate prove
+  // subtraction, not just execution.
   private val exceptQ = NamedQuery(
     "q_set_except",
-    (spark, d) => custNations(spark, d).except(suppNations(spark, d)).orderBy("nationkey"),
+    (spark, d) => {
+      val europeSuppNations = Tables.supplier(spark, d)
+        .join(broadcast(Tables.nation(spark, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      custNations(spark, d).except(europeSuppNations).orderBy("nationkey")
+    },
     Some("""SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
         |ORDER BY nationkey""".stripMargin))
 
   private val unionQ = NamedQuery(

@@ -217,6 +217,21 @@ class ImagesSpec extends SparkSpec {
     assert((out.getRGB(1, 0) & 0xff) === 131)
   }
 
+  test("R5 (ADVICE r12): a BITFIELDS BMP truncated BEFORE its mask " +
+      "DWORDs is a malformed file, NOT an unsupported layout") {
+    // Pillow raises its truncated-file error class for a file cut off
+    // before the masks; the layout refusal must fire only when the
+    // three mask DWORDs are actually present and unsupported. Cut at
+    // 60 bytes: past the 54-byte header (so comp=3 parses) but before
+    // offset 66 where the masks end.
+    val whole = ImageFixtures.craftBmp16(8, 2, is565 = true,
+      (_, _) => 0x0867)
+    val truncated = whole.take(60)
+    val e = intercept[Exception](Images.preprocess(truncated, 16))
+    assert(e.getMessage != "Unsupported BMP bitfields layout",
+      s"truncated mask region mislabeled as layout refusal: $e")
+  }
+
   test("R5 known divergence pinned: an arithmetic-coded JPEG (SOF9) " +
       "refuses with the explicit message, and rides the error channel") {
     // The ONE input class where engine and reference disagree on

@@ -336,6 +336,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pqEncodeLocal NaN contract (ADVICE r12): finite candidates beat " +
+      "NaN distances; an all-NaN subspace yields cid -1, not a crash") {
+    import graft.ops.SimilarityOps
+    // Deliberate pin of a behavior change the two-pass rewrite made
+    // incidental: the old per-candidate BigDecimal.valueOf(d2) crashed
+    // the JOB with NumberFormatException on any NaN distance; the
+    // two-pass primitive-< fold skips NaN candidates (NaN < x false)
+    // and emits -1 when no candidate is finite — matching DuckDB's
+    // NaN-greatest ordering in the oracle and the engine's own
+    // dirty-row tolerance everywhere else.
+    val codebook: Array[(Long, Array[Float])] = Array(
+      0L -> Array(Float.NaN, Float.NaN, 0f, 0f), // NaN centroid: skipped in s=0
+      1L -> Array(1f, 1f, 9f, 9f))               // finite: must win s=0
+    // vec 10: finite everywhere → s=0 picks cid 1 (cid 0's d2 is NaN),
+    //         s=1 picks cid 0 (its finite sub-centroid is nearer)
+    // vec 11: NaN in BOTH subspace-1 dims → every s=1 d2 is NaN → -1
+    val df = Seq(
+      (10L, Array(1f, 1f, 0.5f, 0.5f)),
+      (11L, Array(1f, 1f, Float.NaN, Float.NaN)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps
+      .pqEncodeLocal(df, "vec_id", "embedding", codebook, nSub = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (10L, 0) -> 1L, (10L, 1) -> 0L,
+      (11L, 0) -> 1L, (11L, 1) -> -1L))
+  }
+
   test("srpPlane ≡ the oracle's SQL md5 derivation, bit-for-bit") {
     import graft.ops.SimilarityOps
     // the same conv(substr(md5(...))) chain the DuckDB oracle runs,

@@ -255,6 +255,32 @@ class TaggingSpec extends SparkSpec {
     assert(okOut.head.getString(1) === "ok tag")
   }
 
+  test("an UNRECOGNIZED-category entry with an out-of-range index neither " +
+      "raises nor nulls: the reference drops it at load (appV2.py:68)") {
+    // overrunError already filters unrecognized categories (ADVICE r11);
+    // the bounds pre-check in SelectionProgram must apply the SAME
+    // filter (ADVICE r12) — otherwise pipelineLocal nulls every image
+    // where the reference (and the relational path's inner join on the
+    // category dimension) tags normally.
+    val entries = Seq(
+      Vocab.Entry(1, "ok_tag", "general", 0),
+      Vocab.Entry(9999, "phantom", "no_such_category", 1),
+      Vocab.Entry(-9999, "phantom_neg", "no_such_category", 2))
+    assert(Tagging.overrunError(entries, 32) === None)
+    val out = Tagging.pipelineLocal(
+      Seq((1L, Seq(-40.0, 40.0))).toDF("image_id", "logits"), entries)
+      .collect().head.getString(1)
+    assert(out === "ok tag",
+      "unrecognized-category overrun must not null the row")
+    // a RECOGNIZED-category overrun through the same vocab still fails
+    // the row (the entry sits in a real category array)
+    val bad = entries :+ Vocab.Entry(77, "real_overrun", "general", 3)
+    assert(Tagging.overrunError(bad, 32).isDefined)
+    assert(Tagging.pipelineLocal(
+      Seq((1L, Seq(-40.0, 40.0))).toDF("image_id", "logits"), bad)
+      .collect().head.isNullAt(1))
+  }
+
   test("negative vocab indices WRAP like numpy (probs[-1] = last logit); " +
       "below -len raises — never an executor ArrayIndexOutOfBounds") {
     // int("-1") parses as a JSON key and numpy fancy indexing wraps;
