@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g6"
+  val generation = "g7"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -180,6 +180,104 @@ object ImageFixtures {
     b.array()
   }
 
+  /** Palette BMP (BITMAPINFOHEADER, bottom-up): bpp ∈ {1,4,8}, palette
+    * as packed 0xRRGGBB ints written as BGRX quads. `comp` 0 writes
+    * BI_RGB rows from `idx(x, y)`; 1/2 (BI_RLE8/BI_RLE4) write the raw
+    * `rle` escape stream verbatim (the parity specs own the stream
+    * bytes). biClrUsed carries palette.length (0 would imply 2^bpp). */
+  private[graft] def craftBmpPalette(bpp: Int, w: Int, h: Int,
+      palette: Array[Int], idx: (Int, Int) => Int = (_, _) => 0,
+      comp: Int = 0, rle: Array[Byte] = Array.empty): Array[Byte] = {
+    val rowBytes = ((w * bpp + 31) / 32) * 4
+    val pix =
+      if (comp != 0) rle
+      else {
+        val p = new Array[Byte](rowBytes * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val fy = h - 1 - y // bottom-up
+          val bitOff = x * bpp
+          val o = fy * rowBytes + bitOff / 8
+          val shift = 8 - bpp - (bitOff % 8)
+          p(o) = (p(o) | (idx(x, y) << shift)).toByte
+        }
+        p
+      }
+    val offset = 14 + 40 + palette.length * 4
+    val b = java.nio.ByteBuffer.allocate(offset + pix.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(offset + pix.length)
+      .putInt(0).putInt(offset)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+      .putInt(comp).putInt(pix.length).putInt(2835).putInt(2835)
+      .putInt(palette.length).putInt(0)
+    palette.foreach { c =>
+      b.put((c & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+        .put(((c >> 16) & 0xff).toByte).put(0.toByte)
+    }
+    b.put(pix)
+    b.array()
+  }
+
+  /** 32bpp BMP (BITMAPINFOHEADER, bottom-up): BI_RGB when masks is
+    * None (the 4th byte of each pixel is padding — PIL raw mode
+    * "BGRX"), BI_BITFIELDS with the given (r, g, b) mask DWORDs
+    * otherwise. `px(x, y)` returns the raw little-endian 32-bit pixel
+    * (for BI_RGB: 0xXXRRGGBB with XX ignored by both decoders). */
+  private[graft] def craftBmp32(w: Int, h: Int, px: (Int, Int) => Int,
+      masks: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val comp = if (masks.isDefined) 3 else 0
+    val offset = 14 + 40 + (if (comp == 3) 12 else 0)
+    val b = java.nio.ByteBuffer.allocate(offset + w * h * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(offset + w * h * 4)
+      .putInt(0).putInt(offset)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(32)
+      .putInt(comp).putInt(w * h * 4).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    masks.foreach { case (rm, gm, bm) => b.putInt(rm).putInt(gm).putInt(bm) }
+    for (y <- (h - 1) to 0 by -1; x <- 0 until w) b.putInt(px(x, y))
+    b.array()
+  }
+
+  /** OS/2 BITMAPCOREHEADER BMP (12-byte header, 16-bit dims, RGB
+    * TRIPLE palette — no quads, no compression field): bpp ∈ {1, 4, 8}
+    * palette classes, or 24 with `idx(x, y)` returning packed
+    * 0xRRGGBB. Both Pillow (BmpImagePlugin "12" branch) and the JDK
+    * (VERSION_2) decode this legacy layout. */
+  private[graft] def craftBmpCore(bpp: Int, w: Int, h: Int,
+      palette: Array[Int], idx: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = ((w * bpp + 31) / 32) * 4
+    val pix = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val fy = h - 1 - y
+      if (bpp == 24) {
+        val v = idx(x, y)
+        val o = fy * rowBytes + x * 3
+        pix(o) = (v & 0xff).toByte
+        pix(o + 1) = ((v >> 8) & 0xff).toByte
+        pix(o + 2) = ((v >> 16) & 0xff).toByte
+      } else {
+        val bitOff = x * bpp
+        val o = fy * rowBytes + bitOff / 8
+        val shift = 8 - bpp - (bitOff % 8)
+        pix(o) = (pix(o) | (idx(x, y) << shift)).toByte
+      }
+    }
+    val offset = 14 + 12 + palette.length * 3
+    val b = java.nio.ByteBuffer.allocate(offset + pix.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(offset + pix.length)
+      .putInt(0).putInt(offset)
+    b.putInt(12).putShort(w.toShort).putShort(h.toShort)
+      .putShort(1).putShort(bpp.toShort)
+    palette.foreach { c =>
+      b.put((c & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+        .put(((c >> 16) & 0xff).toByte)
+    }
+    b.put(pix)
+    b.array()
+  }
+
   /** A baseline JDK-written JPEG with its SOF0 marker rewritten to SOF9
     * (extended sequential, ARITHMETIC entropy coding — ITU T.81 table
     * B.1): the minimal stream that DECLARES arithmetic coding. Pillow's
@@ -334,6 +432,59 @@ object ImageFixtures {
       java.nio.file.Files.write(tmp.toPath, craftBmp16(32, 16, is565 = false,
         (x, y) => ((x & 31) << 10) | (((x + y) & 31) << 5) | (y & 31)))
       ()
+    }
+    // BMP parity matrix corpus (VERDICT r12 #6): one fixture per
+    // accepted decode class, each riding the hash-checked e2e digest so
+    // a JDK-side drift in any class moves the gate. The parity itself
+    // (JDK ≡ Pillow BmpImagePlugin/Unpack.c, probed) is pinned by the
+    // ImagesSpec matrix tests; values here sweep each class's surface.
+    val matPal = Array.tabulate(16)(i =>
+      ((i * 17) << 16) | ((255 - i * 13) << 8) | ((i * 31) % 256))
+    // 8bpp palette, every index used
+    writeAtomic("pal8.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmpPalette(8, 16, 12, matPal,
+        (x, y) => (x + y) % 16)); ()
+    }
+    // 4bpp palette (nibble packing, odd width → row padding)
+    writeAtomic("pal4.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmpPalette(4, 13, 9, matPal,
+        (x, y) => (x * 3 + y) % 16)); ()
+    }
+    // 1bpp (MSB-first bits, non-black/white palette → PIL mode "P")
+    writeAtomic("mono.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmpPalette(1, 18, 7,
+        Array(0x204060, 0xe0c0a0), (x, y) => (x ^ y) & 1)); ()
+    }
+    // RLE8: encoded runs + one absolute run + a delta skip (zero-fill)
+    // + EOLs + EOB — every escape class inside the digest
+    writeAtomic("rle8.bmp") { tmp =>
+      val rle = Array[Byte](
+        8, 3, 0, 0, // row0 (bottom): run 8 idx3, EOL
+        0, 4, 1, 2, 3, 4, 4, 5, 0, 0, // row1: absolute 4 + run 4 idx5, EOL
+        2, 6, 0, 2, 3, 1, // row2: 2px idx6, delta right3 up1 → row3 x5
+        3, 7, 0, 1) // 3px idx7 at row3 x5..7, EOB
+      java.nio.file.Files.write(tmp.toPath,
+        craftBmpPalette(8, 8, 4, matPal, comp = 1, rle = rle)); ()
+    }
+    // RLE4: nibble-alternating runs + absolute + EOB
+    writeAtomic("rle4.bmp") { tmp =>
+      val rle = Array[Byte](
+        6, 0x5a.toByte, 0, 0, // row0: 5,10,5,10,5,10 then EOL
+        0, 6, 0x12, 0x34, 0x56, 0, 0, 0, // row1: absolute 1,2,3,4,5,6 (+pad), EOL
+        6, 0x0f, 0, 1) // row2: 0,15,0,15,0,15, EOB
+      java.nio.file.Files.write(tmp.toPath,
+        craftBmpPalette(4, 6, 3, matPal, comp = 2, rle = rle)); ()
+    }
+    // 32bpp BI_RGB (BGRX): garbage in the padding byte must not leak
+    writeAtomic("deep.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmp32(14, 10,
+        (x, y) => (((x * y * 37) % 256) << 24) | (pix(x, y, 12) & 0xffffff)))
+      ()
+    }
+    // OS/2 BITMAPCOREHEADER, 24bpp (16-bit dims, no compression field)
+    writeAtomic("legacy.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmpCore(24, 15, 11,
+        Array.empty, (x, y) => pix(x, y, 13))); ()
     }
     writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(
       tmp.toPath, "not an image at all".getBytes))
