@@ -51,6 +51,51 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Single-thread md5 CPU probe — the identical 2M × update(50 B) loop
+    * BENCH_DELTA_r11/r12 ran OUT-of-band to adjudicate capture drift
+    * after the fact. Run INLINE (VERDICT r12 #1) so every capture
+    * carries its own machine-speed evidence in the JSON it emits. */
+  private def md5ProbeSec(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = Array.fill[Byte](50)('x')
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 2000000) { md.update(buf); i += 1 }
+    md.digest()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Committed acceptance band for the JVM probe (seconds). The
+    * historical BENCH_DELTA probes were a PYTHON loop (r11 fast window
+    * 0.245, r11 drifted 0.285, r12 close 0.303 — all adjudicated
+    * comparable); the JVM loop runs ~1.5× faster on the same window
+    * (calibrated r13: JVM 0.157–0.166 steady-state against Python
+    * 0.235–0.265 back-to-back on one window), so the Python history
+    * maps to JVM ≈ [0.16, 0.20]. The band brackets that with margin;
+    * a probe outside it means another tenant is hammering the shared
+    * VM (three rounds of post-hoc DRIFT verdicts, zero real
+    * regressions — the false alarms this gate retires). */
+  private val probeBand: (Double, Double) = (0.13, 0.22)
+
+  /** Probe until in-band or attempts exhausted: out-of-band windows
+    * get a 20 s backoff and a re-probe instead of silently recording a
+    * capture that the next round must adjudicate. Returns
+    * (lastProbeSec, inBand, attempts). */
+  private def probeGate(maxAttempts: Int = 6): (Double, Boolean, Int) = {
+    md5ProbeSec() // discarded: the first loop pays MD5/JIT compilation
+    var attempt = 1
+    var p = md5ProbeSec()
+    while ((p < probeBand._1 || p > probeBand._2) && attempt < maxAttempts) {
+      System.err.println(f"[bench] probe $p%.3f s outside band " +
+        f"[${probeBand._1}%.2f, ${probeBand._2}%.2f] — backing off 20 s " +
+        s"(attempt $attempt/$maxAttempts)")
+      Thread.sleep(20000)
+      p = md5ProbeSec()
+      attempt += 1
+    }
+    (p, p >= probeBand._1 && p <= probeBand._2, attempt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,16 +105,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CPU-probe gate (VERDICT r12 #1): refuse to capture on an
+    // out-of-band machine window — re-probe with backoff until the
+    // shared VM calms down, and stamp the probe into the JSON either
+    // way so the capture self-adjudicates instead of burning the next
+    // round's first act on post-hoc drift analysis.
+    val (probePre, probePreInBand, probeAttempts) = probeGate()
     // warm the session (codegen/JIT, parquet footer + file-listing cache,
     // Dataset-encoder and checkpoint/observe machinery) so per-query
     // numbers measure plans, not first-job initialization — the
     // alphabetically-first query otherwise absorbs ~2s of it
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).count()
-    Tables.documents(spark, sfDir).count()
-    Tables.embeddings(spark, sfDir).count()
-    Tables.orders(spark, sfDir).count()
-    Tables.events(spark, sfDir).count()
+    // page-cache warm: count() on parquet answers from row-group
+    // metadata WITHOUT touching data pages, so the historical warmup
+    // left the actual column bytes cold — the documented capture-drift
+    // signature was the similarity/dedup family paying 2-4× cold reads
+    // on run 1 whenever the capture followed a heavy oracle pass
+    // (BENCH_DELTA_r11/r12 adjudications). These full-scan aggregates
+    // pull every hot column through the OS page cache, untimed.
+    Seq(Tables.lineitem _, Tables.documents _, Tables.embeddings _,
+      Tables.orders _, Tables.events _, Tables.customer _,
+      Tables.part _, Tables.supplier _)
+      .foreach(t => t(spark, sfDir).selectExpr("sum(hash(*))").collect())
     locally {
       import spark.implicits._
       val tiny = Seq(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "x y z w v")
@@ -128,6 +185,14 @@ object Bench {
     // total bench wall (includes all 3 reps + inter-rep GC) — reported
     // separately so "value" stays the sum of per-query medians
     val wallSec = (System.nanoTime() - wallT0) / 1e9
+    // post-loop probe: a window that DRIFTED DURING the capture is as
+    // adjudication-worthy as one that started bad
+    val probePost = md5ProbeSec()
+    val probeJson =
+      s""""probe_pre_sec":${fmt(probePre)},"probe_post_sec":${fmt(probePost)},""" +
+        s""""probe_band":[${fmt(probeBand._1)},${fmt(probeBand._2)}],""" +
+        s""""probe_in_band":${probePreInBand && probePost >= probeBand._1 &&
+          probePost <= probeBand._2},"probe_attempts":$probeAttempts"""
     // failures carry a -1.0 sentinel in the per-query map; summing them
     // would make the total SMALLER (read: better) the more queries crash
     val total = results
@@ -147,7 +212,7 @@ object Bench {
     val exc = excludedBaselines.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"excluded_baselines":$exc,"baseline_total":${fmt(baselineTotal)},"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},$probeJson,"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"excluded_baselines":$exc,"baseline_total":${fmt(baselineTotal)},"failed":$errs,"queries":$full,"sf":"$sfDir"}"""
     // the committed snapshot is the sf0.1 run; any other SF writes its own
     // file so an iteration run at sf0.01 (or the sf1 gate) can never
     // clobber it (SPARK_GRAFT_BENCH_OUT overrides explicitly)
@@ -164,7 +229,7 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${fmt(v)}"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"excluded_baselines":$exc,"baseline_total":${fmt(baselineTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_3","wall_sec":${fmt(wallSec)},$probeJson,"n_queries":${results.size},"n_failed":${failed.size},"gc_between_queries":true,"excluded_baselines":$exc,"baseline_total":${fmt(baselineTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
