@@ -135,9 +135,37 @@ class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  /** Second-SF budget coverage (VERDICT r12 #4): the sf0.001 budgets
+    * pin a world where every dimension broadcasts and AQE coalesces to
+    * minimum width — a broadcast→sort-merge flip or an AQE regime
+    * change that only engages at 10× the data is invisible to them BY
+    * CONSTRUCTION. The top-20 wall-time queries (BENCH_r12 ordering)
+    * re-run at sf0.01 under the same listener, pinned as `sf0.01:name`
+    * lines in the same budget file with the same 25%+64KB byte band. */
+  private val sf01Dir = "/root/testdata/sf0.01"
+  private val sf01Prefix = "sf0.01:"
+  private val sf01Names: Seq[String] = Seq(
+    "q_pagerank", "dedup_clusters", "q_er_resolve", "q_assoc_rules",
+    "dedup_ngram_jaccard", "dedup_ngram_capped", "q_ntile_deciles",
+    "sim_kmeans", "text_perplexity_buckets", "q2_min_cost_supplier",
+    "q_er_gram_blocked", "q_edit_distance", "dedup_embedding_cosine",
+    "dedup_source_matrix", "q21_sole_blame", "dedup_minhash_lsh",
+    "q_salted_join", "q_model_lift", "q8_market_share", "q5_region_revenue")
+
+  sf01Names.foreach { name =>
+    test(s"query $name executes on sf0.01 (second-SF budget sweep)") {
+      val fn = SparkEntry.queries(name)
+      val (_, _) = measured(sf01Prefix + name) {
+        assert(fn(spark, sf01Dir).count() >= 0)
+      }
+    }
+  }
+
   test("runtime job/stage/shuffle-byte costs stay within committed budgets") {
     GraftTestShims.waitListenerBusEmpty(spark.sparkContext)
-    val names = SparkEntry.queries.keySet
+    // both sections: bare names are the sf0.001 full-registry sweep,
+    // `sf0.01:`-prefixed names the second-SF top-20 sweep
+    val names = SparkEntry.queries.keySet ++ sf01Names.map(sf01Prefix + _)
     val actual: Map[String, (Int, Int, Long)] = names.iterator.map { n =>
       n -> ((Option(jobsByQuery.get(n)).map(_.get).getOrElse(0),
         Option(stagesByQuery.get(n)).map(_.get).getOrElse(0),
@@ -163,7 +191,7 @@ class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       val budget: Map[String, (Int, Int, Long)] =
         scala.jdk.CollectionConverters.IteratorHasAsScala(
           Files.lines(budgetPath).iterator).asScala
-          .filter(_.nonEmpty).map { line =>
+          .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
             val Array(n, j, s, b) = line.split(" ")
             n -> ((j.toInt, s.toInt, b.toLong))
           }.toMap
