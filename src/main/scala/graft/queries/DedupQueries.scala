@@ -25,7 +25,7 @@ object DedupQueries extends QueryRegistry {
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |sh_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
       |         FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
-      |sh AS (SELECT doc_id,
+      |sh AS MATERIALIZED (SELECT doc_id,
       |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
       |       FROM sh_s),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
@@ -118,13 +118,14 @@ object DedupQueries extends QueryRegistry {
         |  SELECT sh.doc_id, sh.shingle FROM sh
         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10) r
         |    USING (shingle)),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
         |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+        |  SELECT c.id1, c.id2, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id1
+        |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
         |  GROUP BY 1, 2)
         |SELECT id1, id2,
         |  round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
@@ -204,7 +205,17 @@ object DedupQueries extends QueryRegistry {
   }
 
   /** DuckDB dual of minhashVerifiedPairs, up to a `pairs(id1, id2,
-    * jaccard)` CTE (caller appends its own final SELECT). */
+    * jaccard)` CTE (caller appends its own final SELECT).
+    *
+    * Oracle-side scale note (r13, sf10 gate): the exact-verify `inter`
+    * CTE drives FROM the MATERIALIZED candidate relation (cand → sh
+    * per side, shingle-equality on the second join) instead of the
+    * historical `sh a JOIN sh b ON shingle` form restricted by cand
+    * afterwards — at 500k docs DuckDB ordered the shingle self-join
+    * first, a Σ_shingle df² intermediate that spilled 58 GB and was
+    * killed approaching the disk. Decision-identical: sh is DISTINCT
+    * per (doc, shingle) and cand carries id1 < id2, so the count per
+    * (id1, id2) is the same intersection size. */
   private def minhashPairsSqlCtes: String = {
     val minCols = (0 until minhashK)
       .map(j => s"min(${minhashSqlHash(j)}) AS h$j").mkString(",\n    ")
@@ -223,14 +234,15 @@ object DedupQueries extends QueryRegistry {
        |  FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+       |  SELECT c.id1, c.id2, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT id1, id2,

@@ -9,8 +9,20 @@ registered under their bare table names, reads the Spark output parquet
 written by `graft.Verify`, sorts columns by name, and compares values
 row-by-row (exact for non-floats; floats reported with max abs diff so
 boundary risk is visible). --ledger additionally writes a per-query JSON
-verdict map (the committed sf1 artifact trail, VERDICT r8 §next-2)."""
-import json, os, sys, glob, math
+verdict map (the committed sf1 artifact trail, VERDICT r8 §next-2).
+
+GRAFT_ISOLATE=1 runs every oracle in its OWN subprocess (this script
+re-invoked with --one). Needed for the big-SF ledgers: DuckDB 1.0.0
+never returns buffer-manager pages to the OS — not on DROP TABLE, not
+on connection close — so ~17 accumulated sf10 oracles starve the tail
+into allocation failures that a fresh process cannot reproduce (r13:
+text_tfidf_top/text_winnowing OOM-failed behind dedup_simhash_pairs'
+29.9M-row materializations, then passed standalone under the identical
+cap). Per-process isolation is the only teardown the allocator honors;
+the ~1-2 s interpreter+import cost per query is noise against the
+multi-second big-SF oracles, so the sf0.01 per-commit gate stays
+in-process by default."""
+import json, os, sys, glob, math, gc, subprocess
 import duckdb
 # Eager import: .df() lazy-imports numpy/pandas at CONVERSION time, which
 # on a near-memory-limit run fails inside numpy's loader with a
@@ -20,65 +32,109 @@ import duckdb
 import numpy   # noqa: F401
 import pandas  # noqa: F401
 
-args = sys.argv[1:]
-ledger_path = None
-if "--ledger" in args:
-    i = args.index("--ledger")
-    if i + 1 >= len(args) or args[i + 1].startswith("--"):
-        sys.exit("usage: verify_local.py [sfDir] [outDir] [--ledger FILE] "
-                 "(--ledger needs a file path)")
-    ledger_path = args[i + 1]
-    args = args[:i] + args[i + 2:]
-sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
-out = args[1] if len(args) > 1 else "/tmp/graft_verify"
-ledger = {}
-
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-# Resource knobs for the big-SF ledgers (sf0.01 defaults are fine): at
-# sf10 the IVF-family oracles build ~1e8-row spilling intermediates;
-# without a memory_limit DuckDB runs to the RAM ceiling and the OOM
-# killer takes the whole process, and without a temp_directory it
-# spills into the repo cwd's .tmp until the disk fills (r12 lesson).
-if os.environ.get("GRAFT_DUCKDB_MEM"):
-    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
-if os.environ.get("GRAFT_DUCKDB_TEMP"):
-    os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
-    con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
-if os.environ.get("GRAFT_DUCKDB_THREADS"):
-    con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
-fail = 0
-for name, sql in sorted(oracle.items()):
+def fresh_con(sf):
+    """Resource knobs for the big-SF ledgers (sf0.01 defaults are fine):
+    at sf10 the IVF-family oracles build ~1e8-row spilling
+    intermediates; without a memory_limit DuckDB runs to the RAM
+    ceiling and the OOM killer takes the whole process, and without a
+    temp_directory it spills into the repo cwd's .tmp until the disk
+    fills (r12 lesson)."""
+    c = duckdb.connect()
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        c.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if os.environ.get("GRAFT_DUCKDB_TEMP"):
+        os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+        c.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        c.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return c
+
+
+def check_one(con, name, sql, sf, out):
+    """Run one oracle + compare. Prints the PASS/FAIL line and returns
+    the ledger entry string (prefix 'pass' = green)."""
     try:
         # ONE execution per oracle: the relation API re-runs the query
         # on EVERY materialization, so fetchall + description + df was
         # 3x the full oracle cost (which tripled the sf10 spill peaks).
-        # CTAS materializes once; the three reads below scan the table,
-        # and DuckDB's default preserve_insertion_order keeps the
-        # query's ORDER BY intact through CTAS + table scans.
+        # CTAS materializes once; the reads below scan the table, and
+        # DuckDB's default preserve_insertion_order keeps the query's
+        # ORDER BY intact through CTAS + table scans.
         con.execute("CREATE OR REPLACE TEMP TABLE __oracle AS " + sql)
-        want = con.sql("SELECT * FROM __oracle").fetchall()
-        wcols = [d[0] for d in con.sql("SELECT * FROM __oracle").description]
-        wdf = con.sql("SELECT * FROM __oracle").df()
+        nrows_oracle = con.sql("SELECT count(*) FROM __oracle").fetchone()[0]
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
-        ledger[name] = f"FAIL: oracle error: {e}"
-        fail += 1
-        continue
+        return f"FAIL: oracle error: {e}"
     files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output")
-        ledger[name] = "FAIL: no spark output"
-        fail += 1
-        continue
+        return "FAIL: no spark output"
     con.execute(
         f"CREATE OR REPLACE TEMP TABLE __spark AS SELECT * FROM read_parquet({files!r})")
+
+    # Big-relation path: never pull rows into Python. fetchall() of a
+    # ~30M-row result builds tens of GB of Python tuples whose freed
+    # memory glibc keeps in arenas for the process lifetime. Above the
+    # threshold the compare runs entirely inside DuckDB's memory
+    # manager (spills under the cap): symmetric EXCEPT ALL = multiset
+    # equality, which DuckDB evaluates with NaN = NaN true and
+    # NULL-matching set semantics — the same standard as the positional
+    # loop below minus row ORDER (both sides run the identical
+    # ORDER BY; ties beyond it are content-identical either way).
+    # dtype class check uses DESCRIBE types mapped the way pandas would
+    # render them (driver parity: HUGEINT and DECIMAL render float64,
+    # so they class as 'f').
+    big_threshold = int(os.environ.get("GRAFT_BIG_COMPARE_ROWS", "2000000"))
+    if nrows_oracle > big_threshold:
+        def type_class(t):
+            t = t.upper()
+            if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL") \
+                    or t == "HUGEINT":
+                return "f"
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                     "USMALLINT", "UINTEGER", "UBIGINT", "BOOLEAN"):
+                return "i"
+            return "o"
+        wdesc = con.sql("DESCRIBE __oracle").fetchall()
+        gdesc = con.sql("DESCRIBE __spark").fetchall()
+        wcols = [r[0] for r in wdesc]
+        gcols = [r[0] for r in gdesc]
+        if sorted(wcols) != sorted(gcols):
+            print(f"FAIL {name}: columns differ: oracle={sorted(wcols)} spark={sorted(gcols)}")
+            return "FAIL: columns differ"
+        wtypes = {r[0]: type_class(r[1]) for r in wdesc}
+        gtypes = {r[0]: type_class(r[1]) for r in gdesc}
+        tmis = [c for c in sorted(wcols) if wtypes[c] != gtypes[c]]
+        if tmis:
+            print(f"FAIL {name}: dtype class mismatch col {tmis[0]}: "
+                  f"oracle={wtypes[tmis[0]]} spark={gtypes[tmis[0]]}")
+            return f"FAIL: dtype mismatch col {tmis[0]}"
+        nrows_spark = con.sql("SELECT count(*) FROM __spark").fetchone()[0]
+        if nrows_oracle != nrows_spark:
+            print(f"FAIL {name}: row counts differ: oracle={nrows_oracle} spark={nrows_spark}")
+            return (f"FAIL: row counts differ oracle={nrows_oracle} "
+                    f"spark={nrows_spark}")
+        collist = ", ".join(f'"{c}"' for c in sorted(wcols))
+        ndiff = con.sql(
+            f"SELECT (SELECT count(*) FROM (SELECT {collist} FROM __oracle "
+            f"EXCEPT ALL SELECT {collist} FROM __spark)) + "
+            f"(SELECT count(*) FROM (SELECT {collist} FROM __spark "
+            f"EXCEPT ALL SELECT {collist} FROM __oracle))").fetchone()[0]
+        if ndiff:
+            print(f"FAIL {name}: {ndiff} rows differ (multiset compare)")
+            return f"FAIL: {ndiff} rows differ (multiset compare)"
+        print(f"PASS {name}: {nrows_oracle} rows (multiset compare)")
+        return f"pass ({nrows_oracle} rows)"
+
+    want = con.sql("SELECT * FROM __oracle").fetchall()
+    wcols = [d[0] for d in con.sql("SELECT * FROM __oracle").description]
+    wdf = con.sql("SELECT * FROM __oracle").df()
     got = con.sql("SELECT * FROM __spark").fetchall()
     gcols = [d[0] for d in con.sql("SELECT * FROM __spark").description]
     gdf = con.sql("SELECT * FROM __spark").df()
@@ -97,23 +153,17 @@ for name, sql in sorted(oracle.items()):
             break
     if tfail:
         print(f"FAIL {name}: dtype class mismatch col {tfail[0]}: oracle={tfail[1]} spark={tfail[2]}")
-        ledger[name] = f"FAIL: dtype mismatch col {tfail[0]}"
-        fail += 1
-        continue
+        return f"FAIL: dtype mismatch col {tfail[0]}"
     if sorted(wcols) != sorted(gcols):
         print(f"FAIL {name}: columns differ: oracle={sorted(wcols)} spark={sorted(gcols)}")
-        ledger[name] = "FAIL: columns differ"
-        fail += 1
-        continue
+        return "FAIL: columns differ"
     worder = [wcols.index(c) for c in sorted(wcols)]
     gorder = [gcols.index(c) for c in sorted(gcols)]
     want2 = [[r[i] for i in worder] for r in want]
     got2 = [[r[i] for i in gorder] for r in got]
     if len(want2) != len(got2):
         print(f"FAIL {name}: row counts differ: oracle={len(want2)} spark={len(got2)}")
-        ledger[name] = f"FAIL: row counts differ oracle={len(want2)} spark={len(got2)}"
-        fail += 1
-        continue
+        return f"FAIL: row counts differ oracle={len(want2)} spark={len(got2)}"
     bad = None
     maxfdiff = 0.0
     for i, (wr, gr) in enumerate(zip(want2, got2)):
@@ -132,15 +182,74 @@ for name, sql in sorted(oracle.items()):
         if bad: break
     if bad:
         print(f"FAIL {name}: first diff at row {bad[0]} col {bad[1]}: oracle={bad[2]!r} spark={bad[3]!r} (maxfdiff={maxfdiff})")
-        ledger[name] = f"FAIL: first diff at row {bad[0]} col {bad[1]}"
-        fail += 1
-    else:
-        print(f"PASS {name}: {len(want2)} rows")
-        ledger[name] = f"pass ({len(want2)} rows)"
-print(f"\n{len(oracle) - fail}/{len(oracle)} queries pass")
-if ledger_path:
-    json.dump({"sf": sf, "n_total": len(oracle), "n_pass": len(oracle) - fail,
-               "queries": dict(sorted(ledger.items()))},
-              open(ledger_path, "w"), indent=1)
-    print(f"ledger -> {ledger_path}")
-sys.exit(1 if fail else 0)
+        return f"FAIL: first diff at row {bad[0]} col {bad[1]}"
+    print(f"PASS {name}: {len(want2)} rows")
+    return f"pass ({len(want2)} rows)"
+
+
+def main():
+    args = sys.argv[1:]
+    ledger_path = None
+    one = None
+    verdict_path = None
+    if "--ledger" in args:
+        i = args.index("--ledger")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit("usage: verify_local.py [sfDir] [outDir] [--ledger FILE] "
+                     "(--ledger needs a file path)")
+        ledger_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if "--one" in args:  # internal: single-oracle child of GRAFT_ISOLATE
+        i = args.index("--one")
+        one = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if "--verdict" in args:
+        i = args.index("--verdict")
+        verdict_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "/tmp/graft_verify"
+
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+    if one is not None:
+        con = fresh_con(sf)
+        entry = check_one(con, one, oracle[one], sf, out)
+        if verdict_path:
+            json.dump({one: entry}, open(verdict_path, "w"))
+        sys.exit(0 if entry.startswith("pass") else 1)
+
+    isolate = os.environ.get("GRAFT_ISOLATE") == "1"
+    ledger = {}
+    fail = 0
+    con = None if isolate else fresh_con(sf)
+    for name, sql in sorted(oracle.items()):
+        if isolate:
+            vfile = f"{out}/.verdict_{name}.json"
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf, out,
+                 "--one", name, "--verdict", vfile])
+            try:
+                entry = json.load(open(vfile))[name]
+                os.remove(vfile)
+            except Exception:
+                entry = f"FAIL: isolated child died (rc={r.returncode})"
+                print(f"FAIL {name}: isolated child died (rc={r.returncode})")
+        else:
+            entry = check_one(con, name, sql, sf, out)
+            gc.collect()
+        ledger[name] = entry
+        if not entry.startswith("pass"):
+            fail += 1
+    print(f"\n{len(oracle) - fail}/{len(oracle)} queries pass")
+    if ledger_path:
+        json.dump({"sf": sf, "n_total": len(oracle),
+                   "n_pass": len(oracle) - fail,
+                   "queries": dict(sorted(ledger.items()))},
+                  open(ledger_path, "w"), indent=1)
+        print(f"ledger -> {ledger_path}")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()

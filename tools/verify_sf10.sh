@@ -32,7 +32,7 @@ for a in "$@"; do
   esac
 done
 OUT=/tmp/graft_verify_sf10
-LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r12.json}"
+LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r13.json}"
 
 # 128 GiB fit, pre-verified (SCALE.md memory math): the dominant
 # resident sets at sf10 are documents (500k rows x ~2 KB ~= 1 GiB),
@@ -48,7 +48,10 @@ export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
 # IVF-family oracles at 200k vectors build ~1e8-row intermediates.
 # Uncapped, DuckDB ran to the RAM ceiling (OOM-killed at 116 GiB) and
 # spilled into the repo cwd until the disk filled — r12 first attempt.
-export GRAFT_DUCKDB_MEM="${GRAFT_DUCKDB_MEM:-64GB}"
+# 96GB since r13: safe now that GRAFT_ISOLATE gives each oracle its own
+# process (no cross-query allocator accumulation); text_exactsubstr_dedup
+# is borderline-over 64GB standalone at 500k docs.
+export GRAFT_DUCKDB_MEM="${GRAFT_DUCKDB_MEM:-96GB}"
 export GRAFT_DUCKDB_TEMP="${GRAFT_DUCKDB_TEMP:-/tmp/duckdb_spill}"
 export GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-16}"
 
@@ -59,7 +62,12 @@ else
   echo "[verify_sf10] reusing existing $SF10"
 fi
 
-SUBSET="sim_knn_classify,sim_ann_ivf,dedup_semantic,dedup_embedding_blocked,sim_cosine_topk,sim_kmeans,text_contamination,text_exactsubstr_dedup,sim_knn_graph,text_duplicate_spans,sim_pq_adc,sim_srp_hamming,text_winnowing,dedup_simhash,text_tfidf_top"
+# r13 extension (VERDICT r12 next-2): the MinHash/LSH family — the #1
+# wall-time family, whose banding-join candidate growth is the engine's
+# biggest 100 TB bet — joins the gate with its four members
+# (dedup_clusters, dedup_minhash_lsh, dedup_ngram_capped,
+# dedup_simhash_pairs). Subset is now 19.
+SUBSET="sim_knn_classify,sim_ann_ivf,dedup_semantic,dedup_embedding_blocked,sim_cosine_topk,sim_kmeans,text_contamination,text_exactsubstr_dedup,sim_knn_graph,text_duplicate_spans,sim_pq_adc,sim_srp_hamming,text_winnowing,dedup_simhash,text_tfidf_top,dedup_clusters,dedup_minhash_lsh,dedup_ngram_capped,dedup_simhash_pairs"
 echo "[verify_sf10] subset: $SUBSET"
 
 echo "[verify_sf10] running graft.Verify at sf10 (subset)"
@@ -79,7 +87,7 @@ print(f"[verify_sf10] oracle pruned to {len(pruned)} entries")
 PY
 
 echo "[verify_sf10] DuckDB oracle compare -> $LEDGER"
-python3 tools/verify_local.py "$SF10" "$OUT" --ledger "$LEDGER" | tail -3
+GRAFT_ISOLATE=1 PYTHONUNBUFFERED=1 python3 tools/verify_local.py "$SF10" "$OUT" --ledger "$LEDGER" | tee /tmp/verify_sf10_oracle.log | tail -3
 
 if [[ "$SKIP_BENCH" != "1" ]]; then
   # SAME-TREE sf3 reference capture: the committed bench_sf3.json
@@ -87,8 +95,8 @@ if [[ "$SKIP_BENCH" != "1" ]]; then
   # kernel rounding fix moved the whole IVF family ~3x), so folding
   # sf10 against it would bias every affected ratio. Both halves of
   # the ratio come from THIS tree, back to back, same session.
-  echo "[verify_sf10] same-tree sf3 subset bench -> bench_sf3_r12.json"
-  SPARK_GRAFT_SF_DIR=/tmp/graft_sf3 SPARK_GRAFT_BENCH_OUT=bench_sf3_r12.json \
+  echo "[verify_sf10] same-tree sf3 subset bench -> bench_sf3_r13.json"
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf3 SPARK_GRAFT_BENCH_OUT=bench_sf3_r13.json \
     SPARK_GRAFT_ONLY="$SUBSET" \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
   echo "[verify_sf10] subset bench at sf10 -> bench_sf10.json"
@@ -110,12 +118,14 @@ led["subset_note"] = (
     "baselines (demoted correctness-baseline-only in r12; their "
     "engine-side Omega(n^2)-candidate cost at 200k vectors / 500k docs "
     "audits the declared baseline, not a scale path), topped up with "
-    "dedup_simhash and text_tfidf_top")
+    "dedup_simhash and text_tfidf_top; r13 adds the four MinHash/LSH-"
+    "family queries (dedup_clusters, dedup_minhash_lsh, "
+    "dedup_ngram_capped, dedup_simhash_pairs) per VERDICT r12 next-2")
 if bench_rc != 0:
     led["ratio_note"] = "bench FAILED this run; no ratios folded"
 else:
     try:
-        b3 = json.load(open("bench_sf3_r12.json"))
+        b3 = json.load(open("bench_sf3_r13.json"))
         b10 = json.load(open("bench_sf10.json"))
         a3, a10 = b3.get("agg", "min_of_2"), b10.get("agg", "min_of_2")
         led["bench_total_sec_sf10_subset"] = b10["value"]
