@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g7"
+  val generation = "g8"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -278,6 +278,51 @@ object ImageFixtures {
     b.array()
   }
 
+  /** Adam7-INTERLACED truecolor PNG (IHDR interlace = 1): seven passes
+    * at the spec's (x0, y0, dx, dy) offsets, one filter-0 scanline per
+    * pass row that contains pixels, all passes in one zlib stream.
+    * ImageIO's writer never emits interlace, so parity for the class
+    * (Pillow and the JDK both implement the spec's lossless
+    * de-interleave — probed EXACT on an 11×9 with partial passes)
+    * needs crafted bytes. `px(x, y)` returns packed 0xRRGGBB. */
+  private[graft] def craftAdam7Png(w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes; if x0 < w) {
+      var y = y0
+      while (y < h) {
+        raw.write(0) // filter None
+        var x = x0
+        while (x < w) {
+          val c = px(x, y)
+          raw.write((c >> 16) & 0xff); raw.write((c >> 8) & 0xff)
+          raw.write(c & 0xff)
+          x += dx
+        }
+        y += dy
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val buf = new Array[Byte](raw.size + 1024)
+    val n = d.deflate(buf)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(1.toByte).array() // interlace = 1 (Adam7)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty)
+  }
+
   /** A baseline JDK-written JPEG with its SOF0 marker rewritten to SOF9
     * (extended sequential, ARITHMETIC entropy coding — ITU T.81 table
     * B.1): the minimal stream that DECLARES arithmetic coding. Pillow's
@@ -485,6 +530,14 @@ object ImageFixtures {
     writeAtomic("legacy.bmp") { tmp =>
       java.nio.file.Files.write(tmp.toPath, craftBmpCore(24, 15, 11,
         Array.empty, (x, y) => pix(x, y, 13))); ()
+    }
+    // Adam7-interlaced PNG: the one PNG layout class the ImageIO
+    // writer can't produce; decode parity (lossless de-interleave,
+    // both engines) rides the digest. Non-multiple-of-8 dims exercise
+    // the partial passes.
+    writeAtomic("interlaced.png") { tmp =>
+      java.nio.file.Files.write(tmp.toPath,
+        craftAdam7Png(27, 21, (x, y) => pix(x, y, 14))); ()
     }
     writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(
       tmp.toPath, "not an image at all".getBytes))

@@ -21,9 +21,9 @@ class ImagesSpec extends SparkSpec {
     // own file index (which drops them) is deliberately bypassed
     assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
       "anim.gif", "art.webp", "cmyk.jpg", "corrupt.png", "deep.bmp",
-      "gray.png", "icc.jpg", "landscape.png", "legacy.bmp",
-      "lossy.webp", "lowcolor.bmp", "mono.bmp", "motion.webp",
-      "pal4.bmp", "pal8.bmp", "photo.jpg", "photo.webp",
+      "gray.png", "icc.jpg", "interlaced.png", "landscape.png",
+      "legacy.bmp", "lossy.webp", "lowcolor.bmp", "mono.bmp",
+      "motion.webp", "pal4.bmp", "pal8.bmp", "photo.jpg", "photo.webp",
       "portrait.png", "rle4.bmp", "rle8.bmp", "square.PNG", "tiny.bmp",
       "trans.gif", "translucent.webp"))
   }
@@ -324,6 +324,20 @@ class ImagesSpec extends SparkSpec {
     val i8 = Images.pilEnsureRgb(c8, Images.readGuarded(c8))
     for (y <- 0 until 2; x <- 0 until 4)
       assert(rgb(i8, x, y) === pal(idx(y)(x)), s"core8 ($x,$y)")
+  }
+
+  test("R5 parity: Adam7-interlaced PNG de-interleaves EXACTLY (both " +
+      "engines implement the spec's lossless pass order)") {
+    // ImageIO's writer can't emit interlace, so the class only enters
+    // the engine via crafted bytes; 11x9 exercises every partial pass
+    // (passes 1-2 have single columns, pass 3 a single row block).
+    def want(x: Int, y: Int): Int =
+      (((x * 31 + y * 7) % 256) << 16) | (((x * 13 + y * 101) % 256) << 8) |
+        ((x * 3 + y * 57 + 19) % 256)
+    val bytes = ImageFixtures.craftAdam7Png(11, 9, want)
+    val img = Images.pilEnsureRgb(bytes, Images.readGuarded(bytes))
+    for (y <- 0 until 9; x <- 0 until 11)
+      assert((img.getRGB(x, y) & 0xffffff) === want(x, y), s"($x,$y)")
   }
 
   test("R5 (ADVICE r12): a BITFIELDS BMP truncated BEFORE its mask " +
@@ -792,8 +806,8 @@ class ImagesSpec extends SparkSpec {
     // (first anim frame) + icc.jpg (profile stripped) + lowcolor.bmp
     // (16bpp truncating expansion) + the 7 BMP-matrix classes
     // (pal8/pal4/mono palette, rle8/rle4, deep BGRX, legacy core
-    // header) — all engine-native
-    assert(okCount === 25)
+    // header) + interlaced.png (Adam7) — all engine-native
+    assert(okCount === 26)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -808,14 +822,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 27L && m("n_ok") === 25L && m("n_failed") === 2L)
+    assert(m("n_total") === 28L && m("n_ok") === 26L && m("n_failed") === 2L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 27)
+    assert(rows.length === 28)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))
