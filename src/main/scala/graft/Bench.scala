@@ -96,6 +96,35 @@ object Bench {
     (p, p >= probeBand._1 && p <= probeBand._2, attempt)
   }
 
+  /** Foreign CPU seconds burned on this machine since [[markCpu]] —
+    * system-wide busy jiffies minus THIS process's CPU time. The
+    * single-thread md5 probe is BLIND to multi-core contention: another
+    * tenant saturating cores leaves the probe fast while 32-thread
+    * stages starve (observed r13 — two consecutive in-band captures
+    * with DIFFERENT alphabetical blocks inflated 2-3×, machine idle
+    * minutes later). A capture with foreign_cpu_sec comparable to its
+    * own wall×cores is contended regardless of what the probe said. */
+  private var cpuMark: (Long, Long) = (0L, 0L) // (systemBusyJiffies, procCpuNs)
+  private def systemBusyJiffies(): Long = {
+    val line = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      .linesIterator.next() // "cpu  user nice system idle iowait irq softirq steal ..."
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    f.sum - f(3) - f(4) // total minus idle minus iowait
+  }
+  private def procCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => 0L
+    }
+  private def markCpu(): Unit = cpuMark = (systemBusyJiffies(), procCpuNs())
+  private def foreignCpuSec(): Double =
+    try {
+      val busySec = (systemBusyJiffies() - cpuMark._1) / 100.0
+      val oursSec = (procCpuNs() - cpuMark._2) / 1e9
+      math.max(0.0, busySec - oursSec)
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,6 +140,7 @@ object Bench {
     // way so the capture self-adjudicates instead of burning the next
     // round's first act on post-hoc drift analysis.
     val (probePre, probePreInBand, probeAttempts) = probeGate()
+    try markCpu() catch { case _: Throwable => () }
     // warm the session (codegen/JIT, parquet footer + file-listing cache,
     // Dataset-encoder and checkpoint/observe machinery) so per-query
     // numbers measure plans, not first-job initialization — the
@@ -192,7 +222,8 @@ object Bench {
       s""""probe_pre_sec":${fmt(probePre)},"probe_post_sec":${fmt(probePost)},""" +
         s""""probe_band":[${fmt(probeBand._1)},${fmt(probeBand._2)}],""" +
         s""""probe_in_band":${probePreInBand && probePost >= probeBand._1 &&
-          probePost <= probeBand._2},"probe_attempts":$probeAttempts"""
+          probePost <= probeBand._2},"probe_attempts":$probeAttempts,""" +
+        s""""foreign_cpu_sec":${fmt(foreignCpuSec())}"""
     // failures carry a -1.0 sentinel in the per-query map; summing them
     // would make the total SMALLER (read: better) the more queries crash
     val total = results
