@@ -75,7 +75,22 @@ object Bench {
     * a probe outside it means another tenant is hammering the shared
     * VM (three rounds of post-hoc DRIFT verdicts, zero real
     * regressions — the false alarms this gate retires). */
-  private val probeBand: (Double, Double) = (0.13, 0.22)
+  // The committed constants are calibrated to THIS shared VM's cores and
+  // JDK MD5 intrinsics; on foreign hardware (or after a JDK bump) an
+  // always-out-of-band probe would burn maxAttempts x 20s of sleep per
+  // capture and then proceed stamped out-of-band anyway.
+  // SPARK_GRAFT_PROBE_BAND=lo,hi overrides the band for such machines
+  // (ADVICE r13); the band actually used is stamped into the JSON either
+  // way, so every capture records what it was gated against.
+  private val probeBand: (Double, Double) =
+    sys.env.get("SPARK_GRAFT_PROBE_BAND") match {
+      case Some(s) =>
+        val p = s.split(",").map(_.trim.toDouble)
+        require(p.length == 2 && p(0) < p(1),
+          s"SPARK_GRAFT_PROBE_BAND must be 'lo,hi' with lo<hi, got: $s")
+        (p(0), p(1))
+      case None => (0.13, 0.22)
+    }
 
   /** Probe until in-band or attempts exhausted: out-of-band windows
     * get a 20 s backoff and a re-probe instead of silently recording a
@@ -125,22 +140,37 @@ object Bench {
       math.max(0.0, busySec - oursSec)
     } catch { case _: Throwable => -1.0 }
 
+  /** One full timed pass over the registry plus its own adjudication
+    * evidence: the md5 probe bracketing it and the foreign-CPU tally
+    * over exactly the timed window. Re-runnable so the foreign-CPU
+    * gate below can refuse a contended pass and capture again. */
+  private final case class Capture(
+      results: Seq[(String, Double)], failed: Seq[String],
+      wallSec: Double, foreignCpu: Double,
+      probePre: Double, probePreInBand: Boolean, probeAttempts: Int,
+      probePost: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Foreign-CPU acceptance: a capture whose non-graft busy CPU exceeds
+    // this fraction of wall x cores ran on a contended machine — refuse
+    // it and re-capture, exactly as the probe band does for single-core
+    // speed (VERDICT r13 #1: the stamp existed, the human still read it;
+    // both r13 close rejections were hand-adjudicated). 5% of 32 cores
+    // is ~1.6 cores-seconds per wall second — far above this VM's idle
+    // daemon noise (~0 observed on clean r13 captures), far below the
+    // 2-11x block inflation the r13 contended windows showed.
+    val foreignFrac = sys.env.get("SPARK_GRAFT_FOREIGN_CPU_FRAC")
+      .map(_.toDouble).getOrElse(0.05)
+    val maxCaptures = sys.env.get("SPARK_GRAFT_CAPTURE_ATTEMPTS")
+      .map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // CPU-probe gate (VERDICT r12 #1): refuse to capture on an
-    // out-of-band machine window — re-probe with backoff until the
-    // shared VM calms down, and stamp the probe into the JSON either
-    // way so the capture self-adjudicates instead of burning the next
-    // round's first act on post-hoc drift analysis.
-    val (probePre, probePreInBand, probeAttempts) = probeGate()
-    try markCpu() catch { case _: Throwable => () }
     // warm the session (codegen/JIT, parquet footer + file-listing cache,
     // Dataset-encoder and checkpoint/observe machinery) so per-query
     // numbers measure plans, not first-job initialization — the
@@ -178,11 +208,20 @@ object Bench {
     // names — see outName below.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val wallT0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    def runCapture(): Capture = {
+      // CPU-probe gate (VERDICT r12 #1): refuse to start on an
+      // out-of-band machine window — re-probe with backoff until the
+      // shared VM calms down, and stamp the probe into the JSON either
+      // way so the capture self-adjudicates instead of burning the next
+      // round's first act on post-hoc drift analysis.
+      val (probePre, probePreInBand, probeAttempts) = probeGate()
+      try markCpu() catch { case _: Throwable => () }
+      val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val wallT0 = System.nanoTime()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
       // each query runs THREE times and reports the MEDIAN: the first
       // run absorbs that query's codegen/JIT compilation (usually the
       // max), and the median is robust to a one-off shared-VM or GC
@@ -211,19 +250,64 @@ object Bench {
         i += 1
       }
       name -> (if (bad) -1.0 else reps.sorted.apply(1))
+      }
+      // total bench wall (includes all 3 reps + inter-rep GC) — reported
+      // separately so "value" stays the sum of per-query medians
+      val wallSec = (System.nanoTime() - wallT0) / 1e9
+      // foreign CPU over EXACTLY the timed window (markCpu above), read
+      // before the post-probe so the probe's own burn isn't counted
+      val foreign = foreignCpuSec()
+      // post-loop probe: a window that DRIFTED DURING the capture is as
+      // adjudication-worthy as one that started bad
+      val probePost = md5ProbeSec()
+      Capture(results, failed.toSeq, wallSec, foreign,
+        probePre, probePreInBand, probeAttempts, probePost)
     }
-    // total bench wall (includes all 3 reps + inter-rep GC) — reported
-    // separately so "value" stays the sum of per-query medians
-    val wallSec = (System.nanoTime() - wallT0) / 1e9
-    // post-loop probe: a window that DRIFTED DURING the capture is as
-    // adjudication-worthy as one that started bad
-    val probePost = md5ProbeSec()
+
+    // Foreign-CPU gate (VERDICT r13 #1): the single-thread md5 probe is
+    // blind to multi-core contention, so the acceptance decision the r13
+    // close made BY HAND — "foreign_cpu_sec is hundreds, reject and
+    // re-run" — runs here instead. Rejected passes are kept in the JSON
+    // (wall + foreign CPU) so the capture still self-documents what it
+    // refused and why.
+    def foreignLimit(c: Capture): Double = foreignFrac * c.wallSec * cpus.toInt
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Capture]
+    var cap = runCapture()
+    while (cap.foreignCpu > foreignLimit(cap) &&
+        rejected.size + 1 < maxCaptures) {
+      System.err.println(f"[bench] foreign_cpu_sec ${cap.foreignCpu}%.1f " +
+        f"exceeds limit ${foreignLimit(cap)}%.1f " +
+        f"(= $foreignFrac x wall ${cap.wallSec}%.1f s x $cpus cores) — " +
+        s"rejecting capture ${rejected.size + 1}/$maxCaptures, " +
+        "backing off 30 s and re-capturing")
+      rejected += cap
+      Thread.sleep(30000)
+      cap = runCapture()
+    }
+    // still over after maxCaptures passes: stamp it contended and route
+    // the full map AWAY from the committed snapshot name (see outName)
+    val contended = cap.foreignCpu > foreignLimit(cap)
+    if (contended)
+      System.err.println(f"[bench] still contended after ${rejected.size + 1} " +
+        f"captures (foreign_cpu_sec ${cap.foreignCpu}%.1f) — stamping " +
+        "capture_contended and writing the .contended snapshot")
+
+    val results = cap.results
+    val failed = cap.failed
+    val wallSec = cap.wallSec
+    val rejJson = rejected.map(r =>
+      s"""{"wall_sec":${fmt(r.wallSec)},"foreign_cpu_sec":${fmt(r.foreignCpu)}}""")
+      .mkString("[", ",", "]")
     val probeJson =
-      s""""probe_pre_sec":${fmt(probePre)},"probe_post_sec":${fmt(probePost)},""" +
+      s""""probe_pre_sec":${fmt(cap.probePre)},"probe_post_sec":${fmt(cap.probePost)},""" +
         s""""probe_band":[${fmt(probeBand._1)},${fmt(probeBand._2)}],""" +
-        s""""probe_in_band":${probePreInBand && probePost >= probeBand._1 &&
-          probePost <= probeBand._2},"probe_attempts":$probeAttempts,""" +
-        s""""foreign_cpu_sec":${fmt(foreignCpuSec())}"""
+        s""""probe_in_band":${cap.probePreInBand && cap.probePost >= probeBand._1 &&
+          cap.probePost <= probeBand._2},"probe_attempts":${cap.probeAttempts},""" +
+        s""""foreign_cpu_sec":${fmt(cap.foreignCpu)},""" +
+        s""""foreign_cpu_limit_sec":${fmt(foreignLimit(cap))},""" +
+        s""""capture_contended":$contended,""" +
+        s""""capture_attempts":${rejected.size + 1},""" +
+        s""""rejected_captures":$rejJson"""
     // failures carry a -1.0 sentinel in the per-query map; summing them
     // would make the total SMALLER (read: better) the more queries crash
     val total = results
@@ -247,11 +331,14 @@ object Bench {
     // the committed snapshot is the sf0.1 run; any other SF writes its own
     // file so an iteration run at sf0.01 (or the sf1 gate) can never
     // clobber it (SPARK_GRAFT_BENCH_OUT overrides explicitly)
-    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "bench_only.json" // a subset map must never
       // overwrite a committed full snapshot (round-8 clobber lesson)
       else if (new java.io.File(sfDir).getName == "sf0.1") "bench_full.json"
       else s"bench_${new java.io.File(sfDir).getName}.json")
+    // a contended capture must never clobber a clean committed snapshot:
+    // it keeps its full map under a .contended suffix for forensics
+    val outName = if (contended) outBase + ".contended" else outBase
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outName),

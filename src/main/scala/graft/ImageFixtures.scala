@@ -311,15 +311,22 @@ object ImageFixtures {
         y += dy
       }
     }
+    // loop-until-finished + end(): a single deflate() into a fixed
+    // headroom buffer would silently truncate near-incompressible input,
+    // and an un-end()ed Deflater leaks native zlib memory per call
     val d = new java.util.zip.Deflater()
-    d.setInput(raw.toByteArray); d.finish()
-    val buf = new Array[Byte](raw.size + 1024)
-    val n = d.deflate(buf)
+    val zipped = try {
+      d.setInput(raw.toByteArray); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
       .put(1.toByte).array() // interlace = 1 (Adam7)
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zipped) ++
       chunk("IEND", Array.empty)
   }
 

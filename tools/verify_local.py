@@ -32,8 +32,66 @@ import duckdb
 import numpy   # noqa: F401
 import pandas  # noqa: F401
 
+import re
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def order_by_cols(sql, cols):
+    """The top-level ORDER BY column list of `sql`, provided every item is
+    a bare identifier that names a result column in `cols`; None when
+    there is no top-level ORDER BY or it sorts by expressions/ordinals/
+    qualified names (the order spot-check is then skipped, and says so).
+    Paren depth tracking keeps subquery ORDER BYs out; the LAST top-level
+    occurrence wins (set-op branches each carry their own)."""
+    u = sql.upper()
+    depth, idx, i = 0, -1, 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":  # string literal: skip to closing quote
+            j = i + 1
+            while j < len(sql) and sql[j] != "'":
+                j += 1
+            i = j
+        elif depth == 0 and u.startswith("ORDER BY", i):
+            idx = i
+        i += 1
+    if idx < 0:
+        return None
+    tail = sql[idx + len("ORDER BY"):]
+    m = re.search(r"\b(LIMIT|OFFSET)\b", tail, re.I)
+    if m:
+        tail = tail[:m.start()]
+    items, depth, cur = [], 0, ""
+    for c in tail:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            items.append(cur)
+            cur = ""
+        else:
+            cur += c
+    items.append(cur)
+    out = []
+    for it in items:
+        toks = it.strip().split()
+        if not toks:
+            return None
+        name = toks[0].strip('"')
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", name) or name not in cols:
+            return None
+        if any(t.upper() not in ("ASC", "DESC", "NULLS", "FIRST", "LAST")
+               for t in toks[1:]):
+            return None
+        out.append(name)
+    return out or None
 
 
 def fresh_con(sf):
@@ -78,6 +136,19 @@ def check_one(con, name, sql, sf, out):
     con.execute(
         f"CREATE OR REPLACE TEMP TABLE __spark AS SELECT * FROM read_parquet({files!r})")
 
+    # Count check FIRST, in SQL, on both sides (ADVICE r13): the
+    # path switch below must see the Spark row count too — an
+    # erroneously exploded Spark output over a small oracle would
+    # otherwise be fetchall()'d whole into Python tuples before the
+    # small path's own count check ran, which is exactly the allocator
+    # blowup the big path exists to avoid.
+    nrows_spark = con.sql("SELECT count(*) FROM __spark").fetchone()[0]
+    if nrows_oracle != nrows_spark:
+        print(f"FAIL {name}: row counts differ: oracle={nrows_oracle} "
+              f"spark={nrows_spark}")
+        return (f"FAIL: row counts differ oracle={nrows_oracle} "
+                f"spark={nrows_spark}")
+
     # Big-relation path: never pull rows into Python. fetchall() of a
     # ~30M-row result builds tens of GB of Python tuples whose freed
     # memory glibc keeps in arenas for the process lifetime. Above the
@@ -85,13 +156,18 @@ def check_one(con, name, sql, sf, out):
     # manager (spills under the cap): symmetric EXCEPT ALL = multiset
     # equality, which DuckDB evaluates with NaN = NaN true and
     # NULL-matching set semantics — the same standard as the positional
-    # loop below minus row ORDER (both sides run the identical
-    # ORDER BY; ties beyond it are content-identical either way).
+    # loop below minus row ORDER; a positional spot-check of the
+    # top-level ORDER BY prefix columns (ADVICE r13: a Spark-side
+    # dropped final sort would otherwise pass the multiset gate exactly
+    # for the scale runs it guards) restores the ordering contract —
+    # the sorted sequence of prefix tuples is unique, so position-wise
+    # prefix equality is exactly "both sides honored the ORDER BY",
+    # while ties beyond the prefix stay order-free as they should be.
     # dtype class check uses DESCRIBE types mapped the way pandas would
     # render them (driver parity: HUGEINT and DECIMAL render float64,
     # so they class as 'f').
     big_threshold = int(os.environ.get("GRAFT_BIG_COMPARE_ROWS", "2000000"))
-    if nrows_oracle > big_threshold:
+    if max(nrows_oracle, nrows_spark) > big_threshold:
         def type_class(t):
             t = t.upper()
             if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL") \
@@ -115,11 +191,6 @@ def check_one(con, name, sql, sf, out):
             print(f"FAIL {name}: dtype class mismatch col {tmis[0]}: "
                   f"oracle={wtypes[tmis[0]]} spark={gtypes[tmis[0]]}")
             return f"FAIL: dtype mismatch col {tmis[0]}"
-        nrows_spark = con.sql("SELECT count(*) FROM __spark").fetchone()[0]
-        if nrows_oracle != nrows_spark:
-            print(f"FAIL {name}: row counts differ: oracle={nrows_oracle} spark={nrows_spark}")
-            return (f"FAIL: row counts differ oracle={nrows_oracle} "
-                    f"spark={nrows_spark}")
         collist = ", ".join(f'"{c}"' for c in sorted(wcols))
         ndiff = con.sql(
             f"SELECT (SELECT count(*) FROM (SELECT {collist} FROM __oracle "
@@ -129,8 +200,32 @@ def check_one(con, name, sql, sf, out):
         if ndiff:
             print(f"FAIL {name}: {ndiff} rows differ (multiset compare)")
             return f"FAIL: {ndiff} rows differ (multiset compare)"
-        print(f"PASS {name}: {nrows_oracle} rows (multiset compare)")
-        return f"pass ({nrows_oracle} rows)"
+        # ordering spot-check: positional equality of the ORDER BY prefix
+        # columns (DuckDB preserve_insertion_order keeps both CTAS tables
+        # in their queries' output order; row_number() OVER () stamps it).
+        # IS DISTINCT FROM gives NULL-safe equality, and DuckDB's float
+        # comparison treats NaN = NaN as true — same standard as above.
+        ob = order_by_cols(sql, set(wcols))
+        if ob:
+            oblist = ", ".join(f'"{c}"' for c in ob)
+            pred = " OR ".join(f'o."{c}" IS DISTINCT FROM s."{c}"' for c in ob)
+            nbad = con.sql(
+                f"WITH o AS (SELECT row_number() OVER () rn, {oblist} "
+                f"FROM __oracle), "
+                f"s AS (SELECT row_number() OVER () rn, {oblist} "
+                f"FROM __spark) "
+                f"SELECT count(*) FROM o JOIN s USING (rn) "
+                f"WHERE {pred}").fetchone()[0]
+            if nbad:
+                print(f"FAIL {name}: multiset equal but {nbad} positions "
+                      f"violate ORDER BY ({', '.join(ob)}) — a dropped or "
+                      f"broken Spark-side final sort")
+                return f"FAIL: {nbad} positions violate ORDER BY"
+            ocheck = f", order-checked on ({', '.join(ob)})"
+        else:
+            ocheck = ", order-check skipped (no bare-column top-level ORDER BY)"
+        print(f"PASS {name}: {nrows_oracle} rows (multiset compare{ocheck})")
+        return f"pass ({nrows_oracle} rows, multiset{ocheck})"
 
     want = con.sql("SELECT * FROM __oracle").fetchall()
     wcols = [d[0] for d in con.sql("SELECT * FROM __oracle").description]
@@ -201,10 +296,16 @@ def main():
         args = args[:i] + args[i + 2:]
     if "--one" in args:  # internal: single-oracle child of GRAFT_ISOLATE
         i = args.index("--one")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit("usage: verify_local.py [sfDir] [outDir] --one NAME "
+                     "(--one needs a query name)")
         one = args[i + 1]
         args = args[:i] + args[i + 2:]
     if "--verdict" in args:
         i = args.index("--verdict")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit("usage: verify_local.py [sfDir] [outDir] --verdict FILE "
+                     "(--verdict needs a file path)")
         verdict_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
