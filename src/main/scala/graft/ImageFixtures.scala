@@ -18,7 +18,7 @@ object ImageFixtures {
     * suite can overlap) and machines with an old tmpdir must never read
     * a previous generation's files as current — the idempotent
     * write-if-absent below would otherwise leave them in place forever. */
-  val generation = "g8"
+  val generation = "g9"
 
   /** The shared cross-JVM fixture dir (generation-keyed). */
   def sharedDir: String =
@@ -74,10 +74,19 @@ object ImageFixtures {
     * because ImageIO's writer round-trip cannot pin FORMAT-level parity
     * facts (PIL's mode "P" + transparency → RGBA → white composite;
     * first-frame choice for animations) the way controlled bytes can. */
+  /** GIF interlace row order (GIF89a §20, Appendix E): pass 1 rows
+    * 0,8,16…, pass 2 rows 4,12…, pass 3 rows 2,6,10…, pass 4 odd rows.
+    * Pillow's GifDecode.c and the JDK's GIFImageReader both implement
+    * the spec's de-interleave, so a crafted interlaced stream pins the
+    * class the same way the Adam7 PNG fixture does. */
+  private def gifInterlaceRows(h: Int): Seq[Int] =
+    (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
+
   private[graft] def craftGif(w: Int, h: Int, palette: Array[Int],
                               frames: Seq[Array[Byte]],
                               transparentIndex: Int = -1,
-                              frameRect: Option[(Int, Int, Int, Int)] = None)
+                              frameRect: Option[(Int, Int, Int, Int)] = None,
+                              interlaced: Boolean = false)
       : Array[Byte] = {
     require(palette.length == 4, "4-entry palette (GCT size field = 1)")
     val bos = new java.io.ByteArrayOutputStream()
@@ -90,15 +99,21 @@ object ImageFixtures {
       bos.write((c >> 16) & 0xff); bos.write((c >> 8) & 0xff); bos.write(c & 0xff)
     }
     val (fx, fy, fw, fh) = frameRect.getOrElse((0, 0, w, h))
-    frames.foreach { px =>
-      require(px.length == fw * fh, "frame pixel count")
+    frames.foreach { px0 =>
+      require(px0.length == fw * fh, "frame pixel count")
+      // interlace: the stream carries rows in pass order; `px0` stays in
+      // natural order so the caller's pixel function IS the ground truth
+      val px = if (!interlaced) px0
+        else gifInterlaceRows(fh).toArray.flatMap(y =>
+          px0.slice(y * fw, (y + 1) * fw))
       if (transparentIndex >= 0) {
         bos.write(0x21); bos.write(0xf9); bos.write(4)
         bos.write(0x01) // packed: transparent-color flag
         u16(0) // delay
         bos.write(transparentIndex); bos.write(0)
       }
-      bos.write(0x2c); u16(fx); u16(fy); u16(fw); u16(fh); bos.write(0)
+      bos.write(0x2c); u16(fx); u16(fy); u16(fw); u16(fh)
+      bos.write(if (interlaced) 0x40 else 0)
       bos.write(2) // LZW minimum code size
       val lzw = gifLzw(px, 2)
       var off = 0
@@ -239,6 +254,29 @@ object ImageFixtures {
     b.array()
   }
 
+  /** 32bpp BI_BITFIELDS BMP with a BITMAPV4HEADER (108 bytes) carrying
+    * all FOUR channel masks in-header — the layout alpha-capable
+    * writers emit and the shape Pillow's SUPPORTED[32] gate classifies
+    * (masks at file offsets 54/58/62/66, exactly where Pillow reads
+    * them for header sizes ≥ 56). `px(x, y)` returns the raw
+    * little-endian 32-bit pixel value as stored. */
+  private[graft] def craftBmp32V4(w: Int, h: Int, px: (Int, Int) => Int,
+      rMask: Int, gMask: Int, bMask: Int, aMask: Int): Array[Byte] = {
+    val offset = 14 + 108
+    val b = java.nio.ByteBuffer.allocate(offset + w * h * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(offset + w * h * 4)
+      .putInt(0).putInt(offset)
+    b.putInt(108).putInt(w).putInt(h).putShort(1).putShort(32)
+      .putInt(3).putInt(w * h * 4).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    b.putInt(rMask).putInt(gMask).putInt(bMask).putInt(aMask)
+    b.put("BGRs".getBytes("US-ASCII")) // CSType: calibrated sRGB-ish tag
+    (0 until 12).foreach(_ => b.putInt(0)) // endpoints + gamma (unused)
+    for (y <- (h - 1) to 0 by -1; x <- 0 until w) b.putInt(px(x, y))
+    b.array()
+  }
+
   /** OS/2 BITMAPCOREHEADER BMP (12-byte header, 16-bit dims, RGB
     * TRIPLE palette — no quads, no compression field): bpp ∈ {1, 4, 8}
     * palette classes, or 24 with `idx(x, y)` returning packed
@@ -370,6 +408,105 @@ object ImageFixtures {
       .put(hdr).put(1.toByte).put(1.toByte) // chunk 1 of 1
       .put(icc)
     jpeg.take(2) ++ seg.array() ++ jpeg.drop(2)
+  }
+
+  /** Splice an EXIF APP1 segment carrying ONLY an Orientation tag into
+    * a JPEG, right after SOI — the camera shape. Pins that decode
+    * IGNORES orientation: PIL's `Image.open` never auto-rotates
+    * (rotation is the opt-in `ImageOps.exif_transpose`, which the
+    * reference never calls — appV2.py:167 is a bare open), and the
+    * JDK's reader ignores EXIF likewise, so pixels must equal the
+    * untagged twin's byte-for-byte. Minimal TIFF body: little-endian
+    * header, one IFD with the single SHORT tag 0x0112. */
+  private[graft] def withJpegExif(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // IFD at 8
+    tiff.putShort(1)                       // one directory entry
+    tiff.putShort(0x0112.toShort)          // Orientation
+    tiff.putShort(3)                       // type SHORT
+    tiff.putInt(1)                         // count
+    tiff.putShort(orientation.toShort).putShort(0) // value + pad
+    tiff.putInt(0)                         // next IFD: none
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.array()
+    val len = 2 + body.length
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (len >> 8).toByte, (len & 0xff).toByte) ++ body
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  /** Baseline grayscale JPEG built from flat 8×8 blocks with a DRI
+    * restart interval — the one baseline-JPEG structure the JDK writer
+    * cannot emit (no restart-interval knob), so probing RSTn handling
+    * needs crafted bytes. DC-only encoding with a flat quant table of
+    * 8 makes the decode EXACT in any spec decoder: quantized DC =
+    * v−128 (all 64 AC coefficients zero), dequantized 8·(v−128), IDCT
+    * of a DC-only block is the flat value F00/8 = v−128, level shift
+    * +128 → v, no rounding anywhere. Pillow's libjpeg and the JDK both
+    * decode restart markers per ITU T.81 §B.2.4.4/E.2.4; ground truth
+    * is `blocks` itself. Custom minimal Huffman tables (canonical, the
+    * all-ones code unused): DC categories 0–8 at 4 bits each, AC EOB
+    * alone at 2 bits. `restartInterval` 0 omits DRI/RSTn entirely (the
+    * twin fixture proving restarts are pixel-transparent). */
+  private[graft] def craftRestartJpeg(wBlocks: Int, hBlocks: Int,
+      blocks: Seq[Int], restartInterval: Int): Array[Byte] = {
+    require(blocks.length == wBlocks * hBlocks, "one gray value per MCU")
+    val bos = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { bos.write(0xff); bos.write(marker) }
+    def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); u16(67); bos.write(0x00) // DQT: table 0, 8-bit
+    (0 until 64).foreach(_ => bos.write(8))
+    if (restartInterval > 0) { m(0xdd); u16(4); u16(restartInterval) }
+    m(0xc0); u16(11) // SOF0: 1 component
+    bos.write(8); u16(hBlocks * 8); u16(wBlocks * 8); bos.write(1)
+    bos.write(1); bos.write(0x11); bos.write(0) // id 1, 1x1 sampling, Tq 0
+    // DHT, DC table 0: 9 symbols (categories 0-8), all 4-bit codes
+    m(0xc4); u16(2 + 1 + 16 + 9); bos.write(0x00)
+    (1 to 16).foreach(l => bos.write(if (l == 4) 9 else 0))
+    (0 to 8).foreach(bos.write)
+    // DHT, AC table 0: the single EOB symbol (run 0 / size 0) at 2 bits
+    m(0xc4); u16(2 + 1 + 16 + 1); bos.write(0x10)
+    (1 to 16).foreach(l => bos.write(if (l == 2) 1 else 0))
+    bos.write(0x00)
+    m(0xda); u16(8) // SOS
+    bos.write(1); bos.write(1); bos.write(0x00) // comp 1, DC 0 / AC 0
+    bos.write(0); bos.write(63); bos.write(0) // Ss, Se, Ah/Al
+    // entropy stream: bit-packer with FF byte-stuffing
+    var cur = 0; var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          bos.write(cur)
+          if (cur == 0xff) bos.write(0x00)
+          cur = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushToByte(): Unit = if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+    var pred = 0
+    var rst = 0
+    blocks.zipWithIndex.foreach { case (v, i) =>
+      if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+        flushToByte()
+        m(0xd0 + rst); rst = (rst + 1) % 8
+        pred = 0
+      }
+      val dc = v - 128
+      val diff = dc - pred
+      pred = dc
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff 0
+      putBits(cat, 4) // DC category, 4-bit canonical code = the category
+      if (cat > 0) putBits(if (diff >= 0) diff else diff - 1 + (1 << cat), cat)
+      putBits(0, 2) // AC EOB (code '00')
+    }
+    flushToByte()
+    m(0xd9) // EOI
+    bos.toByteArray
   }
 
   /** Stored YCCK sample for true ink (c, m, y, k) under the Adobe
@@ -545,6 +682,49 @@ object ImageFixtures {
     writeAtomic("interlaced.png") { tmp =>
       java.nio.file.Files.write(tmp.toPath,
         craftAdam7Png(27, 21, (x, y) => pix(x, y, 14))); ()
+    }
+    // r14 probe-class fixtures (VERDICT r13 #3/#4/#6), each riding the
+    // hash-checked e2e digest:
+    // interlaced GIF — spec 4-pass de-interleave (GIF89a appendix E)
+    writeAtomic("interlaced.gif") { tmp =>
+      val palette = Array(0x0ac925, 0x28323c, 0x8f1e55, 0xffffff)
+      val w = 19; val h = 13
+      val px = Array.tabulate(w * h)(i => (((i % w) + 2 * (i / w)) % 4).toByte)
+      java.nio.file.Files.write(tmp.toPath,
+        craftGif(w, h, palette, Seq(px), interlaced = true)); ()
+    }
+    // EXIF orientation tag — decode must NOT rotate (bare Image.open
+    // never does; appV2.py:167): pixel-identical to photo.jpg
+    writeAtomic("oriented.jpg") { tmp =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(rgbImage(24, 24, 7), "jpg", bos)
+      java.nio.file.Files.write(tmp.toPath,
+        withJpegExif(bos.toByteArray, orientation = 6)); ()
+    }
+    // baseline JPEG with DRI/RSTn restart markers (ITU T.81 §E.2.4):
+    // DC-only flat blocks decode EXACTLY, so the digest pins the class
+    writeAtomic("restarts.jpg") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftRestartJpeg(4, 3,
+        Seq(0, 16, 240, 255, 128, 77, 200, 33, 99, 180, 5, 222),
+        restartInterval = 2)); ()
+    }
+    // 32bpp BITFIELDS BGRA (a SUPPORTED[32] alpha layout): decodes via
+    // the engine's own raster reader + white composite
+    writeAtomic("bgra32.bmp") { tmp =>
+      java.nio.file.Files.write(tmp.toPath, craftBmp32V4(12, 9,
+        (x, y) => {
+          val c = pix(x, y, 15)
+          (((c & 0xff0000) >> 16) << 16) | (c & 0xff00) | (c & 0xff) |
+            (((x * 23 + y * 41) % 256) << 24) // fractional alpha sweep
+        }, 0xff0000, 0xff00, 0xff, 0xff000000)); ()
+    }
+    // RLE8 stream ending at an early EOB with rows uncovered: Pillow
+    // raises "not enough image data" — an ERROR row in the digest
+    writeAtomic("rle_short.bmp") { tmp =>
+      val pal = Array.tabulate(16)(i =>
+        ((i * 17) << 16) | ((255 - i * 13) << 8) | ((i * 31) % 256))
+      java.nio.file.Files.write(tmp.toPath, craftBmpPalette(8, 6, 5, pal,
+        comp = 1, rle = Array[Byte](6, 3, 0, 0, 6, 4, 0, 1))); ()
     }
     writeAtomic("corrupt.png")(tmp => java.nio.file.Files.write(
       tmp.toPath, "not an image at all".getBytes))

@@ -617,6 +617,156 @@ object Images {
     Some((bpp, comp, masks))
   }
 
+  /** The FOUR BI_BITFIELDS mask DWORDs exactly as Pillow reads them
+    * (BmpImagePlugin._bitmap, cited as specification): header size 40
+    * (BITMAPINFOHEADER) carries three masks APPENDED after the header
+    * (file offsets 54/58/62) and Pillow sets a_mask = 0; header sizes
+    * ≥ 56 (V3/V4/V5) carry all four IN-header at the same absolute
+    * offsets 54/58/62/66; the rare size-52 V2 header falls into
+    * Pillow's read-after-header branch, which lands at 66/70/74 —
+    * mirrored verbatim, divergent-looking as it is, because parity
+    * with the reference is the contract. None when the bytes end
+    * before the mask words (that class rides Pillow's truncated-file
+    * error path, not the layout refusal — ADVICE r12). */
+  private def bmpMasks4(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val hs = u32(14)
+    if (hs == 40 && bytes.length >= 66)
+      Some((u32(54), u32(58), u32(62), 0L))
+    else if (hs >= 56 && bytes.length >= 70)
+      Some((u32(54), u32(58), u32(62), u32(66)))
+    else if (hs == 52 && bytes.length >= 78)
+      Some((u32(66), u32(70), u32(74), 0L))
+    else None
+  }
+
+  /** Pillow's SUPPORTED[32] / MASK_MODES accept list for 32bpp
+    * BI_BITFIELDS (BmpImagePlugin, current Pillow — the reference's
+    * requirements.txt floats the dependency, and the RGBA entry is a
+    * Pillow 10.2 addition): the (r, g, b, a) mask set → the byte index
+    * of each channel inside the little-endian 4-byte pixel, alpha −1
+    * for the X (padding) layouts. Anything else raises "Unsupported
+    * BMP bitfields layout" there, and therefore refuses here — closing
+    * the r13 COVERAGE scope gap where non-canonical 32bpp masks
+    * decoded generically through ImageIO. */
+  private val bmp32Layouts: Map[(Long, Long, Long, Long), (Int, Int, Int, Int)] =
+    Map(
+      (0xff0000L, 0xff00L, 0xffL, 0L)          -> ((2, 1, 0, -1)), // BGRX
+      (0xff000000L, 0xff0000L, 0xff00L, 0L)    -> ((3, 2, 1, -1)), // XBGR
+      (0xff000000L, 0xff0000L, 0xff00L, 0xffL) -> ((3, 2, 1, 0)),  // ABGR
+      (0xffL, 0xff00L, 0xff0000L, 0xff000000L) -> ((0, 1, 2, 3)),  // RGBA
+      (0xff0000L, 0xff00L, 0xffL, 0xff000000L) -> ((2, 1, 0, 3)),  // BGRA
+      (0L, 0L, 0L, 0L)                         -> ((2, 1, 0, -1))  // BGRX
+    )
+
+  /** Direct 32bpp BI_BITFIELDS raster decode for the accepted layouts:
+    * a plain byte pick per channel (stride w·4, bottom-up unless the
+    * height is negative), producing ARGB when the layout carries alpha
+    * (PIL mode "RGBA" → the standard white composite downstream) and
+    * RGB otherwise. Decoding here rather than through ImageIO keeps
+    * ONE pinned semantics for the whole class — the JDK handles
+    * arbitrary masks via its own sample model, which is exactly the
+    * unpinned surface the SUPPORTED[32] gate exists to retire. */
+  private def bmp32Decode(bytes: Array[Byte],
+      layout: (Int, Int, Int, Int)): BufferedImage = {
+    def s32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val off = s32(10)
+    val w = s32(18)
+    val hRaw = s32(22)
+    val h = math.abs(hRaw)
+    // own bomb check: this path runs BEFORE the reader-dims guard in
+    // readGuarded (the JDK cannot even header-parse the zero-mask class)
+    if (w.toLong * h > 178956970L)
+      throw new IllegalArgumentException(
+        s"decompression bomb: ${w}x$h exceeds the 178.9 Mpx limit")
+    if (w <= 0 || h == 0 || off < 54 ||
+        off.toLong + 4L * w * h > bytes.length)
+      throw new IllegalArgumentException("not enough image data")
+    val (ri, gi, bi, ai) = layout
+    val out = new BufferedImage(w, h,
+      if (ai >= 0) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val base = off + (if (hRaw < 0) y else h - 1 - y) * 4 * w
+      var x = 0
+      while (x < w) {
+        val o = base + 4 * x
+        val a = if (ai >= 0) bytes(o + ai) & 0xff else 0xff
+        out.setRGB(x, y, (a << 24) | ((bytes(o + ri) & 0xff) << 16) |
+          ((bytes(o + gi) & 0xff) << 8) | (bytes(o + bi) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Coverage walk of an RLE8/RLE4 escape stream, mirroring Pillow's
+    * BmpRleDecoder.decode accounting (Pillow ≥ 9.3 BmpImagePlugin,
+    * cited as specification): encoded runs clamp at the row end, EOL
+    * (00 00) zero-pads to the row boundary, delta (00 02 r u) skips
+    * r + u·width pixels as zeros, absolute (00 n, n ≥ 3) yields n
+    * pixels from n bytes (RLE8) or ceil(n/2) bytes (RLE4) then aligns
+    * the ABSOLUTE file offset to a 16-bit word. True when the stream
+    * ends — EOF,
+    * end-of-bitmap (00 01), or a short absolute/delta read — before
+    * covering width·height pixels: Pillow's set_as_raw then raises
+    * ValueError("not enough image data") where the JDK zero-fills and
+    * decodes (probed r13), so the SHORT class must refuse pre-decode
+    * to stay on the reference's error channel. */
+  private[graft] def rleCoverageShort(bytes: Array[Byte]): Boolean = {
+    def s32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    if (bytes.length < 54) return false // truncated header: generic path
+    val off = s32(10)
+    val w = s32(18)
+    val h = math.abs(s32(22))
+    val rle4 = u16(28) == 4
+    if (w <= 0 || h == 0 || off < 54 || off > bytes.length) return false
+    val dest = w.toLong * h
+    var data = 0L
+    var x = 0L
+    var pos = off
+    while (data < dest) {
+      if (pos + 2 > bytes.length) return true // EOF mid-stream
+      val n = bytes(pos) & 0xff
+      val b = bytes(pos + 1) & 0xff
+      pos += 2
+      if (n > 0) { // encoded run, clamped at the row end
+        val np = if (x + n > w) math.max(0L, w - x) else n.toLong
+        data += np; x += np
+      } else if (b == 0) { // end of line: pad to the row boundary
+        if (data % w != 0) data += w - (data % w)
+        x = 0
+      } else if (b == 1) { // end of bitmap
+        return data < dest
+      } else if (b == 2) { // delta
+        if (pos + 2 > bytes.length) return data < dest
+        data += (bytes(pos) & 0xff) + (bytes(pos + 1) & 0xff).toLong * w
+        pos += 2
+        x = data % w
+      } else { // absolute mode: b pixels from ceil(b/2) bytes (RLE4 —
+        // the odd count's final low nibble is padding; pinned by the
+        // ImagesSpec RLE4 matrix), b bytes (RLE8), then word-align
+        val byteCount = if (rle4) (b + 1) / 2 else b
+        val take = math.min(byteCount, bytes.length - pos)
+        pos += take
+        if (take < byteCount) { // short read: only the read bytes land
+          data += (if (rle4) 2L * take else take.toLong)
+          return data < dest
+        }
+        data += b
+        x += b
+        if (pos % 2 != 0) pos += 1
+      }
+    }
+    false
+  }
+
   /** PIL's accepted 16bpp BMP layouts (BmpImagePlugin SUPPORTED/
     * MASK_MODES): BI_RGB defaults to 555 ("BGR;15"); BI_BITFIELDS is
     * accepted ONLY with the canonical 565 (f800/7e0/1f → "BGR;16") or
@@ -863,6 +1013,58 @@ object Images {
       val reader = readers.next()
       try {
         reader.setInput(iis, true, true)
+        // BMP BI_BITFIELDS masks outside Pillow's accepted set: PIL
+        // raises "Unsupported BMP bitfields layout" at open where the
+        // JDK decodes ANY mask triple generically (probed: 4/4/4 masks
+        // decode here, raise there) — an accept/reject divergence, so
+        // the refusal is pinned with PIL's own message. Scope: 16bpp
+        // (both accepted layouts are named in bmp16Mode), 24bpp (PIL
+        // accepts only ff0000/ff00/ff) and — since r14, closing the
+        // r13 COVERAGE scope gap — 32bpp against the full SUPPORTED[32]
+        // set, whose six accepted layouts decode through the engine's
+        // own byte-pick raster reader (bmp32Decode) instead of the
+        // JDK's unpinned arbitrary-mask path. The refusal fires ONLY
+        // when the mask DWORDs are actually PRESENT (ADVICE r12): a
+        // file truncated before the masks gets Pillow's truncated-file
+        // error class, not the layout refusal — it falls through to
+        // the generic decoder-error path here too.
+        //
+        // RLE8/RLE4 streams that END before covering the pixel area
+        // (EOF or early end-of-bitmap) refuse with Pillow's
+        // "not enough image data" (VERDICT r13 #4): the JDK zero-fills
+        // the remainder and decodes — resolved to the reference's
+        // error channel via the pre-decode coverage walk.
+        //
+        // This whole block runs BEFORE the reader's getWidth/getHeight:
+        // the JDK refuses to parse a zero-mask BITFIELDS header at all
+        // ("There must be at least one component with > 0 pixel bits",
+        // probed r14) while Pillow accepts it as BGRX, so the override
+        // class can never touch the JDK header path; bmp32Decode does
+        // its own bomb check on the header dims.
+        val bmpOverride: Option[BufferedImage] = bmpHeader(bytes) match {
+          case Some((16, 3, Some(m)))
+              if m != ((0xf800L, 0x7e0L, 0x1fL)) &&
+                m != ((0x7c00L, 0x3e0L, 0x1fL)) =>
+            throw new IllegalArgumentException("Unsupported BMP bitfields layout")
+          case Some((24, 3, Some(m))) if m != ((0xff0000L, 0xff00L, 0xffL)) =>
+            throw new IllegalArgumentException("Unsupported BMP bitfields layout")
+          case Some((32, 3, _)) =>
+            bmpMasks4(bytes) match {
+              case Some(m4) =>
+                bmp32Layouts.get(m4) match {
+                  case Some(layout) => Some(bmp32Decode(bytes, layout))
+                  case None => throw new IllegalArgumentException(
+                    "Unsupported BMP bitfields layout")
+                }
+              case None => None
+            }
+          case Some((8, 1, _)) | Some((4, 2, _)) =>
+            if (rleCoverageShort(bytes))
+              throw new IllegalArgumentException("not enough image data")
+            None
+          case _ => None
+        }
+        if (bmpOverride.isDefined) return bmpOverride.get
         val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
         if (w * h > 178956970L)
           throw new IllegalArgumentException(
@@ -876,30 +1078,6 @@ object Images {
             throw new IllegalArgumentException(
               s"decompression bomb: logical screen ${sw}x$sh exceeds the " +
                 "178.9 Mpx limit")
-        }
-        // BMP BI_BITFIELDS masks outside Pillow's accepted set: PIL
-        // raises "Unsupported BMP bitfields layout" at open where the
-        // JDK decodes ANY mask triple generically (probed: 4/4/4 masks
-        // decode here, raise there) — an accept/reject divergence, so
-        // the refusal is pinned with PIL's own message. Scope: 16bpp
-        // (both accepted layouts are named in bmp16Mode) and 24bpp
-        // (PIL accepts only ff0000/ff00/ff). The refusal fires ONLY
-        // when the mask DWORDs are actually PRESENT (ADVICE r12): a
-        // file truncated before offset 66 gets Pillow's
-        // truncated-file error class, not the layout refusal — it
-        // falls through to the generic decoder-error path here too.
-        // 32bpp BI_BITFIELDS is deliberately NOT gated: Pillow
-        // restricts it to a 4-mask (r,g,b,a) accepted set that cannot
-        // be probed in this environment — scope gap recorded in
-        // COVERAGE.md rather than pinned from an unverifiable list.
-        bmpHeader(bytes).foreach {
-          case (16, 3, Some(m))
-              if m != ((0xf800L, 0x7e0L, 0x1fL)) &&
-                m != ((0x7c00L, 0x3e0L, 0x1fL)) =>
-            throw new IllegalArgumentException("Unsupported BMP bitfields layout")
-          case (24, 3, Some(m)) if m != ((0xff0000L, 0xff00L, 0xffL)) =>
-            throw new IllegalArgumentException("Unsupported BMP bitfields layout")
-          case _ => ()
         }
         jpegSofAndAdobe(bytes) match {
           // arithmetic entropy coding: the JDK cannot decode what
@@ -934,7 +1112,8 @@ object Images {
             if Option(bomb.getMessage).exists(m =>
               m.startsWith("decompression bomb") ||
                 m.startsWith("arithmetic-coded JPEG") ||
-                m.startsWith("Unsupported BMP bitfields")) =>
+                m.startsWith("Unsupported BMP bitfields") ||
+                m.startsWith("not enough image data")) =>
           throw bomb
         case e: RuntimeException =>
           throw new javax.imageio.IIOException(e.toString, e)

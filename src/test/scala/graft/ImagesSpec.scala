@@ -20,11 +20,13 @@ class ImagesSpec extends SparkSpec {
     // the reference's os.walk has no hidden-file notion, and Spark's
     // own file index (which drops them) is deliberately bypassed
     assert(names === Array(".dotfile.png", "_shadow.png", "alpha.png",
-      "anim.gif", "art.webp", "cmyk.jpg", "corrupt.png", "deep.bmp",
-      "gray.png", "icc.jpg", "interlaced.png", "landscape.png",
+      "anim.gif", "art.webp", "bgra32.bmp", "cmyk.jpg", "corrupt.png",
+      "deep.bmp", "gray.png", "icc.jpg", "interlaced.gif",
+      "interlaced.png", "landscape.png",
       "legacy.bmp", "lossy.webp", "lowcolor.bmp", "mono.bmp",
-      "motion.webp", "pal4.bmp", "pal8.bmp", "photo.jpg", "photo.webp",
-      "portrait.png", "rle4.bmp", "rle8.bmp", "square.PNG", "tiny.bmp",
+      "motion.webp", "oriented.jpg", "pal4.bmp", "pal8.bmp",
+      "photo.jpg", "photo.webp", "portrait.png", "restarts.jpg",
+      "rle4.bmp", "rle8.bmp", "rle_short.bmp", "square.PNG", "tiny.bmp",
       "trans.gif", "translucent.webp"))
   }
 
@@ -338,6 +340,154 @@ class ImagesSpec extends SparkSpec {
     val img = Images.pilEnsureRgb(bytes, Images.readGuarded(bytes))
     for (y <- 0 until 9; x <- 0 until 11)
       assert((img.getRGB(x, y) & 0xffffff) === want(x, y), s"($x,$y)")
+  }
+
+  test("R5 parity: 32bpp BITFIELDS — every SUPPORTED[32] layout decodes " +
+      "per its MASK_MODES byte order; alpha layouts white-composite (r14)") {
+    // Pillow's BmpImagePlugin SUPPORTED[32]/MASK_MODES (cited as
+    // specification; the reference floats its Pillow pin): six accepted
+    // (r,g,b,a) mask sets. X layouts ignore the pad byte; A layouts
+    // open as mode RGBA and the reference's pil_ensure_rgb composites
+    // over white (appV2.py:24-27) — pasteRef is the exact arithmetic.
+    val cells = Array( // (r, g, b, a) per pixel of a 2x2
+      Array((10, 201, 37, 255), (80, 90, 100, 0)),
+      Array((1, 2, 3, 128), (200, 150, 250, 254)))
+    def rgbAt3(img: java.awt.image.BufferedImage, x: Int, y: Int) = {
+      val v = img.getRGB(x, y)
+      ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    }
+    // (masks, byte index of r/g/b/a in the LE pixel, -1 = padding)
+    val layouts = Seq(
+      ("BGRX", (0xff0000, 0xff00, 0xff, 0), (2, 1, 0, -1)),
+      ("XBGR", (0xff000000, 0xff0000, 0xff00, 0), (3, 2, 1, -1)),
+      ("ABGR", (0xff000000, 0xff0000, 0xff00, 0xff), (3, 2, 1, 0)),
+      ("RGBA", (0xff, 0xff00, 0xff0000, 0xff000000), (0, 1, 2, 3)),
+      ("BGRA", (0xff0000, 0xff00, 0xff, 0xff000000), (2, 1, 0, 3)),
+      ("zero-masks→BGRX", (0, 0, 0, 0), (2, 1, 0, -1)))
+    for ((tag, (rm, gm, bm, am), (ri, gi, bi, ai)) <- layouts) {
+      def px(x: Int, y: Int): Int = {
+        val (r, g, b, a) = cells(y)(x)
+        // garbage 0x5A in the pad byte must not leak into the decode
+        val pad = if (ai < 0) 0x5a << (8 * (6 - ri - gi - bi)) else a << (8 * ai)
+        (r << (8 * ri)) | (g << (8 * gi)) | (b << (8 * bi)) | pad
+      }
+      val bytes = ImageFixtures.craftBmp32V4(2, 2, px, rm, gm, bm, am)
+      val img = Images.pilEnsureRgb(bytes, Images.readGuarded(bytes))
+      for (y <- 0 until 2; x <- 0 until 2) {
+        val (r, g, b, a) = cells(y)(x)
+        val want =
+          if (ai < 0) (r, g, b)
+          else (pasteRef(r, a), pasteRef(g, a), pasteRef(b, a))
+        assert(rgbAt3(img, x, y) === want, s"$tag ($x,$y)")
+      }
+    }
+  }
+
+  test("R5 divergence pinned: 32bpp BITFIELDS masks outside SUPPORTED[32] " +
+      "refuse with PIL's message — the r13 scope gap is closed") {
+    // 4/4/4/0 nibble masks: the JDK would decode them generically;
+    // Pillow raises "Unsupported BMP bitfields layout"
+    val v4 = ImageFixtures.craftBmp32V4(2, 2, (_, _) => 0x123456,
+      0xf00, 0xf0, 0xf, 0)
+    val e1 = intercept[IllegalArgumentException](Images.readGuarded(v4))
+    assert(e1.getMessage === "Unsupported BMP bitfields layout")
+    // legacy 40-byte header + appended 3 masks: Pillow reads a_mask = 0,
+    // so an RGB-ordered (ff, ff00, ff0000) triple is NOT the RGBA entry
+    // (which requires a = ff000000) and refuses
+    val legacy = ImageFixtures.craftBmp32(2, 2, (_, _) => 0x123456,
+      masks = Some((0xff, 0xff00, 0xff0000)))
+    val e2 = intercept[IllegalArgumentException](Images.readGuarded(legacy))
+    assert(e2.getMessage === "Unsupported BMP bitfields layout")
+  }
+
+  test("R5 parity (VERDICT r13 #4): an RLE stream ending before the " +
+      "pixel area refuses with Pillow's 'not enough image data'") {
+    // BmpRleDecoder accumulates until xsize*ysize and breaks on EOF or
+    // end-of-bitmap; set_as_raw then raises ValueError("not enough
+    // image data") on the short buffer — the reference errors the row.
+    // The JDK zero-fills and decodes (probed r13); the pre-decode
+    // coverage walk resolves the divergence to the reference's side.
+    val pal = Array.tabulate(16)(i => (i * 16 << 16) | ((255 - i * 16) << 8) | i * 8)
+    // early EOB: 2 of 4 rows covered on a 4x4
+    val shortEob = ImageFixtures.craftBmpPalette(8, 4, 4, pal, comp = 1,
+      rle = Array[Byte](4, 1, 0, 0, 4, 2, 0, 1))
+    val e1 = intercept[IllegalArgumentException](Images.readGuarded(shortEob))
+    assert(e1.getMessage === "not enough image data")
+    // EOF with no EOB at all
+    val shortEof = ImageFixtures.craftBmpPalette(8, 4, 4, pal, comp = 1,
+      rle = Array[Byte](4, 1, 0, 0, 4, 2))
+    val e2 = intercept[IllegalArgumentException](Images.readGuarded(shortEof))
+    assert(e2.getMessage === "not enough image data")
+    // RLE4 short: 6 of 12 pixels then EOB
+    val short4 = ImageFixtures.craftBmpPalette(4, 6, 2, pal, comp = 2,
+      rle = Array[Byte](6, 0x12, 0, 1))
+    val e3 = intercept[IllegalArgumentException](Images.readGuarded(short4))
+    assert(e3.getMessage === "not enough image data")
+    // control: EOB arriving exactly at full coverage still decodes
+    val exact = ImageFixtures.craftBmpPalette(8, 4, 2, pal, comp = 1,
+      rle = Array[Byte](4, 1, 0, 0, 4, 2, 0, 1))
+    val img = Images.pilEnsureRgb(exact, Images.readGuarded(exact))
+    assert(rgb(img, 0, 0) === pal(2) && rgb(img, 0, 1) === pal(1))
+  }
+
+  test("R5 parity: interlaced GIF de-interleaves per the spec's 4-pass " +
+      "row order (GIF89a appendix E; both engines implement it)") {
+    // 11 rows exercises all four passes (0,8 | 4 | 2,6,10 | odd rows);
+    // ImageIO's writer CAN emit interlace but a crafted stream keeps
+    // the ground truth independent of any JDK round-trip.
+    val palette = Array(0x0ac925, 0x28323c, 0x8f1e55, 0xffffff)
+    val w = 7; val h = 11
+    def idx(x: Int, y: Int): Int = (x + 2 * y) % 4
+    val px = Array.tabulate(w * h)(i => idx(i % w, i / w).toByte)
+    val plain = ImageFixtures.craftGif(w, h, palette, Seq(px))
+    val inter = ImageFixtures.craftGif(w, h, palette, Seq(px), interlaced = true)
+    val pimg = Images.pilEnsureRgb(plain, Images.readGuarded(plain))
+    val iimg = Images.pilEnsureRgb(inter, Images.readGuarded(inter))
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(rgb(iimg, x, y) === palette(idx(x, y)), s"interlaced ($x,$y)")
+      assert(rgb(iimg, x, y) === rgb(pimg, x, y), s"twin mismatch ($x,$y)")
+    }
+  }
+
+  test("R5 parity: EXIF orientation is IGNORED — bare Image.open never " +
+      "auto-rotates (exif_transpose is opt-in; appV2.py:167 never calls " +
+      "it) and neither does the engine") {
+    val src = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      src.setRGB(x, y, ((x * 11) << 16) | ((y * 13) << 8) | ((x + y) * 7 % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", bos)
+    val plain = bos.toByteArray
+    val tagged = ImageFixtures.withJpegExif(plain, orientation = 6)
+    // orientation 6 would rotate 90°, swapping dims — it must NOT
+    val img = Images.readGuarded(tagged)
+    assert(img.getWidth === 24 && img.getHeight === 16, "rotated!")
+    assert(Images.preprocess(tagged, 32).toSeq ===
+      Images.preprocess(plain, 32).toSeq, "EXIF segment changed pixels")
+  }
+
+  test("R5 parity: baseline JPEG with DRI/RSTn restart markers decodes " +
+      "exactly; restarts are pixel-transparent (ITU T.81 §E.2.4)") {
+    // DC-only flat blocks with quant 8 decode EXACTLY in any spec
+    // decoder (see craftRestartJpeg scaladoc) — ground truth is the
+    // block list itself, so this pins both the JDK's RSTn handling and
+    // equality with the restart-free twin (predictor resets and all).
+    val vals = Seq(0, 16, 240, 255, 128, 77, 200, 33)
+    val withRst = ImageFixtures.craftRestartJpeg(4, 2, vals, restartInterval = 2)
+    val noRst = ImageFixtures.craftRestartJpeg(4, 2, vals, restartInterval = 0)
+    // the stream must actually CARRY restart markers (FFD0-FFD7)
+    assert((0 until withRst.length - 1).exists(i =>
+      (withRst(i) & 0xff) == 0xff && (withRst(i + 1) & 0xf8) == 0xd0),
+      "no RSTn marker emitted")
+    val imgR = Images.readGuarded(withRst)
+    val imgN = Images.readGuarded(noRst)
+    for (by <- 0 until 2; bx <- 0 until 4; dy <- 0 until 8; dx <- 0 until 8) {
+      val (x, y) = (bx * 8 + dx, by * 8 + dy)
+      val want = vals(by * 4 + bx)
+      assert(imgR.getRaster.getSample(x, y, 0) === want, s"rst ($x,$y)")
+      assert(imgN.getRaster.getSample(x, y, 0) === want, s"plain ($x,$y)")
+    }
   }
 
   test("R5 (ADVICE r12): a BITFIELDS BMP truncated BEFORE its mask " +
@@ -806,8 +956,11 @@ class ImagesSpec extends SparkSpec {
     // (first anim frame) + icc.jpg (profile stripped) + lowcolor.bmp
     // (16bpp truncating expansion) + the 7 BMP-matrix classes
     // (pal8/pal4/mono palette, rle8/rle4, deep BGRX, legacy core
-    // header) + interlaced.png (Adam7) — all engine-native
-    assert(okCount === 26)
+    // header) + interlaced.png (Adam7) + the r14 probe classes
+    // (interlaced.gif 4-pass, oriented.jpg EXIF-ignored, restarts.jpg
+    // DRI/RSTn, bgra32.bmp SUPPORTED[32] alpha) — all engine-native;
+    // rle_short.bmp joins corrupt.png/photo.webp on the error side
+    assert(okCount === 30)
     val (l1, _) = scored("landscape.png")
     val again = Images.scoreImages(
       Images.source(spark, dir), Images.FixtureScorer(32))
@@ -822,14 +975,14 @@ class ImagesSpec extends SparkSpec {
     val (observed, obs) = Images.withRunMetrics(tagged)
     observed.collect() // the one action; metrics accumulate during it
     val m = obs.get
-    assert(m("n_total") === 28L && m("n_ok") === 26L && m("n_failed") === 2L)
+    assert(m("n_total") === 33L && m("n_ok") === 30L && m("n_failed") === 3L)
   }
 
   test("EP2 full chain + R15 sidecar sink") {
     val tagged = Images.tagImages(spark, dir, ImageFixtures.vocab(spark),
       Images.FixtureScorer(32))
     val rows = tagged.collect()
-    assert(rows.length === 28)
+    assert(rows.length === 33)
     val byName = rows.map(r => (r.getString(0).split('/').last,
       (r.getString(1), Option(r.getString(2))))).toMap
     assert(byName("corrupt.png")._1.startsWith("error:"))

@@ -32,7 +32,7 @@ for a in "$@"; do
   esac
 done
 OUT=/tmp/graft_verify_sf10
-LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r13.json}"
+LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r14.json}"
 
 # 128 GiB fit, pre-verified (SCALE.md memory math): the dominant
 # resident sets at sf10 are documents (500k rows x ~2 KB ~= 1 GiB),
@@ -66,8 +66,14 @@ fi
 # wall-time family, whose banding-join candidate growth is the engine's
 # biggest 100 TB bet — joins the gate with its four members
 # (dedup_clusters, dedup_minhash_lsh, dedup_ngram_capped,
-# dedup_simhash_pairs). Subset is now 19.
-SUBSET="sim_knn_classify,sim_ann_ivf,dedup_semantic,dedup_embedding_blocked,sim_cosine_topk,sim_kmeans,text_contamination,text_exactsubstr_dedup,sim_knn_graph,text_duplicate_spans,sim_pq_adc,sim_srp_hamming,text_winnowing,dedup_simhash,text_tfidf_top,dedup_clusters,dedup_minhash_lsh,dedup_ngram_capped,dedup_simhash_pairs"
+# dedup_simhash_pairs).
+#
+# r14 extension (VERDICT r13 next-5): the relational family's top
+# wall-time queries join — the TPC-H-shaped joins previously topped out
+# at sf1 evidence. At sf10 lineitem is ~60M rows; the interesting
+# questions are whether the salted join's salt factor still bounds skew
+# and whether the EXISTS semi-join shape scales. Subset is now 24.
+SUBSET="sim_knn_classify,sim_ann_ivf,dedup_semantic,dedup_embedding_blocked,sim_cosine_topk,sim_kmeans,text_contamination,text_exactsubstr_dedup,sim_knn_graph,text_duplicate_spans,sim_pq_adc,sim_srp_hamming,text_winnowing,dedup_simhash,text_tfidf_top,dedup_clusters,dedup_minhash_lsh,dedup_ngram_capped,dedup_simhash_pairs,q3_top_revenue_orders,q5_region_revenue,q17_small_quantity,q_exists_returns,q_salted_join"
 echo "[verify_sf10] subset: $SUBSET"
 
 echo "[verify_sf10] running graft.Verify at sf10 (subset)"
@@ -95,8 +101,8 @@ if [[ "$SKIP_BENCH" != "1" ]]; then
   # kernel rounding fix moved the whole IVF family ~3x), so folding
   # sf10 against it would bias every affected ratio. Both halves of
   # the ratio come from THIS tree, back to back, same session.
-  echo "[verify_sf10] same-tree sf3 subset bench -> bench_sf3_r13.json"
-  SPARK_GRAFT_SF_DIR=/tmp/graft_sf3 SPARK_GRAFT_BENCH_OUT=bench_sf3_r13.json \
+  echo "[verify_sf10] same-tree sf3 subset bench -> bench_sf3_r14.json"
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf3 SPARK_GRAFT_BENCH_OUT=bench_sf3_r14.json \
     SPARK_GRAFT_ONLY="$SUBSET" \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
   echo "[verify_sf10] subset bench at sf10 -> bench_sf10.json"
@@ -120,12 +126,17 @@ led["subset_note"] = (
     "audits the declared baseline, not a scale path), topped up with "
     "dedup_simhash and text_tfidf_top; r13 adds the four MinHash/LSH-"
     "family queries (dedup_clusters, dedup_minhash_lsh, "
-    "dedup_ngram_capped, dedup_simhash_pairs) per VERDICT r12 next-2")
+    "dedup_ngram_capped, dedup_simhash_pairs) per VERDICT r12 next-2; "
+    "r14 adds the relational family's top wall-time queries "
+    "(q3_top_revenue_orders, q5_region_revenue, q17_small_quantity, "
+    "q_exists_returns, q_salted_join) per VERDICT r13 next-5 — "
+    "~60M-row lineitem, salted-join skew bound and EXISTS semi-join "
+    "measured at the third decade")
 if bench_rc != 0:
     led["ratio_note"] = "bench FAILED this run; no ratios folded"
 else:
     try:
-        b3 = json.load(open("bench_sf3_r13.json"))
+        b3 = json.load(open("bench_sf3_r14.json"))
         b10 = json.load(open("bench_sf10.json"))
         a3, a10 = b3.get("agg", "min_of_2"), b10.get("agg", "min_of_2")
         led["bench_total_sec_sf10_subset"] = b10["value"]
