@@ -400,6 +400,52 @@ class ImagesSpec extends SparkSpec {
     assert(e2.getMessage === "Unsupported BMP bitfields layout")
   }
 
+  test("R5 parity: TOP-DOWN BMPs (negative height) keep natural row " +
+      "order in both decoders — 24bpp via the JDK, 32bpp BITFIELDS via " +
+      "the engine's own reader") {
+    // Pillow reads biHeight < 0 as top-down (BmpImagePlugin y_flip);
+    // the JDK decodes the same orientation (probed r14 on crafted
+    // bytes). The 32bpp case exercises bmp32Decode's hRaw < 0 branch.
+    val px = Array(Array(0xff0000, 0x00ff00, 0x0000ff),
+      Array(0xffffff, 0x000000, 0x808080))
+    // 24bpp BI_RGB, rows stored in natural order under a negative height
+    val w = 3; val h = 2; val rowBytes = ((w * 3 + 3) / 4) * 4
+    val b = java.nio.ByteBuffer.allocate(14 + 40 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(14 + 40 + rowBytes * h)
+      .putInt(0).putInt(14 + 40)
+    b.putInt(40).putInt(w).putInt(-h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (y <- 0 until h) {
+      val base = b.position()
+      for (x <- 0 until w) {
+        val c = px(y)(x)
+        b.put((c & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+          .put(((c >> 16) & 0xff).toByte)
+      }
+      b.position(base + rowBytes)
+    }
+    val img24 = Images.pilEnsureRgb(b.array(), Images.readGuarded(b.array()))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(rgb(img24, x, y) === px(y)(x), s"topdown24 ($x,$y)")
+    // 32bpp canonical BITFIELDS, negative height, V4 header
+    val v4 = ImageFixtures.craftBmp32V4(3, 2, (x, y) => px(y)(x),
+      0xff0000, 0xff00, 0xff, 0)
+    // flip the height field (offset 22) to negative and re-order rows:
+    // craftBmp32V4 writes bottom-up, so rewrite the raster naturally
+    val topDown = v4.clone()
+    val hb = java.nio.ByteBuffer.wrap(topDown)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(22, -2)
+    val off = 14 + 108
+    for (y <- 0 until 2; x <- 0 until 3)
+      hb.putInt(off + (y * 3 + x) * 4, px(y)(x))
+    val img32 = Images.pilEnsureRgb(topDown, Images.readGuarded(topDown))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(rgb(img32, x, y) === px(y)(x), s"topdown32 ($x,$y)")
+  }
+
   test("R5 parity (VERDICT r13 #4): an RLE stream ending before the " +
       "pixel area refuses with Pillow's 'not enough image data'") {
     // BmpRleDecoder accumulates until xsize*ysize and breaks on EOF or
