@@ -22,6 +22,7 @@ object SparkEntry {
     SetOpQueries,
     EventsQueries,
     AdvancedQueries,
+    GraphQueries,
     MlStatsQueries,
     TextQueries,
     DedupQueries,

@@ -563,7 +563,7 @@ object AdvancedQueries extends QueryRegistry {
     * (high-quantity lines only, to keep the demo graph an interesting
     * size), canonically oriented u < v. Shared by the two graph-metric
     * queries below. */
-  private def copurchaseEdges(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[queries] def copurchaseEdges(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(spark, d)
       .filter(col("l_quantity") >= 48)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -574,7 +574,7 @@ object AdvancedQueries extends QueryRegistry {
       .distinct()
   }
 
-  private val copurchaseCte =
+  private[queries] val copurchaseCte =
     """items AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
       |  FROM lineitem WHERE l_quantity >= 48),

@@ -180,19 +180,31 @@ object DedupQueries extends QueryRegistry {
     * groups are genuine near-dup sets whose pair lists are the answer;
     * downstream consumers that only need CLUSTERS should consume
     * dedup_clusters' components, never the raw pair list. */
-  private[graft] def minhashVerifiedPairs(
-      spark: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(spark, d)
+  /** LSH band-bucket candidate pairs (id1 < id2), UNVERIFIED — the raw
+    * recall surface of the 4×4 banding scheme, before exact-Jaccard
+    * verification. Shared by [[minhashVerifiedPairs]] (which verifies
+    * them) and dedup_minhash_recall (which measures them against exact
+    * ground truth). Signatures are row-local (one narrow map, no corpus
+    * shingle explode) and checkpointed because the 4-way band union
+    * self-joins the relation 8×. */
+  private def bandCandidates(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sig = TextOps.minhashSignaturesLocal(docs, "doc_id", "text", 3, minhashK)
       .localCheckpoint()
     val bands = TextOps.lshBands(sig, "doc_id", minhashK, minhashBands)
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+  }
+
+  private[graft] def minhashVerifiedPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val cand = bandCandidates(docs)
       // candDocs (→ arrs) and scoredPairs both consume the candidates:
       // pin them, or the 8-way band join + distinct run twice
       .localCheckpoint()
@@ -216,7 +228,11 @@ object DedupQueries extends QueryRegistry {
     * killed approaching the disk. Decision-identical: sh is DISTINCT
     * per (doc, shingle) and cand carries id1 < id2, so the count per
     * (id1, id2) is the same intersection size. */
-  private def minhashPairsSqlCtes: String = {
+  /** DuckDB dual of [[bandCandidates]] — sig/bands/candidate CTEs, with
+    * the candidate CTE named `candName` so dedup_minhash_recall can
+    * compose it alongside the exact-truth candidate CTEs without a name
+    * clash. */
+  private def minhashCandSqlCtes(candName: String): String = {
     val minCols = (0 until minhashK)
       .map(j => s"min(${minhashSqlHash(j)}) AS h$j").mkString(",\n    ")
     // rows-per-band DERIVED from the two constants, mirroring
@@ -227,17 +243,21 @@ object DedupQueries extends QueryRegistry {
       val cols = (b * rpb until b * rpb + rpb).map(j => s"h$j").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""$shingleCtes,
-       |sig AS (
+    s"""sig AS (
        |  SELECT doc_id,
        |    $minCols
        |  FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
-       |cand AS MATERIALIZED (
+       |$candName AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashPairsSqlCtes: String = {
+    s"""$shingleCtes,
+       |${minhashCandSqlCtes("cand")},
        |inter AS (
        |  SELECT c.id1, c.id2, count(*) AS inter
        |  FROM cand c
@@ -567,8 +587,98 @@ object DedupQueries extends QueryRegistry {
         |FROM banded o LEFT JOIN dropped d ON o.vec_id = d.vec_id
         |ORDER BY o.vec_id""".stripMargin))
 
+  // ---- MinHash/LSH recall audit: measure the banding scheme's ACTUAL
+  // candidate recall as a function of true Jaccard — the evaluation a
+  // pipeline runs BEFORE trusting an LSH dedup config at 100 TB (the
+  // dedup-side twin of sim_ann_recall). The corpus's own near-dups all
+  // sit at j ≥ 0.9 where 4×4 banding is ~perfect (the r14 first-draft
+  // of this query measured exactly one bucket at recall 1.0 — vacuous),
+  // so the audit PLANTS a mid-Jaccard pair per document: doc ⋈ its own
+  // word-prefix, keep-fraction 0.5 + (doc_id mod 5)/10 ∈ {0.5 … 0.9} —
+  // prefix-shingle containment puts true Jaccard ≈ the kept fraction,
+  // spreading truth across buckets 4–9. Banding runs over the UNION
+  // corpus (full docs + prefixes — 2N signatures, the honest setting:
+  // candidates compete with every band bucket, not just the planted
+  // pair); recall per bucket is then the measured banding curve, to be
+  // read against theory P = 1−(1−j⁴)⁴ (≈ 0.23 at j=0.5, 0.67 at 0.7,
+  // 0.99 at 0.9). Scale shape: prefix synthesis is a narrow row-local
+  // map; signatures row-local; the only joins are the band-bucket
+  // equi-join and the planted-pair verify (N pairs, sorted-merge
+  // arrays). The oracle replays BOTH pipelines bit-identically (md5
+  // shingles, identical affine family), so every bucket hash-matches.
+  private val minhashRecall = NamedQuery(
+    "dedup_minhash_recall",
+    (spark, d) => {
+      val ws = TextOps.words(col("text"))
+      // ≥ 12 words keeps every prefix (≥ 6 words) carrying ≥ 4 shingles;
+      // the isNotNull twin is the pushable half of that predicate (the
+      // derived size(split(...)) form alone is opaque to the source —
+      // the text_bpe_pairs convention, PlanSweepSpec check 4)
+      val base = Tables.documents(spark, d)
+        .filter(col("text").isNotNull && size(ws) >= 12)
+        .select(col("doc_id"), col("text"))
+      val keepFrac = lit(0.5) + pmod(col("doc_id"), lit(5)).cast("double") / lit(10.0)
+      val pref = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), ceil(size(ws) * keepFrac).cast("int")), " ")
+          .as("text"))
+      val corpus = base.unionByName(pref).localCheckpoint()
+      val cand = bandCandidates(corpus)
+      val planted = base.select(col("doc_id").as("id1"),
+        (col("doc_id") + 10000000L).as("id2"))
+      val arrs = TextOps.shingleArraysLocal(corpus, "doc_id", "text", 3)
+      val truth = TextOps.scoredPairs(planted, arrs, "doc_id", 0.0)
+        .select(col("id1"), col("id2"), col("jaccard"))
+      truth.join(cand.withColumn("caught", lit(1L)), Seq("id1", "id2"), "left")
+        .withColumn("bucket_x10",
+          least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
+        .groupBy("bucket_x10")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+        .withColumn("recall", round(col("n_caught") / col("n_truth"), 4))
+        .orderBy("bucket_x10")
+    },
+    Some(s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 12),
+        |w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM base),
+        |wp AS (SELECT doc_id + 10000000 AS doc_id,
+        |         words[1:CAST(ceil(len(words) * (0.5 + (doc_id % 5) / 10.0))
+        |                 AS BIGINT)] AS words
+        |       FROM w0),
+        |w AS (SELECT doc_id, words FROM w0
+        |      UNION ALL SELECT doc_id, words FROM wp),
+        |sh_s AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        |         FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        |       FROM sh_s),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |${minhashCandSqlCtes("lcand")},
+        |planted AS (SELECT doc_id AS id1, doc_id + 10000000 AS id2 FROM base),
+        |tinter AS (
+        |  SELECT p.id1, p.id2, count(*) AS inter
+        |  FROM planted p
+        |  JOIN sh a ON a.doc_id = p.id1
+        |  JOIN sh b ON b.doc_id = p.id2 AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT i.id1, i.id2,
+        |    round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+        |  FROM tinter i
+        |  JOIN sizes s1 ON i.id1 = s1.doc_id
+        |  JOIN sizes s2 ON i.id2 = s2.doc_id),
+        |j AS (
+        |  SELECT t.jaccard,
+        |    CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END AS caught
+        |  FROM truth t LEFT JOIN lcand l ON t.id1 = l.id1 AND t.id2 = l.id2)
+        |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS bucket_x10,
+        |  count(*) AS n_truth,
+        |  CAST(sum(caught) AS BIGINT) AS n_caught,
+        |  round(sum(caught) / count(*), 4) AS recall
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(exact, exactKeepers, ngram, ngramCapped, minhash, sourceMatrix,
       simhashQ, simhashPairs, embCosine, embCosineBlocked, clusters,
-      incremental, semantic)
+      incremental, semantic, minhashRecall)
 }

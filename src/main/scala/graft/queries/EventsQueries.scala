@@ -688,8 +688,65 @@ object EventsQueries extends QueryRegistry {
         |  ON du.day >= anchor - 6 AND du.day <= anchor
         |GROUP BY anchor ORDER BY day""".stripMargin))
 
+  // ---- Changepoint scan (AMOC — "at most one changepoint"): for every
+  // candidate split day t, the scaled two-sample mean-shift statistic
+  // |mean(≤t) − mean(>t)|·√(n₁n₂/n) over the daily purchase-revenue
+  // series; the argmax day is where the level shifted. This is the
+  // window-expressible changepoint detector (a CUSUM recursion with its
+  // max(0,·) clamp is not a window function in either engine). Scale
+  // shape: raw events reduce to ONE (day, Σcents, n) row per day first
+  // — the unpartitioned cumulative window then runs over the
+  // calendar-bounded day series, never the events. Determinism: daily
+  // sums are exact integer cents (Money rule 11), so both engines feed
+  // the identical ints through the identical IEEE divide/sqrt chain;
+  // round(4) absorbs nothing but the final emission.
+  private val changepoint = NamedQuery(
+    "q_changepoint_scan",
+    (spark, d) => {
+      val daily = Tables.events(spark, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day_d"))
+        .agg(sum(Money.quantizeCents(col("value"))).as("s"),
+          count(lit(1)).as("n"))
+      // prefix sums via broadcast self-join of the calendar-bounded day
+      // relation (the q_interval_overlap carry pattern) + grand totals
+      // via re-aggregation and a one-row broadcast — no unpartitioned
+      // WindowExec anywhere (PlanSweepSpec check 1), and the exchanges
+      // under the three daily consumers are reused
+      val cums = daily.as("a")
+        .join(broadcast(daily.as("b")), col("b.day_d") <= col("a.day_d"))
+        .groupBy(col("a.day_d").as("day_d"))
+        .agg(sum(col("b.s")).as("s1"), sum(col("b.n")).as("n1"))
+      val tot = daily.agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+      cums.crossJoin(broadcast(tot))
+        .filter(col("n1") < col("nt")) // the last day splits nothing off
+        .select(date_format(col("day_d"), "yyyy-MM-dd").as("day"),
+          round(abs(col("s1") / col("n1") -
+              (col("st") - col("s1")) / (col("nt") - col("n1"))) *
+            sqrt(col("n1").cast("double") * (col("nt") - col("n1")) / col("nt")),
+            4).as("split_stat"))
+        .orderBy("day")
+    },
+    Some(s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day_d,
+        |    CAST(sum(${Money.quantizeCentsSql("value")}) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT day_d,
+        |    sum(s) OVER (ORDER BY day_d) AS s1,
+        |    sum(n) OVER (ORDER BY day_d) AS n1,
+        |    sum(s) OVER () AS st,
+        |    sum(n) OVER () AS nt
+        |  FROM daily)
+        |SELECT strftime(day_d, '%Y-%m-%d') AS day,
+        |  round(abs(CAST(s1 AS DOUBLE) / n1 -
+        |      CAST(st - s1 AS DOUBLE) / (nt - n1)) *
+        |    sqrt(CAST(n1 AS DOUBLE) * (nt - n1) / nt), 4) AS split_stat
+        |FROM c WHERE n1 < nt ORDER BY day""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tumbling, sliding, session, dedupKeyed, asof, moving, salted, rangeJoin,
       rangeFrame, ignoreNulls, saltedJoin, scd2, resample, funnel, gapsIslands,
-      patternTriples, cohortRetention, abandoned, rollingDistinct)
+      patternTriples, cohortRetention, abandoned, rollingDistinct, changepoint)
 }

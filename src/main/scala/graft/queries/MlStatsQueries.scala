@@ -985,8 +985,79 @@ object MlStatsQueries extends QueryRegistry {
   private def classifierMargin(text: org.apache.spark.sql.Column) =
     graft.ops.TextOps.hashClassifierMargin(graft.ops.TextOps.words(text))
 
+  // ---- RFM segmentation: quartile-code every customer on Recency
+  // (days since last order, vs the corpus max date), Frequency (order
+  // count) and Monetary (exact lifetime cents), segment = the
+  // concatenated quartile code "rfm" — the classic customer-value
+  // grid a marketing warehouse cuts campaigns with. Scale shape: the
+  // three global quartiles run through Ranking.groupedRank (histogram
+  // ranking — value-domain-bounded histograms + bucket-partitioned
+  // local sorts; NO unpartitioned ntile window anywhere); each rank is
+  // totally ordered by (metric, custkey) so quartile boundaries are
+  // deterministic. Money is exact integer cents (Money.quantizeCents,
+  // DECIMAL(38,0) partials — rule 11).
+  private val rfmSegments = NamedQuery(
+    "q_rfm_segments",
+    (spark, d) => {
+      val o = Tables.orders(spark, d)
+      val cust = o.groupBy(col("o_custkey").as("cust"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(Money.quantizeCents(col("o_totalprice")).cast("decimal(38,0)"))
+            .cast("long").as("monetary_cents"))
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      // pin the customer-bounded base, and each rank stage's output:
+      // every groupedRank reads its input ≥ 3× (histogram, offsets, row
+      // join) and the three ranks chain — left lazy, rank 3's histogram
+      // re-executes rank 1's whole broadcast subtree (and the orders
+      // scan under it) multiplicatively
+      val base = cust.crossJoin(broadcast(anchor))
+        .withColumn("recency",
+          datediff(col("anchor").cast("date"), col("last_order").cast("date"))
+            .cast("long"))
+        .localCheckpoint()
+      val ranked = Seq(
+        ("recency", col("recency"), "r"),
+        ("frequency", col("frequency"), "f"),
+        ("monetary_cents", floor(col("monetary_cents") / 1000000L).cast("long"), "m"))
+        .foldLeft(base) { case (df, (value, bucket, p)) =>
+          graft.ops.Ranking.groupedRank(df, Seq.empty, col(value), bucket,
+            Seq("cust"), s"${p}_rank", s"${p}_n").localCheckpoint()
+        }
+      def quart(p: String) = graft.ops.Ranking
+        .ntileFromRank(col(s"${p}_rank"), col(s"${p}_n"), 4).cast("string")
+      ranked
+        .withColumn("segment", concat(quart("r"), quart("f"), quart("m")))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents").cast("decimal(38,0)"))
+            .cast("long").as("monetary_cents"))
+        .orderBy("segment")
+    },
+    Some(s"""WITH cust AS (
+        |  SELECT o_custkey AS cust, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(${Money.quantizeCentsSql("o_totalprice")}) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT cust, frequency, monetary_cents,
+        |    datediff('day', CAST(last_order AS DATE),
+        |      CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency
+        |  FROM cust),
+        |q AS (
+        |  SELECT cust, monetary_cents,
+        |    ntile(4) OVER (ORDER BY recency, cust) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency, cust) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary_cents, cust) AS m_q
+        |  FROM base)
+        |SELECT concat(r_q, f_q, m_q) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents
+        |FROM q GROUP BY 1 ORDER BY segment""".stripMargin))
+
   override def all: Seq[NamedQuery] =
     Seq(anomaly, attribution, bpePairs, ksTest,
       modelLift, covMatrix, weeklyCorr, markov, keySkew, pcaPower, pcaProject, countMin, gini, timeToConvert, psi,
-      ratioToReport, seasonality)
+      ratioToReport, seasonality, rfmSegments)
 }

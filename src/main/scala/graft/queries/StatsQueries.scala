@@ -421,6 +421,45 @@ object StatsQueries extends QueryRegistry {
         |GROUP BY segment, nation, g.gs, g.gn
         |ORDER BY segment, nation""".stripMargin))
 
+  // ---- Benford first-digit audit: the distribution of the leading
+  // digit of every order's price vs Benford's law log10(1 + 1/d) — the
+  // classic synthetic-data / fraud smell test (a generated table rarely
+  // obeys it; the gap per digit is the evidence an auditor reads).
+  // Digit extraction goes through exact integer cents and STRING
+  // truncation, not floating log10(price) — floor(log10(x)) at power-of-
+  // ten boundaries is the one place the engines' libm could disagree,
+  // while BIGINT→VARCHAR is identical everywhere. One narrow map + a
+  // 9-row aggregate + a 9-row window: nothing here scales with the
+  // table beyond the scan.
+  private val benford = NamedQuery(
+    "q_benford_digits",
+    (spark, d) => {
+      // percent-of-total via re-aggregation + one-row broadcast (the
+      // q_ratio_to_report / q15 idiom — exchange reuse makes the total
+      // free), NOT a window over (): an unpartitioned WindowExec is the
+      // plan shape the sweep bans even over a 9-row relation
+      val digits = Tables.orders(spark, d)
+        .select(substring(graft.ops.Money.quantizeCents(col("o_totalprice"))
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val total = digits.agg(sum(col("n_orders")).as("tot"))
+      digits.crossJoin(broadcast(total))
+        .withColumn("obs_pct", round(col("n_orders") / col("tot"), 6))
+        .withColumn("exp_pct",
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+        .select(col("digit"), col("n_orders"), col("obs_pct"), col("exp_pct"))
+        .orderBy("digit")
+    },
+    Some(s"""WITH digits AS (
+        |  SELECT substr(CAST(${graft.ops.Money.quantizeCentsSql("o_totalprice")}
+        |      AS VARCHAR), 1, 1) AS digit,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT digit, n_orders,
+        |  round(n_orders / sum(n_orders) OVER (), 6) AS obs_pct,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_pct
+        |FROM digits ORDER BY digit""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(percentiles, deciles, moments, madOutliers,
-    entropyMix, modeDisc, chisq, aucRank, targetEncoding)
+    entropyMix, modeDisc, chisq, aucRank, targetEncoding, benford)
 }

@@ -1414,11 +1414,55 @@ object TextQueries extends QueryRegistry {
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
 
+  // ---- Zipf rank-frequency slope per language: regress ln(freq) on
+  // ln(rank) over each language's top-100 terms — the corpus-health
+  // diagnostic that flags machine-generated / template-heavy slices
+  // (natural language sits near slope −1; generated spam flattens or
+  // steepens it). Scale shape: term frequencies are one partial-agg
+  // shuffle on (lang, term); the top-100 cut runs through the custom
+  // TopKPerGroup operator (bounded heaps per partition — no vocab-sized
+  // window sort anywhere); the regression then sees ≤ 100 rows per
+  // language. Determinism: freq/rank are exact integers → ln() is
+  // bit-identical; regr_slope over ≤ 100 points reassociates within
+  // ~1e-14, absorbed by round(4).
+  private val zipfSlope = NamedQuery(
+    "text_zipf_slope",
+    (spark, d) => {
+      val tf = Tables.documents(spark, d)
+        .select(col("lang"), explode(TextOps.words(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+      val top = graft.plans.TopK.perGroup(tf, Seq("lang"),
+        Seq(col("freq").desc, col("term").asc), 100)
+      top
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("freq"), col("term"))))
+        .groupBy("lang")
+        .agg(round(regr_slope(log(col("freq").cast("double")),
+            log(col("rank").cast("double"))), 4).as("zipf_slope"),
+          count(lit(1)).as("n_terms"))
+        .orderBy("lang")
+    },
+    Some("""WITH tf AS (
+        |  SELECT lang, term, count(*) AS freq
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT lang, freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rank
+        |  FROM tf),
+        |cut AS (SELECT lang, freq, rank FROM top WHERE rank <= 100)
+        |SELECT lang,
+        |  round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+        |    AS zipf_slope,
+        |  count(*) AS n_terms
+        |FROM cut GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(tokenStats, quality, langStats, langid, fingerprint, winnowing, tokenRegex,
       repetition, sampleHash, samplePerGroup, curate, tfidf, pmi, histogram,
       chunking, piiRedact, contamination, packSequences, mixtureSample,
       duplicateSpans, unigramLogprob, trainMix, splitTvt, heavyHitters,
       temperatureSample, dsirWeights, perplexityBuckets, exactSubstr, bm25,
-      hashClassifier)
+      hashClassifier, zipfSlope)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.GraphQueries
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computed fixtures for the round-14 graph kernels
+  * (queries/GraphQueries.scala). The registry queries run these kernels
+  * over the co-purchase graph and are oracle-checked end-to-end; these
+  * pins cover the kernel semantics on graphs small enough to verify by
+  * hand — multi-source min-hop, peel monotonicity/fixpoint, wedge
+  * scoring and the degree-cap guard. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*): DataFrame = es.toDF("u", "v")
+
+  test("bfsHopHistogram: min-hop histogram from the mod-source set") {
+    // path 0-1-2-3 plus a disjoint pair 10-11; sources (mod 10) = {0, 10}
+    val e = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val out = GraphQueries.bfsHopHistogram(e, 10L, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // dist 0: {0,10}; 1: {1,11}; 2: {2}; 3: {3}
+    assert(out === Seq(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHopHistogram: a shorter path found later wins (min semantics)") {
+    // triangle 0-1, 1-2, 0-2: node 2 is reachable in 1 hop directly and
+    // in 2 hops via 1 — the histogram must count it once at dist 1
+    val e = edges(0L -> 1L, 1L -> 2L, 0L -> 2L)
+    val out = GraphQueries.bfsHopHistogram(e, 3L, 6) // sources: {0}
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out === Seq(0L -> 1L, 1L -> 2L))
+  }
+
+  test("kcorePeelProfile: tail peels off, the clique is the fixpoint") {
+    // 4-clique {1,2,3,4} + tail 4-5, 5-6: at k=3 the tail dies in round
+    // 1 (deg(5)=2, deg(6)=1) and the clique survives every round
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val out = GraphQueries.kcorePeelProfile(e, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
+  }
+
+  test("kcorePeelProfile: cascade — peeling one node re-peels its neighbor") {
+    // triangle {1,2,3} + chain 3-4, 4-5 at k=2: round 1 drops 5 (deg 1),
+    // round 2 drops 4 (its degree FELL to 1 when 5 left), round 3 is the
+    // triangle fixpoint — the profile pins the cascade, not just the end
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val out = GraphQueries.kcorePeelProfile(e, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
+  }
+
+  test("adamicAdarTopK: wedge score 1/ln(deg(center)), adjacency excluded") {
+    // star: 1-2, 1-3 → only candidate pair (2,3) through center 1
+    // (deg 2): score = 1/ln(2); the adjacent pairs (1,2),(1,3) must NOT
+    // appear even though they share no common neighbor here anyway
+    val e = edges(1L -> 2L, 1L -> 3L)
+    val out = GraphQueries.adamicAdarTopK(e, 256, 10).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === ((2L, 3L)))
+    assert(math.abs(out.head.getDouble(2) - 1.0 / math.log(2.0)) <= 1e-6)
+  }
+
+  test("adamicAdarTopK: two wedges sum; degree cap silences hub centers") {
+    // diamond: 1-2, 1-3, 2-4, 3-4 → pair (1,4) has common neighbors 2
+    // and 3 (deg 2 each): score 2/ln(2); pair (2,3) via centers 1 and 4
+    // likewise. With degCap=1 every center is excluded → empty
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val out = GraphQueries.adamicAdarTopK(e, 256, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 4L), (2L, 3L)))
+    out.foreach(t =>
+      assert(math.abs(t._3 - 2.0 / math.log(2.0)) <= 1e-6))
+    assert(GraphQueries.adamicAdarTopK(e, 1, 10).count() === 0L)
+  }
+}
