@@ -234,10 +234,12 @@ object Bench {
       require(unknown.isEmpty,
         s"headline names missing from the query registry: ${unknown.mkString(", ")}")
     }
-    // SPARK_GRAFT_ONLY=a,b,c: iterate on a subset without paying the full
-    // registry (dev loop). Subset runs NEVER write the committed snapshot
-    // names — see outName below.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // SPARK_GRAFT_ONLY=a,b,c (or a first CLI arg, for dev loops driven
+    // from a persistent sbt shell whose forked env is fixed at launch):
+    // iterate on a subset without paying the full registry. Subset runs
+    // NEVER write the committed snapshot names — see outName below.
+    val only = args.headOption.filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     def runCapture(): Capture = {

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev-only experiment harness for the optimization round: runs named
+  * variants of a query body back-to-back in one session and prints
+  * per-stage executorRunTime / GC / deserialization so per-task cost can
+  * be attributed. Not part of the registry or the bench; variants here
+  * never feed declared results.
+  *
+  * Usage: runMain graft.Scratch <variant> [sfDir] [reps]
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val variant = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    case class Row(id: Int, name: String, tasks: Int, runMs: Long,
+                   gcMs: Long, deserMs: Long, cpuMs: Long)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        if (si.attemptNumber == 0) {
+          val m = si.taskMetrics
+          rows.synchronized {
+            rows += Row(si.stageId, si.name.takeWhile(_ != '\n').take(50),
+              si.numTasks, m.executorRunTime, m.jvmGCTime,
+              m.executorDeserializeTime, m.executorCpuTime / 1000000)
+          }
+        }
+      }
+    }
+
+    val fn: (SparkSession, String) => DataFrame = variant match {
+      case "pr0" => (s, d) => SparkEntry.queries("q_pagerank")(s, d)
+      case "pr_scan" => (s, d) => { // cache build + bare scan-agg of the cache, no join
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+          .distinct().localCheckpoint()
+        val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = sym.withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))).cache()
+        edges.count()
+        var agg: DataFrame = null
+        for (_ <- 1 to 5)
+          agg = edges.groupBy(col("dst").as("node")).agg(sum(col("deg")).as("x"))
+        val out = agg.localCheckpoint()
+        edges.unpersist(false)
+        graft.ops.Components.freeCheckpoint(e0)
+        out
+      }
+      case "pr_scan_eager" => (s, d) => { // 5 INDEPENDENT scan-aggs, each counted
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+          .distinct().localCheckpoint()
+        val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = sym.withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))).cache()
+        edges.count()
+        for (_ <- 1 to 5)
+          edges.groupBy(col("dst").as("node")).agg(sum(col("deg")).as("x")).count()
+        val out = edges.limit(1).localCheckpoint()
+        edges.unpersist(false)
+        graft.ops.Components.freeCheckpoint(e0)
+        out
+      }
+      case "pr_lc" => (s, d) => { // edges pinned as UnsafeRows (localCheckpoint) instead of columnar cache
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+          .distinct().localCheckpoint()
+        val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = sym.withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+          .localCheckpoint()
+        graft.ops.Components.freeCheckpoint(e0)
+        val nodes = edges.select(col("src")).distinct()
+        val n = nodes.count().toDouble
+        var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+        for (_ <- 1 to 5) {
+          pr = edges
+            .join(broadcast(pr), edges("src") === pr("node"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
+        }
+        val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
+          .localCheckpoint()
+        graft.ops.Components.freeCheckpoint(edges)
+        out.orderBy("node")
+      }
+      case "pr_lc_scan" => (s, d) => { // 5 independent eager scan-aggs over the checkpointed edges
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+          .distinct().localCheckpoint()
+        val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = sym.withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+          .localCheckpoint()
+        graft.ops.Components.freeCheckpoint(e0)
+        for (_ <- 1 to 5)
+          edges.groupBy(col("dst").as("node")).agg(sum(col("deg")).as("x")).count()
+        val out = edges.limit(1).localCheckpoint()
+        graft.ops.Components.freeCheckpoint(edges)
+        out
+      }
+      case "pr_lc2" => (s, d) => { // single-pass symmetrize via explode, one checkpoint total
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("a"), col("o_custkey").as("b"))
+          .distinct()
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+          .localCheckpoint()
+        val nodes = edges.select(col("src")).distinct()
+        val n = nodes.count().toDouble
+        var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+        for (_ <- 1 to 5) {
+          pr = edges
+            .join(broadcast(pr), edges("src") === pr("node"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
+        }
+        val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
+          .localCheckpoint()
+        graft.ops.Components.freeCheckpoint(edges)
+        out.orderBy("node")
+      }
+      case other => sys.error(s"unknown variant $other")
+    }
+
+    var wall = 0.0
+    var i = 0
+    while (i < reps) {
+      val last = i == reps - 1
+      if (last) spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      wall = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $variant rep $i wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (!last) System.gc()
+      i += 1
+    }
+    var stable = 0; var lastN = -1
+    while (stable < 10) {
+      Thread.sleep(100)
+      val n = rows.synchronized(rows.size)
+      if (n == lastN) stable += 1 else { stable = 0; lastN = n }
+    }
+    println(f"[scratch] $variant last wall=$wall%.3f s")
+    println("stage  tasks   runMs    gcMs  deserMs   cpuMs  name")
+    rows.sortBy(_.id).foreach { r =>
+      println(f"${r.id}%5d ${r.tasks}%6d ${r.runMs}%7d ${r.gcMs}%7d ${r.deserMs}%8d ${r.cpuMs}%7d  ${r.name}")
+    }
+    spark.stop()
+  }
+}

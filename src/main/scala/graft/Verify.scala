@@ -17,11 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2); driver leaves it
-    // unset. Names are trimmed and empties dropped (a trailing comma or
-    // padded space must not silently skip queries); unknown names are
-    // FATAL — a typo'd subset must not exit 0 having verified nothing.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2, or a third CLI arg
+    // for dev loops driven from a persistent sbt shell whose forked env
+    // is fixed at launch); driver leaves both unset. Names are trimmed
+    // and empties dropped (a trailing comma or padded space must not
+    // silently skip queries); unknown names are FATAL — a typo'd subset
+    // must not exit 0 having verified nothing.
+    val only = args.drop(2).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     only.foreach { names =>

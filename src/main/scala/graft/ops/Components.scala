@@ -53,8 +53,13 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // checkpoint the INPUT first: the symmetrization union references the
     // edge subtree twice, and callers pass arbitrarily expensive pair
-    // pipelines (e.g. the full Jaccard chain) as edges
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // pipelines (e.g. the full Jaccard chain) as edges. The observe rides
+    // the checkpoint action, so the edge count used for partition sizing
+    // below is free (no extra job).
+    val eObs = org.apache.spark.sql.Observation("cc_edges")
+    val e0 = edges.select(col("src"), col("dst"))
+      .observe(eObs, count(lit(1)).as("n")).localCheckpoint()
+    val nEdges = eObs.get("n").asInstanceOf[Long]
     // symmetrize only — NO distinct: min-aggregation is insensitive to
     // duplicate edges, and a distinct here would shuffle the full 2E-row
     // relation once just to drop rows the partial aggregation collapses
@@ -78,9 +83,23 @@ object Components {
     // LogicalRDD reports UnknownPartitioning, verified against Spark
     // 4.1), so every round's join reuses this one shuffle and only the
     // small label relation moves.
+    // Partition count derived from the DATA (guide §2.2: fewer, larger
+    // partitions), not pinned to spark.sql.shuffle.partitions: the
+    // candidate graphs CC consumes span 400 nodes (q_er_resolve) to the
+    // full dedup pair relation, and a 32-way repartition of a few
+    // hundred rows makes every one of the O(log diameter) rounds pay 32
+    // task launches + a fresh-codegen warmup per task to move bytes of
+    // data (r14 StageProfile: 1.3 s executor per round on a 20 k-row
+    // relation). ~2M rows (~32 MB at 16 B/row) per partition, floored
+    // at 1; capped at 4× the configured shuffle parallelism so a huge
+    // edge relation still scales out with the cluster's own setting
+    // instead of exploding the M×R shuffle-block count.
+    val shufP = e0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val symParts = math.max(1L, math.min(4L * shufP,
+      (2L * nEdges) / 2000000L + 1L)).toInt
     val sym = symRaw
       .unionByName(labels.select(col("id").as("src"), col("id").as("dst")))
-      .repartition(col("dst"))
+      .repartition(symParts, col("dst"))
       .cache()
     var iter = 0
     var converged = false

@@ -34,30 +34,43 @@ object Ranking {
     * may be empty (one global ranking). The histogram (distinct
     * (group, bucket) pairs) must be broadcast-small — that is the
     * premise of histogram ranking.
+    *
+    * `histDf` (default `df`) is the relation the histogram aggregates
+    * over; pass the PINNED base when chaining several ranks over the
+    * same rows (q_rfm_segments) so each rank's histogram subtree reads
+    * the checkpoint instead of re-executing every earlier rank's
+    * window — that multi-consumer blowup is what previously forced a
+    * localCheckpoint barrier between chained ranks. The caller must
+    * guarantee histDf has the same (groupCols, bucket-value) row
+    * multiset as df — true whenever df only ADDS columns to histDf rows.
     */
   def groupedRank(df: DataFrame, groupCols: Seq[String], value: Column,
                   bucket: Column, tieCols: Seq[String],
-                  rankCol: String = "rank", nCol: String = "grp_n"): DataFrame = {
+                  rankCol: String = "rank", nCol: String = "grp_n",
+                  histDf: DataFrame = null): DataFrame = {
     val gk = if (groupCols.isEmpty) lit(0L) else struct(groupCols.map(col): _*)
     val withB = df.withColumn("__g", gk).withColumn("__b", bucket)
-    val hist = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__cnt"))
+    val histSrc = Option(histDf).getOrElse(df)
+    val hist = histSrc.withColumn("__g", gk).withColumn("__b", bucket)
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__cnt"))
 
     // per-(group, bucket) offset = Σ counts of strictly smaller buckets
-    // in the same group; per-group totals. Broadcast self-join of the
-    // domain-bounded histogram — windowless, so an empty `groupCols`
-    // never degenerates into an unpartitioned WindowExec.
-    val b2 = hist.select(col("__g").as("__g2"), col("__b").as("__b2"),
-      col("__cnt").as("__cnt2"))
-    // NULL buckets (null value) rank FIRST, like row_number's ASC
-    // nulls-first: "strictly smaller" must count a null bucket below
-    // every non-null one, and the row join must match null to null —
-    // a plain EqualTo would silently DROP every null-valued row
-    val smaller = (col("__b2").isNull && col("__b").isNotNull) ||
-      (col("__b2") < col("__b"))
+    // in the same group, via a PREFIX-SUM WINDOW over the histogram —
+    // O(k log k) in the bucket count where the previous broadcast
+    // self-join with a `<` predicate planned as a nested-loop O(k²)
+    // pass (measured 1.05 s in ONE task for q_ntile_deciles' 8185
+    // buckets, r14). The window partitions on __g, so it is never the
+    // unpartitioned-WindowExec shape the plan sweep forbids, and it
+    // runs over the DOMAIN-BOUNDED histogram (broadcast-small by this
+    // function's premise), never over corpus rows. asc_nulls_first
+    // keeps row_number's null ordering: a NULL bucket (null value)
+    // counts below every non-null one.
+    val wOff = Window.partitionBy(col("__g"))
+      .orderBy(col("__b").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offs = hist
-      .join(broadcast(b2), col("__g2") === col("__g") && smaller, "left")
-      .groupBy(col("__g"), col("__b"))
-      .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__off"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__g"), col("__b"), col("__off"))
     val totals = hist.groupBy("__g").agg(sum("__cnt").as(nCol))
 
     val wLocal = Window.partitionBy(col("__g"), col("__b"))

@@ -528,6 +528,14 @@ object TextOps {
       else rel.as[(Long, Array[Long])].collect()
     if (fits) {
       val bc = spark.sparkContext.broadcast(collected.toMap)
+      // NOTE (r14, measured and rejected): AQE's byte-based coalescing
+      // funnels this CPU-dense merge into ~4 tasks at sf0.1 (4 MB of
+      // pairs), which looks like lost parallelism — but an explicit
+      // round-robin repartition to defaultParallelism made the query
+      // SLOWER (2.02 → 2.76 s wall: one extra exchange barrier plus
+      // ~55 ms/task fixed overhead × 32 outweighed 1.1 s of spread
+      // CPU). At real scale the pair relation's bytes grow with the
+      // corpus and AQE sizes the stage itself.
       cand.as[(Long, Long)].mapPartitions { it =>
         val data = bc.value
         // a candidate id absent from arrs (possible when candidates come
@@ -721,7 +729,17 @@ object TextOps {
     }
     val rows = collected.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(rows)
-    spark.range(rows.length).repartition(spark.sparkContext.defaultParallelism)
+    // partition count sized to the WORK (n²/2 DP cells·pairs), not to
+    // defaultParallelism: a 100-row short-set fanned over 32 tasks pays
+    // 32 × (task launch + fresh-codegen warmup) ≈ 1.4 s executor time
+    // for ~5k pairs of work (r14 StageProfile on q_er_resolve); one task
+    // computes them in milliseconds. Large sets still clamp up to full
+    // parallelism, so the 2M-row cap keeps its distribution.
+    val pairsPerTask = 250000L
+    val nParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (rows.length.toLong * rows.length / 2 + pairsPerTask - 1) / pairsPerTask)).toInt
+    spark.range(rows.length).repartition(nParts)
       .as[Long]
       .mapPartitions { it =>
         val data = bc.value

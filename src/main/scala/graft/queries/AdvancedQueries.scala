@@ -461,40 +461,51 @@ object AdvancedQueries extends QueryRegistry {
   private val pagerank = NamedQuery(
     "q_pagerank",
     (spark, d) => {
-      // materialize the distinct directed edges ONCE: the symmetrize
-      // union, the degree aggregation, and the degree join all reference
-      // this subtree — un-checkpointed, the lineitem⋈orders join would
-      // re-execute ~6× across those branches (measured 5.6s → 1.7s)
-      val e0 = Tables.lineitem(spark, d)
+      // One pass builds the whole iteration-invariant edge relation:
+      // lineitem⋈orders → distinct directed pairs → SYMMETRIZE VIA
+      // EXPLODE (each row emits both directions in one scan — the
+      // union-of-two-selects formulation read the distinct subtree
+      // twice and needed its own checkpoint to avoid recomputing the
+      // join, r14 opt: two pinned relations → one) → degree attached by
+      // an UNORDERED window over src (one exchange; a groupBy+join
+      // formulation costs three for the identical relation).
+      //
+      // The relation is pinned with localCheckpoint, NOT cache (r14
+      // opt): all five iterations re-scan it, and the columnar
+      // InMemoryRelation paid decompression + ColumnarToRow on every
+      // scan through a FRESH codegen class per iteration — measured
+      // 6.5–9.1 s executorRunTime per iteration-scan against 0.3–0.7 s
+      // for the same scan over checkpoint-pinned UnsafeRows (Scratch
+      // pr_scan_eager vs pr_lc_scan, sf0.1). The cache's one advantage
+      // — preserving the src hash-partitioning — buys nothing here:
+      // the per-round join broadcasts the (1 row/node) rank relation,
+      // so the edge side is never shuffled either way, and the
+      // groupBy(dst) reduction needs its own exchange regardless.
+      val edges = Tables.lineitem(spark, d)
         .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+        .select((col("l_suppkey") + 1000000L).as("a"), col("o_custkey").as("b"))
         .distinct()
-        .localCheckpoint()
-      // the Components posture: the (big) edge relation is shuffled onto
-      // the per-round join key ONCE and cached — InMemoryRelation
-      // preserves outputPartitioning where a checkpoint's LogicalRDD
-      // would not — so all 5 iterations move only the (1 row/node) rank
-      // relation. The degree is attached by an UNORDERED window over
-      // the same src partitioning: one exchange yields the degree
-      // column AND the cached partitioning (a groupBy+join formulation
-      // costs three exchanges for the identical relation), and no
-      // per-round degree join exists at all.
-      val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val edges = sym
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-        .cache()
+        .localCheckpoint()
       val nodes = edges.select(col("src")).distinct()
-      val n = nodes.count().toDouble // materializes the cache
+      val n = nodes.count().toDouble
       // the five iterations stay LAZY — one deep plan where each round
-      // is a join against the cached edges plus a group-sum of the
+      // is a join against the pinned edges plus a group-sum of the
       // (1 row/node) rank relation, executed as one AQE job. Round 5
       // measured the alternative (eager localCheckpoint per round) at
       // 7-32s on identical code: five driver-synchronized barrier jobs
       // amplify every GC pause / shared-VM hiccup into the query time.
       // One lazy job has one scheduling boundary, and only the FINAL
-      // (small) rank relation is materialized — after which the cache
-      // and checkpoint can be freed before the caller consumes the
-      // result.
+      // (small) rank relation is materialized — after which the
+      // checkpoint can be freed before the caller consumes the result.
+      // The join strategy is left to the planner: it picks broadcast
+      // for the rank side at every measured scale, and a node relation
+      // too big to broadcast should degrade to a shuffle join rather
+      // than be forced OOM by a hint.
       var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to 5) {
         pr = edges
@@ -504,8 +515,7 @@ object AdvancedQueries extends QueryRegistry {
       }
       val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
         .localCheckpoint()
-      edges.unpersist(false)
-      Components.freeCheckpoint(e0)
+      Components.freeCheckpoint(edges)
       out.orderBy("node")
     },
     Some("""WITH RECURSIVE
@@ -752,36 +762,47 @@ object AdvancedQueries extends QueryRegistry {
 
   // Market-basket association rules (support / confidence / lift) — the
   // classic co-occurrence miner, here over order baskets of parts. Scale
-  // shape: baskets are collected ONCE per order (sorted distinct-item
-  // array, one key shuffle), and candidate pairs are expanded ROW-LOCALLY
-  // from each array — O(Σ|basket|²) with |basket| bounded by order width
-  // (≤13 here), never a basket⋈basket self-join whose skew would follow
-  // the hottest item. Item supports ride the same exploded relation; the
-  // pair→support join is a broadcast (rules above min-support are few by
-  // construction). Confidence/lift are single IEEE divisions over exact
-  // integer counts, written identically both engines → emitted raw.
+  // shape: candidate pairs come from an equi-self-join of the distinct
+  // (order, item) relation ON THE ORDER KEY — O(Σ|basket|²) fan-out with
+  // |basket| bounded by order width (≤13 here), so no skew can follow
+  // the hottest ITEM (an item-keyed join would concentrate it; the
+  // order-keyed join spreads a hot item across its orders' partitions).
+  // Item supports ride the same flat relation; the pair→support join is
+  // a broadcast (rules above min-support are few by construction).
+  // Confidence/lift are single IEEE divisions over exact integer
+  // counts, written identically both engines → emitted raw.
   private val assocRules = NamedQuery(
     "q_assoc_rules",
     (spark, d) => {
       val minSupp = 3
-      // checkpointed: read by the pair expansion, the item supports, AND
-      // the basket count — without it the lineitem shuffle + collect_set
-      // runs three times (observed 10.7s → ~2s at sf0.1)
-      val baskets = Tables.lineitem(spark, d)
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      // r14 opt: the basket relation stays FLAT — distinct (order, item)
+      // rows — instead of collect_set arrays. The previous array-based
+      // pair expansion (flatten(transform(…, transform(slice(…)))))
+      // spent 2.3 s of 4.3 s total executor time at sf0.1 copying a
+      // slice of the basket array per element per basket (non-codegen
+      // HOF chain); pairs now come from an equi-self-join on the order
+      // key, whose fan-out per key is the same Σ|basket|² the row-local
+      // expansion paid (|basket| ≤ order width ≤ 13 — the join key is
+      // the ORDER, so the hottest ITEM still never concentrates a
+      // partition), and whose probe is whole-stage-codegen. Checkpointed:
+      // read by both self-join sides, the item supports, and the basket
+      // count — without it the lineitem distinct runs four times.
+      val d0 = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
         .localCheckpoint()
-      val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
-      val itemSupp = baskets
-        .select(explode(col("items")).as("item"))
-        .groupBy("item").agg(count(lit(1)).as("supp"))
-      // pairs (a < b) expanded row-locally from the sorted basket array
-      val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(items, (x, i) ->
-            |  transform(slice(items, i + 2, size(items)),
-            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      val nBaskets = d0.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val itemSupp = d0
+        .groupBy(col("p").as("item")).agg(count(lit(1)).as("supp"))
+      // SHUFFLE_HASH, not broadcast: the planner would broadcast the
+      // 600k-row side (it sits under the 10 MB estimate), but collecting
+      // and rebroadcasting the whole relation costs more than the two
+      // 6 MB hash exchanges — which are byte-identical plans, so
+      // ReuseExchange ships one
+      val pairs = d0.as("a").hint("shuffle_hash")
+        .join(d0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
         .agg(count(lit(1)).as("supp_ab"))
         .filter(col("supp_ab") >= minSupp)
       pairs

@@ -49,8 +49,21 @@ object GraphQueries extends QueryRegistry {
     * one — the Components/pointerDoubleRollup posture. */
   private[graft] def bfsHopHistogram(e: DataFrame, srcMod: Long,
                                      rounds: Int): DataFrame = {
-    val edges = symmetrized(e).repartition(col("src")).cache()
-    edges.count() // materialize: every iteration must HIT the cache
+    // Pinned as UnsafeRows (localCheckpoint), not columnar cache (r14
+    // opt): the six per-round expansion joins broadcast the node-bounded
+    // dist relation, so the edge side is never shuffled either way — but
+    // a columnar cache pays decompression + ColumnarToRow through a
+    // fresh codegen class on EVERY round's re-scan (measured ~10× the
+    // per-scan executor time of checkpoint-pinned UnsafeRows on the
+    // identical relation in q_pagerank, Scratch pr_scan_eager vs
+    // pr_lc_scan). The explode emits both edge directions in one pass
+    // over `e`, where the union-of-two-selects formulation scanned the
+    // co-purchase self-join subtree twice.
+    val edges = e.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(srcMod)) === 0)
       .select(col("node"), lit(0L).as("dist"))
@@ -69,7 +82,7 @@ object GraphQueries extends QueryRegistry {
       .orderBy("dist")
       .localCheckpoint()
     graft.ops.Components.freeCheckpoint(dist)
-    edges.unpersist(false)
+    graft.ops.Components.freeCheckpoint(edges)
     out
   }
 

@@ -1006,11 +1006,15 @@ object MlStatsQueries extends QueryRegistry {
           sum(Money.quantizeCents(col("o_totalprice")).cast("decimal(38,0)"))
             .cast("long").as("monetary_cents"))
       val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
-      // pin the customer-bounded base, and each rank stage's output:
-      // every groupedRank reads its input ≥ 3× (histogram, offsets, row
-      // join) and the three ranks chain — left lazy, rank 3's histogram
-      // re-executes rank 1's whole broadcast subtree (and the orders
-      // scan under it) multiplicatively
+      // pin the customer-bounded base ONCE; the three chained ranks stay
+      // LAZY (r14 opt — was a localCheckpoint barrier per rank): each
+      // rank's multi-consumer subtrees (histogram + totals) aggregate
+      // over the CHECKPOINTED BASE via groupedRank's histDf parameter,
+      // so nothing re-executes an earlier rank's window, and the main
+      // chain (base → 3 × [two broadcast joins + bucket-partitioned
+      // window]) is one consumer per level — one AQE job instead of
+      // four driver-synchronized barriers (35 single-task stages,
+      // 2.5 s wall for 1.1 s executor time, r14 StageProfile).
       val base = cust.crossJoin(broadcast(anchor))
         .withColumn("recency",
           datediff(col("anchor").cast("date"), col("last_order").cast("date"))
@@ -1022,7 +1026,7 @@ object MlStatsQueries extends QueryRegistry {
         ("monetary_cents", floor(col("monetary_cents") / 1000000L).cast("long"), "m"))
         .foldLeft(base) { case (df, (value, bucket, p)) =>
           graft.ops.Ranking.groupedRank(df, Seq.empty, col(value), bucket,
-            Seq("cust"), s"${p}_rank", s"${p}_n").localCheckpoint()
+            Seq("cust"), s"${p}_rank", s"${p}_n", histDf = base)
         }
       def quart(p: String) = graft.ops.Ranking
         .ntileFromRank(col(s"${p}_rank"), col(s"${p}_n"), 4).cast("string")

@@ -51,9 +51,6 @@ object Relational5Queries extends QueryRegistry {
   private val q2 = NamedQuery(
     "q2_min_cost_supplier",
     (spark, d) => {
-      val bridge = Tables.lineitem(spark, d)
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
       val parts = Tables.part(spark, d)
         .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
         .select(col("p_partkey"))
@@ -65,14 +62,27 @@ object Relational5Queries extends QueryRegistry {
           .select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      // r14 opt (guide §2.3: filter before the exchange): the broadcast
+      // dimension joins sit BELOW the bridge aggregation, so only
+      // lineitems of qualifying parts × EUROPE suppliers (~1% of rows)
+      // reach the groupBy shuffle — filtering the aggregated bridge
+      // afterwards shuffled the whole fact's (part, supplier) pairs to
+      // then drop 99%. Identical relation: the filters are on the group
+      // KEYS, so restricting rows before the keyed MIN restricts groups
+      // and changes no surviving group's minimum; the carried dim
+      // columns are functions of the keys (same group cardinality).
+      val bridge = Tables.lineitem(spark, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
       // per-part regional minimum as a WINDOW over the aggregated+joined
       // relation: structurally one read of the bridge (a groupBy + join
       // back would reference the subtree twice and lean on exchange
       // reuse), and the window exchange carries only aggregated rows
       val wPart = Window.partitionBy(col("p_partkey"))
       bridge
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
         .withColumn("min_cost", min(col("cost")).over(wPart))
         .filter(col("cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),

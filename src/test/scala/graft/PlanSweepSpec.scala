@@ -37,14 +37,39 @@ class PlanSweepSpec extends SparkSpec {
   private val allow: Map[String, String] = Map(
     "q_salted_join" -> ("the POINT of the query is the salted shuffled " +
       "join (hot-key mitigation for when the dim is too big to " +
-      "broadcast); SHUFFLE_HASH-hinted by design"))
+      "broadcast); SHUFFLE_HASH-hinted by design"),
+    "q_assoc_rules" -> ("both SHUFFLE_HASH sides are the SAME checkpointed " +
+      "(order,item) relation, so ReuseExchange ships one ~6 MB exchange " +
+      "where a broadcast would collect + rebroadcast the whole relation " +
+      "(the 24 kB estimate is a stats-less LogicalRDD default, not a " +
+      "measurement); r14 measured broadcast 2.7 s vs shuffle-hash 2.0 s"))
 
   private def offenders(p: SparkPlan): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
+    // Nodes on the BUILD side of a broadcast join are bounded by the
+    // broadcast hard cap (8 GB / 512M rows — the build FAILS loudly past
+    // it), so an unpartitioned window there cannot be the silent
+    // corpus-through-one-task shape this sweep hunts. Ranking.groupedRank
+    // legitimately runs its offset prefix-sum window over the
+    // domain-bounded histogram it then broadcasts; with empty groupCols
+    // the constant partition key folds away and the window plans
+    // unpartitioned — over a relation the same plan proves broadcast-small.
+    val bounded = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def markBounded(n: SparkPlan): Unit = n.foreach(c => { bounded.add(c); () })
     p.foreach {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        markBounded(if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) j.left else j.right)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        markBounded(if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) j.left else j.right)
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        markBounded(b.child) // executed plans carry the explicit exchange
+      case _ => ()
+    }
+    p.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty && !bounded.contains(w) =>
         out += "unpartitioned WindowExec"
-      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !bounded.contains(w) =>
         out += "unpartitioned WindowGroupLimitExec"
       case _: CartesianProductExec =>
         out += "CartesianProductExec"

@@ -175,7 +175,11 @@ class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // only judge what actually ran in this suite instance
     val ran = actual.filter(_._2._1 > 0)
     assume(ran.nonEmpty, "no budgeted query ran in this suite instance")
-    if (sys.env.get("GRAFT_REGEN_JOB_BUDGETS").contains("1")) {
+    // env OR system property: a persistent sbt server's forked-test env
+    // is pinned at launch, but -D flags can be set per command
+    // (`set Test/javaOptions += "-DGRAFT_REGEN_JOB_BUDGETS=1"`)
+    if (sys.env.get("GRAFT_REGEN_JOB_BUDGETS").contains("1") ||
+        sys.props.get("GRAFT_REGEN_JOB_BUDGETS").contains("1")) {
       assert(ran.size == names.size,
         s"budget regeneration needs a full-suite run; ran ${ran.size}/${names.size}")
       val body = ran.toSeq.sortBy(_._1)
