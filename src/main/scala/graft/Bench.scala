@@ -176,7 +176,10 @@ object Bench {
       probePost: Double, probeMtPre: Double, probeMtPost: Double)
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // second CLI arg (dev loops from a persistent sbt shell): sfDir
+    // override — the driver always uses the env form
+    val sfDir = args.drop(1).headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Foreign-CPU acceptance: a capture whose non-graft busy CPU exceeds
     // this fraction of wall x cores ran on a contended machine — refuse

@@ -141,6 +141,37 @@ object Scratch {
         graft.ops.Components.freeCheckpoint(edges)
         out.orderBy("node")
       }
+      case "pr_lc3" => (s, d) => { // deg folded into the broadcast side; edges = bare (src,dst)
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("a"), col("o_custkey").as("b"))
+          .distinct()
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .localCheckpoint()
+        val degObs = org.apache.spark.sql.Observation("pr_nodes")
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .observe(degObs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        val n = degObs.get("n").asInstanceOf[Long].toDouble
+        var pr = deg.select(col("node"), lit(1.0 / n).as("rank"))
+        for (_ <- 1 to 5) {
+          val contrib = pr.join(deg, Seq("node"))
+            .select(col("node"), (col("rank") / col("deg")).as("c"))
+          pr = edges
+            .join(contrib, edges("src") === contrib("node"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("c"))).as("rank"))
+        }
+        val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
+          .localCheckpoint()
+        graft.ops.Components.freeCheckpoint(edges)
+        graft.ops.Components.freeCheckpoint(deg)
+        out.orderBy("node")
+      }
       case other => sys.error(s"unknown variant $other")
     }
 
