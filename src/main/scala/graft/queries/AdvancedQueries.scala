@@ -502,14 +502,27 @@ object AdvancedQueries extends QueryRegistry {
       // One lazy job has one scheduling boundary, and only the FINAL
       // (small) rank relation is materialized — after which the
       // checkpoint can be freed before the caller consumes the result.
-      // The join strategy is left to the planner: it picks broadcast
-      // for the rank side at every measured scale, and a node relation
-      // too big to broadcast should degrade to a shuffle join rather
-      // than be forced OOM by a hint.
+      //
+      // SIZE-AWARE broadcast hint (r14): a checkpointed LogicalRDD has
+      // no stats, so the INITIAL plan estimates the rank side huge and
+      // plans shuffle joins; AQE converts them to broadcast at runtime
+      // but only after the edge exchanges are already materialized —
+      // StageProfile showed two full 108 MB checkpoint re-scans
+      // shuffle-writing 1.17M rows that a statically-planned broadcast
+      // join never performs. We KNOW the rank cardinality exactly (n,
+      // one row per node), so hint broadcast iff n × 32 B clears the
+      // session's own broadcast threshold — at a node count too big to
+      // broadcast the hint vanishes and the planner's shuffle join
+      // stands, so no OOM is forced at scale.
+      val bcThresh = try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      catch { case _: Throwable => 10L << 20 }
+      def rankSide(df: org.apache.spark.sql.DataFrame) =
+        if (n * 32 < bcThresh) broadcast(df) else df
       var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to 5) {
         pr = edges
-          .join(pr, edges("src") === pr("node"))
+          .join(rankSide(pr), edges("src") === pr("node"))
           .groupBy(col("dst").as("node"))
           .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
       }

@@ -64,18 +64,37 @@ object GraphQueries extends QueryRegistry {
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // SIZE-AWARE broadcast hint per round (r14, the q_pagerank fix): a
+    // checkpointed LogicalRDD has no stats, so without the hint the
+    // INITIAL plan shuffles the edge side and AQE only converts to
+    // broadcast after materializing those exchanges. dist's exact row
+    // count rides each round's checkpoint action via observe() (free —
+    // no extra job), and the hint fires only while that count × 32 B
+    // clears the session's own broadcast threshold: a frontier too big
+    // to broadcast keeps the planner's shuffle join, no forced OOM.
+    val bcThresh = try org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(e.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold"))
+    catch { case _: Throwable => 10L << 20 }
+    val obs0 = org.apache.spark.sql.Observation("bfs_dist_0")
     var dist = edges.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(srcMod)) === 0)
       .select(col("node"), lit(0L).as("dist"))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val next = dist.join(edges, dist("node") === edges("src"))
+    var nDist = obs0.get("n").asInstanceOf[Long]
+    for (r <- 1 to rounds) {
+      val obs = org.apache.spark.sql.Observation(s"bfs_dist_$r")
+      val distSide = if (nDist * 32 < bcThresh) broadcast(dist) else dist
+      val next = distSide.join(edges, dist("node") === edges("src"))
         .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
         .unionByName(dist)
         .groupBy("node").agg(min("dist").as("dist"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
       graft.ops.Components.freeCheckpoint(dist)
       dist = next
+      nDist = obs.get("n").asInstanceOf[Long]
     }
     val out = dist.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"))
