@@ -244,6 +244,15 @@ object Bench {
     val only = args.headOption.filter(_.nonEmpty)
       .orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd subset name — or sfDir accidentally passed as the first
+    // positional (subset comes first) — would silently filter the registry
+    // to zero queries and exit 0 having measured nothing (ADVICE r14 #3);
+    // a path is never a registry name, so this also catches the swap
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.keySet.contains)
+      require(unknown.isEmpty,
+        s"subset names missing from the query registry: ${unknown.mkString(", ")}")
+    }
 
     def runCapture(): Capture = {
       // CPU-probe gate (VERDICT r12 #1): refuse to start on an

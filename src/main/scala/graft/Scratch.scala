@@ -172,6 +172,49 @@ object Scratch {
         graft.ops.Components.freeCheckpoint(deg)
         out.orderBy("node")
       }
+      // ---- r15 stage-latency decomposition (VERDICT r14 #2): a ladder of
+      // k chained exchanges over a tiny relation isolates the per-stage
+      // FIXED wall cost (scheduling + AQE replan + task launch) from data
+      // work — the slope in k is the per-exchange constant the mid-tail
+      // pays 6-15 times per query. Run with SPARK_GRAFT_CPUS=32 and 8 to
+      // split task-launch (scales with partitions) from driver barriers.
+      case "lat_ladder" => (s, d) => {
+        var df = Tables.orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+        for (i <- 1 to 8)
+          df = df.groupBy(pmod(col("k") + i, lit(10000)).as("k"))
+            .agg(sum(col("v")).as("v"))
+        df
+      }
+      case "lat_ladder2" => (s, d) => { // 2 exchanges: slope anchor
+        var df = Tables.orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+        for (i <- 1 to 2)
+          df = df.groupBy(pmod(col("k") + i, lit(10000)).as("k"))
+            .agg(sum(col("v")).as("v"))
+        df
+      }
+      case "lat_ladder_noaqe" => (s, d) => {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        var df = Tables.orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+        for (i <- 1 to 8)
+          df = df.groupBy(pmod(col("k") + i, lit(10000)).as("k"))
+            .agg(sum(col("v")).as("v"))
+        df
+      }
+      case "lat_ladder2_noaqe" => (s, d) => {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        var df = Tables.orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+        for (i <- 1 to 2)
+          df = df.groupBy(pmod(col("k") + i, lit(10000)).as("k"))
+            .agg(sum(col("v")).as("v"))
+        df
+      }
+      case "lat_floor" => (s, d) => { // zero-exchange floor: scan + count only
+        Tables.orders(s, d).select(col("o_custkey"))
+      }
       case other => sys.error(s"unknown variant $other")
     }
 

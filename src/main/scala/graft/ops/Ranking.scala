@@ -53,6 +53,25 @@ object Ranking {
     val histSrc = Option(histDf).getOrElse(df)
     val hist = histSrc.withColumn("__g", gk).withColumn("__b", bucket)
       .groupBy("__g", "__b").agg(count(lit(1)).as("__cnt"))
+    // opt-in misuse detector (ADVICE r14 #4): the histDf contract — same
+    // (group, bucket) row MULTISET as df — is correctness-critical but
+    // invisible at runtime (offsets over rows not in df silently corrupt
+    // every rank). Under -Dgraft.ranking.checkHist=1 (test suites only;
+    // it runs an action inside the builder) a violating caller fails
+    // loudly instead.
+    if ((histSrc ne df) &&
+        sys.props.get("graft.ranking.checkHist").contains("1")) {
+      val dfHist = withB.groupBy("__g", "__b").agg(count(lit(1)).as("__dcnt"))
+      val bad = dfHist.join(hist, dfHist("__g") <=> hist("__g") &&
+          dfHist("__b") <=> hist("__b"), "full")
+        .where(coalesce(col("__dcnt"), lit(-1L)) =!=
+          coalesce(col("__cnt"), lit(-2L)))
+        .count()
+      require(bad == 0L,
+        s"groupedRank histDf contract violated: $bad (group, bucket) " +
+          "cells differ between df and histDf — histDf must have the " +
+          "same (groupCols, bucket) row multiset as df")
+    }
 
     // per-(group, bucket) offset = Σ counts of strictly smaller buckets
     // in the same group, via a PREFIX-SUM WINDOW over the histogram —

@@ -54,9 +54,28 @@ class PlanSweepSpec extends SparkSpec {
     // domain-bounded histogram it then broadcasts; with empty groupCols
     // the constant partition key folds away and the window plans
     // unpartitioned — over a relation the same plan proves broadcast-small.
+    //
+    // SCOPE (ADVICE r14 #2): the cap bounds the relation AT the exchange,
+    // not intermediates below it — corpus → unpartitioned window →
+    // aggregate → broadcast would still funnel the whole corpus through
+    // one task. The traversal therefore stops at the first
+    // cardinality-collapsing node (aggregate/limit): everything between
+    // the exchange and that node is provably cap-bounded; below it the
+    // input can be arbitrarily large and stays in scope for the sweep.
     val bounded = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    def markBounded(n: SparkPlan): Unit = n.foreach(c => { bounded.add(c); () })
+    def markBounded(n: SparkPlan): Unit = {
+      bounded.add(n)
+      n match {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec |
+             _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec |
+             _: org.apache.spark.sql.execution.aggregate.SortAggregateExec |
+             _: org.apache.spark.sql.execution.GlobalLimitExec |
+             _: org.apache.spark.sql.execution.LocalLimitExec |
+             _: org.apache.spark.sql.execution.CollectLimitExec => ()
+        case _ => n.children.foreach(markBounded)
+      }
+    }
     p.foreach {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
         markBounded(if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) j.left else j.right)
@@ -147,6 +166,35 @@ class PlanSweepSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("o_orderpriority") === "")
     assert(!offenders(good.queryExecution.sparkPlan)
       .exists(_.startsWith("unpushed parquet filter")))
+  }
+
+  test("the broadcast-build exemption stops at the first aggregate " +
+      "(corpus → window → agg → broadcast still flagged)") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number, sum}
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, dir)
+    // ABOVE the collapse: window over an aggregate's (bounded) output,
+    // broadcast afterwards — the groupedRank histogram shape, exempt
+    val hist = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("o_orderpriority"))))
+    val good = orders.join(broadcast(hist), Seq("o_orderpriority"))
+    assert(!offenders(good.queryExecution.sparkPlan)
+      .exists(_.startsWith("unpartitioned Window")),
+      "histogram-shape window under a broadcast must stay exempt")
+    // BELOW the collapse: the whole corpus runs through one window task
+    // before the aggregate shrinks it — the silent shape the sweep hunts;
+    // the broadcast above must NOT exempt it (ADVICE r14 #2)
+    val bad = orders.withColumn("rk",
+        row_number().over(Window.orderBy(col("o_orderkey"))))
+      .groupBy(col("o_orderpriority")).agg(sum(col("rk")).as("v"))
+    val badJoined = orders.join(broadcast(bad), Seq("o_orderpriority"))
+    assert(offenders(badJoined.queryExecution.sparkPlan)
+      .exists(_.startsWith("unpartitioned Window")),
+      "corpus-wide window below an aggregate on a broadcast build side " +
+        "must still be flagged")
   }
 
   // ---- repeated-subtree execution sweep (VERDICT r10 #5): two round-10

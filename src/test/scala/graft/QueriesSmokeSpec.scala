@@ -30,7 +30,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * cannot pollute the counts. Budgets are tied to the test config
   * (local[4], shuffle.partitions=4, sf0.001); after a deliberate plan
   * change, regenerate with
-  * `GRAFT_REGEN_JOB_BUDGETS=1 sbt "testOnly graft.QueriesSmokeSpec"`. */
+  * `GRAFT_REGEN_JOB_BUDGETS=1 sbt "testOnly graft.QueriesSmokeSpec"`.
+  *
+  * Job/stage tolerance (VERDICT r14 #1): AQE occasionally materializes
+  * one extra stage per query run-to-run (observed as q_er_resolve
+  * 18↔19 jobs — the gate flipped red/green across machine windows on a
+  * byte-identical tree, r14 opened AND closed on opposite sides of it).
+  * The gate therefore bands counts: +1 job / +2 executed stages over
+  * budget pass (one AQE rematerialization is 1 job and 1-2 stages); a
+  * real regression — an extra action per loop round, a disengaged
+  * exchange reuse, a convergence loop gaining rounds — adds counts per
+  * ROUND or per CONSUMER, blowing well past the band. Regeneration
+  * takes max(observed, committed) per column so a lucky fast run can
+  * never re-tighten a budget below a previously observed legitimate
+  * run (ADVICE r14 #1); set GRAFT_REGEN_JOB_BUDGETS=fresh to drop the
+  * floor after a deliberate plan improvement that lowers counts. */
 class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -178,12 +192,29 @@ class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // env OR system property: a persistent sbt server's forked-test env
     // is pinned at launch, but -D flags can be set per command
     // (`set Test/javaOptions += "-DGRAFT_REGEN_JOB_BUDGETS=1"`)
-    if (sys.env.get("GRAFT_REGEN_JOB_BUDGETS").contains("1") ||
-        sys.props.get("GRAFT_REGEN_JOB_BUDGETS").contains("1")) {
+    val regenMode = sys.env.get("GRAFT_REGEN_JOB_BUDGETS")
+      .orElse(sys.props.get("GRAFT_REGEN_JOB_BUDGETS"))
+      .filter(v => v == "1" || v == "fresh")
+    if (regenMode.isDefined) {
       assert(ran.size == names.size,
         s"budget regeneration needs a full-suite run; ran ${ran.size}/${names.size}")
+      // default regen keeps committed values as a floor (max per column)
+      // so scheduler-variance can't silently re-tighten a budget below a
+      // previously observed run and re-arm the flake (ADVICE r14 #1);
+      // `fresh` writes exact observed counts for deliberate plan wins
+      val floor: Map[String, (Int, Int, Long)] =
+        if (regenMode.contains("fresh") || !Files.exists(budgetPath)) Map.empty
+        else scala.jdk.CollectionConverters.IteratorHasAsScala(
+          Files.lines(budgetPath).iterator).asScala
+          .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+            val Array(n, j, s, b) = line.split(" ")
+            n -> ((j.toInt, s.toInt, b.toLong))
+          }.toMap.filter { case (n, _) => names.contains(n) }
       val body = ran.toSeq.sortBy(_._1)
-        .map { case (n, (j, s, b)) => s"$n $j $s $b" }.mkString("", "\n", "\n")
+        .map { case (n, (j, s, b)) =>
+          val (fj, fs, fb) = floor.getOrElse(n, (0, 0, 0L))
+          s"$n ${j max fj} ${s max fs} ${b max fb}"
+        }.mkString("", "\n", "\n")
       val tmp = Files.createTempFile(budgetPath.getParent, "job_budgets", ".tmp")
       Files.write(tmp, body.getBytes("UTF-8"))
       Files.move(tmp, budgetPath, StandardCopyOption.REPLACE_EXISTING,
@@ -207,8 +238,11 @@ class QueriesSmokeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         s"queries without a committed job budget (regenerate): $missing")
       val over = ran.toSeq.sortBy(_._1).flatMap { case (n, (j, s, b)) =>
         val (bj, bs, bb) = budget(n)
-        if (j > bj || s > bs)
-          Some(s"$n: jobs $j (budget $bj), executed stages $s (budget $bs)")
+        // +1 job / +2 stages: the AQE rematerialization variance band
+        // (see class scaladoc); real regressions scale with rounds or
+        // consumers and blow past it
+        if (j > bj + 1 || s > bs + 2)
+          Some(s"$n: jobs $j (budget $bj + 1), executed stages $s (budget $bs + 2)")
         else if (shuffleBytesOver(b, bb))
           Some(s"$n: shuffle-write $b bytes (budget $bb + 25% band) — a " +
             "broadcast fell back to shuffle, a partial agg disengaged, or " +

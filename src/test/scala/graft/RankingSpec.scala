@@ -115,6 +115,30 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("histDf contract detector: a violating caller fails loudly under " +
+      "-Dgraft.ranking.checkHist=1 (ADVICE r14 #4)") {
+    val base = randomDf(17, 200)
+    val filtered = base.where(col("v") > 5.0) // different row multiset
+    val prev = sys.props.put("graft.ranking.checkHist", "1")
+    try {
+      // conforming caller (df only adds columns to histDf rows): passes
+      Ranking.groupedRank(base.withColumn("extra", lit(1)), Seq("grp"),
+        col("v"), floor(col("v")).cast("long"), Seq("id"),
+        histDf = base).count()
+      // violating caller (df filtered after the base was pinned): throws
+      val ex = intercept[IllegalArgumentException] {
+        Ranking.groupedRank(filtered, Seq("grp"), col("v"),
+          floor(col("v")).cast("long"), Seq("id"), histDf = base).count()
+      }
+      assert(ex.getMessage.contains("histDf contract violated"))
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.ranking.checkHist", v)
+        case None => sys.props.remove("graft.ranking.checkHist")
+      }
+    }
+  }
+
   test("groupedRank plan: no unpartitioned window, offsets broadcast") {
     val df = randomDf(13, 100)
     val plan = Ranking.groupedRank(df, Seq("grp"), col("v"),
