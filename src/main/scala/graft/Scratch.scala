@@ -215,6 +215,33 @@ object Scratch {
       case "lat_floor" => (s, d) => { // zero-exchange floor: scan + count only
         Tables.orders(s, d).select(col("o_custkey"))
       }
+      case "lat_micro" => (s, d) => { // decompose the per-query fixed cost
+        def t(label: String)(body: => Any): Unit = {
+          val t0 = System.nanoTime(); body
+          println(f"[micro] $label ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+        }
+        t("rdd 1-part job          ")(s.sparkContext.parallelize(Seq(1), 1).count())
+        t("range 1-part count      ")(s.range(0, 1000, 1, 1).count())
+        t("range 32-part count     ")(s.range(0, 1000, 1, 32).count())
+        t("read.parquet (plan only)")(Tables.orders(s, d))
+        t("orders analyze+optimize ")(Tables.orders(s, d)
+          .select(col("o_custkey")).queryExecution.executedPlan)
+        t("orders.count            ")(Tables.orders(s, d).count())
+        t("orders proj count       ")(Tables.orders(s, d).select(col("o_custkey")).count())
+        t("orders sum (2-stage agg)")(Tables.orders(s, d)
+          .agg(sum(col("o_custkey"))).collect())
+        t("orders groupBy count    ")(Tables.orders(s, d)
+          .groupBy(col("o_custkey")).agg(sum(col("o_totalprice"))).count())
+        val sch = Tables.orders(s, d).schema
+        t("read w/ explicit schema  ")(
+          s.read.schema(sch).parquet(s"$d/orders.parquet"))
+        t("read w/ schema + count   ")(
+          s.read.schema(sch).parquet(s"$d/orders.parquet").count())
+        val reused = Tables.orders(s, d)
+        t("reused DF count          ")(reused.count())
+        t("reused DF count again    ")(reused.count())
+        s.range(1).toDF("id")
+      }
       case other => sys.error(s"unknown variant $other")
     }
 
