@@ -215,6 +215,88 @@ object Scratch {
       case "lat_floor" => (s, d) => { // zero-exchange floor: scan + count only
         Tables.orders(s, d).select(col("o_custkey"))
       }
+      // ---- r15 VERDICT #3: pagerank posture when the rank side CANNOT
+      // broadcast. Force the session threshold to 1 KB so neither the
+      // size-aware hint nor the planner broadcasts; measure the per-round
+      // edge reshuffle the r14 verdict flagged as the unproven regime.
+      case "pr_nobcast" => (s, d) => {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        SparkEntry.queries("q_pagerank")(s, d)
+      }
+      // the candidate fix for that regime: edges pinned WITH partitioning
+      // (repartition(src) + cache, the Components posture) so the
+      // per-round join reshuffles only the rank relation
+      case "pr_partpin" => (s, d) => {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("a"), col("o_custkey").as("b"))
+          .distinct()
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+          .repartition(col("src"))
+          .cache()
+        val nodes = edges.select(col("src")).distinct()
+        val n = nodes.count().toDouble
+        var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+        for (_ <- 1 to 5) {
+          pr = edges
+            .join(pr, edges("src") === pr("node"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
+        }
+        val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
+          .localCheckpoint()
+        edges.unpersist(false)
+        out.orderBy("node")
+      }
+      case "bfs_nobcast" => (s, d) => {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        SparkEntry.queries("q_bfs_hops")(s, d)
+      }
+      // ---- r15 VERDICT #4: q_assoc_rules at-scale byte posture.
+      // ar0 = shipped form (flat self-join, SHUFFLE_HASH + ReuseExchange)
+      case "ar0" => (s, d) => SparkEntry.queries("q_assoc_rules")(s, d)
+      // ar3 = basket arrays via ONE exchange (collect_set dedups in-agg,
+      // no separate distinct shuffle), pair expansion via codegen
+      // Generate (posexplode + explode(slice)) instead of the r13 nested
+      // transform/flatten HOF chain
+      case "ar3" => (s, d) => {
+        val minSupp = 3
+        val b = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy(col("o"))
+          .agg(sort_array(collect_set(col("p"))).as("items"))
+          .localCheckpoint()
+        val nBaskets = b.agg(count(lit(1)).as("n_baskets"))
+        val itemSupp = b
+          .select(explode(col("items")).as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+        val pairs = b
+          .select(posexplode(col("items")).as(Seq("i", "item_a")),
+            col("items"))
+          .select(col("item_a"),
+            explode(slice(col("items"), col("i") + lit(2),
+              greatest(size(col("items")) - col("i") - 1, lit(0)))).as("item_b"))
+          .groupBy(col("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= minSupp)
+        pairs
+          .join(broadcast(itemSupp.select(col("item").as("item_a"),
+            col("supp").as("supp_a"))), "item_a")
+          .join(broadcast(itemSupp.select(col("item").as("item_b"),
+            col("supp").as("supp_b"))), "item_b")
+          .crossJoin(broadcast(nBaskets))
+          .select(col("item_a"), col("item_b"), col("supp_ab"),
+            (col("supp_ab").cast("double") / col("supp_a")).as("conf_ab"),
+            (col("supp_ab").cast("double") / col("supp_b")).as("conf_ba"),
+            (col("supp_ab").cast("double") * col("n_baskets")
+              / (col("supp_a") * col("supp_b"))).as("lift"))
+          .orderBy(desc("lift"), col("item_a"), col("item_b"))
+      }
       case "lat_micro" => (s, d) => { // decompose the per-query fixed cost
         def t(label: String)(body: => Any): Unit = {
           val t0 = System.nanoTime(); body

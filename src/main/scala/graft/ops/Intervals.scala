@@ -54,6 +54,23 @@ object Intervals {
     // magnitudes (> 2^53) that mis-bins boundary-adjacent endpoints.
     def floorDiv(x: String): String =
       s"(($x) div ${binWidth}L) + (CASE WHEN ($x) % ${binWidth}L < 0 THEN -1 ELSE 0 END)"
+    // ebin − sbin can OVERFLOW Long for an interval spanning nearly the
+    // full Long range at a small binWidth (s near Long.MinValue, e near
+    // Long.MaxValue): under ANSI mode a plain minus THROWS (one dirty
+    // row kills the job — the exact failure this guard exists to
+    // prevent), and with ANSI off it would wrap negative and read as
+    // "short", riding a ~2^64-bin explode. try_subtract yields NULL on
+    // overflow; a span too wide to even compute is by definition long.
+    val span = expr("try_subtract(ebin, sbin)")
+    val isLong = span.isNull || span >= maxBinsPerInterval
+    // count the long-span intervals on the checkpoint action itself
+    // (observe — no extra job): when there are NONE, the whole long-path
+    // subtree (a second full self-join + distinct, ~2 AQE jobs) is
+    // provably empty and is skipped outright (r15, guide §2.4 — union
+    // with an empty relation is identity). Long spans are rare by
+    // construction; common workloads should not pay the safety path's
+    // stages for zero rows.
+    val obs = org.apache.spark.sql.Observation()
     val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(sCol).cast("long").as("s"), col(eCol).cast("long").as("e"))
       // a zero-length (or inverted) half-open interval is EMPTY: it
@@ -65,18 +82,11 @@ object Intervals {
       .where(col("s") < col("e"))
       .withColumn("sbin", expr(floorDiv("s")))
       .withColumn("ebin", expr(floorDiv("e - 1")))
+      .observe(obs, sum(when(isLong, 1L).otherwise(0L)).as("n_long"))
       // read by the short-side explode AND both sides of the long-path
       // join — pin it, or the caller's upstream scan runs three times
       .localCheckpoint()
-    // ebin − sbin can OVERFLOW Long for an interval spanning nearly the
-    // full Long range at a small binWidth (s near Long.MinValue, e near
-    // Long.MaxValue): under ANSI mode a plain minus THROWS (one dirty
-    // row kills the job — the exact failure this guard exists to
-    // prevent), and with ANSI off it would wrap negative and read as
-    // "short", riding a ~2^64-bin explode. try_subtract yields NULL on
-    // overflow; a span too wide to even compute is by definition long.
-    val span = expr("try_subtract(ebin, sbin)")
-    val isLong = span.isNull || span >= maxBinsPerInterval
+    val nLong = Option(obs.get("n_long")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val binned = base.where(!isLong)
       .select(col("k"), col("id"), col("s"), col("e"), col("sbin"),
         explode(sequence(col("sbin"), col("ebin"))).as("bin"))
@@ -90,18 +100,21 @@ object Intervals {
           col("a.bin") === greatest(col("a.sbin"), col("b.sbin")))
       .select(col("a.k").as(keyCol), col("a.id").as("id1"),
         col("b.id").as("id2"))
-    // every pair with at least one LONG side: key-equi join of the
-    // (rare) longs against the full relation, id-normalized + distinct
-    // (distinct is cheap — the relation is |longs|·|co-keyed| rows, and
-    // a long-vs-long pair is the only double-emission)
-    val longPairs = base.where(isLong).as("a")
-      .join(base.as("b"),
-        col("a.k") === col("b.k") && col("a.id") =!= col("b.id") &&
-          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
-      .select(col("a.k").as(keyCol),
-        least(col("a.id"), col("b.id")).as("id1"),
-        greatest(col("a.id"), col("b.id")).as("id2"))
-      .distinct()
-    shortPairs.unionByName(longPairs)
+    if (nLong == 0L) shortPairs
+    else {
+      // every pair with at least one LONG side: key-equi join of the
+      // (rare) longs against the full relation, id-normalized + distinct
+      // (distinct is cheap — the relation is |longs|·|co-keyed| rows, and
+      // a long-vs-long pair is the only double-emission)
+      val longPairs = base.where(isLong).as("a")
+        .join(base.as("b"),
+          col("a.k") === col("b.k") && col("a.id") =!= col("b.id") &&
+            col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+        .select(col("a.k").as(keyCol),
+          least(col("a.id"), col("b.id")).as("id1"),
+          greatest(col("a.id"), col("b.id")).as("id2"))
+        .distinct()
+      shortPairs.unionByName(longPairs)
+    }
   }
 }

@@ -517,17 +517,35 @@ object AdvancedQueries extends QueryRegistry {
       val bcThresh = try org.apache.spark.network.util.JavaUtils
         .byteStringAsBytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
       catch { case _: Throwable => 10L << 20 }
+      val rankBroadcasts = n * 32 < bcThresh
       def rankSide(df: org.apache.spark.sql.DataFrame) =
-        if (n * 32 < bcThresh) broadcast(df) else df
+        if (rankBroadcasts) broadcast(df) else df
+      // ABOVE-THRESHOLD posture (r15, VERDICT r14 #2-wrong): when the
+      // rank relation cannot broadcast, the per-round join would
+      // reshuffle the full 2E-row checkpoint every iteration (the shape
+      // the old dst-partitioned cache existed to prevent). In that
+      // regime the loop reads a src-partitioned columnar cache instead:
+      // one extra edge shuffle up front, then every round moves only
+      // the n-row rank relation. The cache's decompression-per-scan
+      // cost (r14 lesson 1) is accepted here — it is per-round CPU,
+      // small against the per-round 2E-row network reshuffle it
+      // replaces. sf1 A/B with the threshold forced to 1 KB (hint
+      // cannot fire): shipped form 5.80 s, partitioned pin 5.54 s warm;
+      // at the default threshold the hint regime stays (5.0 s) and this
+      // branch never runs locally, so plans/budgets are unchanged.
+      val loopEdges =
+        if (rankBroadcasts) edges
+        else edges.repartition(col("src")).cache()
       var pr = nodes.select(col("src").as("node"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to 5) {
-        pr = edges
-          .join(rankSide(pr), edges("src") === pr("node"))
+        pr = loopEdges
+          .join(rankSide(pr), loopEdges("src") === pr("node"))
           .groupBy(col("dst").as("node"))
           .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
       }
       val out = pr.select(col("node"), round(col("rank"), 8).as("rank"))
         .localCheckpoint()
+      if (loopEdges ne edges) loopEdges.unpersist(false)
       Components.freeCheckpoint(edges)
       out.orderBy("node")
     },
@@ -775,47 +793,52 @@ object AdvancedQueries extends QueryRegistry {
 
   // Market-basket association rules (support / confidence / lift) — the
   // classic co-occurrence miner, here over order baskets of parts. Scale
-  // shape: candidate pairs come from an equi-self-join of the distinct
-  // (order, item) relation ON THE ORDER KEY — O(Σ|basket|²) fan-out with
-  // |basket| bounded by order width (≤13 here), so no skew can follow
-  // the hottest ITEM (an item-keyed join would concentrate it; the
-  // order-keyed join spreads a hot item across its orders' partitions).
-  // Item supports ride the same flat relation; the pair→support join is
-  // a broadcast (rules above min-support are few by construction).
+  // shape: ONE shuffle of the (order, item) relation builds sorted
+  // basket arrays (collect_set dedups in-aggregation); candidate pairs
+  // expand row-locally via codegen Generate nodes — O(Σ|basket|²)
+  // fan-out with |basket| bounded by order width (≤13 here), keyed by
+  // the ORDER, so no skew can follow the hottest ITEM. Item supports
+  // ride the same basket relation; the pair→support join is a
+  // broadcast (rules above min-support are few by construction).
   // Confidence/lift are single IEEE divisions over exact integer
   // counts, written identically both engines → emitted raw.
   private val assocRules = NamedQuery(
     "q_assoc_rules",
     (spark, d) => {
       val minSupp = 3
-      // r14 opt: the basket relation stays FLAT — distinct (order, item)
-      // rows — instead of collect_set arrays. The previous array-based
-      // pair expansion (flatten(transform(…, transform(slice(…)))))
-      // spent 2.3 s of 4.3 s total executor time at sf0.1 copying a
-      // slice of the basket array per element per basket (non-codegen
-      // HOF chain); pairs now come from an equi-self-join on the order
-      // key, whose fan-out per key is the same Σ|basket|² the row-local
-      // expansion paid (|basket| ≤ order width ≤ 13 — the join key is
-      // the ORDER, so the hottest ITEM still never concentrates a
-      // partition), and whose probe is whole-stage-codegen. Checkpointed:
-      // read by both self-join sides, the item supports, and the basket
-      // count — without it the lineitem distinct runs four times.
-      val d0 = Tables.lineitem(spark, d)
+      // r15 (VERDICT r14 #3/#4): baskets are SORTED ARRAYS again — ONE
+      // full shuffle of the (order, item) relation (collect_set dedups
+      // inside the aggregation, so no separate distinct exchange), where
+      // the r14 flat self-join shipped the relation TWICE (the distinct
+      // exchange keyed (o,p) plus the SHUFFLE_HASH self-join exchange
+      // keyed o — the committed +50-87% shuffle-byte growth the r14
+      // verdict flagged as the at-scale risk). The pair expansion is
+      // posexplode + explode(slice(...)) — two codegen Generate nodes,
+      // NOT the r13 nested transform/flatten HOF chain that measured
+      // 2.3 s of non-codegen expression time. Sorted arrays make the
+      // slice emit exactly the item_a < item_b pairs the self-join
+      // produced; |basket| ≤ order width (≤13) bounds the per-row
+      // fan-out, and the expansion key is the ORDER, so a hot ITEM
+      // still never concentrates a partition. sf1 A/B: flat self-join
+      // 6.2-6.9 s warm, this form 3.2-3.8 s (0.55×) — the byte
+      // reduction compounds with scale exactly as §2.3 predicts.
+      // Checkpointed: read by the pair expansion, the item supports,
+      // and the basket count.
+      val b0 = Tables.lineitem(spark, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("items"))
         .localCheckpoint()
-      val nBaskets = d0.select(col("o")).distinct()
-        .agg(count(lit(1)).as("n_baskets"))
-      val itemSupp = d0
-        .groupBy(col("p").as("item")).agg(count(lit(1)).as("supp"))
-      // SHUFFLE_HASH, not broadcast: the planner would broadcast the
-      // 600k-row side (it sits under the 10 MB estimate), but collecting
-      // and rebroadcasting the whole relation costs more than the two
-      // 6 MB hash exchanges — which are byte-identical plans, so
-      // ReuseExchange ships one
-      val pairs = d0.as("a").hint("shuffle_hash")
-        .join(d0.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
+      val nBaskets = b0.agg(count(lit(1)).as("n_baskets"))
+      val itemSupp = b0
+        .select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      val pairs = b0
+        .select(posexplode(col("items")).as(Seq("i", "item_a")), col("items"))
+        .select(col("item_a"),
+          explode(slice(col("items"), col("i") + lit(2),
+            greatest(size(col("items")) - col("i") - 1, lit(0)))).as("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("supp_ab"))
         .filter(col("supp_ab") >= minSupp)
       pairs

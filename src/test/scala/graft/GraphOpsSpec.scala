@@ -75,4 +75,21 @@ class GraphOpsSpec extends SparkSpec {
       assert(math.abs(t._3 - 2.0 / math.log(2.0)) <= 1e-6))
     assert(GraphQueries.adamicAdarTopK(e, 1, 10).count() === 0L)
   }
+
+  test("above-broadcast-threshold posture: q_pagerank / q_bfs_hops return " +
+      "identical results when the rank/frontier side cannot broadcast") {
+    // VERDICT r14 #2-wrong: with the threshold forced below any relation,
+    // the size-aware hint cannot fire and the kernels switch to the
+    // src-partitioned cached edge pin. Results must be bit-identical.
+    // An isolated newSession keeps the shared session's conf untouched
+    // (suites run concurrently on one session).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q_pagerank", "q_bfs_hops")) {
+      val want = SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted
+      val got = SparkEntry.queries(q)(s2, dir).collect().map(_.toString).sorted
+      assert(got.toSeq === want.toSeq, s"$q diverges above the threshold")
+    }
+  }
 }

@@ -37,12 +37,7 @@ class PlanSweepSpec extends SparkSpec {
   private val allow: Map[String, String] = Map(
     "q_salted_join" -> ("the POINT of the query is the salted shuffled " +
       "join (hot-key mitigation for when the dim is too big to " +
-      "broadcast); SHUFFLE_HASH-hinted by design"),
-    "q_assoc_rules" -> ("both SHUFFLE_HASH sides are the SAME checkpointed " +
-      "(order,item) relation, so ReuseExchange ships one ~6 MB exchange " +
-      "where a broadcast would collect + rebroadcast the whole relation " +
-      "(the 24 kB estimate is a stats-less LogicalRDD default, not a " +
-      "measurement); r14 measured broadcast 2.7 s vs shuffle-hash 2.0 s"))
+      "broadcast); SHUFFLE_HASH-hinted by design"))
 
   private def offenders(p: SparkPlan): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
