@@ -412,7 +412,8 @@ object TextOps {
       .join(prefix.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    scoredPairs(cand, arrs, idCol, t, maxBroadcastDocs)
+    scoredPairs(cand, arrs, idCol, t, maxBroadcastDocs,
+      spreadVerify = true)
   }
 
   /** Exact thresholded Jaccard over a DF-CAPPED candidate index — the
@@ -439,7 +440,8 @@ object TextOps {
       .join(rare.select(col(idCol).as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    scoredPairs(cand, arrs, idCol, minJaccard, maxBroadcastDocs)
+    scoredPairs(cand, arrs, idCol, minJaccard, maxBroadcastDocs,
+      spreadVerify = true)
   }
 
   /** Shared tail of the candidate-based jaccard family: exact
@@ -448,8 +450,10 @@ object TextOps {
     * rounding scale is an oracle-parity constant shared by every
     * caller. */
   def scoredPairs(cand: DataFrame, arrs: DataFrame, idCol: String,
-                  minJaccard: Double, maxBroadcastDocs: Long = 100000L): DataFrame =
-    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs)
+                  minJaccard: Double, maxBroadcastDocs: Long = 100000L,
+                  spreadVerify: Boolean = false): DataFrame =
+    verifyCandidates(cand, arrs, idCol, maxBroadcastDocs,
+      spreadVerify = spreadVerify)
       .withColumn("jaccard",
         round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -510,7 +514,8 @@ object TextOps {
     * `interCount`. */
   private[graft] def verifyCandidates(cand: DataFrame, arrs: DataFrame, idCol: String,
                                       maxBroadcastDocs: Long,
-                                      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
+                                      maxBroadcastBytes: Long = 1L << 30,
+                                      spreadVerify: Boolean = false): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
     // the decision is (rows, BYTES), not rows alone: a row cap bounds
@@ -528,15 +533,37 @@ object TextOps {
       else rel.as[(Long, Array[Long])].collect()
     if (fits) {
       val bc = spark.sparkContext.broadcast(collected.toMap)
-      // NOTE (r14, measured and rejected): AQE's byte-based coalescing
-      // funnels this CPU-dense merge into ~4 tasks at sf0.1 (4 MB of
-      // pairs), which looks like lost parallelism — but an explicit
-      // round-robin repartition to defaultParallelism made the query
-      // SLOWER (2.02 → 2.76 s wall: one extra exchange barrier plus
-      // ~55 ms/task fixed overhead × 32 outweighed 1.1 s of spread
-      // CPU). At real scale the pair relation's bytes grow with the
-      // corpus and AQE sizes the stage itself.
-      cand.as[(Long, Long)].mapPartitions { it =>
+      // COST-BASED SPREAD (r15, VERDICT r14 #6 — supersedes the r14
+      // rejected experiment): AQE coalesces this stage's input by BYTES
+      // (4 MB of pairs → ~4 tasks at sf0.1) while its cost is CPU
+      // (sorted-merge steps ∝ pairs × 2·avgArrLen — ~75% of
+      // dedup_ngram_capped's executor time serialized into those 4
+      // tasks). The r14 fix — blind round-robin repartition to
+      // defaultParallelism(32) — lost to 32 × ~55 ms task overhead; the
+      // cost model picks the partition count from the WORK instead:
+      // the pair relation is pinned (one cheap barrier; pair count
+      // rides the checkpoint via observe, free) and spread over
+      // work / ~8M merge-steps (≈50-100 ms of CPU per task), capped at
+      // defaultParallelism. Small candidate sets compute p = 1 and pay
+      // only the pin; opt-in (spreadVerify) so row-trivial callers
+      // don't pay even that.
+      val candSrc =
+        if (!spreadVerify) cand
+        else {
+          val obs = org.apache.spark.sql.Observation()
+          val pinned = cand
+            .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+          val nPairs = Option(obs.get("n"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          val avgLen =
+            if (dec.getLong(0) > 0L) dec.getLong(1) / dec.getLong(0) else 0L
+          val work = nPairs * 2L * math.max(avgLen, 1L)
+          val p = math.max(1L, math.min(
+            spark.sparkContext.defaultParallelism.toLong,
+            work / 3000000L)).toInt
+          if (p > 1) pinned.repartition(p) else pinned
+        }
+      candSrc.as[(Long, Long)].mapPartitions { it =>
         val data = bc.value
         // a candidate id absent from arrs (possible when candidates come
         // from a non-shingle source) is SKIPPED — the same behavior the

@@ -213,7 +213,7 @@ object DedupQueries extends QueryRegistry {
     val arrs = TextOps.shingleArraysLocal(
       docs.join(candDocs, "doc_id").select(col("doc_id"), col("text")),
       "doc_id", "text", 3).localCheckpoint()
-    TextOps.scoredPairs(cand, arrs, "doc_id", 0.8)
+    TextOps.scoredPairs(cand, arrs, "doc_id", 0.8, spreadVerify = true)
   }
 
   /** DuckDB dual of minhashVerifiedPairs, up to a `pairs(id1, id2,

@@ -32,7 +32,7 @@ for a in "$@"; do
   esac
 done
 OUT=/tmp/graft_verify_sf10
-LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r14.json}"
+LEDGER="${GRAFT_SF10_LEDGER:-CORRECTNESS_sf10_r15.json}"
 
 # 128 GiB fit, pre-verified (SCALE.md memory math): the dominant
 # resident sets at sf10 are documents (500k rows x ~2 KB ~= 1 GiB),
@@ -72,8 +72,15 @@ fi
 # wall-time queries join — the TPC-H-shaped joins previously topped out
 # at sf1 evidence. At sf10 lineitem is ~60M rows; the interesting
 # questions are whether the salted join's salt factor still bounds skew
-# and whether the EXISTS semi-join shape scales. Subset is now 24.
-SUBSET="sim_knn_classify,sim_ann_ivf,dedup_semantic,dedup_embedding_blocked,sim_cosine_topk,sim_kmeans,text_contamination,text_exactsubstr_dedup,sim_knn_graph,text_duplicate_spans,sim_pq_adc,sim_srp_hamming,text_winnowing,dedup_simhash,text_tfidf_top,dedup_clusters,dedup_minhash_lsh,dedup_ngram_capped,dedup_simhash_pairs,q3_top_revenue_orders,q5_region_revenue,q17_small_quantity,q_exists_returns,q_salted_join"
+# and whether the EXISTS semi-join shape scales.
+#
+# r15 extension (VERDICT r14 next-7): the iterative family joins —
+# q_pagerank, q_bfs_hops, q_er_resolve (dedup_clusters was already in).
+# The r14 round's biggest wins (localCheckpoint pins, size-aware
+# broadcast hints, the r15 above-threshold partitioned-pin switch)
+# rested on sf0.1/sf1 evidence; the 100 TB claim needs the third
+# decade. Subset is now 27.
+SUBSET="sim_knn_classify,sim_ann_ivf,dedup_semantic,dedup_embedding_blocked,sim_cosine_topk,sim_kmeans,text_contamination,text_exactsubstr_dedup,sim_knn_graph,text_duplicate_spans,sim_pq_adc,sim_srp_hamming,text_winnowing,dedup_simhash,text_tfidf_top,dedup_clusters,dedup_minhash_lsh,dedup_ngram_capped,dedup_simhash_pairs,q3_top_revenue_orders,q5_region_revenue,q17_small_quantity,q_exists_returns,q_salted_join,q_pagerank,q_bfs_hops,q_er_resolve"
 echo "[verify_sf10] subset: $SUBSET"
 
 echo "[verify_sf10] running graft.Verify at sf10 (subset)"
